@@ -1,0 +1,20 @@
+"""The local correctness gate: every registered query must hash-match its
+DuckDB oracle at sf0.001 (fast; the driver re-checks at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ds_caselaw_ingester_spark.plans.oracle_check import check_query
+from ds_caselaw_ingester_spark.plans.registry import all_specs
+
+
+def _specs():
+    return sorted(all_specs().values(), key=lambda s: s.name)
+
+
+@pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
+def test_query_matches_oracle(spark, sf_dir, spec):
+    res = check_query(spark, sf_dir, spec.name, spec.fn, spec.oracle)
+    assert res.ok, f"{spec.name}: {res.detail}"
+    assert res.spark_rows > 0, f"{spec.name}: empty result (weak test)"
