@@ -1,0 +1,232 @@
+"""The end-to-end ingest plan: the reference's `Ingest` object (analyze
+phase, ingester.py:178-210) and `perform_ingest` (execute phase,
+ingester.py:542-575) as composable DataFrame stages.
+
+Analyze (pure, one row per message — all lookups are joins):
+    parse_messages (S1-S6)
+      -> metadata join + projections (P3-P10, S9)
+      -> document classification from best XML (P11, S12)
+      -> URI cascade (J1-J3, A1)
+      -> routing decisions (C1-C5, P15)
+
+Execute (effects, fixed K13 order — driver-side sequencing because Spark
+gives no cross-sink ordering guarantee):
+    documents MERGE (K1/K2+K3) -> versions append -> identifiers append
+    (C5) -> properties upsert (K4/K5) -> publish flags (K11).
+External notifications (K12) are modeled as an appended `notifications`
+effect-log table — observable, replayable, idempotent.
+
+At 100 TB: analyze is shuffle-light — the only wide exchanges are the
+identifier-index broadcasts (tiny) and the metadata join keyed on
+consignment_ref; execute shuffles each sink once on `uri`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.functions.scalars import (
+    classify_document_xml,
+    trimmed_uri,
+    upload_state,
+)
+from ds_caselaw_ingester_spark.operators.routing import (
+    annotation_message,
+    email_action,
+    insert_or_update_route,
+    will_publish,
+)
+from ds_caselaw_ingester_spark.operators.upsert import upsert_parquet_table
+from ds_caselaw_ingester_spark.operators.uri_cascade import (
+    expected_namespace_col,
+    resolve_uris,
+)
+
+
+def analyze(
+    messages: DataFrame,
+    metadata: DataFrame,
+    best_xmls: DataFrame,
+    identifiers: DataFrame,
+    documents_state: DataFrame,
+) -> DataFrame:
+    """Build the fully-resolved analysis record per message.
+
+    messages:        parse_messages() output (message_id, kind,
+                     consignment_ref, originator, ...)
+    metadata:        (consignment_ref, metadata struct) — parsed TRE json
+    best_xmls:       (consignment_ref, best_xml, xml_was_valid) — S12
+    identifiers:     (slug, value, namespace, uri) index
+    documents_state: (uri, is_published) current sink state (J5)
+    """
+    m = metadata.select(
+        "consignment_ref",
+        F.col("metadata.parameters.TRE.reference").alias("tre_reference"),
+        F.col("metadata.parameters.TRE.payload.filename").alias("source_filename"),
+        F.col("metadata.parameters.PARSER.uri").alias("parser_uri"),
+        F.col("metadata.parameters.PARSER.cite").alias("extracted_ncn"),  # P9
+        F.col("metadata.parameters.PARSER.parser_run_id").alias("parser_run_id"),
+        F.col("metadata.parameters.TDR").alias("tdr"),
+        F.col("metadata.parameters.INGESTER_OPTIONS.auto_publish").alias("opt_auto_publish"),
+        F.col("metadata.parameters.INGESTER_OPTIONS.error_on_existing_document").alias(
+            "opt_error_on_existing"
+        ),
+    )
+    enriched = (
+        messages.where(F.col("kind") != "invalid")
+        .join(m, "consignment_ref", "left")
+        .join(best_xmls, "consignment_ref", "left")
+        # P10: S3-path consignment ref is overwritten by the TRE reference;
+        # V2 path keeps the message reference (messages.py:33-34, 84-93)
+        .withColumn(
+            "consignment_ref",
+            F.when(
+                (F.col("kind") == "s3") & F.col("tre_reference").isNotNull(),
+                F.col("tre_reference"),
+            ).otherwise(F.col("consignment_ref")),
+        )
+        .withColumn("is_tdr", F.col("tdr").isNotNull())  # P3
+        .withColumn("auto_publish", F.coalesce(F.col("opt_auto_publish"), F.lit(False)))  # P5
+        .withColumn(
+            "error_on_existing", F.coalesce(F.col("opt_error_on_existing"), F.lit(False))
+        )  # P6
+        .withColumn("doc_kind", classify_document_xml(F.col("best_xml")))  # P11
+        .withColumn("slug_candidate", trimmed_uri(F.col("parser_uri")))  # P4
+        .withColumn("ncn_candidate", F.col("extracted_ncn"))
+        .withColumn("expected_ns", expected_namespace_col(F.col("doc_kind")))
+        .withColumn("msg_id", F.coalesce(F.col("message_id"), F.col("consignment_ref")))
+    )
+    resolved = resolve_uris(
+        enriched.select(
+            "msg_id", "doc_kind", "slug_candidate", "ncn_candidate", "expected_ns"
+        ),
+        identifiers,
+    )
+    analysis = enriched.join(
+        resolved.select("msg_id", "status", "uri", "exists_in_db"), "msg_id", "left"
+    )
+    pub_state = documents_state.select(
+        F.col("uri"), F.col("is_published").alias("was_published")
+    )
+    analysis = analysis.join(F.broadcast(pub_state), "uri", "left").withColumn(
+        "was_published", F.coalesce(F.col("was_published"), F.lit(False))
+    )
+    return analysis.select(
+        "msg_id",
+        "message_id",
+        "kind",
+        "consignment_ref",
+        "originator",
+        "doc_kind",
+        "status",
+        "uri",
+        "exists_in_db",
+        "is_tdr",
+        "auto_publish",
+        "error_on_existing",
+        "source_filename",
+        "extracted_ncn",
+        "parser_run_id",
+        "best_xml",
+        "tdr",
+        will_publish(
+            F.col("originator"),
+            F.col("auto_publish"),
+            F.col("exists_in_db"),
+            F.col("was_published"),
+        ).alias("will_publish"),
+        email_action(F.col("originator"), F.col("auto_publish"), F.col("exists_in_db")).alias(
+            "email_action"
+        ),
+        insert_or_update_route(F.col("exists_in_db"), F.col("error_on_existing")).alias(
+            "write_route"
+        ),
+        annotation_message(F.col("is_tdr"), F.col("exists_in_db")).alias("annotation"),
+        upload_state(F.col("exists_in_db")).alias("upload_state"),
+    )
+
+
+def perform_ingest(analysis: DataFrame, sink_root: str) -> dict[str, int]:
+    """Execute phase: apply effects in the reference's fixed order (K13).
+
+    Rows routed to error states (cascade cardinality errors, C3
+    error_existing) are quarantined, not written — per-record containment.
+    Returns row counts per effect table for observability.
+    """
+    analysis = analysis.persist()
+    try:
+        ok = analysis.where(
+            ~F.col("status").startswith("error") & (F.col("write_route") != "error_existing")
+        ).persist()
+        quarantine = analysis.where(
+            F.col("status").startswith("error") | (F.col("write_route") == "error_existing")
+        )
+        counts: dict[str, int] = {}
+
+        # K1/K2 — documents upsert (MERGE keyed on uri)
+        docs = ok.select(
+            "uri",
+            F.col("best_xml").alias("xml"),
+            F.col("doc_kind").alias("doc_type"),
+            F.col("will_publish").alias("is_published"),
+        )
+        upsert_parquet_table(docs, f"{sink_root}/documents", key="uri")
+        counts["documents"] = docs.count()
+
+        # versions append (annotation payload, P7/C4)
+        versions = ok.select(
+            "uri",
+            F.col("annotation").alias("annotation_message"),
+            F.col("auto_publish").alias("annotation_automated"),
+            F.when(F.col("exists_in_db"), F.lit("update")).otherwise(F.lit("insert")).alias(
+                "annotation_type"
+            ),
+        )
+        versions.write.mode("append").parquet(f"{sink_root}/versions")
+        counts["versions"] = versions.count()
+
+        # C5 — identifiers: only types with an identifier class AND an NCN
+        idents = (
+            ok.where(F.col("doc_kind").isin("judgment", "pressSummary"))
+            .where(F.col("extracted_ncn").isNotNull())
+            .select(
+                "uri",
+                expected_namespace_col(F.col("doc_kind")).alias("namespace"),
+                F.col("extracted_ncn").alias("value"),
+            )
+        )
+        idents.write.mode("append").parquet(f"{sink_root}/identifiers")
+        counts["identifiers"] = idents.count()
+
+        # K4/K5 — properties (TDR rows only; parser-run-id iff present)
+        tdr_props = ok.where(F.col("is_tdr")).selectExpr(
+            "uri",
+            """stack(4,
+                'source-organisation', tdr['Source-Organization'],
+                'source-name', tdr['Contact-Name'],
+                'source-email', tdr['Contact-Email'],
+                'transfer-received-at', tdr['Consignment-Completed-Datetime']
+            ) AS (name, value)""",
+        ).where(F.col("value").isNotNull())
+        parser_props = ok.where(F.col("parser_run_id").isNotNull()).select(
+            "uri", F.lit("parser-run-id").alias("name"), F.col("parser_run_id").alias("value")
+        )
+        props = tdr_props.unionByName(parser_props)
+        props.write.mode("append").parquet(f"{sink_root}/properties")
+        counts["properties"] = props.count()
+
+        # K12 — notifications effect log
+        notifications = ok.where(F.col("email_action").startswith("email")).select(
+            "msg_id", "uri", F.col("email_action").alias("template")
+        )
+        notifications.write.mode("append").parquet(f"{sink_root}/notifications")
+        counts["notifications"] = notifications.count()
+
+        # C6 — quarantine/DLQ
+        q = quarantine.select("msg_id", "message_id", "status", "write_route")
+        q.write.mode("append").parquet(f"{sink_root}/quarantine")
+        counts["quarantine"] = q.count()
+        return counts
+    finally:
+        analysis.unpersist()

@@ -1,0 +1,85 @@
+"""Conditional-routing operators — the reference's CASE-dispatch surface
+(SURVEY.md §2.5 C1-C6). All pure `when/otherwise` ladders: JVM-side,
+codegen'd, zero shuffle.
+
+Errors are data: where the reference raises (RuntimeError on an unknown
+originator, DocumentInsertionError on exists+error_on_existing), the
+set-oriented engine emits an 'error' route and the row continues to the
+quarantine branch (per-record containment, lambda_function.py:131-136).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ORIGINATOR_TDR = "TDR"
+ORIGINATOR_FCL = "FCL"
+ORIGINATOR_FCL_S3 = "FCL S3"
+
+
+def will_publish(
+    originator: Column,
+    auto_publish: Column,
+    exists_in_db: Column,
+    was_published: Column,
+) -> Column:
+    """C1 (ingester.py:424-440): TDR -> never auto-publish; FCL S3 (bulk)
+    -> INGESTER_OPTIONS.auto_publish; FCL (reparse) -> only if the document
+    already exists AND was already published; unknown originator -> NULL
+    (the reference raises RuntimeError — routed to quarantine here)."""
+    return (
+        F.when(originator == ORIGINATOR_TDR, F.lit(False))
+        .when(originator == ORIGINATOR_FCL_S3, auto_publish)
+        .when(originator == ORIGINATOR_FCL, exists_in_db & was_published)
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def email_action(
+    originator: Column,
+    auto_publish: Column,
+    exists_in_db: Column,
+) -> Column:
+    """C2 (ingester.py:442-457): FCL reparse -> no email; FCL S3 -> bulk
+    notification iff not auto_publish (a stub in the reference,
+    ingester.py:323-325); TDR -> 'updated' vs 'new' template by
+    exists_in_db; unknown -> 'error'."""
+    return (
+        F.when(originator == ORIGINATOR_FCL, F.lit("none"))
+        .when(
+            originator == ORIGINATOR_FCL_S3,
+            F.when(auto_publish, F.lit("none")).otherwise(F.lit("bulk_stub")),
+        )
+        .when(
+            originator == ORIGINATOR_TDR,
+            F.when(exists_in_db, F.lit("email_updated")).otherwise(F.lit("email_new")),
+        )
+        .otherwise(F.lit("error"))
+    )
+
+
+def insert_or_update_route(exists_in_db: Column, error_on_existing: Column) -> Column:
+    """C3 (ingester.py:459-483): exists & error_on_existing_document ->
+    DocumentInsertionError (quarantine); exists -> update; else insert."""
+    return (
+        F.when(exists_in_db & error_on_existing, F.lit("error_existing"))
+        .when(exists_in_db, F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+
+
+def annotation_message(is_tdr: Column, exists_in_db: Column) -> Column:
+    """C4 (ingester.py:225-238, 243-255): TDR vs Find Case Law wording,
+    new vs updated."""
+    submitter = F.when(is_tdr, F.lit("TDR user")).otherwise(F.lit("Find Case Law"))
+    verb = F.when(exists_in_db, F.lit("Updated")).otherwise(F.lit("New"))
+    return F.concat(verb, F.lit(" document submitted by a "), submitter)
+
+
+def split_quarantine(df: DataFrame, error_predicate: Column) -> tuple[DataFrame, DataFrame]:
+    """C6 (lambda_function.py:131-136): per-record error containment as a
+    success/quarantine split. Both sides share the parent plan; at scale
+    persist the parent (or let AQE reuse the exchange) rather than
+    recomputing it twice."""
+    return df.where(~error_predicate), df.where(error_predicate)

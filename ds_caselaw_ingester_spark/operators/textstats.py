@@ -1,0 +1,59 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+normalization, tokenization, language-ID heuristic, quality scoring,
+document fingerprinting (k-min sketch).
+
+All pure `pyspark.sql.functions` column expressions — JVM-side, inside
+whole-stage codegen, no Python in the hot path. At 100 TB the text column
+dominates I/O, so callers should select only (id, text) into these.
+
+Portability: every expression here has an exact DuckDB equivalent (same
+IEEE double operation order), so the oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    """lower + trim + whitespace collapse — the canonical form used for
+    exact dedup (the reference carries a content hash uk:hash in its
+    proprietary XML block; file-level analog)."""
+    return F.regexp_replace(F.lower(F.trim(text)), "\\s+", " ")
+
+
+def content_hash(text: Column) -> Column:
+    return F.md5(normalize_text(text))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, "\\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(text: Column, word: str) -> Column:
+    """Occurrences of a space-delimited word via non-overlapping replace —
+    (len(padded) - len(replace(padded))) / len(' word ')."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Share of alphabetic characters — doubles divided in a fixed order."""
+    return F.length(F.regexp_replace(text, "[^a-zA-Z]", "")) / F.length(text)
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (order preserved)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))

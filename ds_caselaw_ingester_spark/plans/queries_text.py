@@ -1,0 +1,233 @@
+"""Text-analysis queries over `documents` — the LLM-data-pipeline surface
+(SURVEY.md §2.9): exact dedup, token statistics, language-ID heuristic +
+quality scoring, k-min fingerprint sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.textstats import (
+    alpha_ratio,
+    content_hash,
+    stopword_count,
+    token_count,
+    tokens,
+    word_ngrams,
+)
+from ds_caselaw_ingester_spark.plans.registry import register
+from ds_caselaw_ingester_spark.session import ensure_oracle_safe
+from ds_caselaw_ingester_spark.sources.catalog import table
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy exact dedup with canonical-keeper choice
+# ---------------------------------------------------------------------------
+
+DEDUP_EXACT_ORACLE = """
+WITH norm AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+),
+grp AS (
+  SELECT content_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+  FROM norm GROUP BY content_hash
+)
+SELECT n.doc_id, n.content_hash, g.canonical_id, g.n_copies,
+       n.doc_id <> g.canonical_id AS is_duplicate
+FROM norm n JOIN grp g USING (content_hash)
+"""
+
+
+@register(
+    "dedup_exact",
+    DEDUP_EXACT_ORACLE,
+    doc="Exact dedup: normalized md5 content hash -> groupBy -> keep min id. "
+    "One shuffle on the 16-byte hash, never on the document text.",
+    survey_ops=("ext:dedup-exact",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = d.select("doc_id", content_hash(F.col("text")).alias("content_hash"))
+    grp = norm.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies")
+    )
+    return (
+        norm.join(grp, "content_hash")
+        .select(
+            "doc_id",
+            "content_hash",
+            "canonical_id",
+            "n_copies",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_stats — tokenization statistics (counts only; exact parity)
+# ---------------------------------------------------------------------------
+
+TOKEN_STATS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(tok) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(tok)) AS INTEGER) AS n_distinct_tokens,
+       round(CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok), 4) AS type_token_ratio,
+       n_chars
+FROM toks
+"""
+
+
+@register(
+    "token_stats",
+    TOKEN_STATS_ORACLE,
+    doc="Whitespace tokenization + distinct counts + type/token ratio — the "
+    "token-counting primitive of a training-data pipeline.",
+    survey_ops=("ext:token-count",),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    tok = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(tok)).cast("double") / F.size(tok), 4
+        ).alias("type_token_ratio"),
+        "n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# lang_quality — n-gram/stopword language heuristic + quality score
+# ---------------------------------------------------------------------------
+
+LANG_QUALITY_ORACLE = """
+WITH feats AS (
+  SELECT doc_id,
+         CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the,
+         CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' data ', ''))) / 6 AS BIGINT) AS cnt_data,
+         CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' query ', ''))) / 7 AS BIGINT) AS cnt_query,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         length(text) AS n_chars_exact
+  FROM documents
+)
+SELECT doc_id, cnt_the, cnt_data, cnt_query,
+       CASE WHEN cnt_the >= 2 THEN 'en'
+            WHEN cnt_data + cnt_query >= 3 THEN 'tech'
+            ELSE 'unknown' END AS guessed_lang,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       round(
+         0.5 * alpha_ratio
+         + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 64.0)
+         + 0.2 * least(1.0, CAST(n_chars_exact AS DOUBLE) / 512.0),
+         4) AS quality_score
+FROM feats
+"""
+
+
+@register(
+    "lang_quality",
+    LANG_QUALITY_ORACLE,
+    doc="Language-ID heuristic (stopword hits) + quality score "
+    "(alpha ratio / length terms) — fixed-order double arithmetic for "
+    "engine-exact parity.",
+    survey_ops=("ext:lang-id", "ext:quality-score"),
+)
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = d.select(
+        "doc_id",
+        stopword_count(F.col("text"), "the").alias("cnt_the"),
+        stopword_count(F.col("text"), "data").alias("cnt_data"),
+        stopword_count(F.col("text"), "query").alias("cnt_query"),
+        alpha_ratio(F.col("text")).alias("alpha_ratio_raw"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_exact"),
+    )
+    guessed = (
+        F.when(F.col("cnt_the") >= 2, F.lit("en"))
+        .when(F.col("cnt_data") + F.col("cnt_query") >= 3, F.lit("tech"))
+        .otherwise(F.lit("unknown"))
+    )
+    quality = (
+        F.lit(0.5) * F.col("alpha_ratio_raw")
+        + F.lit(0.3) * F.least(F.lit(1.0), F.col("n_tokens").cast("double") / F.lit(64.0))
+        + F.lit(0.2) * F.least(F.lit(1.0), F.col("n_chars_exact").cast("double") / F.lit(512.0))
+    )
+    return feats.select(
+        "doc_id",
+        "cnt_the",
+        "cnt_data",
+        "cnt_query",
+        guessed.alias("guessed_lang"),
+        F.round(F.col("alpha_ratio_raw"), 4).alias("alpha_ratio"),
+        F.round(quality, 4).alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint — k-min sketch over word 4-grams (rolling-hash analog)
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(tok, i, i + 3), ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(tok) - 3)) AS t(i)
+  WHERE len(tok) >= 4
+),
+ranked AS (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+  FROM grams
+)
+SELECT doc_id,
+       string_agg(h, ',' ORDER BY h) AS fingerprint,
+       count(*) AS sketch_size
+FROM ranked WHERE rn <= 5
+GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_fingerprint",
+    FINGERPRINT_ORACLE,
+    doc="Document fingerprint: 5 smallest md5s of word 4-grams (k-min "
+    "sketch — the set-similarity analog of winnowing/rolling hashes).",
+    survey_ops=("ext:fingerprint",),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = tokens(F.col("text"))
+    grams = (
+        d.select("doc_id", F.explode(word_ngrams(tok, 4)).alias("gram"))
+        .select("doc_id", F.md5("gram").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        grams.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("h")), ",").alias("fingerprint"),
+            F.count("*").alias("sketch_size"),
+        )
+    )

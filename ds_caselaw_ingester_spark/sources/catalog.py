@@ -30,9 +30,21 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Column pruning happens automatically when the
-    caller selects a subset; never ``select('*')`` into a wide pipeline."""
+    caller selects a subset; never ``select('*')`` into a wide pipeline.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark only reads via
+    the nanosAsLong legacy conf (as raw int64 nanos). We truncate to a
+    microsecond TimestampType — the same truncation DuckDB applies — so
+    event-time semantics agree across engines.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
