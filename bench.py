@@ -39,6 +39,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # queries may persist() shared subtrees; drop them so later
+            # queries aren't squeezed by earlier queries' cache residency
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -37,13 +37,23 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 
 def minhash_signatures(shingles: DataFrame, id_col: str, num_seeds: int = 16) -> DataFrame:
     """(id, seed, mh): per-seed minhash = lexicographic min of
-    md5(seed || '|' || gram)."""
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(num_seeds)])).alias("seed")
-    seeded = shingles.select(F.col(id_col), F.col("gram"), seeds)
-    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("gram")))
-    return seeded.select(F.col(id_col), F.col("seed"), h.alias("h")).groupBy(
-        id_col, "seed"
-    ).agg(F.min("h").alias("mh"))
+    md5(seed || '|' || gram).
+
+    Plan shape: ONE wide aggregation (num_seeds min() columns in a single
+    groupBy pass, all hashes computed in the same projection) then an
+    unpivot — instead of exploding shingles × seeds, which would shuffle
+    num_seeds× the data. At 100 TB the explode version shuffles 16× the
+    shingle set; this shuffles one row of 16 columns per document.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("gram")))).alias(f"mh{i}")
+        for i in range(num_seeds)
+    ]
+    wide = shingles.groupBy(id_col).agg(*aggs)
+    stack_args = ", ".join(f"{i}, mh{i}" for i in range(num_seeds))
+    return wide.selectExpr(
+        id_col, f"stack({num_seeds}, {stack_args}) AS (seed, mh)"
+    )
 
 
 def lsh_bands(signatures: DataFrame, id_col: str, rows_per_band: int = 4) -> DataFrame:
@@ -90,16 +100,34 @@ def estimate_jaccard(
     )
 
 
-def exact_jaccard_pairs(shingles: DataFrame, id_col: str, threshold: float) -> DataFrame:
+def exact_jaccard_pairs(
+    shingles: DataFrame, id_col: str, threshold: float, max_doc_freq: int | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index self-join on the shingle.
 
     sizes: |A|, |B| from per-doc counts; common from the gram join;
     jaccard = common / (|A| + |B| - common) — integer inputs, one double
     division, engine-exact.
+
+    max_doc_freq: drop shingles appearing in more than this many documents
+    from the JOIN side only (sizes still count them). The prefix-filtering
+    analog: a shingle shared by thousands of documents produces a
+    quadratic pair fan-out while contributing no near-dup signal — at
+    100 TB the hot-shingle join IS the bottleneck, and the cap turns the
+    worst key from O(df²) pairs into nothing. Pairs whose overlap is
+    exclusively ultra-common shingles fall below any useful threshold
+    anyway; the reported jaccard for surviving pairs is a lower bound.
     """
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_grams"))
-    a = shingles.select(F.col(id_col).alias("doc_a"), "gram")
-    b = shingles.select(F.col(id_col).alias("doc_b"), "gram")
+    joinable = shingles
+    if max_doc_freq is not None:
+        gram_df = shingles.groupBy("gram").agg(F.count("*").alias("gram_df"))
+        joinable = (
+            shingles.join(gram_df.where(F.col("gram_df") <= max_doc_freq), "gram")
+            .select(id_col, "gram")
+        )
+    a = joinable.select(F.col(id_col).alias("doc_a"), "gram")
+    b = joinable.select(F.col(id_col).alias("doc_b"), "gram")
     common = (
         a.join(b, "gram")
         .where(F.col("doc_a") < F.col("doc_b"))

@@ -97,8 +97,10 @@ def ann_lsh_topk(
     is the difference between O(n·q) and O(n·q / 2^planes)."""
     from pyspark.sql import Window
 
+    # bucket computation is a wide codegen expression (planes × dims fold);
+    # persist the bucketed candidates so the join probe doesn't recompute it
     qb = queries.withColumn("bucket", lsh_bucket(F.col("qv"), num_planes))
-    cb = candidates.withColumn("bucket", lsh_bucket(F.col("cv"), num_planes))
+    cb = candidates.withColumn("bucket", lsh_bucket(F.col("cv"), num_planes)).persist()
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .where(F.col("q_id") != F.col("c_id"))

@@ -41,7 +41,9 @@ corpus AS (
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     tok = tokens(F.col("text"))
     dups = d.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -101,7 +103,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
     corpus = _corpus(spark, sf_dir)
     shingles = doc_shingles(corpus, "doc_id", "text", n=3)
-    sigs = minhash_signatures(shingles, "doc_id", num_seeds=16)
+    # signatures feed BOTH the banding and the Jaccard estimate — persist
+    # so the shingle->md5->groupBy-min subtree runs once, not three times
+    sigs = minhash_signatures(shingles, "doc_id", num_seeds=16).persist()
     bands = lsh_bands(sigs, "doc_id", rows_per_band=4)
     pairs = lsh_candidate_pairs(bands, "doc_id")
     return estimate_jaccard(pairs, sigs, "doc_id", num_seeds=16)
@@ -146,7 +150,9 @@ WHERE round(CAST(c.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - c.n_common),
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
     corpus = _corpus(spark, sf_dir)
-    shingles = doc_shingles(corpus, "doc_id", "text", n=3)
+    # shingles feed sizes + both sides of the inverted-index join — persist
+    # so the explode/distinct subtree runs once, not three times
+    shingles = doc_shingles(corpus, "doc_id", "text", n=3).persist()
     return exact_jaccard_pairs(shingles, "doc_id", threshold=0.5)
 
 

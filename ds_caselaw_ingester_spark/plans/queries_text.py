@@ -213,8 +213,10 @@ GROUP BY doc_id
     survey_ops=("ext:fingerprint",),
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
     ensure_oracle_safe(spark)
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     tok = tokens(F.col("text"))
     grams = (
         d.select("doc_id", F.explode(word_ngrams(tok, 4)).alias("gram"))

@@ -52,3 +52,15 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register the tables as temp views for the SQL API path."""
     for name in names:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition a small input across all cores before an explode-heavy
+    stage. A compact parquet file arrives as 1-2 partitions; the
+    downstream explode (shingles, n-grams, tokens) then runs on 1-2 cores.
+    One cheap shuffle of the small pre-explode rows buys full parallelism
+    for the expensive expansion. On a real cluster large inputs already
+    arrive well-partitioned — this guards the small-file edge, it doesn't
+    replace source partitioning."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)

@@ -28,6 +28,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def read_archives(spark, path: str, glob: str = "*.tar.gz") -> DataFrame:
+    """S7 (messages.py:59-69): fetch consignment archives as a binary
+    DataFrame. ``binaryFile`` streams each object straight to an executor
+    (driver never touches bytes); consignment_ref is derived from the
+    filename stem exactly like the S3-key path (messages.py:83-93)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(F.col("path"), F.col("content"))
+    )
+    stem = F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\.", 2).getItem(0)
+    return df.select(stem.alias("consignment_ref"), "content")
+
+
 TAR_MEMBER_SCHEMA = T.StructType(
     [
         T.StructField("consignment_ref", T.StringType(), False),
