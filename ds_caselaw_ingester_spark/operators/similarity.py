@@ -64,23 +64,44 @@ def cosine_topk(
 
 def hyperplane_sign(plane: Column, dim: Column) -> Column:
     """Deterministic ±1 from md5(plane || '_' || dim) — the engine-portable
-    substitute for a seeded RNG hyperplane matrix."""
+    substitute for a seeded RNG hyperplane matrix. (Column form; the hot
+    path uses the Python-precomputed table below with identical values.)"""
     first_hex = F.substring(F.md5(F.concat(plane.cast("string"), F.lit("_"), dim.cast("string"))), 1, 1)
     return F.when(first_hex.isin(*HEX_HIGH), F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
+_MAX_HYPERPLANE_DIM = 256
+
+
+def _plane_signs(plane: int, n_dims: int = _MAX_HYPERPLANE_DIM) -> list[float]:
+    """Same values as hyperplane_sign(plane, 1..n_dims), computed once on
+    the driver. The hyperplane matrix depends only on (plane, dim) — never
+    on data — so hashing it per ROW (planes × dims md5 calls each) was
+    pure waste; at 100 TB it's md5 × rows × 512. A literal array ships to
+    executors inside the plan instead."""
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[0] in HEX_HIGH else -1.0
+        for i in range(1, n_dims + 1)
+    ]
+
+
 def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
     """Concatenated sign bits of <vec, plane_p> for p in 0..num_planes-1.
-    Each projection is a sequential fold over dimensions."""
-    def _merge_for(p: int):
+    Each projection is a sequential fold over dimensions (same addition
+    order as the DuckDB oracle's fold — bit-identical doubles)."""
+    def _merge_for(signs: Column):
         def _merge(acc: Column, i: Column) -> Column:
-            return acc + F.element_at(vec, i).cast("double") * hyperplane_sign(F.lit(p), i)
+            return acc + F.element_at(vec, i).cast("double") * F.element_at(signs, i)
 
         return _merge
 
     bits = []
     for p in range(num_planes):
-        proj = F.aggregate(F.sequence(F.lit(1), F.size(vec)), F.lit(0.0), _merge_for(p))
+        proj = F.aggregate(
+            F.sequence(F.lit(1), F.size(vec)), F.lit(0.0), _merge_for(F.lit(_plane_signs(p)))
+        )
         bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -103,6 +124,67 @@ def ann_lsh_topk(
     cb = candidates.withColumn("bucket", lsh_bucket(F.col("cv"), num_planes)).persist()
     scored = (
         cb.join(F.broadcast(qb), "bucket")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest centroids (by cosine,
+    rounded, centroid_id tie-break). centroids: (centroid_id, cvec), a
+    SMALL frame — broadcast, so assignment is a map-side cross product of
+    each row against ~dozens of centroids: no shuffle of the big side."""
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        df["*"],
+        F.col("centroid_id"),
+        F.round(cosine(F.col(vec_col), F.col("cvec")), round_digits).alias("c_score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_score").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("crn", F.row_number().over(w))
+        .where(F.col("crn") <= nprobe)
+        .drop("crn", "c_score", "cvec")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: candidates are partitioned into centroid cells
+    (inverted file); each query probes only its `nprobe` nearest cells.
+
+    The scale path: the candidate side is scanned once to build cell
+    assignments (map-side vs broadcast centroids), and the probe is an
+    equi-join on centroid_id — candidate work per query drops from n to
+    ~n·nprobe/num_centroids. The cell id is also the natural partitioning/
+    clustering key for a stored index at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    cand = ivf_assign(candidates, "cv", "c_id", centroids, nprobe=1, round_digits=round_digits)
+    qs = ivf_assign(queries, "qv", "q_id", centroids, nprobe=nprobe, round_digits=round_digits)
+    scored = (
+        cand.join(F.broadcast(qs), "centroid_id")
         .where(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id",

@@ -2,6 +2,7 @@
 
 from ds_caselaw_ingester_spark.plans import (  # noqa: F401
     queries_dedup,
+    queries_envelope,
     queries_etl,
     queries_relational,
     queries_routing,

@@ -352,3 +352,97 @@ def q_email_personalisation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("metadata_json"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tar_pipeline — S7-S12 binary path as a registered (rows-only) query
+# ---------------------------------------------------------------------------
+
+
+def _build_archives() -> list[tuple[str, bytes]]:
+    """Deterministic consignment tar.gz fixtures, exercising every scan
+    branch: valid XML, invalid XML (-> parser.log synth), missing
+    parser.log (-> not-found default), metadata last-match-wins."""
+    import io
+    import tarfile
+
+    out = []
+    for i in range(30):
+        ref = f"TDR-2030-{i:04d}"
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+
+            def add(name: str, data: bytes) -> None:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(data))
+
+            xml_name = f"{ref}.xml"
+            meta = (
+                '{"parameters": {"TRE": {"reference": "%s", "payload": '
+                '{"xml": "%s", "filename": "doc.docx", "images": []}}}}' % (ref, xml_name)
+            ).encode()
+            # a decoy metadata first: the LAST -metadata.json must win (S9)
+            add(f"{ref}/decoy-metadata.json", b'{"parameters": {}}')
+            add(f"{ref}/TRE-{ref}-metadata.json", meta)
+            if i % 3 == 0:
+                add(f"{ref}/{xml_name}", b"<judgment><body>ok %d</body></judgment>" % i)
+            elif i % 3 == 1:
+                add(f"{ref}/{xml_name}", b"<judgment>unclosed & broken < tag")
+            else:
+                add(f"{ref}/{xml_name}", b'<doc name="pressSummary"><p>s</p></doc>')
+            if i % 5 != 0:
+                add(f"{ref}/parser.log", b"parse log line <%d>" % i)
+            add(f"{ref}/junk.bin", b"\x00\x01")
+        out.append((ref, buf.getvalue()))
+    return out
+
+
+@register(
+    "tar_pipeline",
+    None,  # binary path: not SQL-expressible -> driver records rows-only
+    doc="Full consignment binary path on deterministic in-memory tar.gz "
+    "fixtures: archive rows (S7), member explode via Arrow mapInPandas "
+    "(S8), last-match metadata scan (S9), named-XML scan (S10), "
+    "parser-log synth (S11), try-parse best-XML fallback (S12), document "
+    "classification (P11). Covers file_helpers.py:24-115 semantics.",
+    survey_ops=("S7", "S8", "S9", "S10", "S12", "P11"),
+)
+def q_tar_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.functions.scalars import classify_document_xml
+    from ds_caselaw_ingester_spark.schemas import METADATA_SCHEMA
+    from ds_caselaw_ingester_spark.sources.tar import (
+        best_xml,
+        explode_tar_members,
+        scan_metadata,
+        scan_named_xml,
+        scan_parser_log,
+    )
+
+    archives = spark.createDataFrame(_build_archives(), "consignment_ref string, content binary")
+    members = explode_tar_members(archives).persist()
+    meta = scan_metadata(members).withColumn(
+        "meta", F.from_json(F.col("metadata_bytes").cast("string"), METADATA_SCHEMA)
+    )
+    xml_names = meta.select(
+        "consignment_ref",
+        F.col("meta")["parameters"]["TRE"]["payload"]["xml"].alias("xml_name"),
+    )
+    named = scan_named_xml(members, xml_names)
+    logs = scan_parser_log(members)
+    consignments = archives.select("consignment_ref")
+    chosen = best_xml(consignments, named, logs)
+    counts = members.groupBy("consignment_ref").agg(F.count("*").alias("n_members"))
+    return (
+        chosen.join(counts, "consignment_ref")
+        .join(xml_names, "consignment_ref", "left")
+        .select(
+            "consignment_ref",
+            "n_members",
+            F.col("xml_name").isNotNull().alias("has_metadata"),
+            "xml_was_valid",
+            "best_xml",
+            classify_document_xml(F.col("best_xml")).alias("doc_kind"),
+        )
+    )

@@ -199,3 +199,75 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
     return extract_asset_metadata(d, "doc_id", "content")
+
+
+# ---------------------------------------------------------------------------
+# ann_ivf_topk — IVF (inverted-file) ANN: centroid cells + nprobe search
+# ---------------------------------------------------------------------------
+
+ANN_IVF_ORACLE = """
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id >= 8 AND vec_id < 24
+),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+cand_assign AS (
+  SELECT c_id, cv, centroid_id FROM (
+    SELECT c_id, cv, centroid_id,
+           row_number() OVER (
+             PARTITION BY c_id
+             ORDER BY round(list_dot_product(cv, cvec)
+                            / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(cvec, cvec))), 4) DESC,
+                      centroid_id ASC) AS crn
+    FROM c CROSS JOIN cent
+  ) WHERE crn <= 1
+),
+q_assign AS (
+  SELECT q_id, qv, centroid_id FROM (
+    SELECT q_id, qv, centroid_id,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY round(list_dot_product(qv, cvec)
+                            / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cvec, cvec))), 4) DESC,
+                      centroid_id ASC) AS crn
+    FROM q CROSS JOIN cent
+  ) WHERE crn <= 2
+),
+scored AS (
+  SELECT q_id, c_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine
+  FROM cand_assign ca JOIN q_assign qa USING (centroid_id)
+  WHERE q_id <> c_id
+)
+SELECT * FROM (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    ANN_IVF_ORACLE,
+    doc="IVF ANN: 16 deterministic centroid cells, candidates assigned to "
+    "their nearest cell (broadcast centroids, map-side), queries probe "
+    "nprobe=2 cells via centroid_id equi-join; top-10 per query on rounded "
+    "cosine. The stored-index scale path alongside LSH bucketing.",
+    survey_ops=("ext:ann-ivf",),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.operators.similarity import ivf_topk
+
+    ensure_oracle_safe(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 24)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    candidates = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    return ivf_topk(queries, candidates, centroids, k=10, nprobe=2)

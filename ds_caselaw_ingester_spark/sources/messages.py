@@ -42,10 +42,12 @@ def unwrap_envelope(records: DataFrame) -> DataFrame:
     message_id = F.when(
         F.col("event_source") == "aws:sqs", F.col("message_id")
     ).otherwise(F.lit(None).cast("string"))
+    extra = [c for c in records.columns if c not in ("message_id", "event_source", "body")]
     return records.select(
         message_id.alias("message_id"),
         F.col("event_source"),
         payload.alias("payload"),
+        *extra,
     )
 
 
