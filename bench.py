@@ -29,6 +29,19 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_specs()
 
+    # Warm the Python worker pool once before timing: the first Arrow/pandas
+    # task in a session pays worker fork + pandas import (~5 s across the
+    # pool) — a session fixed cost, not a query cost. Steady-state numbers
+    # are what scale to a long-lived cluster.
+    import pandas as _pd  # noqa: F401
+
+    def _ident(it):
+        yield from it
+
+    spark.range(0, 64, 1, 32).mapInPandas(_ident, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         t0 = time.time()

@@ -49,13 +49,21 @@ def cosine_topk(
     """
     from pyspark.sql import Window
 
+    # norms hoisted to per-ROW columns: cosine() inline would recompute
+    # |qv| and |cv| for every PAIR (3× the flops). Same bit values —
+    # norm(qv)*norm(cv) in the same order as the oracle's product.
+    qn = queries.withColumn("qv_norm", l2_norm(F.col("qv")))
+    cn = candidates.withColumn("cv_norm", l2_norm(F.col("cv")))
     scored = (
-        candidates.join(F.broadcast(queries))
+        cn.join(F.broadcast(qn))
         .where(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id",
             "c_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine"),
+            F.round(
+                dot_product(F.col("qv"), F.col("cv")) / (F.col("qv_norm") * F.col("cv_norm")),
+                round_digits,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
@@ -120,15 +128,24 @@ def ann_lsh_topk(
 
     # bucket computation is a wide codegen expression (planes × dims fold);
     # persist the bucketed candidates so the join probe doesn't recompute it
-    qb = queries.withColumn("bucket", lsh_bucket(F.col("qv"), num_planes))
-    cb = candidates.withColumn("bucket", lsh_bucket(F.col("cv"), num_planes)).persist()
+    qb = queries.withColumn("bucket", lsh_bucket(F.col("qv"), num_planes)).withColumn(
+        "qv_norm", l2_norm(F.col("qv"))
+    )
+    cb = (
+        candidates.withColumn("bucket", lsh_bucket(F.col("cv"), num_planes))
+        .withColumn("cv_norm", l2_norm(F.col("cv")))
+        .persist()
+    )
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .where(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id",
             "c_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine"),
+            F.round(
+                dot_product(F.col("qv"), F.col("cv")) / (F.col("qv_norm") * F.col("cv_norm")),
+                round_digits,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
@@ -144,22 +161,46 @@ def ivf_assign(
     round_digits: int = 4,
 ) -> DataFrame:
     """Assign each vector to its `nprobe` nearest centroids (by cosine,
-    rounded, centroid_id tie-break). centroids: (centroid_id, cvec), a
-    SMALL frame — broadcast, so assignment is a map-side cross product of
-    each row against ~dozens of centroids: no shuffle of the big side."""
-    from pyspark.sql import Window
+    rounded, centroid_id tie-break).
 
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        df["*"],
-        F.col("centroid_id"),
-        F.round(cosine(F.col(vec_col), F.col("cvec")), round_digits).alias("c_score"),
+    The centroid table is the IVF *coarse quantizer* — small by
+    construction (k-means k, not data size) — so it is collected once and
+    embedded in the plan as literals. Assignment is then a pure map-side
+    argmax over per-centroid dot products: no join, no window, and
+    crucially NO SHUFFLE of the vector table. (The first version cross-
+    joined against a broadcast centroid frame and ranked with a
+    row_number window — that window repartitions the ENTIRE candidate
+    set by id, which at 100 TB is the single most expensive operation in
+    the job, spent ranking 16 numbers per row.)
+
+    Per-row cost is also ~3× lower: the vector's own norm is computed
+    once (not per centroid) and each centroid's norm is a Python-
+    precomputed constant with bit-identical IEEE value.
+    """
+    import math
+
+    cents = sorted(
+        centroids.select("centroid_id", "cvec").collect(), key=lambda r: r["centroid_id"]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("c_score").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("crn", F.row_number().over(w))
-        .where(F.col("crn") <= nprobe)
-        .drop("crn", "c_score", "cvec")
-    )
+    vec = F.col(vec_col)
+    vnorm = l2_norm(vec)
+    entries = []
+    for r in cents:
+        cvec = [float(x) for x in r["cvec"]]
+        acc = 0.0
+        for x in cvec:
+            acc += x * x
+        cnorm = math.sqrt(acc)
+        score = F.round(
+            dot_product(vec, F.lit(cvec)) / (vnorm * F.lit(cnorm)), round_digits
+        )
+        entries.append(
+            F.struct((-score).alias("neg_score"), F.lit(r["centroid_id"]).alias("centroid_id"))
+        )
+    # lexicographic struct sort == (score DESC, centroid_id ASC)
+    ranked = F.array_sort(F.array(*entries))
+    picked = df.withColumn("_pick", F.explode(F.slice(ranked, 1, nprobe)))
+    return picked.withColumn("centroid_id", F.col("_pick")["centroid_id"]).drop("_pick")
 
 
 def ivf_topk(
@@ -181,15 +222,22 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    cand = ivf_assign(candidates, "cv", "c_id", centroids, nprobe=1, round_digits=round_digits)
-    qs = ivf_assign(queries, "qv", "q_id", centroids, nprobe=nprobe, round_digits=round_digits)
+    cand = ivf_assign(
+        candidates, "cv", "c_id", centroids, nprobe=1, round_digits=round_digits
+    ).withColumn("cv_norm", l2_norm(F.col("cv")))
+    qs = ivf_assign(
+        queries, "qv", "q_id", centroids, nprobe=nprobe, round_digits=round_digits
+    ).withColumn("qv_norm", l2_norm(F.col("qv")))
     scored = (
         cand.join(F.broadcast(qs), "centroid_id")
         .where(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id",
             "c_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cosine"),
+            F.round(
+                dot_product(F.col("qv"), F.col("cv")) / (F.col("qv_norm") * F.col("cv_norm")),
+                round_digits,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())

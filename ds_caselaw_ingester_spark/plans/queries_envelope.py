@@ -525,3 +525,95 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uri", "body", F.col("version_n").cast("int").alias("version_n"), "op"
     )
     return merged.unionAll(err)
+
+
+# ---------------------------------------------------------------------------
+# publish_flow — K11 publish/unpublish flag + private->public asset copy
+# ---------------------------------------------------------------------------
+
+PUBLISH_ORACLE = """
+WITH src AS (
+  SELECT 'doc/' || CAST(c_custkey AS VARCHAR) AS uri,
+         CASE c_custkey % 3 WHEN 0 THEN 'TDR' WHEN 1 THEN 'FCL' ELSE 'FCL S3' END AS originator,
+         c_custkey % 2 = 0 AS exists_in_db,
+         c_custkey % 3 = 0 AS was_published,
+         c_custkey % 5 = 0 AS auto_publish,
+         c_custkey AS k
+  FROM customer
+),
+decided AS (
+  SELECT uri, originator, k,
+         CASE WHEN originator = 'TDR' THEN false
+              WHEN originator = 'FCL S3' THEN auto_publish
+              ELSE exists_in_db AND was_published END AS will_publish
+  FROM src
+),
+flags AS (
+  SELECT uri, originator,
+         CASE WHEN will_publish THEN 'publish' ELSE 'unpublish' END AS action,
+         will_publish AS new_published,
+         CAST(NULL AS VARCHAR) AS asset_key,
+         CAST(NULL AS VARCHAR) AS dst_bucket
+  FROM decided
+),
+copies AS (
+  SELECT uri, originator, 'copy_asset' AS action, true AS new_published,
+         uri || '/' || unnest(['judgment.tar.gz', 'parser.log']) AS asset_key,
+         'public-assets' AS dst_bucket
+  FROM decided WHERE will_publish
+)
+SELECT * FROM flags UNION ALL SELECT * FROM copies
+"""
+
+
+@register(
+    "publish_flow",
+    PUBLISH_ORACLE,
+    doc="K11 (perform_ingest, ingester.py:565-573): will_publish ladder "
+    "(C1, :424-440) -> publish sets the flag AND fans out private->public "
+    "asset copies (docs/workflow.md:169-175); unpublish clears the flag. "
+    "Effects modeled as data rows over the documents/assets tables.",
+    survey_ops=("K11", "C1", "J5"),
+)
+def q_publish_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    k = F.col("k")
+    src = c.select(
+        F.concat(F.lit("doc/"), k.cast("string")).alias("uri"),
+        F.when(k % 3 == 0, F.lit("TDR")).when(k % 3 == 1, F.lit("FCL")).otherwise(F.lit("FCL S3")).alias("originator"),
+        (k % 2 == 0).alias("exists_in_db"),
+        (k % 3 == 0).alias("was_published"),
+        (k % 5 == 0).alias("auto_publish"),
+    )
+    will_publish = (
+        F.when(F.col("originator") == "TDR", F.lit(False))
+        .when(F.col("originator") == "FCL S3", F.col("auto_publish"))
+        .otherwise(F.col("exists_in_db") & F.col("was_published"))
+    )
+    decided = src.select("uri", "originator", will_publish.alias("will_publish"))
+    flags = decided.select(
+        "uri",
+        "originator",
+        F.when(F.col("will_publish"), F.lit("publish")).otherwise(F.lit("unpublish")).alias("action"),
+        F.col("will_publish").alias("new_published"),
+        F.lit(None).cast("string").alias("asset_key"),
+        F.lit(None).cast("string").alias("dst_bucket"),
+    )
+    copies = (
+        decided.where(F.col("will_publish"))
+        .select(
+            "uri",
+            "originator",
+            F.explode(F.array(F.lit("judgment.tar.gz"), F.lit("parser.log"))).alias("a"),
+        )
+        .select(
+            "uri",
+            "originator",
+            F.lit("copy_asset").alias("action"),
+            F.lit(True).alias("new_published"),
+            F.concat(F.col("uri"), F.lit("/"), F.col("a")).alias("asset_key"),
+            F.lit("public-assets").alias("dst_bucket"),
+        )
+    )
+    return flags.unionAll(copies)

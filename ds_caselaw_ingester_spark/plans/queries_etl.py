@@ -420,7 +420,13 @@ def q_tar_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_parser_log,
     )
 
-    archives = spark.createDataFrame(_build_archives(), "consignment_ref string, content binary")
+    # 30 fixture archives: createDataFrame spreads them over defaultParallelism
+    # slices, giving 32 one-row tasks each paying Python-worker dispatch in
+    # the mapInPandas explode. Coalesce (no shuffle) to a handful of tasks —
+    # at real scale archive counts dwarf cores and this is a no-op.
+    archives = spark.createDataFrame(
+        _build_archives(), "consignment_ref string, content binary"
+    ).coalesce(4)
     members = explode_tar_members(archives).persist()
     meta = scan_metadata(members).withColumn(
         "meta", F.from_json(F.col("metadata_bytes").cast("string"), METADATA_SCHEMA)
