@@ -156,7 +156,7 @@ def ivf_assign(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    centroids: DataFrame,
+    centroids: "DataFrame | list",
     nprobe: int = 1,
     round_digits: int = 4,
 ) -> DataFrame:
@@ -179,9 +179,12 @@ def ivf_assign(
     """
     import math
 
-    cents = sorted(
-        centroids.select("centroid_id", "cvec").collect(), key=lambda r: r["centroid_id"]
-    )
+    if isinstance(centroids, list):
+        cents = centroids
+    else:
+        cents = sorted(
+            centroids.select("centroid_id", "cvec").collect(), key=lambda r: r["centroid_id"]
+        )
     vec = F.col(vec_col)
     vnorm = l2_norm(vec)
     entries = []
@@ -222,11 +225,16 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    # collect the (small) quantizer ONCE; both assign calls embed the same
+    # literals — one driver job instead of two
+    cents = sorted(
+        centroids.select("centroid_id", "cvec").collect(), key=lambda r: r["centroid_id"]
+    )
     cand = ivf_assign(
-        candidates, "cv", "c_id", centroids, nprobe=1, round_digits=round_digits
+        candidates, "cv", "c_id", cents, nprobe=1, round_digits=round_digits
     ).withColumn("cv_norm", l2_norm(F.col("cv")))
     qs = ivf_assign(
-        queries, "qv", "q_id", centroids, nprobe=nprobe, round_digits=round_digits
+        queries, "qv", "q_id", cents, nprobe=nprobe, round_digits=round_digits
     ).withColumn("qv_norm", l2_norm(F.col("qv")))
     scored = (
         cand.join(F.broadcast(qs), "centroid_id")

@@ -150,9 +150,7 @@ WHERE round(CAST(c.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - c.n_common),
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
     corpus = _corpus(spark, sf_dir)
-    # shingles feed sizes + both sides of the inverted-index join — persist
-    # so the explode/distinct subtree runs once, not three times
-    shingles = doc_shingles(corpus, "doc_id", "text", n=3).persist()
+    shingles = doc_shingles(corpus, "doc_id", "text", n=3)
     return exact_jaccard_pairs(shingles, "doc_id", threshold=0.5)
 
 
