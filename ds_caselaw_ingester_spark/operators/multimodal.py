@@ -48,6 +48,61 @@ def decode_image_stub(data: bytes) -> tuple[int, int | None, int, int, int]:
     return n, first, width, height, channels
 
 
+def resize_image_real(data: bytes, width: int, height: int) -> bytes:
+    """Where PIL Image.resize would go (no codec libs in this container)."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def resize_image_stub(data: bytes, width: int, height: int) -> tuple[int, int, int]:
+    """Deterministic fake 'resize': output byte length scales with the
+    requested area, derived purely from input bytes."""
+    n = len(data)
+    out_len = (n * width * height) % 65536
+    checksum = (sum(data[:64]) + width * 7 + height * 13) % 997 if n else 0
+    return out_len, width * height, checksum
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_offset", T.IntegerType(), False),
+        T.StructField("frame_byte", T.IntegerType(), True),
+        T.StructField("fake_luma", T.IntegerType(), True),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "content",
+    stride: int = 256,
+) -> DataFrame:
+    """Frame sampling over an opaque video/binary column: one OUTPUT row
+    per sampled frame (fan-out inside mapInPandas — the batch shape a real
+    ffmpeg frame grab would have). The 'decoded frame' is stubbed as the
+    first byte of each `stride`-byte chunk; a real decoder drops in at the
+    marked line without touching the Spark plan."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(data) if data is not None else b""
+                n_frames = (len(b) - 1) // stride + 1 if b else 0
+                for i in range(n_frames):
+                    off = i * stride
+                    fb = b[off]  # <- real decoder call goes here
+                    rows.append((int(doc_id), i, off, fb, (fb * 7) % 256))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "frame_offset", "frame_byte", "fake_luma"],
+            )
+
+    return assets.select(id_col, bin_col).mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def extract_asset_metadata(assets: DataFrame, id_col: str = "doc_id", bin_col: str = "content") -> DataFrame:
     """mapInPandas over (id, binary) -> typed metadata rows. Arrow-batched:
     each batch is a pandas DataFrame of raw bytes processed executor-side."""

@@ -271,3 +271,127 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     candidates = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
     return ivf_topk(queries, candidates, centroids, k=10, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
+# embedding_neardup — embedding-cosine near-duplicate pairs (LSH-bucketed)
+# ---------------------------------------------------------------------------
+
+EMB_NEARDUP_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         [0.0] || list_slice(embedding::DOUBLE[], 2, len(embedding)) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+proj AS (
+  SELECT b.vec_id, pl.p,
+         sum(list_extract(b.v, d.i)
+             * (CASE WHEN substr(md5(CAST(pl.p AS VARCHAR) || '_' || CAST(d.i AS VARCHAR)), 1, 1)
+                      IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END)) AS s
+  FROM corpus b CROSS JOIN planes pl CROSS JOIN dims d
+  GROUP BY b.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vec_id
+),
+withv AS (SELECT b.vec_id, b.bucket, c.v FROM buckets b JOIN corpus c USING (vec_id)),
+pairs AS (
+  SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+         round(list_dot_product(a.v, x.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))),
+               4) AS cosine
+  FROM withv a JOIN withv x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.9
+"""
+
+
+@register(
+    "embedding_neardup",
+    EMB_NEARDUP_ORACLE,
+    doc="Embedding-cosine near-dup detection, LSH-bucketed (the dedup "
+    "counterpart of ann_lsh_topk): planted near-duplicates (first "
+    "component zeroed, cosine ~0.99) must pair with their source inside "
+    "a shared hyperplane bucket; in-bucket pairs below the 0.9 cosine "
+    "threshold are dropped. At 100 TB the bucket equi-join bounds pair "
+    "work to O(sum bucket^2) instead of O(n^2) brute force.",
+    survey_ops=("ext:dedup-embedding",),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.operators.similarity import dot_product, l2_norm
+
+    ensure_oracle_safe(spark)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(F.array(F.lit(0.0)), F.slice(F.col("v"), 2, F.size(F.col("v")) - 1)).alias("v"),
+    )
+    corpus = emb.unionAll(planted)
+    b = corpus.select(
+        "vec_id",
+        "v",
+        lsh_bucket(F.col("v"), 8).alias("bucket"),
+        l2_norm(F.col("v")).alias("nrm"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket", F.col("nrm").alias("na")
+    )
+    x = b.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket", F.col("nrm").alias("nb")
+    )
+    pairs = (
+        a.join(x, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cosine"),
+        )
+    )
+    return pairs.where(F.col("cosine") >= 0.9)
+
+
+# ---------------------------------------------------------------------------
+# frame_sample — multimodal frame sampling fan-out (1 row per frame)
+# ---------------------------------------------------------------------------
+
+FRAME_SAMPLE_ORACLE = """
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * 256 AS INTEGER) AS frame_offset,
+       CAST(ascii(substr(text, CAST(i * 256 + 1 AS INTEGER), 1)) AS INTEGER) AS frame_byte,
+       CAST((ascii(substr(text, CAST(i * 256 + 1 AS INTEGER), 1)) * 7) % 256 AS INTEGER) AS fake_luma
+FROM documents,
+     unnest(generate_series(0, CAST((octet_length(encode(text)) - 1) // 256 AS BIGINT))) AS t(i)
+WHERE octet_length(encode(text)) > 0
+"""
+
+
+@register(
+    "frame_sample",
+    FRAME_SAMPLE_ORACLE,
+    doc="Multimodal frame-sampling fan-out: each opaque 'video' binary "
+    "yields one row per 256-byte-stride frame via Arrow-batched "
+    "mapInPandas (decoder stubbed to first-byte-of-chunk; batch fan-out "
+    "shape is what a real ffmpeg grab produces). Documents' text bytes "
+    "stand in for the video column.",
+    survey_ops=("ext:multimodal", "ext:frame-sample"),
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.operators.multimodal import sample_frames
+
+    ensure_oracle_safe(spark)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    return sample_frames(d, "doc_id", "content", stride=256)

@@ -77,3 +77,47 @@ def run_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_ingest_counts(
+    events: DataFrame,
+    ts_col: str = "event_time",
+    key_col: str = "originator",
+    window: str = "1 hour",
+    late: str = "2 hours",
+):
+    """Event-time windowed ingest-rate aggregation with a watermark.
+
+    The reference has no event-time logic (SURVEY.md §2.7) — this is the
+    monitoring extension a pipeline at scale needs: tumbling-window counts
+    per originator, late rows beyond the watermark dropped so state is
+    bounded. State size = |keys| × (late/window) windows per partition;
+    the watermark is what makes this runnable forever on a real cluster
+    (without it, window state grows without bound).
+    """
+    return (
+        events.withWatermark(ts_col, late)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def run_windowed_counts_stream(events: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Materialize the windowed counts with append-mode semantics: a
+    window's row is emitted exactly once, when the watermark passes its
+    end — the idempotent-sink analog for time-series rollups."""
+    agg = windowed_ingest_counts(events)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/windowed_counts")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

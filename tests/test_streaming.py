@@ -50,3 +50,66 @@ def test_stream_splits_processed_and_quarantine(spark, tmp_path):
     q2 = run_ingest_stream(read_message_stream(spark, str(src), max_files=10), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{out}/processed").count() == 1
+
+
+def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics, asserting exactly what Spark GUARANTEES:
+    append-mode windows emit once, when the watermark passes their end;
+    late rows arriving after eviction neither update nor resurrect them.
+    (Late rows arriving while state is still live MAY be aggregated —
+    watermark late-filtering is documented as best-effort — so the late
+    row here lands after the eviction trigger.)"""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from ds_caselaw_ingester_spark.streaming.pipeline import run_windowed_counts_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("originator", T.StringType()),
+        ]
+    )
+    src = tmp_path / "events"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for ts, orig in rows:
+                f.write(
+                    json.dumps(
+                        {"event_time": ts.strftime("%Y-%m-%dT%H:%M:%S.000Z"), "originator": orig}
+                    )
+                    + "\n"
+                )
+
+    write_file("f0.json", [(base, "TDR"), (base + dt.timedelta(minutes=30), "TDR"), (base, "FCL")])
+    # advance event time so the watermark (max_ts - 2h) passes 11:00
+    write_file("f1.json", [(base + dt.timedelta(hours=8), "TDR")])
+    # next trigger runs WITH that watermark -> emits + evicts the 10:00 windows
+    write_file("f2.json", [(base + dt.timedelta(hours=8, minutes=5), "TDR")])
+    # a row 7h behind the watermark, arriving after eviction: dropped
+    write_file("f3.json", [(base + dt.timedelta(minutes=45), "TDR")])
+    # file source orders by modification time; force distinct mtimes so
+    # the micro-batches run in the intended order
+    import os
+
+    for i, name in enumerate(["f0.json", "f1.json", "f2.json", "f3.json"]):
+        os.utime(src / name, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    events = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = run_windowed_counts_stream(events, out, ckpt)
+    q.awaitTermination(180)
+
+    collected = spark.read.parquet(f"{out}/windowed_counts").collect()
+    rows = {(r.window_start, r.originator): r.n_events for r in collected}
+    # each window emitted exactly once; the post-eviction late row (f3)
+    # neither bumped nor duplicated the closed 10:00 TDR window
+    assert len(collected) == len(rows)
+    assert rows.get((base, "TDR")) == 2
+    assert rows.get((base, "FCL")) == 1
