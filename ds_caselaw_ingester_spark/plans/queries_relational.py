@@ -243,3 +243,190 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("session_n").cast("bigint").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# revenue_rollup — ROLLUP (grouping sets) over nation × order-year
+# ---------------------------------------------------------------------------
+
+ROLLUP_ORACLE = """
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(CAST(yr AS VARCHAR), 'ALL') AS order_year,
+       round(sum(o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS INTEGER) AS yr, o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+GROUP BY ROLLUP (n_name, yr)
+"""
+
+
+@register(
+    "revenue_rollup",
+    ROLLUP_ORACLE,
+    doc="ROLLUP grouping sets (nation, year) -> (nation) -> (): Spark "
+    "expands grouping sets map-side, so the shuffle carries one partial "
+    "row per (group, grouping-set) — subtotals cost no extra scan. "
+    "Dimension joins (customer, nation) broadcast. Rollup NULLs are "
+    "coalesced to 'ALL' so the oracle hash never depends on NULL "
+    "grouping-marker conventions.",
+    survey_ops=("ext:agg", "ext:grouping-sets"),
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", F.year("o_orderdate").cast("int").alias("yr"), "o_totalprice")
+    )
+    return (
+        joined.rollup("n_name", "yr")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("yr").cast("string"), F.lit("ALL")).alias("order_year"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# customers_without_orders — anti join (NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+ANTI_JOIN_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register(
+    "customers_without_orders",
+    ANTI_JOIN_ORACLE,
+    doc="Left-anti join (NOT EXISTS): customers with no URGENT order. "
+    "Catalyst plans a hash anti-join on the key with the priority filter "
+    "pushed to the orders scan — no fan-out, the probe side streams "
+    "through once. The set-difference counterpart of the J4 existence "
+    "guard (ingester.py:240).",
+    survey_ops=("ext:join", "J4"),
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(o, "c_custkey", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# part_setops — INTERSECT / EXCEPT over part-key sets
+# ---------------------------------------------------------------------------
+
+SETOPS_ORACLE = """
+(SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+ INTERSECT
+ SELECT l_partkey FROM lineitem WHERE l_discount > 0.05)
+EXCEPT
+SELECT l_partkey FROM lineitem WHERE l_tax = 0.0
+"""
+
+
+@register(
+    "part_setops",
+    SETOPS_ORACLE,
+    doc="Set operators (INTERSECT then EXCEPT, distinct semantics): Spark "
+    "plans them as hash aggregates + left-semi/anti joins on the key — "
+    "each branch's filter is pushed to the parquet scan and the shuffle "
+    "carries distinct keys only.",
+    survey_ops=("ext:setops",),
+)
+def q_part_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    li = table(spark, sf_dir, "lineitem")
+    returned = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    discounted = li.where(F.col("l_discount") > 0.05).select("l_partkey")
+    taxfree = li.where(F.col("l_tax") == 0.0).select("l_partkey")
+    return returned.intersect(discounted).subtract(taxfree)
+
+
+# ---------------------------------------------------------------------------
+# top_orders_global — global sort + limit (top-k)
+# ---------------------------------------------------------------------------
+
+TOPK_ORACLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+@register(
+    "top_orders_global",
+    TOPK_ORACLE,
+    doc="Global top-100 by price: Spark plans orderBy().limit(k) as "
+    "TakeOrderedAndProject — per-partition top-k then a single driver "
+    "merge of n_partitions × k rows, never a full sort shuffle. "
+    "Deterministic via the (price DESC, orderkey ASC) total order.",
+    survey_ops=("ext:sort-limit",),
+)
+def q_top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct_supplier_stats — distinct aggregation alongside plain aggs
+# ---------------------------------------------------------------------------
+
+DISTINCT_AGG_ORACLE = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "distinct_supplier_stats",
+    DISTINCT_AGG_ORACLE,
+    doc="Mixed distinct + plain aggregation: Catalyst rewrites multiple "
+    "COUNT(DISTINCT) via Expand (one stream per distinct column) with "
+    "partial aggregation on (group, value) before the final merge — "
+    "distinct state never concentrates on one node.",
+    survey_ops=("ext:agg",),
+)
+def q_distinct_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

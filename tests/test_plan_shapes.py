@@ -50,3 +50,36 @@ def test_dedup_exact_prunes_text_from_scan_output(spark, sf_dir):
 def test_existence_guard_is_broadcast(spark, sf_dir):
     plan = _physical_plan(all_specs()["existence_guard"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_top_orders_global_avoids_full_sort(spark, sf_dir):
+    """orderBy().limit(k) must plan as TakeOrderedAndProject (per-partition
+    top-k + single merge), never a full sort shuffle of the orders table."""
+    plan = _physical_plan(all_specs()["top_orders_global"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_part_setops_pushes_branch_filters(spark, sf_dir):
+    """Each set-op branch's filter reaches its own parquet scan."""
+    plan = _physical_plan(all_specs()["part_setops"].fn(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]" in plan, plan
+    assert "GreaterThan(l_discount" in plan, plan
+
+
+def test_minhash_signature_agg_is_single_pass(spark, sf_dir):
+    """The wide minhash signature must be ONE partial+final aggregation of
+    shingle rows — no unpivot re-shuffle, no per-seed row explosion."""
+    from ds_caselaw_ingester_spark.operators.dedup import doc_shingles, minhash_signatures
+    from ds_caselaw_ingester_spark.sources.catalog import table
+    import pyspark.sql.functions as F
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(doc_shingles(d, "doc_id", "text"), "doc_id")
+    # simple mode: each node printed once (formatted repeats nodes in the
+    # detail section, which breaks counting)
+    plan = sigs._sc._jvm.PythonSQLUtils.explainString(sigs._jdf.queryExecution(), "simple")
+    # one exchange for the groupBy(doc_id); nothing else shuffles
+    assert plan.count("Exchange") == 1, plan
+    # partial min() runs before the exchange: only 1 row/doc is shuffled
+    assert "partial_min" in plan, plan
