@@ -185,23 +185,35 @@ def ivf_assign(
         cents = sorted(
             centroids.select("centroid_id", "cvec").collect(), key=lambda r: r["centroid_id"]
         )
+    n_c = len(cents)
+    dim = len(cents[0]["cvec"])
+    # THREE literal nodes total (flattened centroid matrix, norms, ids) and
+    # ONE fold lambda shared by all centroids — instead of n_c unrolled
+    # copies of a dim-wide expression, which made plan construction and
+    # codegen the dominant cost (2048 Py4J literal calls for 16×64×2).
+    flat = [float(x) for r in cents for x in r["cvec"]]
+    cnorms = [math.sqrt(sum(float(x) * float(x) for x in r["cvec"])) for r in cents]
+    cids = [int(r["centroid_id"]) for r in cents]
+    FLAT, CNORMS, CIDS = F.lit(flat), F.lit(cnorms), F.lit(cids)
     vec = F.col(vec_col)
     vnorm = l2_norm(vec)
-    entries = []
-    for r in cents:
-        cvec = [float(x) for x in r["cvec"]]
-        acc = 0.0
-        for x in cvec:
-            acc += x * x
-        cnorm = math.sqrt(acc)
-        score = F.round(
-            dot_product(vec, F.lit(cvec)) / (vnorm * F.lit(cnorm)), round_digits
+
+    def _entry(c: Column) -> Column:
+        # same ascending-dimension fold order (and therefore bit-identical
+        # doubles) as dot_product(vec, lit(cvec)) and the oracle
+        dot = F.aggregate(
+            F.sequence(F.lit(1), F.lit(dim)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(vec, i).cast("double") * F.element_at(FLAT, c * dim + i),
         )
-        entries.append(
-            F.struct((-score).alias("neg_score"), F.lit(r["centroid_id"]).alias("centroid_id"))
+        score = F.round(dot / (vnorm * F.element_at(CNORMS, c + 1)), round_digits)
+        return F.struct(
+            (-score).alias("neg_score"), F.element_at(CIDS, c + 1).alias("centroid_id")
         )
+
     # lexicographic struct sort == (score DESC, centroid_id ASC)
-    ranked = F.array_sort(F.array(*entries))
+    ranked = F.array_sort(F.transform(F.sequence(F.lit(0), F.lit(n_c - 1)), _entry))
     picked = df.withColumn("_pick", F.explode(F.slice(ranked, 1, nprobe)))
     return picked.withColumn("centroid_id", F.col("_pick")["centroid_id"]).drop("_pick")
 
