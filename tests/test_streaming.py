@@ -18,6 +18,23 @@ def _write_batch(path, records):
             f.write(json.dumps(r) + "\n")
 
 
+class _few_shuffle_partitions:
+    """Stateful streaming runs one state-store task per shuffle partition
+    per micro-batch; 32 partitions × N triggers dominates test wall time.
+    The partition count is baked into each NEW checkpoint, so lowering it
+    only affects queries started inside this context."""
+
+    def __init__(self, spark, n=4):
+        self.spark, self.n = spark, str(n)
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def test_stream_splits_processed_and_quarantine(spark, tmp_path):
     src = tmp_path / "incoming"
     src.mkdir()
@@ -103,8 +120,9 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
     )
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
-    q = run_windowed_counts_stream(events, out, ckpt)
-    q.awaitTermination(180)
+    with _few_shuffle_partitions(spark):
+        q = run_windowed_counts_stream(events, out, ckpt)
+        q.awaitTermination(180)
 
     collected = spark.read.parquet(f"{out}/windowed_counts").collect()
     rows = {(r.window_start, r.originator): r.n_events for r in collected}
@@ -113,3 +131,66 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
     assert len(collected) == len(rows)
     assert rows.get((base, "TDR")) == 2
     assert rows.get((base, "FCL")) == 1
+
+
+def test_stateful_dedup_first_wins_across_triggers(spark, tmp_path):
+    """applyInPandasWithState keyed dedup: the first message per
+    consignment_ref passes through; replays in the same trigger AND in
+    later triggers are dropped by checkpointed per-key state."""
+    import os
+
+    from ds_caselaw_ingester_spark.streaming.stateful import dedup_consignments
+
+    src = tmp_path / "msgs"
+    src.mkdir()
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for ref, mid in rows:
+                f.write(json.dumps({"consignment_ref": ref, "message_id": mid}) + "\n")
+
+    # trigger 1: A twice (in-trigger replay) + B once
+    write_file("t0.json", [("TDR-A", "m1"), ("TDR-A", "m2"), ("TDR-B", "m3")])
+    # trigger 2: A again (cross-trigger replay) + C new
+    write_file("t1.json", [("TDR-A", "m4"), ("TDR-C", "m5")])
+    for i, name in enumerate(["t0.json", "t1.json"]):
+        os.utime(src / name, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    stream = (
+        spark.readStream.schema("consignment_ref string, message_id string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with _few_shuffle_partitions(spark):
+        q = (
+            dedup_consignments(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow does NOT self-terminate here: the pending
+        # processing-time state timers keep the query alive. Poll the sink
+        # for both triggers' output, then stop explicitly.
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(out).count() >= 3:
+                    break
+            except Exception:
+                pass
+            time.sleep(2)
+        q.stop()
+        q.awaitTermination(60)
+
+    rows = {r.consignment_ref: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"TDR-A", "TDR-B", "TDR-C"}
+    assert rows["TDR-A"].message_id == "m1"  # first wins
+    assert rows["TDR-A"].n_duplicates_dropped == 1  # m2 (m4 dropped in t2)
+    assert rows["TDR-B"].n_duplicates_dropped == 0
+    assert rows["TDR-C"].n_duplicates_dropped == 0
