@@ -430,3 +430,49 @@ def q_distinct_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_distinct_users_salted — skew-safe exact distinct via salting
+# ---------------------------------------------------------------------------
+
+SALTED_DISTINCT_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "events_distinct_users_salted",
+    SALTED_DISTINCT_ORACLE,
+    doc="Exact per-key distinct-user count via salted two-phase "
+    "aggregation (operators/skew.py): the distinct-set of each hot "
+    "event_type is sharded by pmod(hash(user_id), 16) into disjoint "
+    "shards counted independently, then summed — a hot key's distinct "
+    "state lands on 16 tasks instead of one. Result is hash-identical "
+    "to the plain COUNT(DISTINCT) the oracle runs.",
+    survey_ops=("ext:agg", "ext:skew-salting"),
+)
+def q_events_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.operators.skew import salted_distinct_count
+
+    ensure_oracle_safe(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    out = salted_distinct_count(
+        ev,
+        ["event_type"],
+        "user_id",
+        "n_users",
+        buckets=16,
+        extra_algebraic={
+            "n_events": F.count("*"),
+            "sum_value": F.sum("value"),
+        },
+    )
+    return out.select(
+        "event_type", "n_users", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )

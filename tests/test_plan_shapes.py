@@ -83,3 +83,14 @@ def test_minhash_signature_agg_is_single_pass(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     # partial min() runs before the exchange: only 1 row/doc is shuffled
     assert "partial_min" in plan, plan
+
+
+def test_salted_distinct_shards_hot_keys(spark, sf_dir):
+    """The salted distinct plan must shuffle on (key, salt) first — the
+    hot key's distinct state spreads across shards — and only the tiny
+    per-shard partials re-shuffle on the key."""
+    df = all_specs()["events_distinct_users_salted"].fn(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert "_salt" in plan, plan
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert any("_salt" in l for l in exchanges), plan
