@@ -1,0 +1,47 @@
+"""Print the SURVEY.md §2 coverage matrix: every inventoried operator ->
+the registered quer(ies) that exercise it, plus extension ops.
+
+Usage: python tools/coverage_report.py [--missing-only]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from ds_caselaw_ingester_spark.plans.registry import all_specs
+
+INVENTORY = (
+    [f"S{i}" for i in range(1, 13)]
+    + [f"P{i}" for i in range(1, 16)]
+    + [f"J{i}" for i in range(1, 6)]
+    + ["A1", "A2"]
+    + [f"C{i}" for i in range(1, 7)]
+    + [f"K{i}" for i in range(1, 14)]
+)
+
+
+def main() -> int:
+    missing_only = "--missing-only" in sys.argv
+    covered: dict[str, list[str]] = {}
+    for name, spec in all_specs().items():
+        for op in getattr(spec, "survey_ops", ()) or ():
+            covered.setdefault(op, []).append(name)
+    missing = [op for op in INVENTORY if op not in covered]
+    if not missing_only:
+        for op in INVENTORY:
+            qs = ", ".join(sorted(covered.get(op, []))) or "-- MISSING --"
+            print(f"{op:4} {qs}")
+        print()
+        for op in sorted(k for k in covered if k.startswith("ext")):
+            print(f"{op:28} {', '.join(sorted(covered[op]))}")
+        print()
+    print(f"reference ops covered: {len(INVENTORY) - len(missing)}/{len(INVENTORY)}")
+    if missing:
+        print("MISSING:", ", ".join(missing))
+    return 1 if missing else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
