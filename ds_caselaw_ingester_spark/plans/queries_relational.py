@@ -476,3 +476,60 @@ def q_events_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFram
     return out.select(
         "event_type", "n_users", "n_events", F.round("sum_value", 2).alias("sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# purchase_asof_signup — backward as-of join (time-series custom operator)
+# ---------------------------------------------------------------------------
+
+ASOF_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, ts, event_id AS signup_event, value AS signup_value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS signup_epoch
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id, s.signup_event, s.signup_value,
+       CAST(floor(epoch(p.ts)) AS BIGINT) - s.signup_epoch AS wait_s
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+@register(
+    "purchase_asof_signup",
+    ASOF_ORACLE,
+    doc="Backward as-of join (operators/asof.py): each purchase gets the "
+    "user's latest signup at-or-before it. Union + one keyed window "
+    "(single shuffle, O(L+R) rows) instead of a range join whose "
+    "intermediate is O(L x matches). Oracle uses DuckDB's native ASOF "
+    "LEFT JOIN; epochs floor()ed in both engines.",
+    survey_ops=("ext:asof-join",),
+)
+def q_purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.operators.asof import asof_join_backward
+
+    ensure_oracle_safe(spark)
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("signup_event"),
+        F.col("value").alias("signup_value"),
+        F.unix_timestamp("ts").alias("signup_epoch"),
+    )
+    joined = asof_join_backward(
+        purchases, signups, key="user_id", left_ts="ts", right_ts="ts",
+        right_tie="signup_event",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "signup_event",
+        "signup_value",
+        (F.unix_timestamp("ts") - F.col("signup_epoch")).alias("wait_s"),
+    )
