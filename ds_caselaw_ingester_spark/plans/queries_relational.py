@@ -533,3 +533,41 @@ def q_purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signup_value",
         (F.unix_timestamp("ts") - F.col("signup_epoch")).alias("wait_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event_value_percentiles — exact percentiles (ordered-set aggregate)
+# ---------------------------------------------------------------------------
+
+PERCENTILES_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "event_value_percentiles",
+    PERCENTILES_ORACLE,
+    doc="Exact linear-interpolation percentiles per key (Spark percentile "
+    "== DuckDB quantile_cont). Exact quantiles need the group's values "
+    "on one reducer — fine for bounded per-key cardinality; at "
+    "unbounded 100 TB scale swap in approx_percentile (t-digest, "
+    "mergeable partials) and drop the oracle to a tolerance check.",
+    survey_ops=("ext:agg", "ext:percentiles"),
+)
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
