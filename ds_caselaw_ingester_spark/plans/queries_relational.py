@@ -571,3 +571,41 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event_props_stats — semi-structured JSON column extraction + aggregate
+# ---------------------------------------------------------------------------
+
+JSON_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       count(*) AS n,
+       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type, k_bucket
+"""
+
+
+@register(
+    "event_props_stats",
+    JSON_PROPS_ORACLE,
+    doc="Semi-structured path: JSON property column extracted with "
+    "get_json_object (JVM-side JSON path, no Python) and aggregated. "
+    "At scale, repeated extraction from the same blob should hoist to "
+    "one from_json projection — here a single path keeps the scan "
+    "single-pass either way.",
+    survey_ops=("ext:semi-structured",),
+)
+def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    ev = table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.where(k.isNotNull())
+        .select("event_type", (k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count("*").alias("n"), F.min("k").alias("min_k"), F.max("k").alias("max_k"))
+    )
