@@ -46,3 +46,60 @@ def test_asof_backward_semantics(spark):
     assert out[4] == (210, 5.0)
     assert out[5] == (None, None)
     assert len(out) == 5  # left rows preserved exactly once
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property check against an independent model: pandas merge_asof
+    (backward, inclusive, by-key). Right rows sorted by (ts, tie) so
+    merge_asof's last-among-equals == our highest-tie-wins rule."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ts_s = st.integers(min_value=0, max_value=50)
+    key_s = st.sampled_from(["a", "b", "c"])
+
+    @given(
+        st.lists(st.tuples(key_s, ts_s), min_size=1, max_size=25),
+        st.lists(st.tuples(key_s, ts_s), min_size=0, max_size=25),
+    )
+    @settings(max_examples=8, deadline=None)
+    def run(left_rows, right_rows):
+        left_pd = pd.DataFrame(
+            [(i, k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=t)) for i, (k, t) in enumerate(left_rows)],
+            columns=["event_id", "user_id", "ts"],
+        )
+        right_pd = pd.DataFrame(
+            [(k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=t), 100 + i) for i, (k, t) in enumerate(right_rows)],
+            columns=["user_id", "ts", "r_id"],
+        )
+        left = spark.createDataFrame(left_pd)
+        right = (
+            spark.createDataFrame(right_pd)
+            if len(right_pd)
+            else spark.createDataFrame([], "user_id string, ts timestamp, r_id long")
+        )
+        got = {
+            r.event_id: r.r_id
+            for r in asof_join_backward(
+                left, right, key="user_id", left_ts="ts", right_ts="ts", right_tie="r_id"
+            ).collect()
+        }
+        if len(right_pd) == 0:
+            expected = {int(i): None for i in left_pd["event_id"]}
+        else:
+            expected_df = pd.merge_asof(
+                left_pd.sort_values(["ts", "event_id"], kind="stable"),
+                right_pd.sort_values(["ts", "r_id"], kind="stable"),
+                on="ts",
+                by="user_id",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            expected = {
+                int(r.event_id): (None if pd.isna(r.r_id) else int(r.r_id))
+                for r in expected_df.itertuples()
+            }
+        assert got == expected, (left_rows, right_rows)
+
+    run()
