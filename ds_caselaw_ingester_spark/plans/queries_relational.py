@@ -609,3 +609,56 @@ def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "k_bucket")
         .agg(F.count("*").alias("n"), F.min("k").alias("min_k"), F.max("k").alias("max_k"))
     )
+
+
+# ---------------------------------------------------------------------------
+# window_event_counts — point-in-interval range join via time bucketing
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_ORACLE = """
+WITH w AS (
+  SELECT i AS w_id,
+         TIMESTAMP '2024-01-01 00:30:00' + INTERVAL (i*12) HOUR AS w_start,
+         TIMESTAMP '2024-01-01 00:30:00' + INTERVAL (i*12) HOUR
+           + INTERVAL 15 MINUTE AS w_end
+  FROM (SELECT unnest(generate_series(0, 59)) AS i)
+)
+SELECT w.w_id,
+       count(e.event_id) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM w LEFT JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.w_id
+"""
+
+
+@register(
+    "window_event_counts",
+    RANGE_JOIN_ORACLE,
+    doc="Range join (operators/rangejoin.py): 60 fixed 15-minute windows "
+    "x events, matched through an hour-bucket equi-join prefilter + the "
+    "exact range predicate - O(points + interval cover) candidates "
+    "instead of the cross-product a naive inequality join plans. Empty "
+    "windows kept via a final left join (count 0, sum NULL, matching "
+    "the oracle's LEFT JOIN).",
+    survey_ops=("ext:range-join",),
+)
+def q_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.operators.rangejoin import point_in_interval_join
+
+    ensure_oracle_safe(spark)
+    base = F.unix_timestamp(F.to_timestamp(F.lit("2024-01-01 00:30:00")))
+    w = spark.range(0, 60).select(
+        F.col("id").cast("int").alias("w_id"),
+        F.timestamp_seconds(base + F.col("id") * 12 * 3600).alias("w_start"),
+        F.timestamp_seconds(base + F.col("id") * 12 * 3600 + 15 * 60).alias("w_end"),
+    )
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    matched = point_in_interval_join(ev, w, "ts", "w_start", "w_end", bucket_seconds=3600)
+    counts = matched.groupBy("w_id").agg(
+        F.count("event_id").alias("_n"), F.sum("value").alias("_sv")
+    )
+    return w.join(counts, "w_id", "left").select(
+        "w_id",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_events"),
+        F.round(F.col("_sv"), 2).alias("sum_value"),
+    )
