@@ -99,19 +99,25 @@ def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
     """Concatenated sign bits of <vec, plane_p> for p in 0..num_planes-1.
     Each projection is a sequential fold over dimensions (same addition
     order as the DuckDB oracle's fold — bit-identical doubles)."""
-    def _merge_for(signs: Column):
-        def _merge(acc: Column, i: Column) -> Column:
-            return acc + F.element_at(vec, i).cast("double") * F.element_at(signs, i)
+    # one flat literal (planes × max_dim signs) + one shared fold lambda,
+    # instead of num_planes unrolled folds each carrying its own literal
+    # array — same IEEE fold order, far smaller plan/codegen (the same
+    # compaction ivf_assign uses)
+    max_dim = _MAX_HYPERPLANE_DIM
+    FLAT = F.lit([s for p in range(num_planes) for s in _plane_signs(p)])
 
-        return _merge
-
-    bits = []
-    for p in range(num_planes):
+    def _bit(p: Column) -> Column:
         proj = F.aggregate(
-            F.sequence(F.lit(1), F.size(vec)), F.lit(0.0), _merge_for(F.lit(_plane_signs(p)))
+            F.sequence(F.lit(1), F.size(vec)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(vec, i).cast("double") * F.element_at(FLAT, p * max_dim + i),
         )
-        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        return F.when(proj > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.array_join(
+        F.transform(F.sequence(F.lit(0), F.lit(num_planes - 1)), _bit), ""
+    )
 
 
 def ann_lsh_topk(
