@@ -662,3 +662,45 @@ def q_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("_n"), F.lit(0)).alias("n_events"),
         F.round(F.col("_sv"), 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_part_match — edit-distance lookup (dirty strings vs catalog)
+# ---------------------------------------------------------------------------
+
+FUZZY_ORACLE = """
+WITH probes AS (
+  SELECT p_partkey AS probe_id, substr(p_name, 2) AS probe
+  FROM part WHERE p_partkey % 97 = 0
+)
+SELECT pr.probe_id, pr.probe, p.p_partkey, p.p_name,
+       levenshtein(pr.probe, p.p_name) AS dist
+FROM probes pr JOIN part p ON levenshtein(pr.probe, p.p_name) <= 2
+"""
+
+
+@register(
+    "fuzzy_part_match",
+    FUZZY_ORACLE,
+    doc="Edit-distance fuzzy lookup: deterministic 'typo' probes (first "
+    "char dropped) matched against the part catalog with "
+    "levenshtein <= 2 (JVM built-in in both engines, identical unit-cost "
+    "semantics). Plan: broadcast the small dirty-input side over one "
+    "catalog scan - the realistic shape for citation/NCN fuzzy matching; "
+    "a non-broadcastable probe set would first block on length/q-gram "
+    "buckets to avoid the quadratic pair space.",
+    survey_ops=("ext:fuzzy-match",),
+)
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    probes = part.where(F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("probe_id"),
+        F.substring("p_name", 2, 2_000_000).alias("probe"),
+    )
+    dist = F.levenshtein(F.col("probe"), F.col("p_name"))
+    return (
+        part.join(F.broadcast(probes))
+        .where(dist <= 2)
+        .select("probe_id", "probe", "p_partkey", "p_name", dist.alias("dist"))
+    )
