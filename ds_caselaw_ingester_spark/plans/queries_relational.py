@@ -704,3 +704,42 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 2)
         .select("probe_id", "probe", "p_partkey", "p_name", dist.alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# daily_type_pivot — pivot (long -> wide conditional aggregation)
+# ---------------------------------------------------------------------------
+
+PIVOT_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "daily_type_pivot",
+    PIVOT_ORACLE,
+    doc="Pivot long->wide: groupBy(day).pivot(event_type, [explicit "
+    "values]).count(). With the pivot values DECLARED, Spark plans one "
+    "pass of conditional aggregates (no extra distinct-values job and no "
+    "per-value scans) - same plan the oracle's FILTER clauses describe. "
+    "Day rendered as a UTC string for engine-portable hashing.",
+    survey_ops=("ext:pivot",),
+)
+def q_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    )
+    wide = ev.groupBy("day").pivot("event_type", types).count()
+    return wide.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
