@@ -202,10 +202,11 @@ def perform_ingest(analysis: DataFrame, sink_root: str) -> dict[str, int]:
         # K4/K5 — properties (TDR rows only; parser-run-id iff present)
         tdr_props = ok.where(F.col("is_tdr")).selectExpr(
             "uri",
-            """stack(4,
+            """stack(5,
                 'source-organisation', tdr['Source-Organization'],
                 'source-name', tdr['Contact-Name'],
                 'source-email', tdr['Contact-Email'],
+                'transfer-consignment-reference', tdr['Internal-Sender-Identifier'],
                 'transfer-received-at', tdr['Consignment-Completed-Datetime']
             ) AS (name, value)""",
         ).where(F.col("value").isNotNull())

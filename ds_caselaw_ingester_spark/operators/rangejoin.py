@@ -33,8 +33,19 @@ def point_in_interval_join(
     start <= ts < end (end-exclusive). Output: interval columns + point
     columns, candidates generated through the bucket equi-join.
     `how='left_outer'` keeps empty intervals (point columns NULL)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported how={how!r}")
     b = F.lit(bucket_seconds)
-    ib = intervals.withColumn(
+    # left_outer needs a row identity for the anti-join: keying on the
+    # interval's own columns is null-unsafe (NULL <=> NULL mismatch in a
+    # join key) and collapses duplicate interval rows. A synthetic id is
+    # the only correct key; it never shuffles the interval table twice.
+    iv = (
+        intervals.withColumn("_iid", F.monotonically_increasing_id())
+        if how == "left_outer"
+        else intervals
+    )
+    ib = iv.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
@@ -48,13 +59,8 @@ def point_in_interval_join(
     joined = ib.join(pb, "_bucket").where(exact).drop("_bucket")
     if how == "inner":
         return joined
-    if how != "left_outer":
-        raise ValueError(f"unsupported how={how!r}")
-    # left-outer: re-attach intervals that matched nothing
-    matched = joined
-    missing = intervals.join(
-        matched.select(*intervals.columns).distinct(), intervals.columns, "left_anti"
-    )
+    # left-outer: re-attach intervals whose id matched nothing
+    missing = iv.join(joined.select("_iid").distinct(), "_iid", "left_anti")
     for c in points.columns:
         missing = missing.withColumn(c, F.lit(None).cast(dict(points.dtypes)[c]))
-    return matched.unionByName(missing)
+    return joined.unionByName(missing).drop("_iid")

@@ -44,6 +44,7 @@ METADATA_TDR = {
             "Source-Organization": "HMCTS",
             "Contact-Name": "A Clerk",
             "Contact-Email": "clerk@example.com",
+            "Internal-Sender-Identifier": "TDR-2024-ABC",
             "Consignment-Completed-Datetime": "2024-01-15T10:30:00Z",
         },
     }
@@ -140,12 +141,14 @@ def test_sink_effects(pipeline_out):
     assert counts["documents"] == 3
     docs = {r.uri: r for r in spark.read.parquet(f"{sink_root}/documents").collect()}
     assert docs["doc/ewca-111"].doc_type == "judgment"
-    # properties: 4 TDR keys + parser-run-id for TDR-1 only
+    # properties: 5 TDR keys (reference ingester.py:333-347 store_tdr_metadata)
+    # + parser-run-id for TDR-1 only
     props = spark.read.parquet(f"{sink_root}/properties").collect()
     assert {(p.name, p.value) for p in props if p.uri == "doc/ewca-111"} == {
         ("source-organisation", "HMCTS"),
         ("source-name", "A Clerk"),
         ("source-email", "clerk@example.com"),
+        ("transfer-consignment-reference", "TDR-2024-ABC"),
         ("transfer-received-at", "2024-01-15T10:30:00Z"),
         ("parser-run-id", "run-42"),
     }

@@ -42,3 +42,29 @@ def test_point_in_interval_boundaries(spark):
         by_iv.setdefault(r.iv, []).append(r.pid)
     assert sorted(by_iv["A"]) == [2, 3]
     assert by_iv["B"] == [None]  # empty interval survives with NULL point
+
+
+def test_left_outer_null_and_duplicate_intervals(spark):
+    """The anti-join must key on row identity, not interval columns:
+    NULL payload columns and duplicate interval rows would otherwise be
+    dropped or collapsed by the null-unsafe column-keyed anti-join."""
+    T = dt.datetime
+    points = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 15, 0))], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [
+            # two IDENTICAL empty interval rows — both must survive
+            (None, T(2024, 1, 2, 5, 0, 0), T(2024, 1, 2, 6, 0, 0)),
+            (None, T(2024, 1, 2, 5, 0, 0), T(2024, 1, 2, 6, 0, 0)),
+            # matching interval with a NULL label column
+            (None, T(2024, 1, 1, 10, 0, 0), T(2024, 1, 1, 11, 0, 0)),
+        ],
+        "iv string, w_start timestamp, w_end timestamp",
+    )
+    outer = point_in_interval_join(
+        points, intervals, "ts", "w_start", "w_end", bucket_seconds=1800, how="left_outer"
+    )
+    rows = outer.collect()
+    assert len(rows) == 3  # 1 match + 2 preserved empty duplicates
+    assert sorted((r.pid is not None) for r in rows) == [False, False, True]
