@@ -7,5 +7,6 @@ from ds_caselaw_ingester_spark.plans import (  # noqa: F401
     queries_relational,
     queries_routing,
     queries_similarity,
+    queries_tar,
     queries_text,
 )
