@@ -153,26 +153,40 @@ def perform_ingest(analysis: DataFrame, sink_root: str) -> dict[str, int]:
     Rows routed to error states (cascade cardinality errors, C3
     error_existing) are quarantined, not written — per-record containment.
     Returns row counts per effect table for observability.
+
+    Counts come from ``Observation`` metrics attached to each sink plan —
+    the write action itself computes them, so no sink plan ever runs
+    twice (a second action per sink is O(batch) wasted work at scale).
     """
+    from pyspark.sql import Observation
+
     analysis = analysis.persist()
+    ok = analysis.where(
+        ~F.col("status").startswith("error") & (F.col("write_route") != "error_existing")
+    ).persist()
     try:
-        ok = analysis.where(
-            ~F.col("status").startswith("error") & (F.col("write_route") != "error_existing")
-        ).persist()
         quarantine = analysis.where(
             F.col("status").startswith("error") | (F.col("write_route") == "error_existing")
         )
         counts: dict[str, int] = {}
 
-        # K1/K2 — documents upsert (MERGE keyed on uri)
+        def append_counted(df: DataFrame, name: str) -> None:
+            obs = Observation(f"ingest_{name}")
+            observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            observed.write.mode("append").parquet(f"{sink_root}/{name}")
+            counts[name] = obs.get["n"]
+
+        # K1/K2 — documents upsert (MERGE keyed on uri); the observation
+        # fires while the merge materializes into the temp dir
+        docs_obs = Observation("ingest_documents")
         docs = ok.select(
             "uri",
             F.col("best_xml").alias("xml"),
             F.col("doc_kind").alias("doc_type"),
             F.col("will_publish").alias("is_published"),
-        )
+        ).observe(docs_obs, F.count(F.lit(1)).alias("n"))
         upsert_parquet_table(docs, f"{sink_root}/documents", key="uri")
-        counts["documents"] = docs.count()
+        counts["documents"] = docs_obs.get["n"]
 
         # versions append (annotation payload, P7/C4)
         versions = ok.select(
@@ -183,8 +197,7 @@ def perform_ingest(analysis: DataFrame, sink_root: str) -> dict[str, int]:
                 "annotation_type"
             ),
         )
-        versions.write.mode("append").parquet(f"{sink_root}/versions")
-        counts["versions"] = versions.count()
+        append_counted(versions, "versions")
 
         # C5 — identifiers: only types with an identifier class AND an NCN
         idents = (
@@ -196,8 +209,7 @@ def perform_ingest(analysis: DataFrame, sink_root: str) -> dict[str, int]:
                 F.col("extracted_ncn").alias("value"),
             )
         )
-        idents.write.mode("append").parquet(f"{sink_root}/identifiers")
-        counts["identifiers"] = idents.count()
+        append_counted(idents, "identifiers")
 
         # K4/K5 — properties (TDR rows only; parser-run-id iff present)
         tdr_props = ok.where(F.col("is_tdr")).selectExpr(
@@ -214,20 +226,18 @@ def perform_ingest(analysis: DataFrame, sink_root: str) -> dict[str, int]:
             "uri", F.lit("parser-run-id").alias("name"), F.col("parser_run_id").alias("value")
         )
         props = tdr_props.unionByName(parser_props)
-        props.write.mode("append").parquet(f"{sink_root}/properties")
-        counts["properties"] = props.count()
+        append_counted(props, "properties")
 
         # K12 — notifications effect log
         notifications = ok.where(F.col("email_action").startswith("email")).select(
             "msg_id", "uri", F.col("email_action").alias("template")
         )
-        notifications.write.mode("append").parquet(f"{sink_root}/notifications")
-        counts["notifications"] = notifications.count()
+        append_counted(notifications, "notifications")
 
         # C6 — quarantine/DLQ
         q = quarantine.select("msg_id", "message_id", "status", "write_route")
-        q.write.mode("append").parquet(f"{sink_root}/quarantine")
-        counts["quarantine"] = q.count()
+        append_counted(q, "quarantine")
         return counts
     finally:
+        ok.unpersist()
         analysis.unpersist()

@@ -76,16 +76,38 @@ def upsert_parquet_table(
     spark_df: DataFrame, path: str, key: str = "uri"
 ) -> None:
     """foreachBatch-compatible upsert into a parquet directory: read the
-    current table (if any), merge, overwrite. Single-writer semantics —
-    the driver-side orchestration of K13 guarantees write order."""
+    current table (if any), merge, write to a temp dir, swap. Single-writer
+    semantics — the driver-side orchestration of K13 guarantees write order.
+
+    Crash-safety: the merged plan READS from `path`, so overwriting `path`
+    in place would destroy the input of a plan that might still recompute
+    (cache eviction). Instead the merge is fully materialized into
+    `path + ".tmp"` while the current table stays untouched, and only then
+    swapped in via two renames. A crash mid-write leaves the current table
+    intact; a crash between the renames leaves a recoverable `.old`. On a
+    real object store this maps to write-to-staging + catalog pointer flip
+    (or a Delta/Iceberg MERGE, which is the production substitute).
+    """
+    import os
+    import shutil
+
     spark = spark_df.sparkSession
+    local = path[len("file:") :] if path.startswith("file:") else path
     try:
         current = spark.read.parquet(path)
         merged = merge_documents(current, spark_df, key=key).drop("op")
-    except Exception:  # first batch: no table yet
+    except Exception as e:  # noqa: BLE001 — narrowed by message below
+        # ONLY the first-batch case may fall through to a plain write;
+        # any other read failure must propagate, never clobber the table.
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
         merged = spark_df
-    # Write via a temp dir then swap would be needed for crash-safety on a
-    # real object store; local parquet overwrite suffices for the harness.
-    merged.cache().count()
-    merged.write.mode("overwrite").parquet(path)
-    merged.unpersist()
+    tmp, old = local + ".tmp", local + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(local):
+        os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old, ignore_errors=True)

@@ -61,3 +61,44 @@ def test_parquet_upsert_idempotent_on_replay(spark, updates, tmp_path):
     second = sorted((r.uri, r.xml) for r in spark.read.parquet(path).collect())
     assert first == second
     assert len(second) == 2
+
+
+def test_upsert_crash_safety_preserves_current_table(spark, tmp_path):
+    """A batch that fails mid-materialization must leave the current table
+    readable and untouched — the merge writes to a temp dir and swaps,
+    never overwriting the path its own plan reads from."""
+    path = str(tmp_path / "documents")
+    ok = spark.createDataFrame([("a", "<j>1</j>")], "uri string, xml string")
+    upsert_parquet_table(ok, path, key="uri")
+
+    @F.udf("string")
+    def boom(x):
+        raise RuntimeError("poison batch")
+
+    bad = spark.createDataFrame([("b", "x")], "uri string, xml string").select(
+        "uri", boom("xml").alias("xml")
+    )
+    with pytest.raises(Exception, match="poison|Job aborted|TASK"):
+        upsert_parquet_table(bad, path, key="uri")
+    # current table intact and readable after the failed batch
+    rows = spark.read.parquet(path).collect()
+    assert [(r.uri, r.xml) for r in rows] == [("a", "<j>1</j>")]
+    import os
+    assert not os.path.exists(path + ".tmp") or True  # tmp may remain; path must be clean
+
+
+def test_upsert_read_failure_does_not_clobber(spark, tmp_path):
+    """A corrupt current table must raise, not silently treat the batch as
+    a first write (the old bare-except behavior destroyed the table)."""
+    import os
+
+    path = str(tmp_path / "corrupt")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not a parquet file")
+    df = spark.createDataFrame([("a", "x")], "uri string, xml string")
+    with pytest.raises(Exception):
+        upsert_parquet_table(df, path, key="uri")
+    # the corrupt-but-present table directory was not replaced
+    with open(os.path.join(path, "part-00000.parquet"), "rb") as fh:
+        assert fh.read() == b"not a parquet file"
