@@ -10,9 +10,11 @@ Analyze (pure, one row per message — all lookups are joins):
       -> routing decisions (C1-C5, P15)
 
 Execute (effects, fixed K13 order — driver-side sequencing because Spark
-gives no cross-sink ordering guarantee):
+gives no cross-sink ordering guarantee, mirroring perform_ingest,
+ingester.py:540-575):
     documents MERGE (K1/K2+K3) -> versions append -> identifiers append
-    (C5) -> properties upsert (K4/K5) -> publish flags (K11).
+    (C5) -> properties upsert (K4/K5) -> notifications (K12) -> asset
+    fan-out (K6-K10, save_files_to_s3) -> publish asset-copies (K11).
 External notifications (K12) are modeled as an appended `notifications`
 effect-log table — observable, replayable, idempotent.
 
@@ -64,6 +66,7 @@ def analyze(
         "consignment_ref",
         F.col("metadata.parameters.TRE.reference").alias("tre_reference"),
         F.col("metadata.parameters.TRE.payload.filename").alias("source_filename"),
+        F.col("metadata.parameters.TRE.payload.images").alias("images"),
         F.col("metadata.parameters.PARSER.uri").alias("parser_uri"),
         F.col("metadata.parameters.PARSER.cite").alias("extracted_ncn"),  # P9
         F.col("metadata.parameters.PARSER.parser_run_id").alias("parser_run_id"),
@@ -126,6 +129,7 @@ def analyze(
         "auto_publish",
         "error_on_existing",
         "source_filename",
+        "images",
         "extracted_ncn",
         "parser_run_id",
         "best_xml",
@@ -147,7 +151,9 @@ def analyze(
     )
 
 
-def perform_ingest(analysis: DataFrame, sink_root: str) -> dict[str, int]:
+def perform_ingest(
+    analysis: DataFrame, sink_root: str, members: DataFrame | None = None
+) -> dict[str, int]:
     """Execute phase: apply effects in the reference's fixed order (K13).
 
     Rows routed to error states (cascade cardinality errors, C3
@@ -157,6 +163,11 @@ def perform_ingest(analysis: DataFrame, sink_root: str) -> dict[str, int]:
     Counts come from ``Observation`` metrics attached to each sink plan —
     the write action itself computes them, so no sink plan ever runs
     twice (a second action per sink is O(batch) wasted work at scale).
+
+    members: optional tar member rows (consignment_ref, member_name) used
+    to gate the parser.log asset on the member actually existing
+    (reference suppress(FileNotFoundException), ingester.py:396-405).
+    Without it every consignment is assumed to carry a parser.log.
     """
     from pyspark.sql import Observation
 
@@ -233,6 +244,36 @@ def perform_ingest(analysis: DataFrame, sink_root: str) -> dict[str, int]:
             "msg_id", "uri", F.col("email_action").alias("template")
         )
         append_counted(notifications, "notifications")
+
+        # K6-K10 — asset fan-out (reference save_files_to_s3, runs after
+        # metadata writes and before publish, ingester.py:560-562)
+        from ds_caselaw_ingester_spark.operators.assets import asset_rows, publish_copies
+
+        asset_src = ok.select(
+            "uri",
+            F.col("consignment_ref").alias("ref"),
+            "source_filename",
+            "images",
+        )
+        has_log = None
+        if members is not None:
+            logs_present = (
+                members.where(F.col("member_name").endswith("parser.log"))
+                .select(F.col("consignment_ref").alias("ref"))
+                .distinct()
+                .withColumn("_has_log", F.lit(True))
+            )
+            asset_src = asset_src.join(logs_present, "ref", "left")
+            has_log = F.col("_has_log").isNotNull()
+        assets = asset_rows(asset_src, ["uri"], has_parser_log=has_log)
+        append_counted(assets, "assets")
+
+        # K11 — publish: copy every asset under the published uri's prefix
+        # private -> public (docs/workflow.md:169-175); unpublish is the
+        # is_published=false flag already written in the documents MERGE
+        pub_uris = ok.where(F.col("will_publish") == F.lit(True)).select("uri")
+        copies = publish_copies(assets, pub_uris)
+        append_counted(copies, "asset_copies")
 
         # C6 — quarantine/DLQ
         q = quarantine.select("msg_id", "message_id", "status", "write_route")

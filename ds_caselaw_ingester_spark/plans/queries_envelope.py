@@ -398,8 +398,6 @@ UNION ALL SELECT * FROM image_rows
     survey_ops=("K6", "K7", "K8", "K9", "K10", "K13"),
 )
 def q_asset_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ds_caselaw_ingester_spark.functions.scalars import file_extension, modify_filename
-
     ensure_oracle_safe(spark)
     docs = table(spark, sf_dir, "documents").select(F.col("doc_id").alias("d"))
     d = F.col("d")
@@ -417,34 +415,9 @@ def q_asset_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("images"),
     )
-    uri = F.col("uri")
-    tar_name = F.when(
-        F.col("source_filename").isNull(),
-        modify_filename(F.concat(F.col("ref"), F.lit(".tar.gz")), "_nodocx"),
-    ).otherwise(F.concat(F.col("ref"), F.lit(".tar.gz")))
-    tar_rows = src.select(
-        d, F.lit(1).alias("effect_seq"), F.lit("tar").alias("asset_kind"),
-        F.concat(uri, F.lit("/"), tar_name).alias("s3_key"),
-    )
-    source_rows = src.where(F.col("source_filename").isNotNull()).select(
-        d, F.lit(2).alias("effect_seq"), F.lit("source_doc").alias("asset_kind"),
-        F.concat(
-            uri, F.lit("/"), F.replace(uri, F.lit("/"), F.lit("_")), F.lit("."),
-            file_extension(F.col("source_filename")),
-        ).alias("s3_key"),
-    )
-    log_rows = src.select(
-        d, F.lit(3).alias("effect_seq"), F.lit("parser_log").alias("asset_kind"),
-        F.concat(uri, F.lit("/parser.log")).alias("s3_key"),
-    )
-    image_rows = (
-        src.select(d, uri, F.explode(F.col("images")).alias("image"))
-        .select(
-            d, F.lit(4).alias("effect_seq"), F.lit("image").alias("asset_kind"),
-            F.concat(uri, F.lit("/"), F.col("image")).alias("s3_key"),
-        )
-    )
-    return tar_rows.unionAll(source_rows).unionAll(log_rows).unionAll(image_rows)
+    from ds_caselaw_ingester_spark.operators.assets import asset_rows
+
+    return asset_rows(src, ["d"])
 
 
 # ---------------------------------------------------------------------------

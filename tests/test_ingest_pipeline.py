@@ -34,7 +34,14 @@ def _v2_record(mid: str, ref: str, originator: str) -> tuple:
 
 METADATA_TDR = {
     "parameters": {
-        "TRE": {"reference": "TDR-1", "payload": {"filename": "doc.docx", "xml": "TDR-1.xml"}},
+        "TRE": {
+            "reference": "TDR-1",
+            "payload": {
+                "filename": "doc.docx",
+                "xml": "TDR-1.xml",
+                "images": ["image1.png", "image2.jpg"],
+            },
+        },
         "PARSER": {
             "uri": "https://caselaw.nationalarchives.gov.uk/id/ewca/civ/2022/111",
             "cite": "[2022] EWCA Civ 111",
@@ -57,6 +64,18 @@ METADATA_NEW = {
     }
 }
 
+# FCL S3 bulk message with auto_publish -> exercises the K11 asset-copy path
+METADATA_PUB = {
+    "parameters": {
+        "TRE": {
+            "reference": "TDR-4",
+            "payload": {"filename": "bulk.docx", "xml": "TDR-4.xml", "images": []},
+        },
+        "PARSER": {"uri": None, "cite": None},
+        "INGESTER_OPTIONS": {"auto_publish": True},
+    }
+}
+
 
 @pytest.fixture(scope="module")
 def pipeline_out(spark, tmp_path_factory):
@@ -66,6 +85,7 @@ def pipeline_out(spark, tmp_path_factory):
             _v2_record("m1", "TDR-1", "TDR"),  # resolves by slug -> update path
             _v2_record("m2", "TDR-2", "TDR"),  # no uri/ncn -> new doc
             _v2_record("m3", "TDR-3", "WEIRD"),  # unknown originator -> error route
+            _v2_record("m4", "TDR-4", "FCL S3"),  # auto-publish -> K11 copies
         ],
         schema="message_id string, event_source string, body string",
     )
@@ -75,6 +95,7 @@ def pipeline_out(spark, tmp_path_factory):
         ("TDR-1", json.dumps(METADATA_TDR)),
         ("TDR-2", json.dumps(METADATA_NEW)),
         ("TDR-3", json.dumps(METADATA_NEW)),
+        ("TDR-4", json.dumps(METADATA_PUB)),
     ]
     metadata = spark.createDataFrame(
         meta_rows, schema="consignment_ref string, raw string"
@@ -87,6 +108,7 @@ def pipeline_out(spark, tmp_path_factory):
             ("TDR-1", JUDGMENT_XML, True),
             ("TDR-2", PRESS_XML, True),
             ("TDR-3", ERROR_XML, False),
+            ("TDR-4", JUDGMENT_XML, True),
         ],
         schema="consignment_ref string, best_xml string, xml_was_valid boolean",
     )
@@ -101,8 +123,19 @@ def pipeline_out(spark, tmp_path_factory):
         [("doc/ewca-111", True)], schema="uri string, is_published boolean"
     )
 
+    # member rows: TDR-1 and TDR-4 carry a parser.log, TDR-2 does not —
+    # gates the K8 parser_log asset like suppress(FileNotFoundException)
+    members = spark.createDataFrame(
+        [
+            ("TDR-1", "TDR-1/parser.log"),
+            ("TDR-1", "TDR-1/TDR-1.xml"),
+            ("TDR-2", "TDR-2/TDR-2.xml"),
+            ("TDR-4", "TDR-4/parser.log"),
+        ],
+        schema="consignment_ref string, member_name string",
+    )
     a = analyze(messages, metadata, best_xmls, identifiers, documents_state)
-    counts = perform_ingest(a, sink_root)
+    counts = perform_ingest(a, sink_root, members=members)
     return spark, a.collect(), counts, sink_root
 
 
@@ -138,7 +171,7 @@ def test_unknown_originator_routes_to_error(pipeline_out):
 
 def test_sink_effects(pipeline_out):
     spark, _, counts, sink_root = pipeline_out
-    assert counts["documents"] == 3
+    assert counts["documents"] == 4
     docs = {r.uri: r for r in spark.read.parquet(f"{sink_root}/documents").collect()}
     assert docs["doc/ewca-111"].doc_type == "judgment"
     # properties: 5 TDR keys (reference ingester.py:333-347 store_tdr_metadata)
@@ -155,3 +188,40 @@ def test_sink_effects(pipeline_out):
     # identifiers: judgment with NCN -> ukncn row; TDR-2 has no cite -> none
     idents = spark.read.parquet(f"{sink_root}/identifiers").collect()
     assert [(i.namespace, i.value) for i in idents] == [("ukncn", "[2022] EWCA Civ 111")]
+
+
+def test_asset_effects(pipeline_out):
+    """K6-K10: one asset row per save_files_to_s3 write, parser.log gated
+    on the member existing; K11: publish copies every asset of the
+    published uri private -> public."""
+    spark, rows, counts, sink_root = pipeline_out
+    assets = spark.read.parquet(f"{sink_root}/assets").collect()
+    by_uri: dict = {}
+    for a in assets:
+        by_uri.setdefault(a.uri, set()).add((a.effect_seq, a.asset_kind, a.s3_key))
+    # TDR-1 (update path, docx + 2 images + parser.log member present)
+    u1 = "doc/ewca-111"
+    assert by_uri[u1] == {
+        (1, "tar", f"{u1}/TDR-1.tar.gz"),
+        (2, "source_doc", f"{u1}/doc_ewca-111.docx"),
+        (3, "parser_log", f"{u1}/parser.log"),
+        (4, "image", f"{u1}/image1.png"),
+        (4, "image", f"{u1}/image2.jpg"),
+    }
+    # TDR-2 (no source filename -> _nodocx tar; no parser.log member)
+    u2 = next(r.uri for r in rows if r.consignment_ref == "TDR-2")
+    assert by_uri[u2] == {(1, "tar", f"{u2}/TDR-2_nodocx.tar.gz")}
+    assert counts["assets"] == len(assets) == 10
+
+    # K11 — only TDR-4 (FCL S3 auto_publish) publishes; all 3 of its
+    # assets get a private->public copy row
+    copies = spark.read.parquet(f"{sink_root}/asset_copies").collect()
+    u4 = next(r.uri for r in rows if r.consignment_ref == "TDR-4")
+    assert counts["asset_copies"] == 3
+    assert {c.uri for c in copies} == {u4}
+    assert {(c.from_bucket, c.to_bucket) for c in copies} == {("unpublished", "published")}
+    assert {c.s3_key for c in copies} == {
+        f"{u4}/TDR-4.tar.gz",
+        f"{u4}/{u4}.docx",
+        f"{u4}/parser.log",
+    }
