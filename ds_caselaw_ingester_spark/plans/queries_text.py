@@ -5,7 +5,7 @@ quality scoring, k-min fingerprint sketches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ds_caselaw_ingester_spark.operators.textstats import (
@@ -218,18 +218,24 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
     d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     tok = tokens(F.col("text"))
-    grams = (
-        d.select("doc_id", F.explode(word_ngrams(tok, 4)).alias("gram"))
-        .select("doc_id", F.md5("gram").alias("h"))
-        .distinct()
+    grams = d.select("doc_id", F.explode(word_ngrams(tok, 4)).alias("gram")).select(
+        "doc_id", F.md5("gram").alias("h")
     )
-    w = Window.partitionBy("doc_id").orderBy("h")
+    # ONE aggregation instead of distinct + per-doc sort window + re-agg
+    # (three exchanges and a full sort of every gram hash): collect_set
+    # dedups map-side, the shuffle carries partial SETS (smaller than the
+    # raw gram rows the old distinct shuffled), and the k smallest fall out
+    # of one array_sort per doc. State is the doc's distinct-gram set — at
+    # 100 TB a pathological mega-doc bounds it; the escape hatch is a
+    # pre-bucketed two-level min (groupBy(doc_id, h-prefix) first), which
+    # keeps this plan's single-exchange shape per level.
+    mins = F.slice(F.array_sort(F.collect_set("h")), 1, 5)
     return (
-        grams.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(F.sort_array(F.collect_list("h")), ",").alias("fingerprint"),
-            F.count("*").alias("sketch_size"),
+        grams.groupBy("doc_id")
+        .agg(mins.alias("mins"))
+        .select(
+            "doc_id",
+            F.array_join(F.col("mins"), ",").alias("fingerprint"),
+            F.size(F.col("mins")).cast("long").alias("sketch_size"),
         )
     )

@@ -94,3 +94,13 @@ def test_salted_distinct_shards_hot_keys(spark, sf_dir):
     assert "_salt" in plan, plan
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert any("_salt" in l for l in exchanges), plan
+
+
+def test_doc_fingerprint_single_aggregation_no_window(spark, sf_dir):
+    """The k-min sketch must be ONE bounded aggregation: no per-doc sort
+    window, no distinct pre-pass — at 100x the window's full sort of every
+    gram hash is the bottleneck the single collect_set plan avoids."""
+    plan = _physical_plan(all_specs()["doc_fingerprint"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan
+    # spread() repartition + at most the aggregation exchange
+    assert plan.count("Exchange") <= 2, plan
