@@ -52,6 +52,7 @@ def analyze(
     best_xmls: DataFrame,
     identifiers: DataFrame,
     documents_state: DataFrame,
+    environment: str = "prod",
 ) -> DataFrame:
     """Build the fully-resolved analysis record per message.
 
@@ -61,6 +62,8 @@ def analyze(
     best_xmls:       (consignment_ref, best_xml, xml_was_valid) — S12
     identifiers:     (slug, value, namespace, uri) index
     documents_state: (uri, is_published) current sink state (J5)
+    environment:     deployment environment; outside 'prod' editorial
+                     notifications are suppressed (ingester.py:288-290)
     """
     m = metadata.select(
         "consignment_ref",
@@ -140,9 +143,12 @@ def analyze(
             F.col("exists_in_db"),
             F.col("was_published"),
         ).alias("will_publish"),
-        email_action(F.col("originator"), F.col("auto_publish"), F.col("exists_in_db")).alias(
-            "email_action"
-        ),
+        email_action(
+            F.col("originator"),
+            F.col("auto_publish"),
+            F.col("exists_in_db"),
+            environment=F.lit(environment),
+        ).alias("email_action"),
         insert_or_update_route(F.col("exists_in_db"), F.col("error_on_existing")).alias(
             "write_route"
         ),

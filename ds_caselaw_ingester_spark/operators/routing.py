@@ -40,12 +40,22 @@ def email_action(
     originator: Column,
     auto_publish: Column,
     exists_in_db: Column,
+    environment: Column | None = None,
 ) -> Column:
     """C2 (ingester.py:442-457): FCL reparse -> no email; FCL S3 -> bulk
     notification iff not auto_publish (a stub in the reference,
     ingester.py:323-325); TDR -> 'updated' vs 'new' template by
-    exists_in_db; unknown -> 'error'."""
-    return (
+    exists_in_db; unknown -> 'error'.
+
+    environment: optional deployment-environment column. Outside 'prod'
+    the reference logs the personalisation and returns WITHOUT sending
+    (ROLLBAR_ENV gate, ingester.py:288-290, 307-309; pinned by
+    tests/test_notifications.py::test_do_not_send_..._on_staging) — here
+    the would-be send surfaces as 'suppressed:<action>' so the decision
+    stays observable while the notifications sink (which keys on the
+    'email' prefix) writes nothing. Omitted -> prod behavior.
+    """
+    base = (
         F.when(originator == ORIGINATOR_FCL, F.lit("none"))
         .when(
             originator == ORIGINATOR_FCL_S3,
@@ -57,6 +67,12 @@ def email_action(
         )
         .otherwise(F.lit("error"))
     )
+    if environment is None:
+        return base
+    return F.when(
+        base.startswith("email") & (environment != F.lit("prod")),
+        F.concat(F.lit("suppressed:"), base),
+    ).otherwise(base)
 
 
 def insert_or_update_route(exists_in_db: Column, error_on_existing: Column) -> Column:

@@ -38,18 +38,27 @@ WITH msgs AS (
          o_custkey % 2 = 0 AS exists_in_db,
          o_orderkey % 3 = 0 AS auto_publish,
          o_totalprice > 50000 AS was_published,
-         o_custkey % 5 = 0 AS error_on_existing
+         o_custkey % 5 = 0 AS error_on_existing,
+         CASE o_custkey % 3 WHEN 0 THEN 'prod' WHEN 1 THEN 'staging'
+                            ELSE 'dev' END AS environment
   FROM orders
+),
+acts AS (
+  SELECT *,
+    CASE WHEN originator = 'FCL' THEN 'none'
+         WHEN originator = 'FCL S3' THEN (CASE WHEN auto_publish THEN 'none' ELSE 'bulk_stub' END)
+         WHEN originator = 'TDR' THEN (CASE WHEN exists_in_db THEN 'email_updated' ELSE 'email_new' END)
+         ELSE 'error' END AS base_action
+  FROM msgs
 )
-SELECT msg_id, originator,
+SELECT msg_id, originator, environment,
   CASE WHEN originator = 'TDR' THEN FALSE
        WHEN originator = 'FCL S3' THEN auto_publish
        WHEN originator = 'FCL' THEN exists_in_db AND was_published
        ELSE NULL END AS will_publish,
-  CASE WHEN originator = 'FCL' THEN 'none'
-       WHEN originator = 'FCL S3' THEN (CASE WHEN auto_publish THEN 'none' ELSE 'bulk_stub' END)
-       WHEN originator = 'TDR' THEN (CASE WHEN exists_in_db THEN 'email_updated' ELSE 'email_new' END)
-       ELSE 'error' END AS email_action,
+  CASE WHEN base_action LIKE 'email%' AND environment <> 'prod'
+       THEN 'suppressed:' || base_action
+       ELSE base_action END AS email_action,
   CASE WHEN exists_in_db AND error_on_existing THEN 'error_existing'
        WHEN exists_in_db THEN 'update'
        ELSE 'insert' END AS write_route,
@@ -58,7 +67,7 @@ SELECT msg_id, originator,
     || (CASE WHEN originator = 'TDR' THEN 'TDR user' ELSE 'Find Case Law' END)
     AS annotation,
   CASE WHEN exists_in_db THEN 'updated' ELSE 'inserted' END AS upload_state
-FROM msgs
+FROM acts
 """
 
 
@@ -66,8 +75,9 @@ FROM msgs
     "routing_matrix",
     ROUTING_ORACLE,
     doc="Publish/email/insert-update decision ladders (ingester.py:424-483) "
-    "with unknown-originator error routing.",
-    survey_ops=("C1", "C2", "C3", "C4", "P15"),
+    "with unknown-originator error routing and the non-prod notification "
+    "suppression gate (ROLLBAR_ENV, ingester.py:288-290, 307-309).",
+    survey_ops=("C1", "C2", "C3", "C4", "P15", "K12"),
 )
 def q_routing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
@@ -83,17 +93,25 @@ def q_routing_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 3 == 0).alias("auto_publish"),
         (F.col("o_totalprice") > 50000).alias("was_published"),
         (F.col("o_custkey") % 5 == 0).alias("error_on_existing"),
+        F.when(F.col("o_custkey") % 3 == 0, F.lit("prod"))
+        .when(F.col("o_custkey") % 3 == 1, F.lit("staging"))
+        .otherwise(F.lit("dev"))
+        .alias("environment"),
     )
     is_tdr = F.col("originator") == "TDR"
     return msgs.select(
         "msg_id",
         "originator",
+        "environment",
         will_publish(
             F.col("originator"), F.col("auto_publish"), F.col("exists_in_db"), F.col("was_published")
         ).alias("will_publish"),
-        email_action(F.col("originator"), F.col("auto_publish"), F.col("exists_in_db")).alias(
-            "email_action"
-        ),
+        email_action(
+            F.col("originator"),
+            F.col("auto_publish"),
+            F.col("exists_in_db"),
+            environment=F.col("environment"),
+        ).alias("email_action"),
         insert_or_update_route(F.col("exists_in_db"), F.col("error_on_existing")).alias(
             "write_route"
         ),
