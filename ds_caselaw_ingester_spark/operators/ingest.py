@@ -158,7 +158,10 @@ def analyze(
 
 
 def perform_ingest(
-    analysis: DataFrame, sink_root: str, members: DataFrame | None = None
+    analysis: DataFrame,
+    sink_root: str,
+    members: DataFrame | None = None,
+    batch_id: int | None = None,
 ) -> dict[str, int]:
     """Execute phase: apply effects in the reference's fixed order (K13).
 
@@ -174,6 +177,13 @@ def perform_ingest(
     to gate the parser.log asset on the member actually existing
     (reference suppress(FileNotFoundException), ingester.py:396-405).
     Without it every consignment is assumed to carry a parser.log.
+
+    batch_id: when set (the foreachBatch epoch), append sinks become
+    dynamic partition OVERWRITES of the `batch_id=<n>` partition — an
+    at-least-once redelivery of the same epoch replaces its own rows
+    instead of appending duplicates, so every sink table converges on
+    replay (the documents MERGE is already idempotent by key). This is
+    the standard Spark epoch-keyed exactly-once-ish sink pattern.
     """
     from pyspark.sql import Observation
 
@@ -190,7 +200,16 @@ def perform_ingest(
         def append_counted(df: DataFrame, name: str) -> None:
             obs = Observation(f"ingest_{name}")
             observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
-            observed.write.mode("append").parquet(f"{sink_root}/{name}")
+            if batch_id is None:
+                observed.write.mode("append").parquet(f"{sink_root}/{name}")
+            else:
+                (
+                    observed.withColumn("batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(f"{sink_root}/{name}")
+                )
             counts[name] = obs.get["n"]
 
         # K1/K2 — documents upsert (MERGE keyed on uri); the observation

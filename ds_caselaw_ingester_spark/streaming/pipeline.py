@@ -79,6 +79,54 @@ def run_ingest_stream(
     )
 
 
+def run_full_ingest_stream(
+    records: DataFrame,
+    metadata: DataFrame,
+    best_xmls: DataFrame,
+    identifiers: DataFrame,
+    sink_root: str,
+    checkpoint_dir: str,
+    members: DataFrame | None = None,
+    environment: str = "prod",
+):
+    """The COMPLETE reference pipeline under streaming delivery: each
+    micro-batch runs analyze (parse -> classify -> cascade -> route) and
+    perform_ingest (all K13 effect tables) — batch/streaming parity by
+    construction, since both phases are the batch plans unchanged.
+
+    Replay safety (at-least-once redelivery, the SQS model):
+    - documents: MERGE keyed on uri — redelivery converges by key;
+    - every append sink: epoch-keyed dynamic partition overwrite
+      (perform_ingest batch_id) — a redelivered epoch replaces its own
+      partition instead of appending duplicates.
+
+    documents_state (J5 exists/published lookups) is re-read from the
+    documents sink at each batch start, so a batch sees every earlier
+    batch's writes — the streaming analog of the reference checking
+    MarkLogic per message.
+    """
+    from ds_caselaw_ingester_spark.operators.ingest import analyze, perform_ingest
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(f"{sink_root}/documents").select(
+                "uri", "is_published"
+            )
+        except Exception:  # first batch: no documents table yet
+            state = spark.createDataFrame([], "uri string, is_published boolean")
+        msgs = parse_messages(batch_df)
+        a = analyze(msgs, metadata, best_xmls, identifiers, state, environment=environment)
+        perform_ingest(a, sink_root, members=members, batch_id=epoch_id)
+
+    return (
+        records.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_ingest_counts(
     events: DataFrame,
     ts_col: str = "event_time",
