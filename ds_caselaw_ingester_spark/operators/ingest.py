@@ -39,7 +39,7 @@ from ds_caselaw_ingester_spark.operators.routing import (
     insert_or_update_route,
     will_publish,
 )
-from ds_caselaw_ingester_spark.operators.upsert import upsert_parquet_table
+from ds_caselaw_ingester_spark.operators.upsert import upsert_parquet_table_bucketed
 from ds_caselaw_ingester_spark.operators.uri_cascade import (
     expected_namespace_col,
     resolve_uris,
@@ -212,8 +212,9 @@ def perform_ingest(
                 )
             counts[name] = obs.get["n"]
 
-        # K1/K2 — documents upsert (MERGE keyed on uri); the observation
-        # fires while the merge materializes into the temp dir
+        # K1/K2 — documents upsert: partition-pruned MERGE (only the
+        # key-hash buckets this batch touches are read and rewritten —
+        # O(touched buckets) per batch, not O(table))
         docs_obs = Observation("ingest_documents")
         docs = ok.select(
             "uri",
@@ -221,7 +222,7 @@ def perform_ingest(
             F.col("doc_kind").alias("doc_type"),
             F.col("will_publish").alias("is_published"),
         ).observe(docs_obs, F.count(F.lit(1)).alias("n"))
-        upsert_parquet_table(docs, f"{sink_root}/documents", key="uri")
+        upsert_parquet_table_bucketed(docs, f"{sink_root}/documents", key="uri")
         counts["documents"] = docs_obs.get["n"]
 
         # versions append (annotation payload, P7/C4)

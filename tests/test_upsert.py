@@ -102,3 +102,44 @@ def test_upsert_read_failure_does_not_clobber(spark, tmp_path):
     # the corrupt-but-present table directory was not replaced
     with open(os.path.join(path, "part-00000.parquet"), "rb") as fh:
         assert fh.read() == b"not a parquet file"
+
+
+def test_bucketed_upsert_only_rewrites_touched_buckets(spark, tmp_path):
+    """The bucketed MERGE must leave buckets no batch key hashes into
+    physically untouched — the partition-pruning property that makes the
+    per-batch cost O(touched buckets) instead of O(table)."""
+    import os
+
+    from ds_caselaw_ingester_spark.operators.upsert import upsert_parquet_table_bucketed
+
+    path = str(tmp_path / "docs")
+    seed = spark.createDataFrame(
+        [(f"doc/{i}", f"<j>{i}</j>") for i in range(50)], "uri string, xml string"
+    )
+    upsert_parquet_table_bucketed(seed, path, key="uri", n_buckets=8)
+    before = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("kb=")
+    }
+    assert len(before) > 1  # keys spread over several buckets
+
+    batch = spark.createDataFrame([("doc/7", "<j>new</j>")], "uri string, xml string")
+    upsert_parquet_table_bucketed(batch, path, key="uri", n_buckets=8)
+    after = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("kb=")
+    }
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert len(changed) == 1  # exactly the bucket doc/7 hashes into
+
+    rows = {r.uri: r.xml for r in spark.read.parquet(path).collect()}
+    assert len(rows) == 50
+    assert rows["doc/7"] == "<j>new</j>"
+    assert rows["doc/8"] == "<j>8</j>"
+
+    # replay converges (same bucket swapped to the same contents)
+    upsert_parquet_table_bucketed(batch, path, key="uri", n_buckets=8)
+    rows2 = {r.uri: r.xml for r in spark.read.parquet(path).collect()}
+    assert rows2 == rows

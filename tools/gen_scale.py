@@ -1,0 +1,109 @@
+"""Deterministic scale-up of a driver testdata dir (default sf0.1 -> x10,
+i.e. an sf1-equivalent) for local shuffle-behavior benchmarking — sf0.1
+fits in page cache and hides exchange costs that dominate at scale.
+
+FK-consistent: every key column is shifted by copy_index * (max_key + 1)
+of its base table, so joins find exactly the same matches per copy and
+fact/dim ratios are preserved. Text gets a per-copy suffix token and
+embeddings a tiny per-copy offset so dedup/ANN workloads see realistic
+near-duplicates instead of pathological identical-bucket blowups.
+
+pyarrow end-to-end: events.ts stays TIMESTAMP(NANOS) (the catalog reader
+depends on the nanosAsLong path, sources/catalog.py:42-48).
+
+Usage: python tools/gen_scale.py [--src /root/testdata/sf0.1]
+       [--dst /tmp/sf1.0] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# key columns shifted by (copy * span(base table of that key))
+KEY_BASE = {
+    "c_custkey": "customer",
+    "s_suppkey": "supplier",
+    "p_partkey": "part",
+    "o_orderkey": "orders",
+    "o_custkey": "customer",
+    "l_orderkey": "orders",
+    "l_partkey": "part",
+    "l_suppkey": "supplier",
+    "event_id": "events",
+    "user_id": "events",  # span: own-table max, keeps ids disjoint per copy
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+COPIED_UNCHANGED = {"region", "nation"}
+
+
+def _span(src: str, base_table: str, col_hint: str) -> int:
+    t = pq.read_table(os.path.join(src, f"{base_table}.parquet"))
+    col = col_hint if col_hint in t.column_names else t.column_names[0]
+    return int(pc.max(t.column(col)).as_py()) + 1
+
+
+def scale(src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    spans: dict[str, int] = {}
+    for col, base in KEY_BASE.items():
+        key = f"{base}:{col}"
+        spans[key] = _span(src, base, col if col in ("user_id",) else col)
+
+    for name in TABLES:
+        t = pq.read_table(os.path.join(src, f"{name}.parquet"))
+        out_path = os.path.join(dst, f"{name}.parquet")
+        if name in COPIED_UNCHANGED:
+            pq.write_table(t, out_path)
+            print(f"{name}: copied ({t.num_rows} rows)")
+            continue
+        copies = []
+        for i in range(factor):
+            cols = []
+            for cname in t.column_names:
+                col = t.column(cname)
+                if cname in KEY_BASE:
+                    span = spans[f"{KEY_BASE[cname]}:{cname}"]
+                    col = pc.add(col, pa.scalar(i * span, type=col.type))
+                elif name == "documents" and cname == "text" and i > 0:
+                    col = pc.binary_join_element_wise(
+                        pc.cast(col, pa.string()), f" dup{i}", ""
+                    )
+                elif name == "embeddings" and cname == "embedding" and i > 0:
+                    flat = col.combine_chunks()
+                    values = pc.add(flat.values, pa.scalar(i * 1e-3, type=pa.float32()))
+                    col = pa.ListArray.from_arrays(flat.offsets, values)
+                cols.append(col)
+            copies.append(pa.table(cols, names=t.column_names))
+        big = pa.concat_tables(copies)
+        # cast back to the source schema (suffix/offset ops may widen types)
+        big = big.cast(t.schema)
+        pq.write_table(big, out_path)
+        print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/sf1.0")
+    ap.add_argument("--factor", type=int, default=10)
+    a = ap.parse_args()
+    scale(a.src, a.dst, a.factor)
