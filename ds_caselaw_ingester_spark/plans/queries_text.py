@@ -239,3 +239,63 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.col("mins")).cast("long").alias("sketch_size"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_token_stats — BPE-ish regex tokenization estimate
+# ---------------------------------------------------------------------------
+
+BPE_TOKEN_ORACLE = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit_tokens,
+         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_other_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_exact
+  FROM documents
+)
+SELECT doc_id, n_word_tokens, n_digit_tokens, n_other_tokens,
+       n_word_tokens + n_digit_tokens + n_other_tokens AS n_tokens_est,
+       round(CAST(n_chars_exact AS DOUBLE)
+             / greatest(1, n_word_tokens + n_digit_tokens + n_other_tokens),
+             4) AS chars_per_token
+FROM c
+"""
+
+
+@register(
+    "bpe_token_stats",
+    BPE_TOKEN_ORACLE,
+    doc="BPE-ish token estimate via a GPT-2-style pre-tokenizer regex "
+    "(alpha runs + single digits + punctuation marks) — the subword-count "
+    "complement to the whitespace token_stats; chars-per-token is the "
+    "standard budget heuristic of a training-data pipeline. Pure "
+    "regexp_count expressions: JVM-side, codegen'd, scan-dominated.",
+    survey_ops=("ext:token-count",),
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.regexp_count(F.col("text"), F.lit("[A-Za-z]+")).cast("long")
+    digits = F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("long")
+    other = F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9 ]")).cast("long")
+    c = d.select(
+        "doc_id",
+        words.alias("n_word_tokens"),
+        digits.alias("n_digit_tokens"),
+        other.alias("n_other_tokens"),
+        F.length("text").cast("long").alias("n_chars_exact"),
+    )
+    total = F.col("n_word_tokens") + F.col("n_digit_tokens") + F.col("n_other_tokens")
+    return c.select(
+        "doc_id",
+        "n_word_tokens",
+        "n_digit_tokens",
+        "n_other_tokens",
+        total.alias("n_tokens_est"),
+        F.round(
+            F.col("n_chars_exact").cast("double")
+            / F.greatest(F.lit(1).cast("long"), total),
+            4,
+        ).alias("chars_per_token"),
+    )
