@@ -104,3 +104,13 @@ def test_doc_fingerprint_single_aggregation_no_window(spark, sf_dir):
     assert "Window" not in plan, plan
     # spread() repartition + at most the aggregation exchange
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_fuzzy_match_has_no_cross_product(spark, sf_dir):
+    """Candidate generation must be the variant equi-join — a
+    BroadcastNestedLoopJoin (cross product with levenshtein post-filter)
+    is the O(|probes| x |catalog|) plan that cost 230 s at sf1."""
+    plan = _physical_plan(all_specs()["fuzzy_part_match"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
