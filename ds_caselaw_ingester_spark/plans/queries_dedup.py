@@ -144,7 +144,13 @@ WHERE round(CAST(c.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - c.n_common),
     "ngram_jaccard_pairs",
     JACCARD_ORACLE,
     doc="Exact 3-gram Jaccard >= 0.5 via inverted-index self-join on the "
-    "shingle (never a document cross-join).",
+    "shingle (never a document cross-join). Measured choice: on this "
+    "corpus (short docs, max gram df ~300) the in-bucket pair fan-out "
+    "beats prefix filtering 4x (24 s vs 104 s at sf1) because the "
+    "candidates are cheap structs while PPJoin's verification joins "
+    "carry full gram arrays; exact_jaccard_pairs_prefix remains the "
+    "right operator when documents are long or the gram vocabulary has "
+    "heavy hot keys.",
     survey_ops=("ext:dedup-ngram-jaccard",),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
