@@ -699,58 +699,15 @@ FROM probes pr JOIN part p ON levenshtein(pr.probe, p.p_name) <= 2
     survey_ops=("ext:fuzzy-match",),
 )
 def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_oracle_safe(spark)
-    k = 2
+    from ds_caselaw_ingester_spark.operators.fuzzy import edit_distance_join
 
+    ensure_oracle_safe(spark)
     part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
     probes = part.where(F.col("p_partkey") % 97 == 0).select(
         F.col("p_partkey").alias("probe_id"),
         F.substring("p_name", 2, 2_000_000).alias("probe"),
     )
-
-    def _del1(s):
-        # all strings obtained by deleting exactly one char of s
-        return F.transform(
-            F.sequence(F.lit(1), F.length(s)),
-            lambda i: F.concat(
-                F.substring(s, F.lit(1), i - 1), F.substring(s, i + 1, F.length(s))
-            ),
-        )
-
-    def variants(s):
-        # distinct 0-, 1-, and 2-deletion variants of s
-        d1 = _del1(s)
-        d2 = F.flatten(F.transform(d1, _del1))
-        return F.array_distinct(F.concat(F.array(s), d1, d2))
-
-    # collapse to DISTINCT strings before any quadratic-ish work — the
-    # same exact-dup-collapse principle as the dedup operators: duplicate
-    # names (common at scale) multiply candidate pairs quadratically if
-    # matched per-row, but only linearly if matched per-string and
-    # expanded back through id joins at the end
-    dprobes = probes.select("probe").distinct()
-    dparts = part.select("p_name").distinct()
-
-    pv = dprobes.select(
-        "probe",
-        F.length("probe").alias("plen"),
-        F.explode(variants(F.col("probe"))).alias("variant"),
-    )
-    cv = dparts.select(
-        "p_name",
-        F.length("p_name").alias("clen"),
-        F.explode(variants(F.col("p_name"))).alias("variant"),
-    )
-    cand = (
-        cv.join(
-            F.broadcast(pv),
-            (cv["variant"] == pv["variant"]) & (F.abs(F.col("plen") - F.col("clen")) <= k),
-        )
-        .select("probe", "p_name")
-        .distinct()
-    )
-    dist = F.levenshtein(F.col("probe"), F.col("p_name"))
-    matched = cand.where(dist <= 2).select("probe", "p_name", dist.alias("dist"))
+    matched = edit_distance_join(probes, part, "probe", "p_name", max_dist=2)
     # expand string-level matches back to id-level rows
     return (
         matched.join(part, "p_name")
