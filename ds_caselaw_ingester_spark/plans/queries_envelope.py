@@ -387,22 +387,14 @@ UNION ALL SELECT * FROM image_rows
 """
 
 
-@register(
-    "asset_fanout",
-    ASSET_FANOUT_ORACLE,
-    doc="S3 asset fan-out key derivation: tar archive with _nodocx rename "
-    "when no source (ingester.py:361-381), source-doc rename to "
-    "uri-with-underscores + extension (:383-394), parser.log copy "
-    "(:396-405), per-image explode (:407-418), store_file key layout "
-    "(file_helpers.py:36-73); effect_seq pins the K13 order (:542-575).",
-    survey_ops=("K6", "K7", "K8", "K9", "K10", "K13"),
-)
-def q_asset_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_oracle_safe(spark)
+def _asset_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (d, uri, ref, source_filename, images) frame the
+    asset queries derive from `documents` — mod rules mirror the oracle
+    CTE in ASSET_FANOUT_ORACLE."""
     docs = table(spark, sf_dir, "documents").select(F.col("doc_id").alias("d"))
     d = F.col("d")
     ds = d.cast("string")
-    src = docs.select(
+    return docs.select(
         d,
         F.concat(F.lit("doc/"), (d % 100).cast("string"), F.lit("/"), ds).alias("uri"),
         F.concat(F.lit("TDR-2024-"), ds).alias("ref"),
@@ -415,9 +407,83 @@ def q_asset_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("images"),
     )
+
+
+@register(
+    "asset_fanout",
+    ASSET_FANOUT_ORACLE,
+    doc="S3 asset fan-out key derivation: tar archive with _nodocx rename "
+    "when no source (ingester.py:361-381), source-doc rename to "
+    "uri-with-underscores + extension (:383-394), parser.log copy "
+    "(:396-405), per-image explode (:407-418), store_file key layout "
+    "(file_helpers.py:36-73); effect_seq pins the K13 order (:542-575).",
+    survey_ops=("K6", "K7", "K8", "K9", "K10", "K13"),
+)
+def q_asset_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_caselaw_ingester_spark.operators.assets import asset_rows
 
-    return asset_rows(src, ["d"])
+    ensure_oracle_safe(spark)
+    return asset_rows(_asset_src(spark, sf_dir), ["d"])
+
+
+# ---------------------------------------------------------------------------
+# publish_copy_fanout — K11 publish-time private->public asset copies
+# ---------------------------------------------------------------------------
+
+PUBLISH_COPY_ORACLE = """
+WITH src AS (
+  SELECT doc_id AS d,
+         'doc/' || CAST(doc_id % 100 AS VARCHAR) || '/' || CAST(doc_id AS VARCHAR) AS uri,
+         'TDR-2024-' || CAST(doc_id AS VARCHAR) AS ref,
+         CASE WHEN doc_id % 3 = 0 THEN NULL
+              WHEN doc_id % 2 = 0 THEN 'judgment-' || CAST(doc_id AS VARCHAR) || '.docx'
+              ELSE 'judgment-' || CAST(doc_id AS VARCHAR) || '.pdf' END AS source_filename,
+         CASE WHEN doc_id % 4 = 0 THEN ['image1.png', 'image2.jpg']
+              WHEN doc_id % 4 = 1 THEN ['image1.png']
+              ELSE [] END AS images
+  FROM documents
+),
+assets AS (
+  SELECT d, uri,
+         uri || '/' || CASE WHEN source_filename IS NULL
+                            THEN ref || '_nodocx.tar.gz'
+                            ELSE ref || '.tar.gz' END AS s3_key
+  FROM src
+  UNION ALL
+  SELECT d, uri,
+         uri || '/' || replace(uri, '/', '_') || '.'
+             || lower(list_extract(string_split(source_filename, '.'), -1))
+  FROM src WHERE source_filename IS NOT NULL
+  UNION ALL
+  SELECT d, uri, uri || '/parser.log' FROM src
+  UNION ALL
+  SELECT d, uri, uri || '/' || unnest(images) FROM src
+)
+SELECT uri, s3_key,
+       'unpublished' AS from_bucket, 'published' AS to_bucket
+FROM assets WHERE d % 6 = 0
+"""
+
+
+@register(
+    "publish_copy_fanout",
+    PUBLISH_COPY_ORACLE,
+    doc="K11 publish asset-copy: for the uris being published (d % 6 = 0 "
+    "here; will_publish in the composite), every asset under the "
+    "document's prefix gets one private->public copy row "
+    "(docs/workflow.md:169-175 — publish lists the unpublished bucket by "
+    "prefix and copies each object). Composition of the green "
+    "asset_rows fan-out and a semi-join on the publish set.",
+    survey_ops=("K11",),
+)
+def q_publish_copy_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.operators.assets import asset_rows, publish_copies
+
+    ensure_oracle_safe(spark)
+    src = _asset_src(spark, sf_dir)
+    assets = asset_rows(src, ["d", "uri"])
+    pub = src.where(F.col("d") % 6 == 0).select("uri")
+    return publish_copies(assets, pub)
 
 
 # ---------------------------------------------------------------------------
