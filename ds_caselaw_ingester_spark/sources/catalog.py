@@ -32,20 +32,52 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Column pruning happens automatically when the
     caller selects a subset; never ``select('*')`` into a wide pipeline.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark only reads via
-    the nanosAsLong legacy conf (as raw int64 nanos). We truncate to a
-    microsecond TimestampType — the same truncation DuckDB applies — so
-    event-time semantics agree across engines.
+    ``events.ts`` has shipped in two physical layouts, so the reader is
+    type-adaptive on the *loaded* column type rather than assuming one:
+
+    - parquet TIMESTAMP(MICROS) (current): reads natively as a timestamp
+      (TIMESTAMP_NTZ when the file's isAdjustedToUTC is false). We cast to
+      session-tz TimestampType; the session is pinned to UTC
+      (session.py), so wall-clock values are unchanged and downstream
+      window/date_trunc/unix_timestamp semantics match the previous
+      layout's instant semantics exactly.
+    - parquet TIMESTAMP(NANOS) (legacy): Spark can only read it via the
+      ``nanosAsLong`` legacy conf, as raw int64 nanos. Only in this branch
+      do we set that conf and truncate nanos → microsecond TimestampType
+      (the same truncation DuckDB applies). The conf is scoped to the
+      legacy branch so a normal read never mutates session state.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _read_events(spark, f"{sf_dir}/events.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Type-adaptive events read; see :func:`table`. Normalises ``ts`` to
+    session-tz TimestampType regardless of the file's physical layout."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    try:
+        df = spark.read.parquet(path)
+    except Exception as exc:  # TIMESTAMP(NANOS) footer: unreadable without the legacy conf
+        if "NANOS" not in str(exc) and "nanosAsLong" not in str(exc):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # Legacy nanos-as-int64 layout (or a session where the conf was
+        # already on): truncate nanos to micros, matching DuckDB.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        # Session tz is UTC (session.py), so this cast is value-preserving;
+        # it keeps one engine-wide timestamp type across both layouts.
+        return df.withColumn("ts", df["ts"].cast(TimestampType()))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

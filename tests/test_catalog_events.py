@@ -1,0 +1,69 @@
+"""The events reader must be type-adaptive: the driver's parquet has
+shipped both as TIMESTAMP(NANOS) (readable only as int64 via the
+nanosAsLong legacy conf) and as TIMESTAMP(MICROS). Round 4 regressed 9
+queries when the layout flipped under a reader that assumed nanos
+(VERDICT.md r4 'What's wrong' #1); these tests pin both branches.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql.types import TimestampType
+
+from ds_caselaw_ingester_spark.sources.catalog import table
+
+UTC = dt.timezone.utc
+STAMPS = [
+    dt.datetime(2024, 1, 1, 0, 0, 0, 123456),
+    dt.datetime(2024, 6, 15, 12, 30, 45, 999999),
+    dt.datetime(2025, 12, 31, 23, 59, 59, 1),
+]
+
+
+def _write_events(tmpdir: str, ts_type: pa.DataType) -> str:
+    """Write a minimal events.parquet with the driver's column set."""
+    n = len(STAMPS)
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(STAMPS, ts_type),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array([1.5] * n, pa.float64()),
+            "props": pa.array(['{"k":1}'] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(tmpdir, "events.parquet"))
+    return tmpdir
+
+
+@pytest.mark.parametrize("ts_type", [pa.timestamp("us"), pa.timestamp("ns")], ids=["micros", "nanos"])
+def test_events_reader_handles_both_layouts(spark, tmp_path, ts_type):
+    sf_dir = _write_events(str(tmp_path), ts_type)
+    df = table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    got = sorted(r.ts.replace(tzinfo=None) for r in df.select("ts").collect())
+    # nanos layout truncates to micros — our STAMPS are micro-precision, so
+    # both layouts must round-trip the exact same instants (session tz UTC).
+    assert got == sorted(STAMPS)
+
+
+def test_events_reader_micros_does_not_set_legacy_conf(spark, tmp_path):
+    """Reading the current layout must not mutate session state as a side
+    effect (ADVICE.md r4): the nanosAsLong conf stays untouched."""
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    sf_dir = _write_events(str(tmp_path), pa.timestamp("us"))
+    table(spark, sf_dir, "events").collect()
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (None, "false")
+
+
+def test_driver_events_table_loads(spark):
+    """The real driver file at the smoke SF loads and has a timestamp ts."""
+    df = table(spark, "/root/testdata/sf0.001", "events")
+    assert isinstance(df.schema["ts"].dataType, TimestampType)
+    assert df.limit(1).count() == 1

@@ -8,8 +8,10 @@ fact/dim ratios are preserved. Text gets a per-copy suffix token and
 embeddings a tiny per-copy offset so dedup/ANN workloads see realistic
 near-duplicates instead of pathological identical-bucket blowups.
 
-pyarrow end-to-end: events.ts stays TIMESTAMP(NANOS) (the catalog reader
-depends on the nanosAsLong path, sources/catalog.py:42-48).
+pyarrow end-to-end: every output column keeps the source file's physical
+type (read -> transform -> cast back to the source schema), so events.ts
+ships in whatever layout the driver generated (currently TIMESTAMP(MICROS);
+the catalog reader is type-adaptive either way, sources/catalog.py).
 
 Usage: python tools/gen_scale.py [--src /root/testdata/sf0.1]
        [--dst /tmp/sf1.0] [--factor 10]
