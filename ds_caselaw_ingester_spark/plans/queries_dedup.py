@@ -115,6 +115,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ngram_jaccard_pairs — exact set Jaccard over 3-gram shingles
 # ---------------------------------------------------------------------------
 
+# Hot-shingle document-frequency cap for the registered query. One gram
+# shared by df documents produces O(df²) candidate pairs — the cap bounds
+# the worst bucket. Inactive at sf0.01 (max gram df = 9) so the oracle row
+# is value-identical to the uncapped plan, and genuinely protective at sf1+
+# (max gram df ≈ 300, growing with corpus size).
+MAX_DOC_FREQ = 50
+
 JACCARD_ORACLE = f"""
 WITH {CORPUS_SQL},
 toks AS (
@@ -125,10 +132,17 @@ grams AS (
   FROM toks, unnest(generate_series(1, len(tok) - 2)) AS t(i)
   WHERE len(tok) >= 3
 ),
+gram_df AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
 sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
 common AS (
+  -- df cap mirrors exact_jaccard_pairs(max_doc_freq={MAX_DOC_FREQ}):
+  -- grams hotter than the cap are excluded from pair generation only;
+  -- sizes still count them, so surviving jaccards are lower bounds
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM grams a
+  JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  JOIN gram_df d ON d.gram = a.gram
+  WHERE d.df <= {MAX_DOC_FREQ}
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT c.doc_a, c.doc_b, c.n_common,
@@ -150,14 +164,17 @@ WHERE round(CAST(c.n_common AS DOUBLE) / (sa.n_grams + sb.n_grams - c.n_common),
     "candidates are cheap structs while PPJoin's verification joins "
     "carry full gram arrays; exact_jaccard_pairs_prefix remains the "
     "right operator when documents are long or the gram vocabulary has "
-    "heavy hot keys.",
+    "heavy hot keys. The registered plan carries max_doc_freq so one "
+    "hot shingle can never make the in-bucket fan-out O(df²).",
     survey_ops=("ext:dedup-ngram-jaccard",),
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
     corpus = _corpus(spark, sf_dir)
     shingles = doc_shingles(corpus, "doc_id", "text", n=3)
-    return exact_jaccard_pairs(shingles, "doc_id", threshold=0.5)
+    return exact_jaccard_pairs(
+        shingles, "doc_id", threshold=0.5, max_doc_freq=MAX_DOC_FREQ
+    )
 
 
 # ---------------------------------------------------------------------------
