@@ -112,10 +112,16 @@ def analyze(
     analysis = enriched.join(
         resolved.select("msg_id", "status", "uri", "exists_in_db"), "msg_id", "left"
     )
+    # J5 — published-flag lookup. documents_state is the full corpus-sized
+    # sink table, NOT a dimension: never broadcast-hint it (at 100 TB that
+    # is an executor OOM). Leave the strategy to Catalyst/AQE — with the
+    # 2-column projection AQE still broadcasts when the batch's state
+    # slice is genuinely small, and falls back to a shuffled hash join
+    # keyed on `uri` otherwise.
     pub_state = documents_state.select(
         F.col("uri"), F.col("is_published").alias("was_published")
     )
-    analysis = analysis.join(F.broadcast(pub_state), "uri", "left").withColumn(
+    analysis = analysis.join(pub_state, "uri", "left").withColumn(
         "was_published", F.coalesce(F.col("was_published"), F.lit(False))
     )
     return analysis.select(
@@ -162,6 +168,7 @@ def perform_ingest(
     sink_root: str,
     members: DataFrame | None = None,
     batch_id: int | None = None,
+    archives: DataFrame | None = None,
 ) -> dict[str, int]:
     """Execute phase: apply effects in the reference's fixed order (K13).
 
@@ -176,7 +183,14 @@ def perform_ingest(
     members: optional tar member rows (consignment_ref, member_name) used
     to gate the parser.log asset on the member actually existing
     (reference suppress(FileNotFoundException), ingester.py:396-405).
-    Without it every consignment is assumed to carry a parser.log.
+    Without it every consignment is assumed to carry a parser.log. When
+    the rows also carry a `content` column (explode_tar_members output),
+    asset rows additionally get `content_md5` of the member bytes the
+    reference would copy — see operators/assets.py.
+
+    archives: optional raw (consignment_ref, content) archive frame; with
+    it the tar asset row's content_md5 is the md5 of the whole tar.gz
+    (the reference stores the original archive, ingester.py:373-380).
 
     batch_id: when set (the foreachBatch epoch), append sinks become
     dynamic partition OVERWRITES of the `batch_id=<n>` partition — an
@@ -265,9 +279,17 @@ def perform_ingest(
         props = tdr_props.unionByName(parser_props)
         append_counted(props, "properties")
 
-        # K12 — notifications effect log
+        # K12 — notifications effect log, with the personalise_email
+        # payload the reference sends per message (ingester.py:100-125)
+        from ds_caselaw_ingester_spark.operators.routing import personalisation_json
+
         notifications = ok.where(F.col("email_action").startswith("email")).select(
-            "msg_id", "uri", F.col("email_action").alias("template")
+            "msg_id",
+            "uri",
+            F.col("email_action").alias("template"),
+            personalisation_json(F.col("uri"), F.col("tdr")).alias(
+                "personalisation_json"
+            ),
         )
         append_counted(notifications, "notifications")
 
@@ -291,7 +313,13 @@ def perform_ingest(
             )
             asset_src = asset_src.join(logs_present, "ref", "left")
             has_log = F.col("_has_log").isNotNull()
-        assets = asset_rows(asset_src, ["uri"], has_parser_log=has_log)
+        assets = asset_rows(
+            asset_src,
+            ["uri"],
+            has_parser_log=has_log,
+            members=members,
+            archives=archives,
+        )
         append_counted(assets, "assets")
 
         # K11 — publish: copy every asset under the published uri's prefix

@@ -75,6 +75,68 @@ def email_action(
     ).otherwise(base)
 
 
+# The six TDR keys personalise_email serialises into update_metadata,
+# in the reference's fixed order (ingester.py:107-114); bool-typed keys
+# render as bare true/false like json.dumps does.
+PERSONALISATION_UPDATE_KEYS: tuple[tuple[str, str], ...] = (
+    ("Judgment-Update", "bool"),
+    ("Judgment-Update-Type", "str"),
+    ("Judgment-Update-Details", "str"),
+    ("Judgment-Neutral-Citation", "str"),
+    ("Judgment-No-Neutral-Citation", "bool"),
+    ("Judgment-Reference", "str"),
+)
+
+
+def _json_scalar(v: Column, kind: str) -> Column:
+    """Render one value exactly as Python's json.dumps would."""
+    if kind == "bool":
+        return (
+            F.when(v.isNull(), F.lit("null"))
+            .when(v, F.lit("true"))
+            .otherwise(F.lit("false"))
+        )
+    esc = F.replace(F.replace(v, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"'))
+    return F.when(v.isNull(), F.lit("null")).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+
+
+def personalisation_json(
+    uri: Column, tdr: Column, base_url: str = "https://editor.example/"
+) -> Column:
+    """P8/K12 — the personalise_email dict (ingester.py:100-125) as a JSON
+    column for the notifications effect log. Key-for-key with the
+    reference, including the 'unknown' defaults when the TDR section is
+    absent and the indent=2 update_metadata blob its tests byte-pin
+    (tests/test_notifications.py:14, 117-166). base_url models the
+    EDITORIAL_UI_BASE_URL environment variable. Pure string expressions —
+    codegen'd, no UDF."""
+    unk = lambda c: F.coalesce(c, F.lit("unknown"))  # noqa: E731
+    parts = [
+        F.concat(F.lit(f'"{key}": '), _json_scalar(tdr[key], kind))
+        for key, kind in PERSONALISATION_UPDATE_KEYS
+    ]
+    # json.dumps({...}, indent=2): '{\n  "k": v,\n  "k2": v2\n}'
+    update_metadata = F.concat(
+        F.lit("{\n  "), F.concat_ws(",\n  ", *parts), F.lit("\n}")
+    )
+    return F.to_json(
+        F.struct(
+            F.concat(F.lit(base_url), F.lit("detail?judgment_uri="), uri).alias("url"),
+            unk(tdr["Internal-Sender-Identifier"]).alias("consignment"),
+            F.concat(
+                unk(tdr["Contact-Name"]),
+                F.lit(", "),
+                unk(tdr["Source-Organization"]),
+                F.lit(" <"),
+                unk(tdr["Contact-Email"]),
+                F.lit(">"),
+            ).alias("submitter"),
+            unk(tdr["Consignment-Completed-Datetime"]).alias("submitted_at"),
+            update_metadata.alias("update_metadata"),
+        )
+    )
+
+
 def insert_or_update_route(exists_in_db: Column, error_on_existing: Column) -> Column:
     """C3 (ingester.py:459-483): exists & error_on_existing_document ->
     DocumentInsertionError (quarantine); exists -> update; else insert."""

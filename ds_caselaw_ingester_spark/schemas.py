@@ -143,6 +143,14 @@ TDR_SCHEMA = T.StructType(
         T.StructField("Contact-Email", T.StringType(), True),
         T.StructField("Internal-Sender-Identifier", T.StringType(), True),
         T.StructField("Consignment-Completed-Datetime", T.StringType(), True),
+        # update-notification keys (personalise_email, ingester.py:100-125;
+        # booleans per the reference's metadata fixtures)
+        T.StructField("Judgment-Update", T.BooleanType(), True),
+        T.StructField("Judgment-Update-Type", T.StringType(), True),
+        T.StructField("Judgment-Update-Details", T.StringType(), True),
+        T.StructField("Judgment-Neutral-Citation", T.StringType(), True),
+        T.StructField("Judgment-No-Neutral-Citation", T.BooleanType(), True),
+        T.StructField("Judgment-Reference", T.StringType(), True),
     ]
 )
 

@@ -88,6 +88,7 @@ def run_full_ingest_stream(
     checkpoint_dir: str,
     members: DataFrame | None = None,
     environment: str = "prod",
+    archives: DataFrame | None = None,
 ):
     """The COMPLETE reference pipeline under streaming delivery: each
     micro-batch runs analyze (parse -> classify -> cascade -> route) and
@@ -113,11 +114,22 @@ def run_full_ingest_stream(
             state = spark.read.parquet(f"{sink_root}/documents").select(
                 "uri", "is_published"
             )
-        except Exception:  # first batch: no documents table yet
+        except Exception as e:  # noqa: BLE001 — narrowed by message below
+            # ONLY the first-batch case (no documents table yet) may run
+            # with empty state. Any other read failure — corrupt footer,
+            # transient IO — must fail the batch: silently treating it as
+            # "first batch" would flip exists_in_db/was_published for every
+            # message and write wrong versions/publish decisions.
+            # (Same narrowing as operators/upsert.py.)
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             state = spark.createDataFrame([], "uri string, is_published boolean")
         msgs = parse_messages(batch_df)
         a = analyze(msgs, metadata, best_xmls, identifiers, state, environment=environment)
-        perform_ingest(a, sink_root, members=members, batch_id=epoch_id)
+        perform_ingest(
+            a, sink_root, members=members, batch_id=epoch_id, archives=archives
+        )
 
     return (
         records.writeStream.foreachBatch(_process)

@@ -5,7 +5,10 @@ with the sink tables as the observable effects."""
 
 from __future__ import annotations
 
+import hashlib
+import io
 import json
+import tarfile
 
 import pytest
 from pyspark.sql import functions as F
@@ -13,6 +16,7 @@ from pyspark.sql import functions as F
 from ds_caselaw_ingester_spark.operators.ingest import analyze, perform_ingest
 from ds_caselaw_ingester_spark.schemas import METADATA_SCHEMA
 from ds_caselaw_ingester_spark.sources.messages import parse_messages
+from ds_caselaw_ingester_spark.sources.tar import explode_tar_members
 
 JUDGMENT_XML = '<judgment xmlns="http://docs.oasis-open.org/legaldocml/ns/akn/3.0">x</judgment>'
 PRESS_XML = '<doc name="pressSummary">y</doc>'
@@ -53,6 +57,12 @@ METADATA_TDR = {
             "Contact-Email": "clerk@example.com",
             "Internal-Sender-Identifier": "TDR-2024-ABC",
             "Consignment-Completed-Datetime": "2024-01-15T10:30:00Z",
+            "Judgment-Update": True,
+            "Judgment-Update-Type": "judgment",
+            "Judgment-Update-Details": "details",
+            "Judgment-Neutral-Citation": "[2019] UKSC 1701",
+            "Judgment-No-Neutral-Citation": False,
+            "Judgment-Reference": "Case 1",
         },
     }
 }
@@ -75,6 +85,38 @@ METADATA_PUB = {
         "INGESTER_OPTIONS": {"auto_publish": True},
     }
 }
+
+# member path -> bytes, per consignment; mirrors the reference tar layout
+# ({ref}/{filename}, copy_file ingester.py:383-418)
+MEMBER_BYTES = {
+    "TDR-1": {
+        "TDR-1/parser.log": b"parse OK: 0 warnings",
+        "TDR-1/TDR-1.xml": JUDGMENT_XML.encode(),
+        "TDR-1/doc.docx": b"PK\x03\x04 fake docx bytes",
+        "TDR-1/image1.png": b"\x89PNG fake image one",
+        "TDR-1/image2.jpg": b"\xff\xd8 fake image two",
+    },
+    "TDR-2": {"TDR-2/TDR-2.xml": PRESS_XML.encode()},
+    # TDR-3's tar carries no parser.log — exercises the K8 gate
+    "TDR-3": {"TDR-3/TDR-3.xml": ERROR_XML.encode()},
+    "TDR-4": {
+        "TDR-4/parser.log": b"parse OK: bulk",
+        "TDR-4/bulk.docx": b"PK\x03\x04 bulk docx bytes",
+    },
+}
+
+
+def _tar_gz(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name, data in members.items():
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+ARCHIVE_BYTES = {ref: _tar_gz(m) for ref, m in MEMBER_BYTES.items()}
 
 
 @pytest.fixture(scope="module")
@@ -123,19 +165,17 @@ def pipeline_out(spark, tmp_path_factory):
         [("doc/ewca-111", True)], schema="uri string, is_published boolean"
     )
 
-    # member rows: TDR-1 and TDR-4 carry a parser.log, TDR-2 does not —
-    # gates the K8 parser_log asset like suppress(FileNotFoundException)
-    members = spark.createDataFrame(
-        [
-            ("TDR-1", "TDR-1/parser.log"),
-            ("TDR-1", "TDR-1/TDR-1.xml"),
-            ("TDR-2", "TDR-2/TDR-2.xml"),
-            ("TDR-4", "TDR-4/parser.log"),
-        ],
-        schema="consignment_ref string, member_name string",
+    # REAL fixture archives (gzip'd tars built in-memory): member layout
+    # drives both the parser.log gate (suppress(FileNotFoundException))
+    # and the per-asset content hashes. TDR-1 and TDR-4 carry a
+    # parser.log, TDR-2 does not.
+    archives = spark.createDataFrame(
+        [(ref, blob) for ref, blob in ARCHIVE_BYTES.items()],
+        schema="consignment_ref string, content binary",
     )
+    members = explode_tar_members(archives)
     a = analyze(messages, metadata, best_xmls, identifiers, documents_state)
-    counts = perform_ingest(a, sink_root, members=members)
+    counts = perform_ingest(a, sink_root, members=members, archives=archives)
     return spark, a.collect(), counts, sink_root
 
 
@@ -225,3 +265,82 @@ def test_asset_effects(pipeline_out):
         f"{u4}/{u4}.docx",
         f"{u4}/parser.log",
     }
+
+
+def _md5(b: bytes) -> str:
+    return hashlib.md5(b).hexdigest()
+
+
+# reference tests/test_notifications.py:14 — the all-null update_metadata
+# blob sent when the TDR section is absent
+NULL_UPDATE_METADATA = (
+    '{\n  "Judgment-Update": null,\n  "Judgment-Update-Type": null,\n'
+    '  "Judgment-Update-Details": null,\n  "Judgment-Neutral-Citation": null,\n'
+    '  "Judgment-No-Neutral-Citation": null,\n  "Judgment-Reference": null\n}'
+)
+
+
+def test_notification_personalisation_payload(pipeline_out):
+    """K12 payload parity with personalise_email (ingester.py:100-125):
+    full TDR section -> populated dict with the json.dumps(indent=2)
+    update_metadata (reference tests/test_notifications.py:100-133); no
+    TDR section -> the all-unknown defaults dict the reference pins
+    (tests/test_notifications.py:117-166)."""
+    spark, rows, _, sink_root = pipeline_out
+    notes = spark.read.parquet(f"{sink_root}/notifications").collect()
+    by_msg = {n.msg_id: json.loads(n.personalisation_json) for n in notes}
+
+    full = by_msg["m1"]  # TDR-1: complete TDR metadata
+    assert full == {
+        "url": "https://editor.example/detail?judgment_uri=doc/ewca-111",
+        "consignment": "TDR-2024-ABC",
+        "submitter": "A Clerk, HMCTS <clerk@example.com>",
+        "submitted_at": "2024-01-15T10:30:00Z",
+        "update_metadata": (
+            '{\n  "Judgment-Update": true,\n  "Judgment-Update-Type": "judgment",\n'
+            '  "Judgment-Update-Details": "details",\n'
+            '  "Judgment-Neutral-Citation": "[2019] UKSC 1701",\n'
+            '  "Judgment-No-Neutral-Citation": false,\n  "Judgment-Reference": "Case 1"\n}'
+        ),
+    }
+
+    defaults = by_msg["m2"]  # TDR-2: no TDR section at all
+    uri2 = next(r.uri for r in rows if r.consignment_ref == "TDR-2")
+    assert defaults == {
+        "url": f"https://editor.example/detail?judgment_uri={uri2}",
+        "consignment": "unknown",
+        "submitter": "unknown, unknown <unknown>",
+        "submitted_at": "unknown",
+        "update_metadata": NULL_UPDATE_METADATA,
+    }
+
+
+def test_asset_content_identity(pipeline_out):
+    """K6-K10 byte-fidelity: each asset row's content_md5 is the md5 of
+    exactly the bytes the reference copies — the whole archive for the
+    tar row (ingester.py:373-380), the member at {ref}/{filename} for
+    source doc / parser.log / images (copy_file, ingester.py:383-418)."""
+    spark, rows, _, sink_root = pipeline_out
+    assets = spark.read.parquet(f"{sink_root}/assets").collect()
+    by_key = {(a.uri, a.asset_kind, a.s3_key): a.content_md5 for a in assets}
+
+    u1 = "doc/ewca-111"
+    m1 = MEMBER_BYTES["TDR-1"]
+    assert by_key[(u1, "tar", f"{u1}/TDR-1.tar.gz")] == _md5(ARCHIVE_BYTES["TDR-1"])
+    assert by_key[(u1, "source_doc", f"{u1}/doc_ewca-111.docx")] == _md5(m1["TDR-1/doc.docx"])
+    assert by_key[(u1, "parser_log", f"{u1}/parser.log")] == _md5(m1["TDR-1/parser.log"])
+    assert by_key[(u1, "image", f"{u1}/image1.png")] == _md5(m1["TDR-1/image1.png"])
+    assert by_key[(u1, "image", f"{u1}/image2.jpg")] == _md5(m1["TDR-1/image2.jpg"])
+
+    # TDR-2: _nodocx tar only — whole-archive hash, no member rows
+    u2 = next(r.uri for r in rows if r.consignment_ref == "TDR-2")
+    assert by_key[(u2, "tar", f"{u2}/TDR-2_nodocx.tar.gz")] == _md5(ARCHIVE_BYTES["TDR-2"])
+
+    # K11: every publish copy row pins the same bytes as its asset row
+    copies = spark.read.parquet(f"{sink_root}/asset_copies").collect()
+    u4 = next(r.uri for r in rows if r.consignment_ref == "TDR-4")
+    m4 = MEMBER_BYTES["TDR-4"]
+    copy_md5 = {c.s3_key: c.content_md5 for c in copies}
+    assert copy_md5[f"{u4}/TDR-4.tar.gz"] == _md5(ARCHIVE_BYTES["TDR-4"])
+    assert copy_md5[f"{u4}/{u4}.docx"] == _md5(m4["TDR-4/bulk.docx"])
+    assert copy_md5[f"{u4}/parser.log"] == _md5(m4["TDR-4/parser.log"])

@@ -106,6 +106,47 @@ def test_doc_fingerprint_single_aggregation_no_window(spark, sf_dir):
     assert plan.count("Exchange") <= 2, plan
 
 
+def test_analyze_broadcasts_identifiers_but_not_pub_state(spark):
+    """J5 (published-flag lookup) joins the corpus-sized documents sink —
+    it must carry NO broadcast hint (at 100 TB a hinted broadcast of it is
+    an executor OOM); strategy is left to Catalyst/AQE. The identifier
+    index lookups (J1/J2) are genuine dimensions and keep their hints."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.ingest import analyze
+    from ds_caselaw_ingester_spark.schemas import METADATA_SCHEMA
+
+    messages = spark.createDataFrame(
+        [("m1", "v2", "TDR-1", "TDR")],
+        schema="message_id string, kind string, consignment_ref string, originator string",
+    )
+    metadata = spark.createDataFrame(
+        [("TDR-1", json.dumps({"parameters": {}}))],
+        schema="consignment_ref string, raw string",
+    ).select("consignment_ref", F.from_json("raw", METADATA_SCHEMA).alias("metadata"))
+    best_xmls = spark.createDataFrame(
+        [("TDR-1", "<judgment/>", True)],
+        schema="consignment_ref string, best_xml string, xml_was_valid boolean",
+    )
+    identifiers = spark.createDataFrame(
+        [("s", "v", "ukncn", "u")],
+        schema="slug string, value string, namespace string, uri string",
+    )
+    documents_state = spark.createDataFrame(
+        [("u", True)], schema="uri string, is_published boolean"
+    )
+    df = analyze(messages, metadata, best_xmls, identifiers, documents_state)
+    # hint audit happens pre-planning: the analyzed logical plan keeps
+    # ResolvedHint nodes. Exactly the two identifier-index hints from
+    # resolve_uris — none on the documents_state branch.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2, analyzed
+    plan = _physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # J1/J2 still broadcast
+
+
 def test_fuzzy_match_has_no_cross_product(spark, sf_dir):
     """Candidate generation must be the variant equi-join — a
     BroadcastNestedLoopJoin (cross product with levenshtein post-filter)

@@ -152,3 +152,32 @@ def test_full_stream_redelivery_converges(spark, tmp_path, context_tables):
     assert second == first, {
         k: (len(first[k]), len(second[k])) for k in first if first[k] != second[k]
     }
+
+
+def test_corrupt_documents_state_fails_the_batch(spark, tmp_path, context_tables):
+    """A documents-state read failure that is NOT path-not-found must fail
+    the batch — silently running with empty state would flip exists_in_db
+    and was_published for every message (wrong versions, wrong publish
+    decisions). Only the genuine first-batch case may fall through."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    with open(src / "f0.json", "w") as f:
+        f.write(json.dumps(_record("m1", "TDR-1", "TDR")) + "\n")
+
+    sink_root = tmp_path / "sinks"
+    # plant a corrupt documents table: a parquet DIRECTORY exists but its
+    # data file is garbage (e.g. a truncated footer after a partial write)
+    docs_dir = sink_root / "documents"
+    docs_dir.mkdir(parents=True)
+    with open(docs_dir / "part-00000.parquet", "wb") as f:
+        f.write(b"this is not a parquet file")
+
+    with pytest.raises(Exception) as ei:  # StreamingQueryException via awaitTermination
+        _run_stream(
+            spark, src, str(sink_root), str(tmp_path / "ckpt"), context_tables
+        )
+    # the stream surfaced the corrupt read, not a silent empty-state run
+    msg = str(ei.value)
+    assert "PATH_NOT_FOUND" not in msg
+    # and no effect tables were written for the failed batch
+    assert not (sink_root / "versions").exists()
