@@ -67,3 +67,37 @@ def test_driver_events_table_loads(spark):
     df = table(spark, "/root/testdata/sf0.001", "events")
     assert isinstance(df.schema["ts"].dataType, TimestampType)
     assert df.limit(1).count() == 1
+
+
+# Columns every query in the registry assumes exist, per table. A
+# driver-side regeneration that drops or renames one should fail HERE
+# with a readable message, not 9 queries deep (the round-4 lesson: the
+# events.ts type flip silently broke 18% of the correctness surface).
+EXPECTED_COLUMNS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_acctbal"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey"},
+    "part": {"p_partkey", "p_name"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"},
+    "lineitem": {
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_shipdate",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "n_chars"},
+    "embeddings": {"vec_id", "embedding"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_COLUMNS))
+def test_driver_table_schema_canary(spark, name):
+    df = table(spark, "/root/testdata/sf0.001", name)
+    missing = EXPECTED_COLUMNS[name] - set(df.columns)
+    assert not missing, f"{name} lost expected columns: {missing}; has {df.columns}"
