@@ -399,14 +399,44 @@ def _build_archives() -> list[tuple[str, bytes]]:
     return out
 
 
+# The fixtures are a pure function of i (mtime pinned to 0), so the
+# pipeline's expected output has a closed form — the oracle re-derives
+# it from generate_series instead of reading tars (which DuckDB can't).
+# This is a REAL check of the scan semantics: if last-match-wins (S9)
+# regressed to first-match, the decoy metadata would null out xml_name
+# and flip has_metadata/best_xml; if the try-parse fallback (S12) or the
+# escape in the parser-log synth (S11) regressed, best_xml strings
+# diverge. Only the tarfile byte-plumbing itself is outside the oracle —
+# that part is pinned by tests/test_tar_source.py fixtures.
+TAR_PIPELINE_ORACLE = """
+WITH idx AS (SELECT unnest(generate_series(0, 29)) AS i)
+SELECT 'TDR-2030-' || lpad(CAST(i AS VARCHAR), 4, '0') AS consignment_ref,
+       CAST(CASE WHEN i % 5 = 0 THEN 4 ELSE 5 END AS BIGINT) AS n_members,
+       TRUE AS has_metadata,
+       i % 3 <> 1 AS xml_was_valid,
+       CASE
+         WHEN i % 3 = 0 THEN '<judgment><body>ok ' || CAST(i AS VARCHAR) || '</body></judgment>'
+         WHEN i % 3 = 2 THEN '<doc name="pressSummary"><p>s</p></doc>'
+         WHEN i % 5 = 0 THEN '<error>parser.log not found</error>'
+         ELSE '<error>parse log line &lt;' || CAST(i AS VARCHAR) || '&gt;</error>'
+       END AS best_xml,
+       CASE WHEN i % 3 = 0 THEN 'judgment'
+            WHEN i % 3 = 2 THEN 'pressSummary'
+            ELSE 'parserLog' END AS doc_kind
+FROM idx
+"""
+
+
 @register(
     "tar_pipeline",
-    None,  # binary path: not SQL-expressible -> driver records rows-only
+    TAR_PIPELINE_ORACLE,
     doc="Full consignment binary path on deterministic in-memory tar.gz "
     "fixtures: archive rows (S7), member explode via Arrow mapInPandas "
     "(S8), last-match metadata scan (S9), named-XML scan (S10), "
     "parser-log synth (S11), try-parse best-XML fallback (S12), document "
-    "classification (P11). Covers file_helpers.py:24-115 semantics.",
+    "classification (P11). Covers file_helpers.py:24-115 semantics. The "
+    "oracle is the closed-form expected output of the deterministic "
+    "fixtures (see TAR_PIPELINE_ORACLE comment).",
     survey_ops=("S7", "S8", "S9", "S10", "S12", "P11"),
 )
 def q_tar_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
