@@ -106,6 +106,19 @@ def test_doc_fingerprint_single_aggregation_no_window(spark, sf_dir):
     assert plan.count("Exchange") <= 2, plan
 
 
+def test_text_profile_is_one_shuffle_free_scan(spark, sf_dir):
+    """The merged text profile (token/subword/lang/quality) must stay a
+    single projection over one documents scan — zero exchanges, and only
+    the three needed columns read."""
+    df = all_specs()["text_profile"].fn(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    assert plan.count("Exchange") == 0, plan
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_schema and all(
+        "struct<doc_id:bigint,text:string,n_chars:bigint>" in l for l in scan_schema
+    ), plan
+
+
 def test_analyze_broadcasts_identifiers_but_not_pub_state(spark):
     """J5 (published-flag lookup) joins the corpus-sized documents sink —
     it must carry NO broadcast hint (at 100 TB a hinted broadcast of it is
