@@ -89,14 +89,29 @@ PERSONALISATION_UPDATE_KEYS: tuple[tuple[str, str], ...] = (
 
 
 def _json_scalar(v: Column, kind: str) -> Column:
-    """Render one value exactly as Python's json.dumps would."""
+    """Render one value exactly as Python's json.dumps would: backslash
+    and quote escaped, the named control escapes (\\b \\t \\n \\f \\r),
+    and remaining C0 controls as \\u00XX (tests/test_notifications_gate.py
+    property-checks this against json.dumps itself)."""
     if kind == "bool":
         return (
             F.when(v.isNull(), F.lit("null"))
             .when(v, F.lit("true"))
             .otherwise(F.lit("false"))
         )
-    esc = F.replace(F.replace(v, F.lit("\\"), F.lit("\\\\")), F.lit('"'), F.lit('\\"'))
+    esc = v
+    for raw, out in (
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("\b", "\\b"),
+        ("\t", "\\t"),
+        ("\n", "\\n"),
+        ("\f", "\\f"),
+        ("\r", "\\r"),
+    ):
+        esc = F.replace(esc, F.lit(raw), F.lit(out))
+    for code in (c for c in range(0x20) if c not in (0x08, 0x09, 0x0A, 0x0C, 0x0D)):
+        esc = F.replace(esc, F.lit(chr(code)), F.lit(f"\\u{code:04x}"))
     return F.when(v.isNull(), F.lit("null")).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
 
 

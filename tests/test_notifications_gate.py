@@ -55,3 +55,81 @@ def test_no_environment_column_means_prod(spark):
         email_action(F.col("o"), F.col("a"), F.col("e")).alias("action")
     ).collect()[0].action
     assert got == "email_updated"
+
+
+# ---------------------------------------------------------------------------
+# personalisation payload JSON fidelity vs Python's json.dumps
+# ---------------------------------------------------------------------------
+
+NASTY_STRINGS = [
+    "plain value",
+    'has "quotes" inside',
+    "back\\slash and \\\" mix",
+    "newline\nand\ttab",
+    "carriage\rreturn \f feed \b backspace",
+    "low controls \x00\x01\x1f end",
+    "unicode £ judgment — ok ✓",
+    "",
+]
+
+
+def test_update_metadata_matches_json_dumps(spark):
+    """The update_metadata blob must byte-match json.dumps(..., indent=2)
+    for every value the TDR fields could carry, including control
+    characters — one divergent escape breaks downstream json.loads
+    round-trips of the effect log."""
+    import json as pyjson
+
+    from ds_caselaw_ingester_spark.operators.routing import (
+        PERSONALISATION_UPDATE_KEYS,
+        personalisation_json,
+    )
+    from ds_caselaw_ingester_spark.schemas import TDR_SCHEMA
+
+    rows = []
+    for i, s in enumerate(NASTY_STRINGS):
+        tdr = {
+            "Source-Organization": "Org",
+            "Contact-Name": "Name",
+            "Contact-Email": "e@example.com",
+            "Internal-Sender-Identifier": f"TDR-{i}",
+            "Consignment-Completed-Datetime": "2024-01-01T00:00:00Z",
+            "Judgment-Update": (i % 2 == 0),
+            "Judgment-Update-Type": s,
+            "Judgment-Update-Details": s[::-1],
+            "Judgment-Neutral-Citation": None,
+            "Judgment-No-Neutral-Citation": None,
+            "Judgment-Reference": s + '"',
+        }
+        rows.append((i, f"uri/{i}", tdr))
+    df = spark.createDataFrame(
+        rows,
+        schema=__import__("pyspark").sql.types.StructType(
+            [
+                __import__("pyspark").sql.types.StructField(
+                    "i", __import__("pyspark").sql.types.IntegerType()
+                ),
+                __import__("pyspark").sql.types.StructField(
+                    "uri", __import__("pyspark").sql.types.StringType()
+                ),
+                __import__("pyspark").sql.types.StructField("tdr", TDR_SCHEMA),
+            ]
+        ),
+    )
+    out = {
+        r.i: pyjson.loads(r.p)
+        for r in df.select(
+            "i", personalisation_json(F.col("uri"), F.col("tdr")).alias("p")
+        ).collect()
+    }
+    for i, (_, _, tdr) in enumerate(rows):
+        # ensure_ascii=False: the engine emits raw UTF-8 (valid JSON,
+        # identical parsed value) where CPython's default would \uXXXX-
+        # escape non-ASCII; every value the reference byte-pins is ASCII,
+        # so the pinned strings are unaffected.
+        expected = pyjson.dumps(
+            {k: tdr[k] for k, _kind in PERSONALISATION_UPDATE_KEYS},
+            indent=2,
+            ensure_ascii=False,
+        )
+        assert out[i]["update_metadata"] == expected, (i, out[i]["update_metadata"])
