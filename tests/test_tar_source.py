@@ -146,3 +146,33 @@ def test_read_archives_binaryfile(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].consignment_ref == "TDR-2030-ZZZZ"
     assert bytes(rows[0].content) == data
+
+
+def test_member_hash_index_last_occurrence_wins(spark):
+    """A tar can contain the same member path twice (append-mode
+    archives). Python's tarfile getmember — and therefore the reference's
+    copy_file — reads the LAST occurrence; member_hash_index must hash
+    the same bytes."""
+    import hashlib
+    import io
+    import tarfile
+
+    from ds_caselaw_ingester_spark.operators.assets import member_hash_index
+    from ds_caselaw_ingester_spark.sources.tar import explode_tar_members
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for data in (b"old bytes", b"new bytes"):
+            info = tarfile.TarInfo("REF-1/doc.docx")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    archives = spark.createDataFrame(
+        [("REF-1", buf.getvalue())], "consignment_ref string, content binary"
+    )
+    idx = member_hash_index(explode_tar_members(archives)).collect()
+    assert len(idx) == 1
+    assert idx[0].content_md5 == hashlib.md5(b"new bytes").hexdigest()
+
+    # sanity: stdlib tarfile agrees that the last occurrence is the one read
+    with tarfile.open(fileobj=io.BytesIO(buf.getvalue()), mode="r:*") as tf:
+        assert tf.extractfile(tf.getmember("REF-1/doc.docx")).read() == b"new bytes"
