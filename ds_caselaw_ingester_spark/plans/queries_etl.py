@@ -245,8 +245,11 @@ FROM candidates c
     "existence_guard",
     EXISTENCE_GUARD_ORACLE,
     doc="J4 pre-update existence check (get_judgment_xml guard, "
-    "ingester.py:240) as a broadcast semi-join flag + J5 get_published "
-    "lookup (ingester.py:438) with not-found -> false.",
+    "ingester.py:240) as a semi-join flag + J5 get_published lookup "
+    "(ingester.py:438) with not-found -> false. The document-state side "
+    "is corpus-sized, so the join carries no broadcast hint (same "
+    "doctrine as the composite's J5, operators/ingest.py) — AQE "
+    "broadcasts small state and shuffles on uri past that.",
     survey_ops=("J4", "J5"),
 )
 def q_existence_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,7 +263,7 @@ def q_existence_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("msg_id"),
         F.concat(F.lit("doc/"), F.col("o_custkey").cast("string")).alias("uri"),
     )
-    joined = candidates.join(F.broadcast(docs), "uri", "left")
+    joined = candidates.join(docs, "uri", "left")
     return joined.select(
         "msg_id",
         "uri",

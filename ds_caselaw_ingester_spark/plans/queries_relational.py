@@ -91,8 +91,10 @@ GROUP BY n.n_name
     "revenue_by_nation",
     REVENUE_NATION_ORACLE,
     doc="Fact-to-dim star join: lineitem shuffles once on l_orderkey; "
-    "customer/nation/region joins are broadcast so the 100 TB side never "
-    "re-shuffles.",
+    "nation/region are constant-size and broadcast-hinted; customer "
+    "grows with the corpus so its strategy is left to Catalyst/AQE "
+    "(broadcast while it fits, shuffled hash join past that) — the "
+    "100 TB fact side never re-shuffles either way.",
     survey_ops=("ext:join",),
 )
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,7 +108,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").select("r_regionkey")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is corpus-growth: no hint (AQE broadcasts while small)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -281,7 +284,8 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        # customer is corpus-growth: no hint (AQE broadcasts while small)
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .select("n_name", F.year("o_orderdate").cast("int").alias("yr"), "o_totalprice")
     )
