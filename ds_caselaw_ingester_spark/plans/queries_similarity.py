@@ -65,11 +65,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ann_lsh_topk — LSH-bucketed approximate ANN (the scale path)
 # ---------------------------------------------------------------------------
 
+# Multi-table LSH: 8 tables × 4 planes, table t = planes [4t, 4t+4) of
+# the same md5-derived family. One 8-plane table measured 0.01 recall@10
+# on these embeddings (256 buckets over few hundred vectors ≈ 2
+# candidates per query); 8×4 measured 0.75 (tests/test_ann_recall.py).
 ANN_LSH_ORACLE = """
 WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
-planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+planes AS (SELECT unnest(generate_series(0, 31)) AS p),
 dims AS (SELECT unnest(generate_series(1, 64)) AS i),
 proj AS (
   SELECT b.vec_id, pl.p,
@@ -80,24 +84,24 @@ proj AS (
   GROUP BY b.vec_id, pl.p
 ),
 buckets AS (
-  SELECT vec_id,
+  SELECT vec_id, CAST(p // 4 AS INTEGER) AS tbl,
          string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-  FROM proj GROUP BY vec_id
+  FROM proj GROUP BY vec_id, CAST(p // 4 AS INTEGER)
 ),
 q AS (
-  SELECT b.vec_id AS q_id, base.v AS qv, b.bucket
+  SELECT b.vec_id AS q_id, base.v AS qv, b.tbl, b.bucket
   FROM buckets b JOIN base USING (vec_id) WHERE vec_id < 8
 ),
 c AS (
-  SELECT b.vec_id AS c_id, base.v AS cv, b.bucket
+  SELECT b.vec_id AS c_id, base.v AS cv, b.tbl, b.bucket
   FROM buckets b JOIN base USING (vec_id)
 ),
 scored AS (
-  SELECT q.q_id, c.c_id,
+  SELECT DISTINCT q.q_id, c.c_id,
          round(list_dot_product(q.qv, c.cv)
                / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))),
                4) AS cosine
-  FROM c JOIN q ON c.bucket = q.bucket
+  FROM c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
   WHERE q.q_id <> c.c_id
 )
 SELECT * FROM (
@@ -111,9 +115,12 @@ SELECT * FROM (
 @register(
     "ann_lsh_topk",
     ANN_LSH_ORACLE,
-    doc="Approximate top-10: 8 md5-derived random hyperplanes -> sign-bit "
-    "bucket -> equi-join inside buckets only (candidate set shrinks "
-    "~2^8-fold at scale).",
+    doc="Approximate top-10 via MULTI-TABLE LSH: 8 independent tables of "
+    "4 md5-derived hyperplanes each; a candidate is scored if it shares "
+    "any table's bucket with the query (miss probability q^8 per true "
+    "neighbor vs q for one table — measured recall@10 0.75 vs 0.01, "
+    "tests/test_ann_recall.py). Equi-join on (table, bucket) keys only; "
+    "never all-pairs.",
     survey_ops=("ext:ann-lsh",),
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,7 +130,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     candidates = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
-    return ann_lsh_topk(queries, candidates, k=10, num_planes=8, round_digits=4)
+    return ann_lsh_topk(
+        queries, candidates, k=10, num_planes=4, round_digits=4, num_tables=8
+    )
 
 
 # ---------------------------------------------------------------------------
