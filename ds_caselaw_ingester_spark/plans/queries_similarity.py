@@ -286,6 +286,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding_neardup — embedding-cosine near-duplicate pairs (LSH-bucketed)
 # ---------------------------------------------------------------------------
 
+# Multi-table (4 × 8 planes): a 0.99-cosine planted duplicate has ~31%
+# probability of a sign flip somewhere in one 8-plane table — measured
+# 39/55 planted pairs found single-table. Four independent tables drop
+# the miss probability to ~(0.31)^4: all 55 found (pinned by
+# tests/test_ann_recall.py). Table t = planes [8t, 8t+8).
 EMB_NEARDUP_ORACLE = """
 WITH corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -294,7 +299,7 @@ WITH corpus AS (
          [0.0] || list_slice(embedding::DOUBLE[], 2, len(embedding)) AS v
   FROM embeddings WHERE vec_id % 10 = 0
 ),
-planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+planes AS (SELECT unnest(generate_series(0, 31)) AS p),
 dims AS (SELECT unnest(generate_series(1, 64)) AS i),
 proj AS (
   SELECT b.vec_id, pl.p,
@@ -305,17 +310,18 @@ proj AS (
   GROUP BY b.vec_id, pl.p
 ),
 buckets AS (
-  SELECT vec_id,
+  SELECT vec_id, CAST(p // 8 AS INTEGER) AS tbl,
          string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-  FROM proj GROUP BY vec_id
+  FROM proj GROUP BY vec_id, CAST(p // 8 AS INTEGER)
 ),
-withv AS (SELECT b.vec_id, b.bucket, c.v FROM buckets b JOIN corpus c USING (vec_id)),
+withv AS (SELECT b.vec_id, b.tbl, b.bucket, c.v FROM buckets b JOIN corpus c USING (vec_id)),
 pairs AS (
-  SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+  SELECT DISTINCT a.vec_id AS vec_a, x.vec_id AS vec_b,
          round(list_dot_product(a.v, x.v)
                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))),
                4) AS cosine
-  FROM withv a JOIN withv x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+  FROM withv a
+  JOIN withv x ON a.tbl = x.tbl AND a.bucket = x.bucket AND a.vec_id < x.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.9
 """
@@ -344,12 +350,20 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.array(F.lit(0.0)), F.slice(F.col("v"), 2, F.size(F.col("v")) - 1)).alias("v"),
     )
     corpus = emb.unionAll(planted)
+    # 4 tables × 8 planes; see EMB_NEARDUP_ORACLE comment for the recall
+    # math. Pairs colliding in several tables dedup on the deterministic
+    # (ids, cosine) row — no vectors in the dedup shuffle.
+    buckets = F.array(
+        *[
+            F.concat(F.lit(f"{t}:"), lsh_bucket(F.col("v"), 8, plane_offset=8 * t))
+            for t in range(4)
+        ]
+    )
     b = corpus.select(
         "vec_id",
         "v",
-        lsh_bucket(F.col("v"), 8).alias("bucket"),
         l2_norm(F.col("v")).alias("nrm"),
-    )
+    ).withColumn("bucket", F.explode(buckets))
     a = b.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket", F.col("nrm").alias("na")
     )
@@ -366,6 +380,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
             ).alias("cosine"),
         )
+        .distinct()
     )
     return pairs.where(F.col("cosine") >= 0.9)
 

@@ -70,3 +70,23 @@ def test_ivf_nprobe_trades_recall(frames):
     r2 = _mean_recall(exact, _topsets(ivf_topk(qs, cs, cents, k=K, nprobe=2)))
     r4 = _mean_recall(exact, _topsets(ivf_topk(qs, cs, cents, k=K, nprobe=4)))
     assert r2 >= r1 and r4 >= r2, (r1, r2, r4)
+
+
+def test_embedding_neardup_finds_planted_pairs(spark, sf_correctness_dir):
+    """The near-dup detector's whole job is finding planted ~0.99-cosine
+    duplicates. At sf0.01 there are 50 (all with true cosine >= 0.9,
+    verified by brute force); the old single-table configuration found
+    39. The 4x8 multi-table query has per-pair miss probability
+    ~0.31^4 ≈ 1%, so demand at least 48 of 50."""
+    from ds_caselaw_ingester_spark.plans.registry import all_specs
+    from ds_caselaw_ingester_spark.sources.catalog import table as cat_table
+
+    n_planted = (
+        cat_table(spark, sf_correctness_dir, "embeddings")
+        .where(F.col("vec_id") % 10 == 0)
+        .count()
+    )
+    assert n_planted == 50, n_planted
+    rows = all_specs()["embedding_neardup"].fn(spark, sf_correctness_dir).collect()
+    planted = {r.vec_a for r in rows if r.vec_b == r.vec_a + 100000}
+    assert len(planted) >= n_planted - 2, (len(planted), n_planted)
