@@ -90,3 +90,23 @@ def test_embedding_neardup_finds_planted_pairs(spark, sf_correctness_dir):
     rows = all_specs()["embedding_neardup"].fn(spark, sf_correctness_dir).collect()
     planted = {r.vec_a for r in rows if r.vec_b == r.vec_a + 100000}
     assert len(planted) >= n_planted - 2, (len(planted), n_planted)
+
+
+def test_kmeans_trained_quantizer_beats_arbitrary_centroids(spark, frames):
+    """IVF with a trained coarse quantizer vs the same index built on
+    arbitrary data rows as centroids: measured 0.275 -> 0.787 mean
+    recall@10 at nprobe=2. Demand a wide, stable margin."""
+    from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
+    from ds_caselaw_ingester_spark.sources.catalog import table as cat_table
+
+    qs, cs, naive_cents = frames
+    vecs = cat_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    trained = kmeans_fit(vecs, "v", "vec_id", k=16, max_iter=10)
+    assert len(trained) == 16 and len(trained[0]["cvec"]) == 64
+
+    exact = _topsets(cosine_topk(qs, cs, k=K))
+    r_naive = _mean_recall(exact, _topsets(ivf_topk(qs, cs, naive_cents, k=K, nprobe=2)))
+    r_trained = _mean_recall(exact, _topsets(ivf_topk(qs, cs, trained, k=K, nprobe=2)))
+    assert r_trained >= r_naive + 0.2, (r_naive, r_trained)
