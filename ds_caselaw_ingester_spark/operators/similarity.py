@@ -81,6 +81,25 @@ def hyperplane_sign(plane: Column, dim: Column) -> Column:
 _MAX_HYPERPLANE_DIM = 256
 
 
+def _lit_double_array(vals: "list[float]") -> Column:
+    """Large constant array<double> literal in ONE driver call.
+
+    ``F.lit(list)`` builds the array element-by-element over Py4J —
+    measured 0.55 s per 1024-element literal, which made PLAN
+    CONSTRUCTION (not execution) the dominant cost of the multi-table
+    LSH queries (~11 s of a 15 s sf1 run). A SQL ``array(...)`` text
+    parses in ~1 ms. Python's repr() emits the shortest string that
+    round-trips the IEEE double, and Spark's literal parser is
+    correctly rounded, so values are bit-identical to F.lit's."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+
+
+def _lit_long_array(vals: "list[int]") -> Column:
+    """Constant array<bigint> literal in one driver call (L suffix keeps
+    the element type bigint, matching F.lit's Python-int mapping)."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
 def _plane_signs(plane: int, n_dims: int = _MAX_HYPERPLANE_DIM) -> list[float]:
     """Same values as hyperplane_sign(plane, 1..n_dims), computed once on
     the driver. The hyperplane matrix depends only on (plane, dim) — never
@@ -106,7 +125,7 @@ def lsh_bucket(vec: Column, num_planes: int = 8, plane_offset: int = 0) -> Colum
     # array — same IEEE fold order, far smaller plan/codegen (the same
     # compaction ivf_assign uses)
     max_dim = _MAX_HYPERPLANE_DIM
-    FLAT = F.lit(
+    FLAT = _lit_double_array(
         [s for p in range(plane_offset, plane_offset + num_planes) for s in _plane_signs(p)]
     )
 
@@ -319,7 +338,11 @@ def ivf_assign(
     flat = [float(x) for r in cents for x in r["cvec"]]
     cnorms = [math.sqrt(sum(float(x) * float(x) for x in r["cvec"])) for r in cents]
     cids = [int(r["centroid_id"]) for r in cents]
-    FLAT, CNORMS, CIDS = F.lit(flat), F.lit(cnorms), F.lit(cids)
+    FLAT, CNORMS, CIDS = (
+        _lit_double_array(flat),
+        _lit_double_array(cnorms),
+        _lit_long_array(cids),
+    )
     vec = F.col(vec_col)
     vnorm = l2_norm(vec)
 
