@@ -280,16 +280,26 @@ def perform_ingest(
         append_counted(props, "properties")
 
         # K12 — notifications effect log, with the personalise_email
-        # payload the reference sends per message (ingester.py:100-125)
-        from ds_caselaw_ingester_spark.operators.routing import personalisation_json
+        # payload the reference sends per message (ingester.py:100-125).
+        # New-judgment sends carry an extra trailing 'doctype' key
+        # (ingester.py:305-306); update sends stay doctype-free.
+        from ds_caselaw_ingester_spark.operators.routing import (
+            document_noun,
+            personalisation_json,
+        )
 
         notifications = ok.where(F.col("email_action").startswith("email")).select(
             "msg_id",
             "uri",
             F.col("email_action").alias("template"),
-            personalisation_json(F.col("uri"), F.col("tdr")).alias(
-                "personalisation_json"
-            ),
+            personalisation_json(
+                F.col("uri"),
+                F.col("tdr"),
+                doctype=F.when(
+                    F.col("email_action") == "email_new",
+                    document_noun(F.col("doc_kind")),
+                ),
+            ).alias("personalisation_json"),
         )
         append_counted(notifications, "notifications")
 

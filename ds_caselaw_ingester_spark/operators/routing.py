@@ -115,16 +115,48 @@ def _json_scalar(v: Column, kind: str) -> Column:
     return F.when(v.isNull(), F.lit("null")).otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
 
 
+def document_noun(doc_kind: Column) -> Column:
+    """The human-readable document noun the reference exposes as
+    `ingested_document_type_string` (ingester.py:220-223, backed by the
+    public ds-caselaw-utils Document classes' `document_noun`): judgment
+    -> 'judgment', pressSummary -> 'press summary', anything else falls
+    back to the base-class noun 'document'."""
+    return (
+        F.when(doc_kind == "judgment", F.lit("judgment"))
+        .when(doc_kind == "pressSummary", F.lit("press summary"))
+        .otherwise(F.lit("document"))
+    )
+
+
 def personalisation_json(
-    uri: Column, tdr: Column, base_url: str = "https://editor.example/"
+    uri: Column,
+    tdr: Column,
+    base_url: str = "https://editor.example/",
+    doctype: Column | None = None,
 ) -> Column:
     """P8/K12 — the personalise_email dict (ingester.py:100-125) as a JSON
     column for the notifications effect log. Key-for-key with the
     reference, including the 'unknown' defaults when the TDR section is
     absent and the indent=2 update_metadata blob its tests byte-pin
     (tests/test_notifications.py:14, 117-166). base_url models the
-    EDITORIAL_UI_BASE_URL environment variable. Pure string expressions —
-    codegen'd, no UDF."""
+    EDITORIAL_UI_BASE_URL environment variable.
+
+    doctype: optional document-noun column for NEW-judgment notifications —
+    the reference appends personalisation['doctype'] AFTER building the
+    base dict, and only in send_new_judgment_notification
+    (ingester.py:305-306; pinned by tests/test_notifications.py:31-40), so
+    the key serialises last and update-template payloads stay doctype-free.
+    Pass a column that is NULL for non-new templates: to_json's default
+    ignoreNullFields drops the key entirely for those rows, matching the
+    reference's absent-key (not null-valued) payload.
+
+    Known, deliberate divergence from CPython's json.dumps default: values
+    are emitted as raw UTF-8 (ensure_ascii=False equivalent) rather than
+    \\uXXXX-escaping codepoints > 0x7f. The parsed value is identical and
+    every string the reference's tests byte-pin is pure ASCII; only a
+    byte-for-byte diff of a payload containing non-ASCII (accents, £,
+    em-dashes) would notice. Pinned by tests/test_notifications_gate.py.
+    Pure string expressions — codegen'd, no UDF."""
     unk = lambda c: F.coalesce(c, F.lit("unknown"))  # noqa: E731
     parts = [
         F.concat(F.lit(f'"{key}": '), _json_scalar(tdr[key], kind))
@@ -134,22 +166,24 @@ def personalisation_json(
     update_metadata = F.concat(
         F.lit("{\n  "), F.concat_ws(",\n  ", *parts), F.lit("\n}")
     )
-    return F.to_json(
-        F.struct(
-            F.concat(F.lit(base_url), F.lit("detail?judgment_uri="), uri).alias("url"),
-            unk(tdr["Internal-Sender-Identifier"]).alias("consignment"),
-            F.concat(
-                unk(tdr["Contact-Name"]),
-                F.lit(", "),
-                unk(tdr["Source-Organization"]),
-                F.lit(" <"),
-                unk(tdr["Contact-Email"]),
-                F.lit(">"),
-            ).alias("submitter"),
-            unk(tdr["Consignment-Completed-Datetime"]).alias("submitted_at"),
-            update_metadata.alias("update_metadata"),
-        )
-    )
+    fields = [
+        F.concat(F.lit(base_url), F.lit("detail?judgment_uri="), uri).alias("url"),
+        unk(tdr["Internal-Sender-Identifier"]).alias("consignment"),
+        F.concat(
+            unk(tdr["Contact-Name"]),
+            F.lit(", "),
+            unk(tdr["Source-Organization"]),
+            F.lit(" <"),
+            unk(tdr["Contact-Email"]),
+            F.lit(">"),
+        ).alias("submitter"),
+        unk(tdr["Consignment-Completed-Datetime"]).alias("submitted_at"),
+        update_metadata.alias("update_metadata"),
+    ]
+    if doctype is not None:
+        # appended last, like the reference's post-build dict assignment
+        fields.append(doctype.alias("doctype"))
+    return F.to_json(F.struct(*fields))
 
 
 def insert_or_update_route(exists_in_db: Column, error_on_existing: Column) -> Column:

@@ -18,6 +18,7 @@ from ds_caselaw_ingester_spark.operators.uri_cascade import (
     expected_namespace_col,
     resolve_uris,
 )
+from ds_caselaw_ingester_spark.operators.routing import document_noun
 from ds_caselaw_ingester_spark.plans.registry import register
 from ds_caselaw_ingester_spark.session import ensure_oracle_safe
 from ds_caselaw_ingester_spark.sources.catalog import table
@@ -293,6 +294,10 @@ SELECT msg_id,
        COALESCE(contact_name, 'unknown') || ' (' || COALESCE(contact_email, 'unknown') || ')' AS submitter,
        consignment_ref,
        COALESCE(completed_at, 'unknown') AS submitted_at,
+       CASE WHEN msg_id % 2 = 0 THEN 'email_updated' ELSE 'email_new' END AS template,
+       CASE WHEN msg_id % 2 = 1 THEN
+         CASE msg_id % 3 WHEN 0 THEN 'judgment' WHEN 1 THEN 'press summary' ELSE 'document' END
+       END AS doctype,
        to_json(struct_pack(
          source_organization := COALESCE(source_organization, 'unknown'),
          contact_name := COALESCE(contact_name, 'unknown'),
@@ -308,8 +313,10 @@ FROM tdr
     "email_personalisation",
     EMAIL_PERSONALISATION_ORACLE,
     doc="personalise_email (ingester.py:100-125): 6-key projection with "
-    "'unknown' defaults, URL/submitter string build, and the JSON metadata "
-    "blob (to_json over an all-non-null struct for engine parity).",
+    "'unknown' defaults, URL/submitter string build, the JSON metadata "
+    "blob (to_json over an all-non-null struct for engine parity), and "
+    "the new-vs-updated template split with the doctype noun attached "
+    "ONLY to new-judgment payloads (ingester.py:305-306).",
     survey_ops=("P8", "K12"),
 )
 def q_email_personalisation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +352,17 @@ def q_email_personalisation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("submitter"),
         "consignment_ref",
         unk(F.col("completed_at")).alias("submitted_at"),
+        F.when(F.col("msg_id") % 2 == 0, F.lit("email_updated"))
+        .otherwise(F.lit("email_new"))
+        .alias("template"),
+        F.when(
+            F.col("msg_id") % 2 == 1,
+            document_noun(
+                F.when(F.col("msg_id") % 3 == 0, F.lit("judgment"))
+                .when(F.col("msg_id") % 3 == 1, F.lit("pressSummary"))
+                .otherwise(F.lit("parserLog"))
+            ),
+        ).alias("doctype"),
         F.to_json(
             F.struct(
                 unk(F.col("source_organization")).alias("source_organization"),

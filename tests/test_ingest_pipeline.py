@@ -304,7 +304,11 @@ def test_notification_personalisation_payload(pipeline_out):
         ),
     }
 
-    defaults = by_msg["m2"]  # TDR-2: no TDR section at all
+    # update-template payloads must stay doctype-free (the reference only
+    # appends doctype in send_new_judgment_notification, ingester.py:305-306)
+    assert "doctype" not in full
+
+    defaults = by_msg["m2"]  # TDR-2: no TDR section at all; email_new
     uri2 = next(r.uri for r in rows if r.consignment_ref == "TDR-2")
     assert defaults == {
         "url": f"https://editor.example/detail?judgment_uri={uri2}",
@@ -312,7 +316,15 @@ def test_notification_personalisation_payload(pipeline_out):
         "submitter": "unknown, unknown <unknown>",
         "submitted_at": "unknown",
         "update_metadata": NULL_UPDATE_METADATA,
+        # email_new carries the document noun, appended last
+        # (ingester.py:305-306; tests/test_notifications.py:31-40 pins
+        # doctype present in the new-judgment payload)
+        "doctype": "press summary",
     }
+    # serialisation order parity: doctype is the LAST key, like the
+    # reference's post-build dict assignment
+    raw2 = next(n.personalisation_json for n in notes if n.msg_id == "m2")
+    assert raw2.rstrip("}").rstrip().endswith('"press summary"')
 
 
 def test_asset_content_identity(pipeline_out):
