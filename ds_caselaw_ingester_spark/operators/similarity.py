@@ -241,6 +241,7 @@ def kmeans_fit(
     k: int = 16,
     max_iter: int = 10,
     tol: float = 1e-3,
+    round_centroids: "int | None" = None,
 ) -> list[dict]:
     """Train the IVF coarse quantizer with Lloyd's k-means, Spark-side.
 
@@ -263,6 +264,15 @@ def kmeans_fit(
     Empty clusters keep their previous centroid. Returns a list of
     {"centroid_id", "cvec"} dicts, the same shape ivf_assign/ivf_topk
     accept.
+
+    round_centroids: round each updated centroid coordinate to N decimal
+    digits after the per-cluster mean. The mean is the one step whose
+    double result depends on summation ORDER, so bit-exactness across
+    engines (Spark's partial aggregation vs an oracle's sequential avg)
+    is not guaranteed; rounding far above the ~1e-15 relative fp noise
+    but far below data scale (6 digits here) makes the trained quantizer
+    engine-portable — required when a DuckDB oracle replays the training
+    loop (ann_ivf_trained_topk). None = raw means (fastest, same recall).
     """
     import math
 
@@ -282,7 +292,15 @@ def kmeans_fit(
             F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"d{i}") for i in range(dim)
         ]
         rows = assigned.groupBy("centroid_id").agg(*aggs).collect()
-        new = {r["centroid_id"]: [float(r[f"d{i}"]) for i in range(dim)] for r in rows}
+        new = {
+            r["centroid_id"]: [
+                round(float(r[f"d{i}"]), round_centroids)
+                if round_centroids is not None
+                else float(r[f"d{i}"])
+                for i in range(dim)
+            ]
+            for r in rows
+        }
         shift = 0.0
         nxt: list[dict] = []
         for c in cents:

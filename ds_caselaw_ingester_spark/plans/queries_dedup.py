@@ -178,6 +178,83 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# neardup_clusters — pairs -> connected components -> canonical keep-one
+# ---------------------------------------------------------------------------
+
+# The end-to-end dedup decision (pairs alone don't dedup anything): the
+# MinHash-LSH candidate pairs become undirected edges, components get the
+# MINIMUM member id as their label (deterministic), and every corpus doc
+# — paired or not — receives (component, is_duplicate). The oracle replays
+# the same pair generation and computes min-reachable-id per node with a
+# recursive CTE; Spark computes it with O(log diameter) pointer-jumping
+# label propagation (operators/cluster.py:33-109) because a 100 TB corpus
+# can't do unbounded recursion, but the FIXPOINT is identical.
+NEARDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {CORPUS_SQL},
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(tok, i, i + 2), ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(tok) - 2)) AS t(i)
+  WHERE len(tok) >= 3
+),
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+mh AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || gram)) AS mh
+  FROM grams CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT s.src, r.comp FROM sym s JOIN reach r ON r.node = s.dst
+)
+SELECT node AS doc_id,
+       min(comp) AS component,
+       min(comp) <> node AS is_duplicate
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "neardup_clusters",
+    NEARDUP_CLUSTERS_ORACLE,
+    doc="Dedup end-to-end: MinHash-LSH pairs -> connected components "
+    "(min-label fixpoint; Spark side is O(log diameter) pointer-jumping "
+    "with localCheckpoint lineage truncation) -> one canonical doc per "
+    "component, singletons (the unpaired majority of a real corpus) via "
+    "left join without ever entering the component computation.",
+    survey_ops=("ext:dedup-cluster", "ext:dedup-minhash-lsh"),
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.operators.cluster import canonical_assignment
+
+    ensure_oracle_safe(spark)
+    corpus = _corpus(spark, sf_dir)
+    shingles = doc_shingles(corpus, "doc_id", "text", n=3)
+    sigs = minhash_signatures(shingles, "doc_id", num_seeds=16)
+    bands = lsh_bands(sigs, "doc_id", rows_per_band=4)
+    pairs = lsh_candidate_pairs(bands, "doc_id")
+    return canonical_assignment(corpus, pairs, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
 # simhash_signatures — 16-bit SimHash per document
 # ---------------------------------------------------------------------------
 

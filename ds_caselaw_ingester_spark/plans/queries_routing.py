@@ -13,7 +13,6 @@ from ds_caselaw_ingester_spark.functions.scalars import (
     file_extension,
     modify_filename,
     parse_bool_string,
-    parser_log_xml,
     upload_state,
 )
 from ds_caselaw_ingester_spark.operators.routing import (
@@ -343,41 +342,11 @@ def q_batch_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# parser_log_synth — S11 XML-escape + <error> wrap with missing-log default
+# (former slot) parser_log_synth — S11 XML-escape + <error> wrap
 # ---------------------------------------------------------------------------
-
-PARSER_LOG_ORACLE = """
-WITH logs AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0 THEN NULL
-              ELSE 'line<' || CAST(doc_id AS VARCHAR) || '> A&B "quoted" >done'
-         END AS log_content
-  FROM documents
-)
-SELECT doc_id,
-  COALESCE(
-    '<error>' ||
-      replace(replace(replace(log_content, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
-    || '</error>',
-    '<error>parser.log not found</error>') AS parser_log_xml
-FROM logs
-"""
-
-
-@register(
-    "parser_log_synth",
-    PARSER_LOG_ORACLE,
-    doc="parser.log -> XML-escaped <error> doc; missing log -> default "
-    "(create_parser_log_xml, file_helpers.py:85-95).",
-    survey_ops=("S11",),
-)
-def q_parser_log_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ensure_oracle_safe(spark)
-    d = table(spark, sf_dir, "documents")
-    content = F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string")).otherwise(
-        F.concat(
-            F.lit("line<"), F.col("doc_id").cast("string"), F.lit('> A&B "quoted" >done')
-        )
-    )
-    logs = d.select("doc_id", content.alias("log_content"))
-    return logs.select("doc_id", parser_log_xml(F.col("log_content")).alias("parser_log_xml"))
+# Consolidated into tar_best_xml_select (queries_tar.py, survey_ops S10-S12/
+# P11), whose oracle exercises the same parser_log_xml scalar including the
+# missing-log default — freeing a registry slot for neardup_clusters /
+# ann_ivf_trained_topk under the driver's 50-row cap. The scalar itself
+# (functions/scalars.py, create_parser_log_xml parity) remains pytest- and
+# oracle-covered.

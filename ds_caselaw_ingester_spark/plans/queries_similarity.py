@@ -136,47 +136,130 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# embedding_buckets — LSH bucket assignment + occupancy (always non-empty)
+# ann_ivf_trained_topk — IVF ANN over a TRAINED (Lloyd's k-means) quantizer
 # ---------------------------------------------------------------------------
+# (The former `embedding_buckets` occupancy-histogram slot was folded into
+# ann_lsh_topk — its bucket computation is a strict subset of that query's
+# plan — to keep the registry at the driver's cap while giving the trained
+# quantizer a first-class correctness row.)
 
-EMB_BUCKETS_ORACLE = """
-WITH base AS (
-  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+_KMEANS_ITERS = 3
+_KMEANS_K = 16
+_EMB_DIM = 64
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB replay of kmeans_fit(k=16, max_iter=3, tol=0, round_centroids=6)
+    + ivf_topk(nprobe=2): init = the k lowest-vec_id vectors; each Lloyd
+    round assigns every vector to its nearest centroid by ROUNDED(4) cosine
+    (centroid_id tie-break) and recomputes per-dimension means rounded to 6
+    digits (the rounding that makes Spark's partial-agg mean and DuckDB's
+    sequential mean bit-identical); empty cells keep their centroid."""
+    cosine = (
+        "round(list_dot_product({v}, {c}) / "
+        "(sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product({c}, {c}))), 4)"
+    )
+    iters = []
+    prev = "init"
+    for n in range(1, _KMEANS_ITERS + 1):
+        score = cosine.format(v="b.v", c="c.cvec")
+        iters.append(
+            f"""a{n} AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT b.vec_id, b.v, c.centroid_id,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {score} DESC, c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN {prev} c
+  ) WHERE rn = 1
 ),
-planes AS (SELECT unnest(generate_series(0, 7)) AS p),
-dims AS (SELECT unnest(generate_series(1, 64)) AS i),
-proj AS (
-  SELECT b.vec_id, pl.p,
-         sum(list_extract(b.v, d.i)
-             * (CASE WHEN substr(md5(CAST(pl.p AS VARCHAR) || '_' || CAST(d.i AS VARCHAR)), 1, 1)
-                      IN ('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END)) AS s
-  FROM base b CROSS JOIN planes pl CROSS JOIN dims d
-  GROUP BY b.vec_id, pl.p
+u{n} AS (
+  SELECT centroid_id, d.i, round(avg(list_extract(v, d.i)), 6) AS m
+  FROM a{n} CROSS JOIN dims d GROUP BY centroid_id, d.i
 ),
-buckets AS (
-  SELECT vec_id,
-         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-  FROM proj GROUP BY vec_id
+c{n} AS (
+  SELECT c.centroid_id, COALESCE(u.cvec, c.cvec) AS cvec
+  FROM {prev} c LEFT JOIN (
+    SELECT centroid_id, list(m ORDER BY i) AS cvec FROM u{n} GROUP BY centroid_id
+  ) u USING (centroid_id)
+)"""
+        )
+        prev = f"c{n}"
+    qc = cosine.format(v="q.v", c="c.cvec")
+    cc = cosine.format(v="b.v", c="c.cvec")
+    pair = cosine.format(v="qa.qv", c="ca.cv")
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cvec
+  FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {_KMEANS_K})
+),
+{",".join(iters)},
+cand_assign AS (
+  SELECT vec_id AS c_id, v AS cv, centroid_id FROM (
+    SELECT b.vec_id, b.v, c.centroid_id,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {cc} DESC, c.centroid_id ASC) AS rn
+    FROM base b CROSS JOIN {prev} c
+  ) WHERE rn <= 1
+),
+q_assign AS (
+  SELECT q_id, qv, centroid_id FROM (
+    SELECT q.vec_id AS q_id, q.v AS qv, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {qc} DESC, c.centroid_id ASC) AS rn
+    FROM (SELECT vec_id, v FROM base WHERE vec_id < 8) q
+    CROSS JOIN {prev} c
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT q_id, c_id, {pair} AS cosine
+  FROM cand_assign ca JOIN q_assign qa USING (centroid_id)
+  WHERE q_id <> c_id
 )
-SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
-FROM buckets GROUP BY bucket
+SELECT * FROM (
+  SELECT q_id, c_id, cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
 """
 
 
+ANN_IVF_TRAINED_ORACLE = _kmeans_oracle()
+
+
 @register(
-    "embedding_buckets",
-    EMB_BUCKETS_ORACLE,
-    doc="LSH bucket occupancy: the partitioning histogram that sizes the "
-    "ANN candidate sets (skew here = skewed ANN work).",
-    survey_ops=("ext:ann-lsh",),
+    "ann_ivf_trained_topk",
+    ANN_IVF_TRAINED_ORACLE,
+    doc="IVF ANN over a quantizer TRAINED in Spark with Lloyd's k-means "
+    "(k=16, 3 fixed rounds, deterministic lowest-id init, centroid means "
+    "rounded to 6 digits for engine portability): cells align with data "
+    "density instead of slicing it arbitrarily — measured 0.275 -> 0.787 "
+    "recall@10 vs naive data-row centroids (tests/test_ann_recall.py). "
+    "Training cost per round: one map-side argmax assignment + one "
+    "k-row groupBy; only k x dim doubles reach the driver.",
+    survey_ops=("ext:ann-ivf", "ext:kmeans-train"),
 )
-def q_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.operators.similarity import ivf_topk, kmeans_fit
+
     ensure_oracle_safe(spark)
     emb = table(spark, sf_dir, "embeddings")
-    b = emb.select(F.col("vec_id"), lsh_bucket(F.col("embedding"), 8).alias("bucket"))
-    return b.groupBy("bucket").agg(
-        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
+    cents = kmeans_fit(
+        vecs,
+        "v",
+        "vec_id",
+        k=_KMEANS_K,
+        max_iter=_KMEANS_ITERS,
+        tol=0.0,
+        round_centroids=6,
     )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    candidates = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    return ivf_topk(queries, candidates, cents, k=10, nprobe=2)
 
 
 # ---------------------------------------------------------------------------
