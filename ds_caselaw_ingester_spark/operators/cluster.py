@@ -43,9 +43,18 @@ def connected_components(
     Raises RuntimeError if not converged within max_iter rounds (an
     explicit failure beats silently wrong clusters).
     """
-    sym = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    # The edge list is re-joined EVERY round: without caching, each round
+    # replays the upstream pair-producing pipeline (for neardup_clusters
+    # that's the whole shingle->minhash->banding computation, per round).
+    # persist() — not localCheckpoint — keeps the lineage for fault
+    # recovery while materialising edges once; at scale this is the
+    # standard iterative-graph pattern (cache the static edge RDD, iterate
+    # only the labels).
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist()
+    )
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
 

@@ -434,28 +434,48 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionAll(planted)
     # 4 tables × 8 planes; see EMB_NEARDUP_ORACLE comment for the recall
-    # math. Pairs colliding in several tables dedup on the deterministic
-    # (ids, cosine) row — no vectors in the dedup shuffle.
+    # math. Candidate generation and scoring are SEPARATED: the bucket
+    # self-join carries only (bucket, vec_id) — no vectors — and the id
+    # pairs are deduped BEFORE any cosine, so a pair colliding in all 4
+    # tables costs ONE 64-dim dot product, not four (was the sf1 plan
+    # audit's top note: ~4x redundant flops on exactly the true
+    # near-dups, which collide everywhere). Vectors + hoisted norms
+    # re-attach to the deduped pairs via two keyed equi-joins (AQE
+    # broadcasts the corpus side at test scale; keyed shuffle at 100 TB
+    # — never all-pairs, and the wide vectors never enter the
+    # candidate-generation or dedup shuffles).
     buckets = F.array(
         *[
             F.concat(F.lit(f"{t}:"), lsh_bucket(F.col("v"), 8, plane_offset=8 * t))
             for t in range(4)
         ]
     )
-    b = corpus.select(
-        "vec_id",
-        "v",
-        l2_norm(F.col("v")).alias("nrm"),
-    ).withColumn("bucket", F.explode(buckets))
-    a = b.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket", F.col("nrm").alias("na")
-    )
-    x = b.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket", F.col("nrm").alias("nb")
-    )
-    pairs = (
-        a.join(x, "bucket")
+    keys = corpus.select("vec_id", F.explode(buckets).alias("bucket"))
+    pair_ids = (
+        keys.select(F.col("vec_id").alias("vec_a"), "bucket")
+        .join(keys.select(F.col("vec_id").alias("vec_b"), "bucket"), "bucket")
         .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    withv = corpus.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+    scored = (
+        pair_ids.join(
+            withv.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            withv.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "vec_b",
+        )
         .select(
             "vec_a",
             "vec_b",
@@ -463,9 +483,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
             ).alias("cosine"),
         )
-        .distinct()
     )
-    return pairs.where(F.col("cosine") >= 0.9)
+    return scored.where(F.col("cosine") >= 0.9)
 
 
 # ---------------------------------------------------------------------------

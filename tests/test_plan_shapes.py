@@ -168,3 +168,22 @@ def test_fuzzy_match_has_no_cross_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_embedding_neardup_dedups_id_pairs_before_scoring(spark, sf_dir):
+    """Candidate generation must be vector-free and the pair dedup must
+    happen BEFORE any cosine: the bucket self-join and the distinct
+    exchange carry only (vec_id/bucket) ids, and the distinct keys are
+    bare (vec_a, vec_b) — scoring a pair once no matter how many LSH
+    tables it collides in (the sf1 audit's 4x-redundant-flops fix)."""
+    import re
+
+    plan = _physical_plan(all_specs()["embedding_neardup"].fn(spark, sf_dir))
+    keys = re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert any("vec_a" in k and "vec_b" in k for k in keys), plan
+    assert not any("cosine" in k for k in keys), plan
+    # every operator input that carries a bucket key is id-width only —
+    # no raw vector (v/embedding) rides the candidate-generation side
+    for line in plan.splitlines():
+        if line.startswith("Input") and "bucket#" in line:
+            assert " v#" not in line and "embedding#" not in line, line
