@@ -39,14 +39,26 @@ def member_hash_index(members: DataFrame) -> DataFrame:
     occurrence wins when a tar contains duplicate names (Python tarfile's
     getmember returns the last member too, so the reference's copy_file
     reads the same bytes). The md5 runs where the bytes already live; only
-    the 32-char hash shuffles into the asset join."""
+    the 32-char hash shuffles into the asset join.
+
+    member_index is REQUIRED: it is the archive ordinal that makes
+    'last occurrence wins' deterministic. explode_tar_members always
+    supplies it; a frame without it would silently rank duplicate names
+    by a constant (arbitrary pick, varying across runs), so that is a
+    hard error rather than a fallback."""
+    if "member_index" not in members.columns:
+        raise ValueError(
+            "member_hash_index requires a member_index column (the archive "
+            "ordinal from explode_tar_members) to make last-occurrence-wins "
+            "deterministic for duplicate member names"
+        )
     w = Window.partitionBy("consignment_ref", "member_name").orderBy(
         F.col("member_index").desc()
     )
     idx = members.select(
         "consignment_ref",
         "member_name",
-        F.col("member_index") if "member_index" in members.columns else F.lit(0).alias("member_index"),
+        "member_index",
         F.md5(F.col("content")).alias("content_md5"),
     )
     return (

@@ -90,8 +90,23 @@ def _lit_double_array(vals: "list[float]") -> Column:
     LSH queries (~11 s of a 15 s sf1 run). A SQL ``array(...)`` text
     parses in ~1 ms. Python's repr() emits the shortest string that
     round-trips the IEEE double, and Spark's literal parser is
-    correctly rounded, so values are bit-identical to F.lit's."""
-    return F.expr("array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")")
+    correctly rounded, so values are bit-identical to F.lit's.
+
+    Non-finite elements (a NaN embedding poisoning a k-means mean, or
+    user-supplied inf centroids) would render as 'nanD'/'infD', which the
+    SQL parser REJECTS — those spell as typed literals instead, keeping
+    F.lit's well-defined NaN/Infinity semantics."""
+    import math
+
+    def _render(v: float) -> str:
+        f = float(v)
+        if math.isfinite(f):
+            return repr(f) + "D"
+        if math.isnan(f):
+            return "CAST('NaN' AS DOUBLE)"
+        return f"CAST('{'-' if f < 0 else ''}Infinity' AS DOUBLE)"
+
+    return F.expr("array(" + ",".join(_render(v) for v in vals) + ")")
 
 
 def _lit_long_array(vals: "list[int]") -> Column:

@@ -43,9 +43,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       layout's instant semantics exactly.
     - parquet TIMESTAMP(NANOS) (legacy): Spark can only read it via the
       ``nanosAsLong`` legacy conf, as raw int64 nanos. Only in this branch
-      do we set that conf and truncate nanos → microsecond TimestampType
-      (the same truncation DuckDB applies). The conf is scoped to the
-      legacy branch so a normal read never mutates session state.
+      do we set that conf — and restore its prior value immediately after
+      the read (the conf is captured into the relation at
+      ``spark.read.parquet`` schema-inference time, so the returned lazy
+      DataFrame stays valid) — and truncate nanos → microsecond
+      TimestampType (the same truncation DuckDB applies). Neither branch
+      leaves session state mutated: reading legacy-then-modern in one
+      session behaves exactly like modern-only.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -60,13 +64,27 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
+    NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
     try:
         df = spark.read.parquet(path)
     except Exception as exc:  # TIMESTAMP(NANOS) footer: unreadable without the legacy conf
         if "NANOS" not in str(exc) and "nanosAsLong" not in str(exc):
             raise
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        # The conf is consumed while spark.read.parquet converts the
+        # footer schema, so it can be restored immediately afterwards
+        # (probed empirically: collect() on the returned frame succeeds
+        # with the conf back off). try/finally keeps one failed legacy
+        # read from leaving the session silently interpreting every
+        # future TIMESTAMP(NANOS) column as int64.
+        prior = spark.conf.get(NANOS_CONF, None)
+        spark.conf.set(NANOS_CONF, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prior is None:
+                spark.conf.unset(NANOS_CONF)
+            else:
+                spark.conf.set(NANOS_CONF, prior)
 
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):

@@ -110,3 +110,18 @@ def test_kmeans_trained_quantizer_beats_arbitrary_centroids(spark, frames):
     r_naive = _mean_recall(exact, _topsets(ivf_topk(qs, cs, naive_cents, k=K, nprobe=2)))
     r_trained = _mean_recall(exact, _topsets(ivf_topk(qs, cs, trained, k=K, nprobe=2)))
     assert r_trained >= r_naive + 0.2, (r_naive, r_trained)
+
+
+def test_lit_double_array_nonfinite_elements(spark):
+    """SQL-literal arrays must keep F.lit's NaN/Infinity semantics: a NaN
+    that leaks into k-means centroids (or user-supplied IVF centroids)
+    must not become a 'nanD' parse error (ADVICE r5)."""
+    import math
+
+    from ds_caselaw_ingester_spark.operators.similarity import _lit_double_array
+
+    vals = [1.5, float("nan"), float("inf"), float("-inf"), -0.0]
+    got = spark.range(1).select(_lit_double_array(vals).alias("a")).collect()[0].a
+    assert got[0] == 1.5 and math.isnan(got[1])
+    assert got[2] == float("inf") and got[3] == float("-inf")
+    assert got[4] == 0.0 and math.copysign(1.0, got[4]) == -1.0

@@ -62,6 +62,30 @@ def test_events_reader_micros_does_not_set_legacy_conf(spark, tmp_path):
     assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (None, "false")
 
 
+def test_events_reader_legacy_read_restores_conf(spark, tmp_path):
+    """A NANOS (legacy) read must restore the conf's prior value after
+    the read — one legacy file must not leave the session silently
+    loading every future TIMESTAMP(NANOS) column as int64 (VERDICT r5
+    'What's missing' #4). The lazily-returned frame must still collect
+    correctly after the restore (the conf is captured at read time)."""
+    conf = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(conf)
+    (tmp_path / "legacy").mkdir()
+    (tmp_path / "modern").mkdir()
+    legacy_dir = _write_events(str(tmp_path / "legacy"), pa.timestamp("ns"))
+    modern_dir = _write_events(str(tmp_path / "modern"), pa.timestamp("us"))
+    df_legacy = table(spark, legacy_dir, "events")
+    # conf restored immediately — before any action on the legacy frame
+    assert spark.conf.get(conf, None) in (None, "false")
+    # legacy-then-modern in one session behaves like modern-only
+    df_modern = table(spark, modern_dir, "events")
+    got_modern = sorted(r.ts.replace(tzinfo=None) for r in df_modern.select("ts").collect())
+    got_legacy = sorted(r.ts.replace(tzinfo=None) for r in df_legacy.select("ts").collect())
+    assert got_modern == sorted(STAMPS)
+    assert got_legacy == sorted(STAMPS)
+    assert spark.conf.get(conf, None) in (None, "false")
+
+
 def test_driver_events_table_loads(spark):
     """The real driver file at the smoke SF loads and has a timestamp ts."""
     df = table(spark, "/root/testdata/sf0.001", "events")
