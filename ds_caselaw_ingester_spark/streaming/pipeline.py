@@ -45,6 +45,72 @@ def read_message_stream(spark: SparkSession, path: str, max_files: int = 1) -> D
     )
 
 
+def read_message_stream_rate(
+    spark: SparkSession,
+    rows_per_second: int = 10,
+    rows_per_batch: int | None = None,
+) -> DataFrame:
+    """Queue-shaped (SQS/Kafka analog) UNBOUNDED message stream from the
+    rate family of sources — completes the delivery-model picture next to
+    the file-arrival source (read_message_stream): files model a drained
+    queue directory; this models the live continuous feed where
+    micro-batches are cut by time, not file boundaries. Swapping in a
+    real Kafka source changes only this reader — every downstream plan
+    (parse -> classify -> cascade -> route in foreachBatch) is identical,
+    which is the point: source choice is a deployment detail, not a
+    pipeline rewrite.
+
+    Each rate row (timestamp, value) becomes a deterministic V2 SQS
+    record derived from `value`: the body is the double-encoded SNS
+    envelope the reference unwraps (messages.py:108-127), originators
+    rotate TDR / FCL S3 / FCL, and every 7th message carries an empty
+    consignment reference so the invalid -> quarantine branch stays
+    exercised under continuous delivery.
+
+    rows_per_batch: when set, uses the `rate-micro-batch` source
+    (exactly that many rows per trigger, values dense from 0) —
+    deterministic for tests; otherwise the wall-clock `rate` source at
+    rows_per_second.
+    """
+    if rows_per_batch is not None:
+        raw = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_batch)
+            .load()
+        )
+    else:
+        raw = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .load()
+        )
+    v = F.col("value")
+    ref = F.when(v % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("TDR-R-"), v.cast("string"))
+    )
+    originator = (
+        F.when(v % 3 == 0, F.lit("TDR"))
+        .when(v % 3 == 1, F.lit("FCL S3"))
+        .otherwise(F.lit("FCL"))
+    )
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                ref.alias("reference"),
+                originator.alias("originator"),
+                F.lit("ingest-bucket").alias("s3Bucket"),
+                F.concat(ref, F.lit(".tar.gz")).alias("s3Key"),
+            ).alias("parameters")
+        )
+    )
+    body = F.to_json(F.struct(payload.alias("Message")))
+    return raw.select(
+        F.concat(F.lit("rate-"), v.cast("string")).alias("message_id"),
+        F.lit("aws:sqs").alias("event_source"),
+        body.alias("body"),
+    )
+
+
 def run_ingest_stream(
     records: DataFrame,
     out_dir: str,

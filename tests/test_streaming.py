@@ -194,3 +194,49 @@ def test_stateful_dedup_first_wins_across_triggers(spark, tmp_path):
     assert rows["TDR-A"].n_duplicates_dropped == 1  # m2 (m4 dropped in t2)
     assert rows["TDR-B"].n_duplicates_dropped == 0
     assert rows["TDR-C"].n_duplicates_dropped == 0
+
+
+def test_rate_source_stream_parses_and_quarantines(spark, tmp_path):
+    """The queue-shaped (rate) source variant: micro-batches cut by time
+    rather than file boundaries must flow through the SAME foreachBatch
+    analyze plan — V2 messages parse with rotating originators, and the
+    every-7th empty-reference message lands in quarantine, proving the
+    invalid branch stays exercised under continuous delivery."""
+    from ds_caselaw_ingester_spark.streaming.pipeline import (
+        read_message_stream_rate,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    with _few_shuffle_partitions(spark):
+        stream = read_message_stream_rate(spark, rows_per_batch=14)
+        q = run_ingest_stream(stream, out, ckpt)
+        import time
+
+        deadline = time.time() + 120
+        processed = None
+        while time.time() < deadline:
+            try:
+                processed = spark.read.parquet(f"{out}/processed")
+                if processed.count() >= 12:  # ≥ one full 14-row batch
+                    break
+            except Exception:  # noqa: BLE001 — sink not written yet
+                pass
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(60)
+
+    processed = spark.read.parquet(f"{out}/processed")
+    rows = {r.message_id: r for r in processed.collect()}
+    # value 0 and 7 have empty references -> invalid, not in processed
+    assert "rate-0" not in rows and "rate-7" not in rows
+    r1 = rows["rate-1"]
+    assert r1.kind == "v2"
+    assert r1.consignment_ref == "TDR-R-1"
+    assert r1.originator == "FCL S3"  # value % 3 == 1
+    assert r1.s3_key == "TDR-R-1.tar.gz"
+    assert rows["rate-3"].originator == "TDR"
+    assert rows["rate-5"].originator == "FCL"
+    quarantined = spark.read.parquet(f"{out}/quarantine")
+    bad_ids = {r.message_id for r in quarantined.collect()}
+    assert "rate-0" in bad_ids and "rate-7" in bad_ids
