@@ -110,8 +110,19 @@ FROM refd
     survey_ops=("S1", "S2", "S3", "S4", "S5", "P10", "C6"),
 )
 def q_envelope_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
     ensure_oracle_safe(spark)
-    o = table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    # spread BEFORE the synth+double-from_json: a compact single-file
+    # orders table arrives as 1-2 splits, capping the CPU-bound Jackson
+    # parse at 2 cores (measured 13 s at sf1 while sf3 ran FASTER purely
+    # because it had more splits). The shuffle moves only the 8-byte key;
+    # the expensive JSON work then runs at full parallelism. On a real
+    # cluster large inputs already arrive in thousands of splits — this
+    # guards the small-file shape, same as the dedup corpus reader.
+    o = spread(
+        table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k")), "k"
+    )
     k = F.col("k")
     ks = k.cast("string")
     ref_val = F.when(k % 20 == 0, F.lit("")).otherwise(F.concat(F.lit("TDR-2024-"), ks))

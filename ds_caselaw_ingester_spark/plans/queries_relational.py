@@ -604,8 +604,21 @@ GROUP BY event_type, k_bucket
     survey_ops=("ext:semi-structured",),
 )
 def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
     ensure_oracle_safe(spark)
-    ev = table(spark, sf_dir, "events").select("event_type", "props")
+    # events.parquet ships as ONE row group, so the scan (and the
+    # per-row JSON path extraction after it) runs on one core no matter
+    # how many byte-range splits Spark cuts; spread the narrow rows
+    # first — keyed on the UNIQUE event_id, since props has only ~100
+    # distinct values and hashing on it would land 3-4 keys per
+    # partition — so extraction runs at full parallelism. Same
+    # small-file guard as the envelope/dedup readers; multi-split
+    # production inputs don't need it.
+    ev = spread(
+        table(spark, sf_dir, "events").select("event_id", "event_type", "props"),
+        "event_id",
+    )
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         ev.where(k.isNotNull())
