@@ -14,7 +14,14 @@ from ds_caselaw_ingester_spark.operators.similarity import (
 )
 from ds_caselaw_ingester_spark.plans.registry import register
 from ds_caselaw_ingester_spark.session import ensure_oracle_safe
-from ds_caselaw_ingester_spark.sources.catalog import table
+from ds_caselaw_ingester_spark.sources.catalog import spread, table
+
+# The local embeddings.parquet ships as 1-2 row groups, so the per-row
+# projection folds (lsh_bucket: planes x dims lambda steps; ivf_assign:
+# centroids x dims) run on 1-2 cores however many byte-range splits
+# Spark cuts. Every candidate/corpus side below spreads the narrow
+# (id, vector) rows first — one tiny shuffle buys full parallelism for
+# the fold-heavy map work; multi-split production inputs don't need it.
 
 # ---------------------------------------------------------------------------
 # cosine_topk — brute-force exact ANN baseline
@@ -57,7 +64,9 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    candidates = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    candidates = spread(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")), "c_id"
+    )
     return cosine_topk(queries, candidates, k=10, round_digits=4)
 
 
@@ -129,7 +138,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    candidates = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    candidates = spread(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")), "c_id"
+    )
     return ann_lsh_topk(
         queries, candidates, k=10, num_planes=4, round_digits=4, num_tables=8
     )
@@ -253,8 +264,11 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_oracle_safe(spark)
     emb = table(spark, sf_dir, "embeddings")
-    vecs = emb.where(F.col("vec_id") % 4 == 0).select(
-        "vec_id", F.col("embedding").alias("v")
+    vecs = spread(
+        emb.where(F.col("vec_id") % 4 == 0).select(
+            "vec_id", F.col("embedding").alias("v")
+        ),
+        "vec_id",
     )
     cents = kmeans_fit(
         vecs,
@@ -268,7 +282,9 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    candidates = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    candidates = spread(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")), "c_id"
+    )
     return ivf_topk(queries, candidates, cents, k=10, nprobe=2)
 
 
@@ -371,7 +387,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
-    candidates = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv"))
+    candidates = spread(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")), "c_id"
+    )
     return ivf_topk(queries, candidates, centroids, k=10, nprobe=2)
 
 
@@ -442,7 +460,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.concat(F.array(F.lit(0.0)), F.slice(F.col("v"), 2, F.size(F.col("v")) - 1)).alias("v"),
     )
-    corpus = emb.unionAll(planted)
+    corpus = spread(emb.unionAll(planted), "vec_id")
     # 4 tables × 8 planes; see EMB_NEARDUP_ORACLE comment for the recall
     # math. Candidate generation and scoring are SEPARATED: the bucket
     # self-join carries only (bucket, vec_id) — no vectors — and the id
@@ -460,7 +478,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in range(4)
         ]
     )
-    keys = corpus.select("vec_id", F.explode(buckets).alias("bucket"))
+    # persist: both self-join branches read `keys`; without it the
+    # 32-plane projection fold — the query's most expensive map work —
+    # runs twice (renamed projections defeat exchange reuse). The cached
+    # frame is (id, bucket) only: 4 slim rows per vector.
+    keys = corpus.select("vec_id", F.explode(buckets).alias("bucket")).persist()
     pair_ids = (
         keys.select(F.col("vec_id").alias("vec_a"), "bucket")
         .join(keys.select(F.col("vec_id").alias("vec_b"), "bucket"), "bucket")
