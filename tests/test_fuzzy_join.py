@@ -13,7 +13,10 @@ import string
 
 from pyspark.sql import functions as F
 
-from ds_caselaw_ingester_spark.operators.fuzzy import edit_distance_join
+from ds_caselaw_ingester_spark.operators.fuzzy import (
+    edit_distance_join,
+    passjoin_edit_distance_join,
+)
 
 ALPHABET = "ab "  # tiny alphabet: maximal collision pressure
 
@@ -61,6 +64,52 @@ def test_blocked_join_equals_brute_force(spark):
     }
     assert blocked == brute
     assert brute  # sanity: mutations produced matches
+
+
+def test_passjoin_equals_brute_force(spark):
+    """PassJoin's pigeonhole blocking (k+1 segments, +-k position
+    windows, length-banded short-string branch) must also be
+    VALUE-IDENTICAL to the brute-force join — same adversarial
+    randomized pressure as the SymSpell check, with 1-2 char strings
+    included to exercise the unsegmentable-catalog-string branch."""
+    rng = random.Random(20260814)
+    bases = [
+        "".join(rng.choice(ALPHABET) for _ in range(rng.randint(1, 12)))
+        for _ in range(100)
+    ]
+    rights = [(s,) for s in bases]
+    lefts = [(_mutate(rng, rng.choice(bases), rng.randint(0, 3)),) for _ in range(100)]
+    L = spark.createDataFrame(lefts, "l string").where(F.length("l") > 0)
+    R = spark.createDataFrame(rights, "r string").where(F.length("r") > 0)
+
+    blocked = {
+        (x.l, x.r, x.dist)
+        for x in passjoin_edit_distance_join(L, R, "l", "r", max_dist=2).collect()
+    }
+    dist = F.levenshtein(F.col("l"), F.col("r"))
+    brute = {
+        (x.l, x.r, x.dist)
+        for x in (
+            L.distinct()
+            .crossJoin(R.distinct())
+            .where(dist <= 2)
+            .select("l", "r", dist.alias("dist"))
+            .collect()
+        )
+    }
+    assert blocked == brute
+    assert brute  # sanity: mutations produced matches
+    assert any(len(r) < 3 for (r,) in rights if r)  # short branch exercised
+
+
+def test_passjoin_k1(spark):
+    L = spark.createDataFrame([("abc",), ("zzz",)], "l string")
+    R = spark.createDataFrame([("abcd",), ("abc",), ("bbc",), ("abab",)], "r string")
+    got = {
+        (x.l, x.r, x.dist)
+        for x in passjoin_edit_distance_join(L, R, "l", "r", max_dist=1).collect()
+    }
+    assert got == {("abc", "abcd", 1), ("abc", "abc", 0), ("abc", "bbc", 1)}
 
 
 def test_blocked_join_k1(spark):
