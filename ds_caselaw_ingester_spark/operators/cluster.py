@@ -43,32 +43,78 @@ def connected_components(
     Raises RuntimeError if not converged within max_iter rounds (an
     explicit failure beats silently wrong clusters).
     """
-    # The edge list is re-joined EVERY round: without caching, each round
-    # replays the upstream pair-producing pipeline (for neardup_clusters
-    # that's the whole shingle->minhash->banding computation, per round).
-    # persist() — not localCheckpoint — keeps the lineage for fault
-    # recovery while materialising edges once; at scale this is the
-    # standard iterative-graph pattern (cache the static edge RDD, iterate
-    # only the labels).
-    sym = (
+    # The edge list is re-joined EVERY round, so it is materialised ONCE
+    # (e.persist + count — without it each unionAll branch replays the
+    # upstream pair-producing pipeline; for neardup_clusters that's the
+    # whole shingle->minhash->banding computation) and the symmetrised
+    # list is cached PRE-PARTITIONED on the join key: a cached frame
+    # keeps its hash partitioning, so every round's neighbor join
+    # shuffles only the O(V) label frame, never the O(E) edges. At scale
+    # this is the standard iterative-graph pattern — cache the static
+    # edge set once, iterate only the labels.
+    sym0 = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .persist()
     )
+    # Size-aware loop partitioning. AQE cannot re-plan cached or
+    # checkpointed subtrees (canChangeCachedPlanOutputPartitioning is
+    # off), so every per-round shuffle would otherwise run at the
+    # session's spark.sql.shuffle.partitions even for a label frame of a
+    # few thousand rows — on local mode that makes task scheduling, not
+    # data, the round cost. Count the materialised edge list once (one
+    # scalar; the edge cache had to be forced anyway) and run the loop's
+    # shuffles at ~100k edge rows per partition (measured knee on the
+    # iterative join+agg shape: p=8 beats both p=1, which serialises the
+    # row work, and p=64, which pays 6 stages x 64 tasks of scheduling
+    # per round), never MORE than the configured count — a big graph
+    # keeps the cluster setting, a small one stops paying wide stages.
+    spark = edges.sparkSession
+    sym_rows = sym0.count()
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = min(cur, max(1, (sym_rows + 99_999) // 100_000))
+    sym = sym0.repartition(p, "src").persist()
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
+        labels = _min_label_loop(sym, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cur))
+    sym0.unpersist()
+    sym.unpersist()
+    return labels
+
+
+def _min_label_loop(sym: DataFrame, max_iter: int) -> DataFrame:
+    """The pointer-jumping min-label fixpoint over a cached symmetric
+    edge list (see connected_components, which sets the loop-scoped
+    shuffle-partition count before calling this)."""
     nodes = sym.select(F.col("src").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
 
     for _ in range(max_iter):
         # each node's candidate label: min over its own and its
-        # neighbors' current labels
+        # neighbors' current labels. The own-label branch also carries
+        # the PREVIOUS label through the aggregation (non-null only on
+        # own rows), so the convergence check below is a scan of the
+        # checkpointed result — no extra join-with-old-labels job.
+        own = labels.select(
+            "node", "component", F.col("component").alias("_old")
+        )
         nbr_labels = sym.join(
             labels.select(F.col("node").alias("src"), F.col("component")), "src"
-        ).select(F.col("dst").alias("node"), "component")
+        ).select(
+            F.col("dst").alias("node"),
+            "component",
+            F.lit(None).cast(dict(labels.dtypes)["component"]).alias("_old"),
+        )
         propagated = (
-            labels.select("node", "component")
-            .unionAll(nbr_labels)
+            own.unionAll(nbr_labels)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("_old").alias("_old"),
+            )
         )
         # pointer jump: component ids are node ids, so re-resolve each
         # label through the propagated map (label := label(label)).
@@ -81,16 +127,16 @@ def connected_components(
             .select(
                 "node",
                 F.coalesce(F.col("_jumped"), F.col("component")).alias("component"),
+                "_old",
             )
             .localCheckpoint(eager=True)
         )
+        # labels only ever decrease (min-propagation + jump), so any
+        # difference from _old is a change; cached scan, no shuffle.
         changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-            .where(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("component") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
