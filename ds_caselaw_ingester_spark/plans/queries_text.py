@@ -132,7 +132,14 @@ FROM feats
 )
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
-    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    # The per-row work here is four regex passes over full document text;
+    # a 1-2-row-group local file would pin all of it to 1-2 cores.
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars"),
+        "doc_id",
+    )
     tok = tokens(F.col("text"))
     words = F.regexp_count(F.col("text"), F.lit("[A-Za-z]+")).cast("long")
     digits = F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("long")

@@ -108,11 +108,13 @@ def test_doc_fingerprint_single_aggregation_no_window(spark, sf_dir):
 
 def test_text_profile_is_one_shuffle_free_scan(spark, sf_dir):
     """The merged text profile (token/subword/lang/quality) must stay a
-    single projection over one documents scan — zero exchanges, and only
-    the three needed columns read."""
+    single projection over one documents scan — the only exchange is the
+    spread() repartition that parallelises the four-regex-per-row map
+    work past the local file's 1-2 row groups (no aggregation/join
+    shuffle may appear), and only the three needed columns are read."""
     df = all_specs()["text_profile"].fn(spark, sf_dir)
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
-    assert plan.count("Exchange") == 0, plan
+    assert plan.count("Exchange") == 1, plan
     scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert scan_schema and all(
         "struct<doc_id:bigint,text:string,n_chars:bigint>" in l for l in scan_schema
