@@ -67,14 +67,20 @@ grams AS (
   WHERE len(tok) >= 3
 ),
 seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 13))::BIGINT % 4294967291 AS ha,
+         ('0x' || substr(md5(gram), 14, 13))::BIGINT % 4294967291 AS hb
+  FROM grams
+),
 mh AS (
-  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || gram)) AS mh
-  FROM grams CROSS JOIN seeds
+  SELECT doc_id, seed, min((ha + seed * hb) % 4294967291) AS mh
+  FROM hashed CROSS JOIN seeds
   GROUP BY doc_id, seed
 ),
 bands AS (
   SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-         md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_key
   FROM mh GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
 ),
 pairs AS (
@@ -94,7 +100,8 @@ GROUP BY p.doc_a, p.doc_b
 @register(
     "minhash_lsh_pairs",
     MINHASH_ORACLE,
-    doc="MinHash (16 string-min permutations) + LSH banding (4 bands × 4 "
+    doc="MinHash (16 affine permutations from ONE md5 per gram) + LSH "
+    "banding (4 bands × 4 "
     "rows) -> candidate pairs via equi-join on band_key (O(n), never "
     "pairwise) -> signature-agreement Jaccard estimate.",
     survey_ops=("ext:dedup-minhash-lsh",),
@@ -200,14 +207,20 @@ grams AS (
   WHERE len(tok) >= 3
 ),
 seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 13))::BIGINT % 4294967291 AS ha,
+         ('0x' || substr(md5(gram), 14, 13))::BIGINT % 4294967291 AS hb
+  FROM grams
+),
 mh AS (
-  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || gram)) AS mh
-  FROM grams CROSS JOIN seeds
+  SELECT doc_id, seed, min((ha + seed * hb) % 4294967291) AS mh
+  FROM hashed CROSS JOIN seeds
   GROUP BY doc_id, seed
 ),
 bands AS (
   SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-         md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_key
   FROM mh GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
 ),
 pairs AS (
