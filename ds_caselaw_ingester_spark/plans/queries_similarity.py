@@ -367,15 +367,12 @@ SELECT * FROM (
 """
 
 
-@register(
-    "ann_ivf_topk",
-    ANN_IVF_ORACLE,
-    doc="IVF ANN: 16 deterministic centroid cells, candidates assigned to "
-    "their nearest cell (broadcast centroids, map-side), queries probe "
-    "nprobe=2 cells via centroid_id equi-join; top-10 per query on rounded "
-    "cosine. The stored-index scale path alongside LSH bucketing.",
-    survey_ops=("ext:ann-ivf",),
-)
+# NOT @register-ed: the fixed-centroid IVF probe is a strict subset of
+# ann_ivf_trained_topk's computation (same ivf_topk operator, same
+# ext:ann-ivf coverage — the trained variant only swaps where the
+# centroids come from), so its registry slot was freed for pii_scrub
+# under the driver's 50-row cap. It stays oracle-checked in pytest
+# (tests/test_oracle_parity.py::test_unregistered_ivf_matches_oracle).
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_caselaw_ingester_spark.operators.similarity import ivf_topk
 

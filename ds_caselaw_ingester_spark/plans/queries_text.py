@@ -94,6 +94,14 @@ WITH feats AS (
          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_other_tokens,
          CAST(length(text) AS BIGINT) AS n_chars_exact
   FROM documents
+),
+feats2 AS (
+  SELECT *,
+         CASE WHEN len(tok) >= 3
+              THEN list_transform(generate_series(1, len(tok) - 2),
+                                  i -> array_to_string(list_slice(tok, i, i + 2), ' '))
+              ELSE []::VARCHAR[] END AS g3
+  FROM feats
 )
 SELECT doc_id,
        CAST(len(tok) AS INTEGER) AS n_tokens,
@@ -114,8 +122,13 @@ SELECT doc_id,
          0.5 * alpha_ratio
          + 0.3 * least(1.0, CAST(len(tok) AS DOUBLE) / 64.0)
          + 0.2 * least(1.0, CAST(n_chars_exact AS DOUBLE) / 512.0),
-         4) AS quality_score
-FROM feats
+         4) AS quality_score,
+       CAST(len(g3) AS INTEGER) AS n_3grams,
+       CAST(len(list_distinct(g3)) AS INTEGER) AS n_distinct_3grams,
+       CASE WHEN len(g3) = 0 THEN 0.0
+            ELSE round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+            END AS dup_3gram_ratio
+FROM feats2
 """
 
 
@@ -144,11 +157,20 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.regexp_count(F.col("text"), F.lit("[A-Za-z]+")).cast("long")
     digits = F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("long")
     other = F.regexp_count(F.col("text"), F.lit("[^A-Za-z0-9 ]")).cast("long")
+    # Gopher-style repetition signal, still map-side: the word-3-gram
+    # array and its distinct count come from the same token array — a
+    # heavily duplicated document (boilerplate, templated spam) shows a
+    # high duplicated-gram fraction long before exact dedup would fire.
+    g3 = F.when(F.size(tok) >= 3, word_ngrams(tok, 3)).otherwise(
+        F.array().cast("array<string>")
+    )
     feats = d.select(
         "doc_id",
         "n_chars",
         F.size(tok).alias("n_tokens"),
         F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+        F.size(g3).alias("n_3grams"),
+        F.size(F.array_distinct(g3)).alias("n_distinct_3grams"),
         words.alias("n_word_tokens"),
         digits.alias("n_digit_tokens"),
         other.alias("n_other_tokens"),
@@ -194,6 +216,17 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         guessed.alias("guessed_lang"),
         F.round(F.col("alpha_ratio_raw"), 4).alias("alpha_ratio"),
         F.round(quality, 4).alias("quality_score"),
+        "n_3grams",
+        "n_distinct_3grams",
+        F.when(F.col("n_3grams") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_3grams").cast("double") / F.col("n_3grams"),
+                4,
+            )
+        )
+        .alias("dup_3gram_ratio"),
     )
 
 
@@ -264,3 +297,120 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_profile above — same expressions, one scan, one CORRECTNESS row
 # each for ext:token-count / ext:lang-id / ext:quality-score within the
 # driver's 50-row recording window.)
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub — regex PII redaction (emails / phone / IPv4) with counts
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus is plain ASCII words with no PII, so the query
+# PLANTS deterministic PII first (keyed off doc_id — same construction in
+# the oracle), then redacts: the scrub itself is the operator under test.
+# Patterns are deliberately dialect-neutral (character classes, +, {n}
+# only — identical semantics in Java regex and DuckDB's RE2); replacement
+# order email -> phone -> IPv4 is fixed and pinned by the md5 of the
+# scrubbed text.
+PII_ORACLE = """
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact agent' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS txt
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(txt, '[a-z0-9]+@[a-z0-9]+[.][a-z]+')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(txt, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(txt, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+')) AS BIGINT) AS n_ips,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(txt, '[a-z0-9]+@[a-z0-9]+[.][a-z]+', '[EMAIL]', 'g'),
+             '555-[0-9]{4}', '[PHONE]', 'g'),
+           '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '[IP]', 'g') AS clean_text
+  FROM planted
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       (n_emails + n_phones + n_ips = 0) AS is_clean,
+       md5(clean_text) AS scrubbed_md5
+FROM scrubbed
+"""
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+_IP_RE = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+
+@register(
+    "pii_scrub",
+    PII_ORACLE,
+    doc="PII redaction over the corpus: plant deterministic emails / "
+    "phone numbers / IPv4s keyed off doc_id (the synthetic text has "
+    "none), count each class, and redact in a fixed email->phone->IP "
+    "order; the md5 of the scrubbed text pins exact replacement "
+    "behavior. Pure codegen'd regex projection over one spread scan — "
+    "the shape a 100 TB pre-training scrub pass needs (no shuffle, no "
+    "UDF; rows never leave the executor).",
+    survey_ops=("ext:pii-scrub",),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    ensure_oracle_safe(spark)
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact agent"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ),
+        _IP_RE,
+        "[IP]",
+    )
+    n_emails = F.regexp_count(planted, F.lit(_EMAIL_RE)).cast("long")
+    n_phones = F.regexp_count(planted, F.lit(_PHONE_RE)).cast("long")
+    n_ips = F.regexp_count(planted, F.lit(_IP_RE)).cast("long")
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        ((n_emails + n_phones + n_ips) == 0).alias("is_clean"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

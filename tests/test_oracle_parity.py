@@ -18,3 +18,17 @@ def test_query_matches_oracle(spark, sf_dir, spec):
     res = check_query(spark, sf_dir, spec.name, spec.fn, spec.oracle)
     assert res.ok, f"{spec.name}: {res.detail}"
     assert res.spark_rows > 0, f"{spec.name}: empty result (weak test)"
+
+
+def test_unregistered_ivf_matches_oracle(spark, sf_dir):
+    """ann_ivf_topk gave up its registry slot (its computation is a strict
+    subset of ann_ivf_trained_topk's) but keeps the same oracle gate here
+    so the fixed-centroid path cannot silently rot."""
+    from ds_caselaw_ingester_spark.plans.queries_similarity import (
+        ANN_IVF_ORACLE,
+        q_ann_ivf_topk,
+    )
+
+    res = check_query(spark, sf_dir, "ann_ivf_topk", q_ann_ivf_topk, ANN_IVF_ORACLE)
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
