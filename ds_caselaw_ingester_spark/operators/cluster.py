@@ -52,11 +52,7 @@ def connected_components(
     # shuffles only the O(V) label frame, never the O(E) edges. At scale
     # this is the standard iterative-graph pattern — cache the static
     # edge set once, iterate only the labels.
-    sym0 = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionAll(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .persist()
-    )
+    e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
     # Size-aware loop partitioning. AQE cannot re-plan cached or
     # checkpointed subtrees (canChangeCachedPlanOutputPartitioning is
     # off), so every per-round shuffle would otherwise run at the
@@ -70,17 +66,21 @@ def connected_components(
     # per round), never MORE than the configured count — a big graph
     # keeps the cluster setting, a small one stops paying wide stages.
     spark = edges.sparkSession
-    sym_rows = sym0.count()
+    sym_rows = 2 * e.count()  # one pass materialises the pair pipeline
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     p = min(cur, max(1, (sym_rows + 99_999) // 100_000))
-    sym = sym0.repartition(p, "src").persist()
+    sym = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(p, "src")
+        .persist()
+    )
 
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(p))
         labels = _min_label_loop(sym, max_iter)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(cur))
-    sym0.unpersist()
+    e.unpersist()
     sym.unpersist()
     return labels
 

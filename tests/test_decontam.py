@@ -1,0 +1,92 @@
+"""Benchmark decontamination: the n-gram overlap flag must match a
+DuckDB replay (oracle-style check, same rigor as the registry gate) and
+a pure-Python set reimplementation, and the plan must broadcast the
+benchmark side — the corpus must never shuffle for the probe."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.decontam import decontaminate
+from ds_caselaw_ingester_spark.sources.catalog import table
+
+SF = "/root/testdata/sf0.001"
+N = 8
+
+DECONTAM_SQL = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+bench AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+bgrams AS (
+  SELECT DISTINCT array_to_string(list_slice(tok, i, i + {N - 1}), ' ') AS gram
+  FROM (SELECT string_split_regex(trim(text), '\\s+') AS tok FROM bench),
+       unnest(generate_series(1, len(tok) - {N - 1})) AS t(i)
+  WHERE len(tok) >= {N}
+),
+dgrams AS (
+  SELECT doc_id, array_to_string(list_slice(tok, i, i + {N - 1}), ' ') AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM corpus),
+       unnest(generate_series(1, len(tok) - {N - 1})) AS t(i)
+  WHERE len(tok) >= {N}
+),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(h.n, 0) AS n_contaminated_grams,
+       coalesce(h.n, 0) > 0 AS is_contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+def _spark_result(spark):
+    docs = table(spark, SF, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select("text")
+    return decontaminate(docs, bench, "doc_id", "text", n=N)
+
+
+def test_decontaminate_matches_duckdb_oracle(spark):
+    got = {
+        (r.doc_id, r.n_contaminated_grams, r.is_contaminated)
+        for r in _spark_result(spark).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = {tuple(row) for row in con.execute(DECONTAM_SQL).fetchall()}
+    assert got == want
+    # planted property: every benchmark-member doc with >= N tokens is
+    # contaminated by its own grams (self-overlap), so the flag fires
+    assert any(flag for (_, _, flag) in got)
+
+
+def test_decontaminate_counts_multiset_occurrences(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail a b c d e f g h"),  # same bench gram twice
+            (2, "x y z"),  # too short for any 8-gram
+            (3, "q w e r t y u i o p"),  # grams, but none in bench
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("a b c d e f g h",)], "text string"
+    )
+    got = {
+        r.doc_id: (r.n_contaminated_grams, r.is_contaminated)
+        for r in decontaminate(docs, bench, "doc_id", "text", n=8).collect()
+    }
+    assert got == {1: (2, True), 2: (0, False), 3: (0, False)}
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    df = _spark_result(spark)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus-side gram probe must not introduce a corpus shuffle:
+    # the only hashpartitioning exchanges are the bounded hit aggregation
+    # and the final id join
+    assert "CartesianProduct" not in plan, plan
