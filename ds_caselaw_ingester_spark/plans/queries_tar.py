@@ -58,18 +58,19 @@ FROM r WHERE i % 4 <> 0
 """
 
 
-@register(
-    "tar_member_listing",
-    TAR_MEMBER_LISTING_ORACLE,
-    doc="Genuine tar.gz round-trip: deterministic archives written to "
-    "local files, fetched via binaryFile with filename-stem consignment "
-    "refs (S7, messages.py:59-69,83-93), exploded member-by-member with "
-    "tar ordinals via the Arrow mapInPandas tarfile scan (S8, "
-    "file_helpers.py:24-29). A leading directory member pins the "
-    "skip-non-file + ordinal-still-counts semantics. The oracle predicts "
-    "every (name, ordinal, md5(content)) row from the construction rule.",
-    survey_ops=("S7", "S8"),
-)
+# NOT @register-ed: S7/S8 coverage is a strict subset of tar_pipeline's
+# (S7-S12 composite over the same Arrow tarfile scan), so this slot was
+# freed for doc_chunks under the driver's 50-row cap. The round-trip
+# stays oracle-checked in pytest
+# (tests/test_oracle_parity.py::test_unregistered_tar_listing_matches_oracle).
+#
+# Genuine tar.gz round-trip: deterministic archives written to local
+# files, fetched via binaryFile with filename-stem consignment refs
+# (S7, messages.py:59-69,83-93), exploded member-by-member with tar
+# ordinals via the Arrow mapInPandas tarfile scan (S8,
+# file_helpers.py:24-29). A leading directory member pins the
+# skip-non-file + ordinal-still-counts semantics. The oracle predicts
+# every (name, ordinal, md5(content)) row from the construction rule.
 def q_tar_member_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     import io
     import os

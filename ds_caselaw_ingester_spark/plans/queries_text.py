@@ -344,6 +344,53 @@ SELECT doc_id, n_emails, n_phones, n_ips,
 FROM scrubbed
 """
 
+# ---------------------------------------------------------------------------
+# doc_chunks — overlapping token windows (training-sequence preparation)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+DOC_CHUNKS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_index,
+       array_to_string(list_slice(tok, s, s + {_CHUNK_TOKENS - 1}), ' ') AS chunk_text,
+       CAST(len(list_slice(tok, s, s + {_CHUNK_TOKENS - 1})) AS INTEGER) AS n_chunk_tokens
+FROM toks, unnest(generate_series(1, len(tok), {_CHUNK_STRIDE})) AS t(s)
+WHERE len(tok) > 0
+"""
+
+
+@register(
+    "doc_chunks",
+    DOC_CHUNKS_ORACLE,
+    doc=f"Document chunking into {_CHUNK_TOKENS}-token windows with "
+    f"{_CHUNK_OVERLAP}-token overlap — the corpus -> trainer-sequence "
+    "step. Window starts are a sequence over the token array, each chunk "
+    "a slice+join, exploded map-side over one spread scan: no shuffle, "
+    "no UDF, output volume governed by (chunk, overlap) not row width. "
+    "Exact-reconstruction property (overlap regions agree; nothing "
+    "lost) pinned by tests/test_chunking.py.",
+    survey_ops=("ext:doc-chunking",),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.operators.chunking import chunk_documents
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    ensure_oracle_safe(spark)
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    return chunk_documents(
+        d, "doc_id", "text", chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
+
+
 _EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
 _PHONE_RE = "555-[0-9]{4}"
 _IP_RE = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"

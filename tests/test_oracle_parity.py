@@ -32,3 +32,20 @@ def test_unregistered_ivf_matches_oracle(spark, sf_dir):
     res = check_query(spark, sf_dir, "ann_ivf_topk", q_ann_ivf_topk, ANN_IVF_ORACLE)
     assert res.ok, res.detail
     assert res.spark_rows > 0
+
+
+def test_unregistered_tar_listing_matches_oracle(spark, sf_dir):
+    """tar_member_listing gave up its registry slot (S7/S8 are a strict
+    subset of tar_pipeline's coverage) but keeps the same oracle gate
+    here so the binaryFile -> tarfile round-trip cannot silently rot."""
+    from ds_caselaw_ingester_spark.plans.queries_tar import (
+        TAR_MEMBER_LISTING_ORACLE,
+        q_tar_member_listing,
+    )
+
+    res = check_query(
+        spark, sf_dir, "tar_member_listing", q_tar_member_listing,
+        TAR_MEMBER_LISTING_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
