@@ -345,6 +345,63 @@ FROM scrubbed
 """
 
 # ---------------------------------------------------------------------------
+# decontam_flags — benchmark n-gram overlap (pre-training decontamination)
+# ---------------------------------------------------------------------------
+
+_DECONTAM_N = 8
+
+DECONTAM_ORACLE = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+bench AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+bgrams AS (
+  SELECT DISTINCT array_to_string(list_slice(tok, i, i + {_DECONTAM_N - 1}), ' ') AS gram
+  FROM (SELECT string_split_regex(trim(text), '\\s+') AS tok FROM bench),
+       unnest(generate_series(1, len(tok) - {_DECONTAM_N - 1})) AS t(i)
+  WHERE len(tok) >= {_DECONTAM_N}
+),
+dgrams AS (
+  SELECT doc_id, array_to_string(list_slice(tok, i, i + {_DECONTAM_N - 1}), ' ') AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM corpus),
+       unnest(generate_series(1, len(tok) - {_DECONTAM_N - 1})) AS t(i)
+  WHERE len(tok) >= {_DECONTAM_N}
+),
+hits AS (
+  SELECT doc_id, count(*) AS n FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(h.n, 0) AS n_contaminated_grams,
+       coalesce(h.n, 0) > 0 AS is_contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+@register(
+    "decontam_flags",
+    DECONTAM_ORACLE,
+    doc=f"Benchmark decontamination: flag every corpus document sharing "
+    f"any word {_DECONTAM_N}-gram with the benchmark set (modeled as the "
+    "doc_id %% 50 == 0 slice, which plants guaranteed hits: benchmark "
+    "members self-overlap and their near-dup copies partially overlap). "
+    "The benchmark's distinct grams broadcast; the corpus side is a "
+    "map-side explode + broadcast hash probe, and the only aggregation "
+    "groups the MATCHING rows — bounded by contamination volume, never "
+    "corpus size. Multiset occurrence counts give the removal-priority "
+    "ordering the published pipelines sort on.",
+    survey_ops=("ext:decontamination",),
+)
+def q_decontam_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.operators.decontam import decontaminate
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    ensure_oracle_safe(spark)
+    docs = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    bench = docs.where(F.col("doc_id") % 50 == 0).select("text")
+    return decontaminate(docs, bench, "doc_id", "text", n=_DECONTAM_N)
+
+
+# ---------------------------------------------------------------------------
 # doc_chunks — overlapping token windows (training-sequence preparation)
 # ---------------------------------------------------------------------------
 

@@ -34,6 +34,24 @@ def test_unregistered_ivf_matches_oracle(spark, sf_dir):
     assert res.spark_rows > 0
 
 
+def test_unregistered_distinct_agg_matches_oracle(spark, sf_dir):
+    """distinct_supplier_stats gave up its registry slot (the
+    mixed-distinct aggregation shape stays registry-covered by
+    events_distinct_users_salted and three further ext:agg rows) but
+    keeps the same oracle gate here."""
+    from ds_caselaw_ingester_spark.plans.queries_relational import (
+        DISTINCT_AGG_ORACLE,
+        q_distinct_supplier_stats,
+    )
+
+    res = check_query(
+        spark, sf_dir, "distinct_supplier_stats", q_distinct_supplier_stats,
+        DISTINCT_AGG_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
 def test_unregistered_tar_listing_matches_oracle(spark, sf_dir):
     """tar_member_listing gave up its registry slot (S7/S8 are a strict
     subset of tar_pipeline's coverage) but keeps the same oracle gate
