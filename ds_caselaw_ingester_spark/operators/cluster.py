@@ -89,8 +89,18 @@ def _min_label_loop(sym: DataFrame, max_iter: int) -> DataFrame:
     """The pointer-jumping min-label fixpoint over a cached symmetric
     edge list (see connected_components, which sets the loop-scoped
     shuffle-partition count before calling this)."""
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    labels = nodes.withColumn("component", F.col("node")).localCheckpoint(eager=True)
+    # Initial labels fold the FIRST propagation round into the node
+    # dedup itself: label(0) = min(node, min direct neighbor) is the
+    # same groupBy the plain distinct would cost, and near-dup
+    # components are mostly cliques — which are already at fixpoint
+    # after this, so the loop runs one verification round instead of
+    # work + verification.
+    labels = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("node", F.least(F.col("node"), F.col("_mn")).alias("component"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iter):
         # each node's candidate label: min over its own and its
