@@ -189,3 +189,46 @@ def test_embedding_neardup_dedups_id_pairs_before_scoring(spark, sf_dir):
     for line in plan.splitlines():
         if line.startswith("Input") and "bucket#" in line:
             assert " v#" not in line and "embedding#" not in line, line
+
+
+def test_curation_queries_prune_scans_and_stay_projection_shaped(spark, sf_dir):
+    """pii_scrub and doc_chunks must stay pure projections over one
+    pruned documents scan (only the spread exchange — a 100 TB scrub or
+    chunking pass must never shuffle corpus rows), and every curation
+    query must read only (doc_id, text)."""
+    for name in ("pii_scrub", "doc_chunks"):
+        df = all_specs()[name].fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert plan.count("Exchange") == 1, (name, plan)
+        scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert scan_schema and all(
+            "struct<doc_id:bigint,text:string>" in l for l in scan_schema
+        ), (name, plan)
+
+
+def test_decontam_flags_broadcasts_benchmark_grams(spark, sf_dir):
+    """The registered decontamination row: benchmark gram set broadcast,
+    no cartesian, and the corpus gram explode feeds a broadcast probe —
+    the only hash exchanges are the bounded hit aggregation and the
+    final id join."""
+    plan = _physical_plan(all_specs()["decontam_flags"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_connected_components_restores_shuffle_partitions(spark):
+    """The CC loop temporarily right-sizes spark.sql.shuffle.partitions;
+    it must restore the session value even though the loop ran with a
+    different one (same hygiene bar as the events reader's legacy
+    conf)."""
+    from ds_caselaw_ingester_spark.operators.cluster import connected_components
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    connected_components(edges).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
