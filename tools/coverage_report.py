@@ -37,6 +37,20 @@ def main() -> int:
         for op in sorted(k for k in covered if k.startswith("ext")):
             print(f"{op:28} {', '.join(sorted(covered[op]))}")
         print()
+        print("pytest-gated (outside the 50-row registry, identical DuckDB")
+        print("oracle checks in tests/):")
+        for line in (
+            "  ann_ivf_topk            tests/test_oracle_parity.py (⊂ ann_ivf_trained_topk)",
+            "  tar_member_listing      tests/test_oracle_parity.py (S7/S8 ⊂ tar_pipeline)",
+            "  distinct_supplier_stats tests/test_oracle_parity.py (agg shape covered 4x)",
+            "  decontaminate (op)      tests/test_decontam.py",
+            "  hash/stratified sample  tests/test_sampling.py + test_curation_property.py",
+            "  chunk_documents (op)    tests/test_chunking.py + test_curation_property.py",
+            "  token_frequencies/vocab tests/test_vocab.py",
+            "  edit_distance_join      tests/test_fuzzy_join.py (SymSpell variant)",
+        ):
+            print(line)
+        print()
     print(f"reference ops covered: {len(INVENTORY) - len(missing)}/{len(INVENTORY)}")
     if missing:
         print("MISSING:", ", ".join(missing))
