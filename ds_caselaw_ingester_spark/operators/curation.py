@@ -1,0 +1,74 @@
+"""End-to-end corpus curation: scrub -> quality gate -> near-dup
+keep-one -> chunk, composed from the pipeline's individual operators.
+
+This is the composition a pre-training data pipeline actually runs, and
+the reason the individual operators share conventions (one whitespace
+tokenization, id-keyed frames, map-side projections wherever possible):
+
+1. PII scrub (operators/scrub.py) — pure projection.
+2. Quality gate — alpha ratio / token count thresholds from the same
+   expressions text_profile registers; a map-side filter, evaluated on
+   the SCRUBBED text so redaction tokens count like any other token.
+3. Near-dup dedup — MinHash-LSH pairs -> connected components ->
+   canonical keep-one (operators/dedup.py + cluster.py). Only the
+   canonical representative of each near-dup cluster survives.
+4. Chunking (operators/chunking.py) — overlapping token windows over
+   the surviving documents.
+
+Scale shape: stages 1-2 never shuffle; stage 3 is the bounded dedup
+pipeline (pairs ≪ corpus); stage 4 is a map-side explode. The join
+keeping survivors is id-only (the text rides the original frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.chunking import chunk_documents
+from ds_caselaw_ingester_spark.operators.cluster import canonical_assignment
+from ds_caselaw_ingester_spark.operators.dedup import (
+    doc_shingles,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from ds_caselaw_ingester_spark.operators.scrub import scrub_text
+from ds_caselaw_ingester_spark.operators.textstats import alpha_ratio, tokens
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    min_alpha_ratio: float = 0.5,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """(id, chunk_index, chunk_text, n_chunk_tokens) for the curated
+    corpus: scrubbed text, quality-gated, one canonical document per
+    near-dup cluster, chunked. Deterministic end to end — a rerun
+    produces identical chunks."""
+    scrubbed = docs.select(
+        F.col(id_col), scrub_text(F.col(text_col)).alias(text_col)
+    )
+    tok = tokens(F.col(text_col))
+    gated = scrubbed.where(
+        (F.size(tok) >= min_tokens)
+        & (alpha_ratio(F.col(text_col)) >= min_alpha_ratio)
+    )
+    pairs = lsh_candidate_pairs(
+        lsh_bands(
+            minhash_signatures(doc_shingles(gated, id_col, text_col), id_col),
+            id_col,
+        ),
+        id_col,
+    )
+    assignment = canonical_assignment(gated, pairs, id_col=id_col)
+    keepers = gated.join(
+        assignment.where(~F.col("is_duplicate")).select(id_col), id_col
+    )
+    return chunk_documents(
+        keepers, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
+    )

@@ -448,9 +448,11 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
-_PHONE_RE = "555-[0-9]{4}"
-_IP_RE = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+from ds_caselaw_ingester_spark.operators.scrub import (  # noqa: E402
+    EMAIL_RE as _EMAIL_RE,
+    IP_RE as _IP_RE,
+    PHONE_RE as _PHONE_RE,
+)
 
 
 @register(
@@ -498,18 +500,10 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(planted, _EMAIL_RE, "[EMAIL]"),
-            _PHONE_RE,
-            "[PHONE]",
-        ),
-        _IP_RE,
-        "[IP]",
-    )
-    n_emails = F.regexp_count(planted, F.lit(_EMAIL_RE)).cast("long")
-    n_phones = F.regexp_count(planted, F.lit(_PHONE_RE)).cast("long")
-    n_ips = F.regexp_count(planted, F.lit(_IP_RE)).cast("long")
+    from ds_caselaw_ingester_spark.operators.scrub import pii_counts, scrub_text
+
+    scrubbed = scrub_text(planted)
+    n_emails, n_phones, n_ips = pii_counts(planted)
     return d.select(
         "doc_id",
         n_emails.alias("n_emails"),

@@ -1,0 +1,67 @@
+"""End-to-end curation composite: PII never reaches a chunk, near-dup
+clusters contribute exactly one document's chunks, the quality gate
+drops junk, and the run is deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.curation import curate_corpus
+from ds_caselaw_ingester_spark.operators.scrub import EMAIL_RE, IP_RE, PHONE_RE
+
+
+def _corpus(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon "
+    ) * 2
+    rows = [
+        # near-dup cluster {1, 2}: only the canonical (min id) survives
+        (1, base),
+        (2, base + "extra tail token"),
+        # clean unique doc with planted PII
+        (3, "contact me at bob1@example.com or call 555-0199 from 10.0.0.7 "
+            + "please do follow up on the quarterly ingest report "
+            + "with all the usual words repeated here for length "
+            + "and a few more tokens to pass the gate easily"),
+        # junk: too short
+        (4, "tiny doc"),
+        # junk: low alpha ratio
+        (5, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pipeline_end_to_end(spark):
+    chunks = curate_corpus(
+        _corpus(spark), min_tokens=8, min_alpha_ratio=0.5,
+        chunk_tokens=16, overlap=4,
+    ).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    # near-dup cluster {1,2}: canonical id 1 chunked, duplicate 2 dropped
+    assert 1 in by_doc and 2 not in by_doc
+    # quality gate: 4 (short) and 5 (numeric) gone
+    assert 4 not in by_doc and 5 not in by_doc
+    # PII scrubbed before chunking: no pattern survives in ANY chunk
+    all_text = " ".join(r.chunk_text for r in chunks)
+    df = spark.createDataFrame([(all_text,)], "t string")
+    counts = df.select(
+        *[F.regexp_count("t", F.lit(p)).alias(f"c{i}")
+          for i, p in enumerate((EMAIL_RE, PHONE_RE, IP_RE))]
+    ).collect()[0]
+    assert (counts.c0, counts.c1, counts.c2) == (0, 0, 0)
+    assert "[EMAIL]" in " ".join(r.chunk_text for r in by_doc[3])
+
+    # chunk arithmetic: doc 1 (40 tokens) at chunk 16 stride 12 -> 4 chunks
+    assert [r.chunk_index for r in sorted(by_doc[1], key=lambda r: r.chunk_index)] == [0, 1, 2, 3]
+
+
+def test_pipeline_is_deterministic(spark):
+    a = {(r.doc_id, r.chunk_index, r.chunk_text)
+         for r in curate_corpus(_corpus(spark), chunk_tokens=16, overlap=4).collect()}
+    b = {(r.doc_id, r.chunk_index, r.chunk_text)
+         for r in curate_corpus(_corpus(spark).repartition(7), chunk_tokens=16, overlap=4).collect()}
+    assert a == b
