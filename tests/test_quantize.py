@@ -1,0 +1,69 @@
+"""Int8 embedding quantization: reconstruction error bound, measured
+recall of the quantized cosine top-k against the exact float ranking,
+and the zero-vector edge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.quantize import (
+    cosine_topk_int8,
+    dequantize,
+    quantize_embeddings,
+    quantize_int8,
+)
+from ds_caselaw_ingester_spark.operators.similarity import cosine_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def test_reconstruction_error_bounded(spark):
+    emb = _emb(spark)
+    rt = emb.select(
+        "v",
+        dequantize(quantize_int8(F.col("v"))).alias("r"),
+        F.array_max(F.transform("v", lambda x: F.abs(x))).alias("amax"),
+    )
+    # symmetric int8: per-element |v - r| <= scale/2 = amax/254
+    bad = rt.where(
+        F.exists(
+            F.zip_with("v", "r", lambda a, b: F.abs(a - b) > F.col("amax") / 253.9),
+            lambda x: x,
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_zero_vector_roundtrips(spark):
+    df = spark.createDataFrame([([0.0] * 8,)], "v array<double>")
+    got = df.select(dequantize(quantize_int8(F.col("v"))).alias("r")).collect()[0].r
+    assert got == [0.0] * 8
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    emb = _emb(spark)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    candidates = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    exact = {
+        (r.q_id, r.c_id)
+        for r in cosine_topk(queries, candidates, k=10).collect()
+    }
+    quantized = quantize_embeddings(
+        emb.select(F.col("vec_id").alias("c_id"), "v"), "c_id", "v"
+    )
+    approx = {
+        (r.q_id, r.c_id)
+        for r in cosine_topk_int8(queries, quantized, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # int8 cosine error is ~1e-3; on 64-dim vectors the top-10 set is
+    # nearly preserved. Pin a floor well above chance (80 candidates).
+    assert recall >= 0.85, recall
