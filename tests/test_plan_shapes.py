@@ -83,6 +83,9 @@ def test_minhash_signature_agg_is_single_pass(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     # partial min() runs before the exchange: only 1 row/doc is shuffled
     assert "partial_min" in plan, plan
+    # the affine (BIGINT) minhash hash-aggregates; the string-min design
+    # forced SortAggregate (string agg buffers cannot hash-aggregate)
+    assert "HashAggregate" in plan and "SortAggregate" not in plan, plan
 
 
 def test_salted_distinct_shards_hot_keys(spark, sf_dir):
