@@ -45,11 +45,28 @@ def curate_corpus(
     min_alpha_ratio: float = 0.5,
     chunk_tokens: int = 128,
     overlap: int = 16,
+    benchmark: DataFrame | None = None,
+    decontam_n: int = 8,
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens) for the curated
-    corpus: scrubbed text, quality-gated, one canonical document per
-    near-dup cluster, chunked. Deterministic end to end — a rerun
-    produces identical chunks."""
+    corpus: scrubbed text, quality-gated, optionally decontaminated
+    against a benchmark set, one canonical document per near-dup
+    cluster, chunked. Deterministic end to end — a rerun produces
+    identical chunks.
+
+    benchmark: optional frame with a `text_col` column; documents
+    sharing any word `decontam_n`-gram with it are DROPPED before
+    dedup (operators/decontam.py — broadcast probe on the RAW text,
+    before scrubbing, so redaction tokens cannot mask an overlap)."""
+    if benchmark is not None:
+        from ds_caselaw_ingester_spark.operators.decontam import decontaminate
+
+        verdict = decontaminate(
+            docs, benchmark, id_col, text_col, bench_text_col=text_col, n=decontam_n
+        )
+        docs = docs.join(
+            verdict.where(~F.col("is_contaminated")).select(id_col), id_col
+        )
     scrubbed = docs.select(
         F.col(id_col), scrub_text(F.col(text_col)).alias(text_col)
     )

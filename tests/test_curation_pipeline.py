@@ -65,3 +65,18 @@ def test_pipeline_is_deterministic(spark):
     b = {(r.doc_id, r.chunk_index, r.chunk_text)
          for r in curate_corpus(_corpus(spark).repartition(7), chunk_tokens=16, overlap=4).collect()}
     assert a == b
+
+
+def test_pipeline_decontaminates_against_benchmark(spark):
+    corpus = _corpus(spark)
+    # benchmark shares an 8-gram with doc 3's text and nothing else
+    bench = spark.createDataFrame(
+        [("please do follow up on the quarterly ingest report",)], "text string"
+    )
+    chunks = curate_corpus(
+        corpus, min_tokens=8, min_alpha_ratio=0.5,
+        chunk_tokens=16, overlap=4, benchmark=bench,
+    ).collect()
+    docs_out = {r.doc_id for r in chunks}
+    assert 3 not in docs_out  # contaminated doc dropped entirely
+    assert 1 in docs_out  # untouched survivors still flow through
