@@ -120,3 +120,28 @@ def test_blocked_join_k1(spark):
         for x in edit_distance_join(L, R, "l", "r", max_dist=1).collect()
     }
     assert got == {("abc", "abcd", 1), ("abc", "abc", 0), ("abc", "bbc", 1)}
+
+
+def test_passjoin_unicode_codepoints(spark):
+    """length()/substr()/levenshtein are all codepoint-based in Spark, so
+    the pigeonhole segmentation must hold for multibyte text too (a
+    byte-based slicer would split inside a UTF-8 sequence and lose
+    matches)."""
+    rng = random.Random(20260815)
+    AL = "é中aß"
+    bases = ["".join(rng.choice(AL) for _ in range(rng.randint(1, 10))) for _ in range(60)]
+    lefts = [(_mutate(rng, rng.choice(bases), rng.randint(0, 2)),) for _ in range(60)]
+    L = spark.createDataFrame(lefts, "l string").where(F.length("l") > 0)
+    R = spark.createDataFrame([(b,) for b in bases], "r string").where(F.length("r") > 0)
+    blocked = {
+        (x.l, x.r, x.dist)
+        for x in passjoin_edit_distance_join(L, R, "l", "r", max_dist=2).collect()
+    }
+    dist = F.levenshtein(F.col("l"), F.col("r"))
+    brute = {
+        (x.l, x.r, x.dist)
+        for x in L.distinct().crossJoin(R.distinct()).where(dist <= 2)
+        .select("l", "r", dist.alias("dist")).collect()
+    }
+    assert blocked == brute
+    assert brute
