@@ -75,13 +75,23 @@ def connected_components(
         .persist()
     )
 
+    # The conf flip is the ONLY way to right-size the loop's aggregation
+    # exchanges without losing map-side partial aggregation (an explicit
+    # pre-agg repartition would satisfy the grouping's distribution and
+    # shuffle RAW E+V rows instead of combined partials — strictly worse
+    # at scale). It only ever LOWERS the count, is restored in finally,
+    # and assumes the session is not PLANNING other queries concurrently
+    # during the loop (true for this engine's serial bench/driver/test
+    # execution; a multi-tenant session should run CC in its own
+    # SparkSession). Caches are released in the same finally so a
+    # non-converging raise cannot leak the O(E) edge frames.
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(p))
         labels = _min_label_loop(sym, max_iter)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(cur))
-    e.unpersist()
-    sym.unpersist()
+        e.unpersist()
+        sym.unpersist()
     return labels
 
 

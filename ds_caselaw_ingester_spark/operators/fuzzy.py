@@ -226,9 +226,12 @@ def passjoin_edit_distance_join(
     short_r = dr.where(F.length(r) < q).select(
         right_col, F.length(r).alias("_band")
     )
+    # _band >= 0, not >= 1: the empty string is a legitimate catalog
+    # value with length band 0 (it matches any probe of length <= k),
+    # and dropping band 0 would silently violate the exactness contract
     banded_l = dl.select(
         left_col, F.explode(F.sequence(m - k, m + k)).alias("_band")
-    ).where(F.col("_band") >= 1)
+    ).where(F.col("_band") >= 0)
     brute = (
         banded_l.join(F.broadcast(short_r), "_band")
         .select(left_col, right_col)

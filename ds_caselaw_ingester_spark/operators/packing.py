@@ -4,7 +4,10 @@ short sequences waste the padded tail of every training row).
 
 Scale design: OPTIMAL bin packing is global and sequential — at corpus
 scale nobody runs it. The standard distributed answer is per-partition
-greedy first-fit over a deterministic order: each partition packs its
+greedy NEXT-FIT over a deterministic order (only the currently-open
+pack is considered; overflow closes it — first-fit's open-pack search
+buys little on sorted same-document runs and costs a heap per
+partition): each partition packs its
 own chunks independently (embarrassingly parallel, one Arrow pass), and
 pack ids are (partition, local) pairs so reruns on the same
 partitioning are stable. Partition-local packing costs a bounded
@@ -64,9 +67,11 @@ def pack_sequences(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        rows = pd.concat(list(it), ignore_index=True) if it else pd.DataFrame()
+        batches = list(it)  # an iterator is always truthy — materialise,
+        if not batches:  # then guard: empty partitions DO occur (AQE off,
+            return  # or fewer keys than shuffle partitions)
+        rows = pd.concat(batches, ignore_index=True)
         if rows.empty:
-            yield pd.DataFrame(columns=[f.name for f in PACK_SCHEMA.fields])
             return
         rows = rows.sort_values([key_col, index_col], ignore_index=True)
         out = []

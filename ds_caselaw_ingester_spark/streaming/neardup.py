@@ -51,25 +51,37 @@ BUCKET_STATE_SCHEMA = T.StructType(
 )
 
 
-def band_keys(
-    text: Column, n: int = 3, num_seeds: int = 16, rows_per_band: int = 4
-) -> Column:
-    """Array of (band, band_key) structs for one document, computed
-    entirely map-side — value-identical to the batch
-    minhash_signatures + lsh_bands composition (same single-digest
-    affine permutations, same band md5)."""
+def gram_hash_pairs(text: Column, n: int = 3) -> Column:
+    """array<struct<a,b>> — one md5 per gram, split into the two affine
+    coefficients. Meant to be MATERIALISED as a real column before the
+    per-seed folds read it: higher-order-function expressions evaluate
+    interpreted with no cross-expression subexpression elimination, so
+    16 folds over this expression inline would recompute the digest 16×
+    per gram; 16 folds over the materialised column pay the digest
+    once."""
     m = MINHASH_MODULUS
     tok = tokens(text)
     grams = F.when(F.size(tok) >= n, word_ngrams(tok, n)).otherwise(
         F.array().cast("array<string>")
     )
-    ab = F.transform(
-        grams,
-        lambda g: F.struct(
-            (F.conv(F.substring(F.md5(g), 1, 13), 16, 10).cast("long") % m).alias("a"),
-            (F.conv(F.substring(F.md5(g), 14, 13), 16, 10).cast("long") % m).alias("b"),
+    digests = F.transform(grams, lambda g: F.md5(g))
+    return F.transform(
+        digests,
+        lambda d: F.struct(
+            (F.conv(F.substring(d, 1, 13), 16, 10).cast("long") % m).alias("a"),
+            (F.conv(F.substring(d, 14, 13), 16, 10).cast("long") % m).alias("b"),
         ),
     )
+
+
+def band_keys_from_pairs(
+    ab: Column, num_seeds: int = 16, rows_per_band: int = 4
+) -> Column:
+    """Array of (band, band_key) structs from a MATERIALISED hash-pair
+    column — value-identical to the batch minhash_signatures + lsh_bands
+    composition (same single-digest affine permutations, same band md5).
+    Empty pair array (doc too short to shingle) -> no bands."""
+    m = MINHASH_MODULUS
 
     def mh(i: int) -> Column:
         return F.array_min(F.transform(ab, lambda x: (x["a"] + i * x["b"]) % m))
@@ -90,7 +102,7 @@ def band_keys(
         )
         for b in range(n_bands)
     ]
-    return F.when(F.size(grams) > 0, F.array(*bands)).otherwise(
+    return F.when(F.size(ab) > 0, F.array(*bands)).otherwise(
         F.array().cast(
             "array<struct<band:int,band_key:string>>"
         )
@@ -136,10 +148,22 @@ def neardup_pairs_stream(
     """docs: streaming DataFrame with (doc_id long, text string).
     Returns append-mode candidate near-dup pairs (doc_a < doc_b, band),
     including pairs whose members arrived in DIFFERENT triggers."""
-    keyed = docs.select(
-        "doc_id",
-        F.explode(band_keys(F.col("text"), n, num_seeds, rows_per_band)).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    keyed = (
+        docs.select(
+            "doc_id", gram_hash_pairs(F.col("text"), n).alias("_ab")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                band_keys_from_pairs(F.col("_ab"), num_seeds, rows_per_band)
+            ).alias("bk"),
+        )
+        .select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+    )
     return keyed.groupBy("band", "band_key").applyInPandasWithState(
         _make_bucket_fn(max_bucket, timeout_ms),
         outputStructType=PAIR_OUTPUT_SCHEMA,

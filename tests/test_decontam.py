@@ -9,34 +9,13 @@ import duckdb
 from pyspark.sql import functions as F
 
 from ds_caselaw_ingester_spark.operators.decontam import decontaminate
+from ds_caselaw_ingester_spark.plans.queries_text import (
+    _DECONTAM_N as N,
+    DECONTAM_ORACLE as DECONTAM_SQL,
+)
 from ds_caselaw_ingester_spark.sources.catalog import table
 
 SF = "/root/testdata/sf0.001"
-N = 8
-
-DECONTAM_SQL = f"""
-WITH corpus AS (SELECT doc_id, text FROM documents),
-bench AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
-bgrams AS (
-  SELECT DISTINCT array_to_string(list_slice(tok, i, i + {N - 1}), ' ') AS gram
-  FROM (SELECT string_split_regex(trim(text), '\\s+') AS tok FROM bench),
-       unnest(generate_series(1, len(tok) - {N - 1})) AS t(i)
-  WHERE len(tok) >= {N}
-),
-dgrams AS (
-  SELECT doc_id, array_to_string(list_slice(tok, i, i + {N - 1}), ' ') AS gram
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM corpus),
-       unnest(generate_series(1, len(tok) - {N - 1})) AS t(i)
-  WHERE len(tok) >= {N}
-),
-hits AS (
-  SELECT doc_id, count(*) AS n FROM dgrams JOIN bgrams USING (gram) GROUP BY doc_id
-)
-SELECT c.doc_id,
-       coalesce(h.n, 0) AS n_contaminated_grams,
-       coalesce(h.n, 0) > 0 AS is_contaminated
-FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
-"""
 
 
 def _spark_result(spark):

@@ -112,6 +112,27 @@ def test_passjoin_k1(spark):
     assert got == {("abc", "abcd", 1), ("abc", "abc", 0), ("abc", "bbc", 1)}
 
 
+def test_passjoin_empty_strings(spark):
+    """The empty string is a legitimate value on either side: it matches
+    anything within k deletions. A length-band filter that drops band 0
+    silently loses these pairs (regression: the short-string branch
+    filtered _band >= 1)."""
+    L = spark.createDataFrame([("",), ("ab",), ("abcd",)], "l string")
+    R = spark.createDataFrame([("",), ("a",), ("abc",)], "r string")
+    got = {
+        (x.l, x.r, x.dist)
+        for x in passjoin_edit_distance_join(L, R, "l", "r", max_dist=2).collect()
+    }
+    dist = F.levenshtein(F.col("l"), F.col("r"))
+    brute = {
+        (x.l, x.r, x.dist)
+        for x in L.distinct().crossJoin(R.distinct()).where(dist <= 2)
+        .select("l", "r", dist.alias("dist")).collect()
+    }
+    assert got == brute
+    assert ("", "", 0) in got and ("", "a", 1) in got and ("ab", "", 2) in got
+
+
 def test_blocked_join_k1(spark):
     L = spark.createDataFrame([("abc",), ("zzz",)], "l string")
     R = spark.createDataFrame([("abcd",), ("abc",), ("bbc",), ("abab",)], "r string")

@@ -67,3 +67,21 @@ def test_packing_is_deterministic(spark):
         for r in pack_sequences(chunks, budget=24).collect()
     )
     assert a == b
+
+
+def test_empty_partitions_do_not_crash(spark):
+    """mapInPandas receives genuinely empty partitions when AQE
+    coalescing is off (or keys < partitions); the packer must treat an
+    exhausted Arrow iterator as no-op, not pd.concat([]) (regression:
+    `if it` is always truthy for an iterator)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+    )
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_tokens=4, overlap=0)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        rows = pack_sequences(chunks, budget=8).collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert {(r.doc_id, r.chunk_index) for r in rows} == {(1, 0), (2, 0)}

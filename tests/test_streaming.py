@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 
+from conftest import few_shuffle_partitions as _few_shuffle_partitions
 from ds_caselaw_ingester_spark.streaming.pipeline import (
     read_message_stream,
     run_ingest_stream,
@@ -17,22 +18,6 @@ def _write_batch(path, records):
         for r in records:
             f.write(json.dumps(r) + "\n")
 
-
-class _few_shuffle_partitions:
-    """Stateful streaming runs one state-store task per shuffle partition
-    per micro-batch; 32 partitions × N triggers dominates test wall time.
-    The partition count is baked into each NEW checkpoint, so lowering it
-    only affects queries started inside this context."""
-
-    def __init__(self, spark, n=4):
-        self.spark, self.n = spark, str(n)
-
-    def __enter__(self):
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
 def test_stream_splits_processed_and_quarantine(spark, tmp_path):

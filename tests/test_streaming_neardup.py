@@ -10,21 +10,11 @@ import time
 
 from pyspark.sql import functions as F
 
+from conftest import few_shuffle_partitions as _few_shuffle_partitions
 from ds_caselaw_ingester_spark.streaming.neardup import neardup_pairs_stream
 
 SF = "/root/testdata/sf0.001"
 
-
-class _few_shuffle_partitions:
-    def __init__(self, spark, n=4):
-        self.spark, self.n = spark, str(n)
-
-    def __enter__(self):
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
-
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
 def _run_stream(spark, src, out, ckpt, min_rows, timeout_s=120):
