@@ -65,8 +65,11 @@ def test_long_chain_converges_and_labels_min(spark):
 
 def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "doc_a long, doc_b long")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
+    # the raise path must restore the loop-scoped conf too (finally)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
 def test_canonical_assignment_end_to_end(spark, sf_dir):
