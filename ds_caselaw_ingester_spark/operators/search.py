@@ -1,0 +1,166 @@
+"""Full-text keyword search: BM25-scored top-k retrieval over the
+`documents` table — the lexical half of a retrieval stack (the ANN
+operators in `similarity.py` are the dense half). A training-data
+pipeline needs this both for corpus exploration ("show me documents
+about X") and for retrieval-based decontamination beyond exact n-gram
+overlap.
+
+Spark-first shape (per stage, with the 100 TB rationale):
+
+1. **Filter before you count.** The query's terms are a handful of
+   literals, so the (doc, term) term-frequency table is built from a
+   token explode filtered by `isin(terms)` *before* any aggregation —
+   at 100 TB the explode's output is pruned to matching tokens inside
+   the same whole-stage-codegen pass that produced them; nothing
+   off-query ever shuffles.
+2. **Document lengths are a separate cheap aggregate** over the same
+   pruned (id, text) scan — `size(tokens)` is map-side; the per-doc
+   row is one long.
+3. **Corpus stats (N, total length) collapse to ONE row**; document
+   frequencies per query term collapse to ≤|terms| rows. Both sides of
+   the scoring join are broadcast — the per-doc score assembly is a
+   broadcast-hash join with zero shuffle of the corpus-sized side.
+4. **Top-k is orderBy().limit(k)** — Spark plans TakeOrderedAndProject
+   (per-partition heap, single k-row merge), never a global sort.
+
+Determinism (oracle hash-parity): BM25 is a sum of per-term doubles,
+and float addition is order-sensitive, so each per-(doc, term) score is
+rounded to micro-units and cast to BIGINT *before* the per-doc sum —
+integer addition is associative, so the aggregate is bit-stable under
+any shuffle order, in Spark and DuckDB alike. The ≤1e-6 per-term
+quantization is documented API behavior, not an accident.
+
+Reference parity note: the reference has no search surface (it is an
+ingest Lambda); this extends SURVEY.md §2.9's pipeline operators the
+same way the ANN/dedup family does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.textstats import tokens
+
+_MICRO = 1000000.0
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under BM25
+    (Robertson/Sparck-Jones idf: ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Returns (doc_id, score, rank) with rank 1..k ordered by
+    (score DESC, doc_id ASC); only documents containing at least one
+    query term are candidates. `score` is the micro-rounded per-term
+    sum (see module docstring).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    tok = tokens(F.col("_text"))
+    # Stage 3a: ONE corpus-stats row (exact integer sums, then a single
+    # double division — deterministic). Aggregated over ALL documents,
+    # matching ones or not.
+    stats = base.select(F.size(tok).alias("dl")).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    # Stage 1+2: explode -> prune to query terms in the same codegen
+    # pass. The document length rides along as a per-row long computed
+    # BEFORE the explode, so the per-doc score assembly later needs no
+    # corpus-sized join back to a lengths table — `dl` is functionally
+    # dependent on doc_id and lands in the groupBy key for free.
+    tf = (
+        base.select(
+            "doc_id", F.size(tok).alias("dl"), F.explode(tok).alias("token")
+        )
+        .where(F.col("token").isin(terms))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    # Stage 3b: document frequency per query term (≤ |terms| rows).
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+
+    scored = tf.join(F.broadcast(df_t), "token").join(F.broadcast(stats))
+    # Expression order mirrors the DuckDB oracle token-for-token so the
+    # IEEE double sequence is identical on both sides.
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    term_score = (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom
+    micro = F.round(term_score * F.lit(_MICRO), 0).cast("long")
+
+    per_doc = scored.groupBy("doc_id").agg(
+        (F.sum(micro) / F.lit(_MICRO)).alias("score")
+    )
+    topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # Rank over the ≤k surviving rows only — the single-partition window
+    # touches k rows, never the corpus.
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", "score", F.row_number().over(w).alias("rank")
+    )
+
+
+def bm25_oracle_sql(
+    terms: list[str], k: int, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB oracle mirroring `bm25_topk` expression-for-expression
+    (micro-rounded per-term scores summed as BIGINT)."""
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE string_split_regex(trim(text), '\\s+') END) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+alldl AS (SELECT doc_id, 0 AS dl FROM documents WHERE trim(text) = ''
+          UNION ALL SELECT doc_id, dl FROM dl),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM alldl),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token IN ({quoted})
+  GROUP BY doc_id, token
+),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+per_term AS (
+  SELECT tf.doc_id,
+         CAST(round(
+           (ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * (tf.tf * {k1 + 1.0!r}))
+           / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * (d.dl / (s.total_dl / s.n_docs))))
+           * {_MICRO!r}, 0) AS BIGINT) AS micro
+  FROM tf
+  JOIN dft USING (token)
+  JOIN alldl d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, sum(micro) / {_MICRO!r} AS score,
+       row_number() OVER (ORDER BY sum(micro) / {_MICRO!r} DESC, doc_id ASC) AS rank
+FROM per_term
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""

@@ -512,3 +512,35 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n_emails + n_phones + n_ips) == 0).alias("is_clean"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bm25_search — lexical top-k retrieval (UNREGISTERED: pytest-gated with
+# the same full DuckDB oracle in tests/test_oracle_parity.py; the 50-row
+# driver registry is held at its cap by the broader-coverage queries)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "window", "merge"]
+_BM25_K = 25
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over `documents` for a fixed bag-of-terms query.
+
+    Scale shape (operators/search.py): term-pruned explode, one
+    corpus-stats row, broadcast term stats, TakeOrderedAndProject top-k.
+    """
+    ensure_oracle_safe(spark)
+    from ds_caselaw_ingester_spark.operators.search import bm25_topk
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    return bm25_topk(d, "doc_id", "text", _BM25_TERMS, _BM25_K)
+
+
+def bm25_search_oracle() -> str:
+    from ds_caselaw_ingester_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, _BM25_K)

@@ -67,3 +67,19 @@ def test_unregistered_tar_listing_matches_oracle(spark, sf_dir):
     )
     assert res.ok, res.detail
     assert res.spark_rows > 0
+
+
+def test_unregistered_bm25_matches_oracle(spark, sf_dir):
+    """bm25_search is pytest-gated (registry at its 50-row cap): lexical
+    top-k retrieval must hash-match the DuckDB oracle, micro-rounded
+    per-term scores summed as BIGINT for order-stable float parity."""
+    from ds_caselaw_ingester_spark.plans.queries_text import (
+        bm25_search_oracle,
+        q_bm25_search,
+    )
+
+    res = check_query(
+        spark, sf_dir, "bm25_search", q_bm25_search, bm25_search_oracle()
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0

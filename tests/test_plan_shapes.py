@@ -235,3 +235,16 @@ def test_connected_components_restores_shuffle_partitions(spark):
     )
     connected_components(edges).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_bm25_topk_is_takeordered_with_broadcast_stats(spark, sf_dir):
+    """bm25_search must plan the global top-k as TakeOrderedAndProject
+    (per-partition heap, never a full sort shuffle) and join the tiny
+    term/corpus statistics by broadcast — the corpus-sized (doc, term)
+    frame must not be the build side of anything."""
+    from ds_caselaw_ingester_spark.plans.queries_text import q_bm25_search
+
+    plan = _physical_plan(q_bm25_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan

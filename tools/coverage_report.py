@@ -48,6 +48,7 @@ def main() -> int:
             "  chunk_documents (op)    tests/test_chunking.py + test_curation_property.py",
             "  token_frequencies/vocab tests/test_vocab.py",
             "  edit_distance_join      tests/test_fuzzy_join.py (SymSpell variant)",
+            "  bm25_search             tests/test_oracle_parity.py (lexical top-k retrieval)",
         ):
             print(line)
         print()
