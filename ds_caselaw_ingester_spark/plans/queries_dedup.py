@@ -299,3 +299,52 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
     corpus = _corpus(spark, sf_dir)
     return simhash16(corpus, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# repeated_spans — cross-corpus duplicated-passage fractions (UNREGISTERED:
+# pytest-gated in tests/test_oracle_parity.py with the full DuckDB oracle;
+# the 50-row driver registry is at its cap)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8
+
+REPEATED_SPANS_ORACLE = f"""
+WITH {{corpus}},
+tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM corpus
+),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {_SPAN_N - 2}, 1))) AS i
+  FROM tok
+),
+ex AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}), ' ')) AS g
+  FROM pos
+),
+per_dg AS (SELECT g, doc_id, count(*) AS c FROM ex GROUP BY g, doc_id),
+totals AS (SELECT g, sum(c) AS total FROM per_dg GROUP BY g)
+SELECT doc_id,
+       sum(c) AS n_grams,
+       coalesce(sum(CASE WHEN total >= 2 THEN c END), 0) AS n_dup_grams,
+       round(coalesce(sum(CASE WHEN total >= 2 THEN c END), 0) / sum(c), 4)
+         AS dup_fraction
+FROM per_dg JOIN totals USING (g)
+GROUP BY doc_id
+""".format(corpus=CORPUS_SQL)
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional duplicated-passage fractions over the planted-dup
+    corpus: every planted near-copy shares nearly all its 8-token
+    windows with its original, so both sides of each planted pair must
+    report dup_fraction ≈ 1 while untouched documents stay near 0."""
+    ensure_oracle_safe(spark)
+    from ds_caselaw_ingester_spark.operators.dedup import repeated_spans
+
+    return repeated_spans(_corpus(spark, sf_dir), "doc_id", "text", n=_SPAN_N)

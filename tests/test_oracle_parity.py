@@ -83,3 +83,40 @@ def test_unregistered_bm25_matches_oracle(spark, sf_dir):
     )
     assert res.ok, res.detail
     assert res.spark_rows > 0
+
+
+def test_unregistered_repeated_spans_matches_oracle(spark, sf_dir):
+    """repeated_spans is pytest-gated (registry at its 50-row cap):
+    positional duplicated-passage fractions must hash-match the DuckDB
+    oracle, and the planted near-copies must actually read as
+    duplicated passages (dup_fraction ≈ 1 on both sides of each planted
+    pair) while most untouched documents stay clean — the semantic
+    check that distinguishes a working detector from one that merely
+    agrees with its oracle about noise."""
+    from ds_caselaw_ingester_spark.plans.queries_dedup import (
+        REPEATED_SPANS_ORACLE,
+        q_repeated_spans,
+    )
+
+    res = check_query(
+        spark, sf_dir, "repeated_spans", q_repeated_spans, REPEATED_SPANS_ORACLE
+    )
+    assert res.ok, res.detail
+    rows = {r["doc_id"]: r for r in q_repeated_spans(spark, sf_dir).collect()}
+    planted = [d for d in rows if d >= 100000]
+    assert planted, "corpus should contain planted near-copies"
+    for d in planted:
+        # The copy drops the original's last token, so every copy gram
+        # exists in the original (fraction 1.0) and at most ONE of the
+        # original's g grams (the final window) is unmatched: >= (g-1)/g.
+        assert rows[d]["dup_fraction"] >= 0.99, (d, rows[d])
+        orig = rows[d - 100000]
+        g = orig["n_grams"]
+        assert orig["dup_fraction"] >= round((g - 1) / g, 4) - 1e-9, (d, orig)
+    untouched = [
+        r["dup_fraction"]
+    for d, r in rows.items()
+        if d < 100000 and d % 10 != 0
+    ]
+    clean = sum(1 for f in untouched if f <= 0.1)
+    assert clean >= 0.8 * len(untouched), (clean, len(untouched))

@@ -49,6 +49,7 @@ def main() -> int:
             "  token_frequencies/vocab tests/test_vocab.py",
             "  edit_distance_join      tests/test_fuzzy_join.py (SymSpell variant)",
             "  bm25_search             tests/test_oracle_parity.py (lexical top-k retrieval)",
+            "  repeated_spans          tests/test_oracle_parity.py (positional passage dedup)",
         ):
             print(line)
         print()
