@@ -50,6 +50,7 @@ def main() -> int:
             "  edit_distance_join      tests/test_fuzzy_join.py (SymSpell variant)",
             "  bm25_search             tests/test_oracle_parity.py (lexical top-k retrieval)",
             "  repeated_spans          tests/test_oracle_parity.py (positional passage dedup)",
+            "  zorder layout (op)      tests/test_layout.py (footer-stat pruning measured)",
         ):
             print(line)
         print()
