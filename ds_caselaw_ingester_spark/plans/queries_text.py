@@ -544,3 +544,61 @@ def bm25_search_oracle() -> str:
     from ds_caselaw_ingester_spark.operators.search import bm25_oracle_sql
 
     return bm25_oracle_sql(_BM25_TERMS, _BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# corpus_mixture — weighted multi-source blend with upsampling epochs
+# (UNREGISTERED: pytest-gated in tests/test_oracle_parity.py; the 50-row
+# driver registry is at its cap)
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_BUDGET = 30000
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-source blend at a fixed token (char) budget:
+    the heavier-weighted sources up-sample (full epochs + hash-gated
+    fractional remainder), the lighter one down-samples — one scan,
+    map-side explode, driver collect bounded by |sources|."""
+    ensure_oracle_safe(spark)
+    from ds_caselaw_ingester_spark.operators.mixture import mix_corpus
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return mix_corpus(
+        d, "doc_id", "source", "n_chars", _MIX_WEIGHTS, _MIX_BUDGET
+    ).select("doc_id", "source", "epoch")
+
+
+def corpus_mixture_oracle() -> str:
+    # Normalized weights are Python-computed literals (full repr
+    # precision) so the SQL rate arithmetic replays the operator's
+    # driver-side float sequence op-for-op: (budget * nw) / total.
+    wsum = sum(_MIX_WEIGHTS.values())
+    vals = ", ".join(
+        f"('{s}', {w / wsum!r})" for s, w in _MIX_WEIGHTS.items()
+    )
+    srcs = ", ".join(f"'{s}'" for s in _MIX_WEIGHTS)
+    return f"""
+WITH totals AS (
+  SELECT source, sum(n_chars) AS tok FROM documents
+  WHERE source IN ({srcs}) GROUP BY source
+),
+rates AS (
+  SELECT source, ({_MIX_BUDGET} * nw) / tok AS rate
+  FROM totals JOIN (VALUES {vals}) AS w(source, nw) USING (source)
+),
+ex AS (
+  -- bounded cross join instead of lateral unnest (DuckDB 1.x binder
+  -- bug with unnest aliases referenced downstream); 102 covers the
+  -- operator's max_rate=100 cap plus the fractional epoch
+  SELECT d.doc_id, d.source, rate, t.epoch
+  FROM documents d JOIN rates USING (source)
+  CROSS JOIN range(0, 102) AS t(epoch)
+  WHERE t.epoch <= CAST(floor(rate) AS BIGINT)
+)
+SELECT doc_id, source, epoch FROM ex
+WHERE epoch < CAST(floor(rate) AS BIGINT)
+   OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)), 1, 13))::BIGINT
+      / 16.0^13 < rate - floor(rate)
+"""

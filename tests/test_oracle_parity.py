@@ -120,3 +120,31 @@ def test_unregistered_repeated_spans_matches_oracle(spark, sf_dir):
     ]
     clean = sum(1 for f in untouched if f <= 0.1)
     assert clean >= 0.8 * len(untouched), (clean, len(untouched))
+
+
+def test_unregistered_corpus_mixture_matches_oracle(spark, sf_dir):
+    """corpus_mixture is pytest-gated (registry at its 50-row cap): the
+    weighted blend must hash-match the DuckDB oracle AND actually mix —
+    up-weighted sources must emit repeat epochs, the down-weighted one
+    must subsample, and realized token shares must sit near the target
+    weights (the semantic check on top of replay parity)."""
+    from ds_caselaw_ingester_spark.plans.queries_text import (
+        _MIX_WEIGHTS,
+        corpus_mixture_oracle,
+        q_corpus_mixture,
+    )
+
+    res = check_query(
+        spark, sf_dir, "corpus_mixture", q_corpus_mixture, corpus_mixture_oracle()
+    )
+    assert res.ok, res.detail
+    rows = q_corpus_mixture(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["epoch"])
+    assert set(by_src) == set(_MIX_WEIGHTS)
+    assert max(by_src["src0"]) >= 1, "heaviest source should repeat epochs"
+    # src2 is down-weighted below its natural share: no repeat epochs,
+    # and strictly fewer kept rows than the 25 docs it holds per sf.
+    assert max(by_src["src2"]) == 0
+    assert len(by_src["src2"]) < 25, by_src["src2"]

@@ -51,6 +51,7 @@ def main() -> int:
             "  bm25_search             tests/test_oracle_parity.py (lexical top-k retrieval)",
             "  repeated_spans          tests/test_oracle_parity.py (positional passage dedup)",
             "  zorder layout (op)      tests/test_layout.py (footer-stat pruning measured)",
+            "  corpus_mixture          tests/test_oracle_parity.py + test_mixture.py",
         ):
             print(line)
         print()
