@@ -247,3 +247,53 @@ def run_windowed_counts_stream(events: DataFrame, out_dir: str, checkpoint_dir: 
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    ts_col: str = "event_time",
+    key_col: str = "originator",
+    gap: str = "15 minutes",
+    late: str = "2 hours",
+):
+    """Event-time SESSION windows (gap-based, variable length) with a
+    watermark — the streaming incrementalization of the batch
+    sessionize query (plans/queries_relational.py user_sessions, which
+    builds sessions with lag()+cumsum window functions).
+
+    Spark-first: `F.session_window` keeps one open window per key in
+    the state store, MERGES windows when a row bridges two (state-store
+    native — no shuffle beyond the groupBy's), closes a session when
+    `gap` passes without a row, and the watermark bounds state: a
+    session older than (max event time - late) is finalized, emitted
+    once (append mode), and evicted. State size = |active keys|, not
+    |history| — the property that makes per-user sessionization over an
+    unbounded event stream runnable forever.
+    """
+    return (
+        events.withWatermark(ts_col, late)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )
+
+
+def run_sessionized_stream(events: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Materialize finalized sessions append-only: each session row is
+    emitted exactly once, when the watermark passes its end."""
+    agg = sessionized_counts(events)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/sessions")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

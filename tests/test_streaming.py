@@ -225,3 +225,73 @@ def test_rate_source_stream_parses_and_quarantines(spark, tmp_path):
     quarantined = spark.read.parquet(f"{out}/quarantine")
     bad_ids = {r.message_id for r in quarantined.collect()}
     assert "rate-0" in bad_ids and "rate-7" in bad_ids
+
+
+def test_session_windows_merge_and_finalize(spark, tmp_path):
+    """Streaming gap-based sessions: rows within the gap fuse into ONE
+    variable-length window per key (including a bridge row merging two
+    provisional windows), and append mode emits a session exactly once,
+    after the watermark passes its end. The still-open late session
+    must NOT be emitted."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import types as T
+
+    from ds_caselaw_ingester_spark.streaming.pipeline import run_sessionized_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("originator", T.StringType()),
+        ]
+    )
+    src = tmp_path / "events"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_file(name, rows):
+        with open(src / name, "w") as f:
+            for ts, orig in rows:
+                f.write(
+                    json.dumps(
+                        {"event_time": ts.strftime("%Y-%m-%dT%H:%M:%S.000Z"), "originator": orig}
+                    )
+                    + "\n"
+                )
+
+    m = dt.timedelta
+    # TDR: 10:00 and 10:20 are >15m apart (two provisional sessions);
+    # the 10:10 row in the SAME trigger bridges them into one session
+    # 10:00-10:35. FCL: a lone row -> session 10:00-10:15.
+    write_file(
+        "f0.json",
+        [(base, "TDR"), (base + m(minutes=20), "TDR"), (base + m(minutes=10), "TDR"), (base, "FCL")],
+    )
+    # advance the watermark far past the 10:35 session end...
+    write_file("f1.json", [(base + m(hours=8), "TDR")])
+    # ...and run a trigger AT that watermark: emits + evicts the closed
+    # sessions; the 18:00 session is still open (no emission).
+    write_file("f2.json", [(base + m(hours=8, minutes=5), "TDR")])
+    for i, name in enumerate(["f0.json", "f1.json", "f2.json"]):
+        os.utime(src / name, (1700000000 + i * 10, 1700000000 + i * 10))
+
+    events = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with _few_shuffle_partitions(spark):
+        q = run_sessionized_stream(events, out, ckpt)
+        q.awaitTermination(180)
+
+    rows = {
+        (r.originator, r.session_start): r
+        for r in spark.read.parquet(f"{out}/sessions").collect()
+    }
+    assert set(rows) == {("TDR", base), ("FCL", base)}, rows
+    tdr = rows[("TDR", base)]
+    assert tdr.n_events == 3
+    assert tdr.session_end == base + m(minutes=35)
+    fcl = rows[("FCL", base)]
+    assert fcl.n_events == 1
+    assert fcl.session_end == base + m(minutes=15)
