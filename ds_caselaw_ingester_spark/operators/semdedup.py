@@ -1,0 +1,135 @@
+"""SemDeDup — semantic deduplication via embedding clustering (Abbas et
+al. 2023, arXiv:2303.09540, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication").
+
+The method the paper describes for web-scale corpora, re-expressed as a
+Spark plan:
+
+1. k-means cluster the embedding space (the coarse quantizer the IVF
+   operators already train — ``kmeans_fit`` — or any fixed centroid set);
+2. search for near-duplicate pairs ONLY within a cluster — the cluster
+   equi-join bounds pair work to O(sum cluster_size^2) instead of the
+   O(n^2) all-pairs matrix the paper itself computes per cluster on GPU;
+3. group duplicate pairs into connected components and keep ONE exemplar
+   per group. Following the paper's ablation (§3.2: "we keep the image
+   with the *lowest* cosine similarity to the cluster centroid"), the
+   exemplar is the member LEAST similar to its centroid — the least
+   redundant representative — with the id as a deterministic tie-break.
+
+Differences from the exact-text dedup family (operators/dedup.py): the
+signal is the embedding geometry, so paraphrases / re-encodes / crops
+that share no n-grams still collide; the cost model is the cluster
+partitioning, not shingle buckets.
+
+Scale shape (100 TB corpus, k clusters):
+- assignment is ivf_assign's map-side argmax — no shuffle of the vector
+  table, centroids ride in the plan as literals;
+- the pair stage shuffles each vector ONCE keyed by centroid_id; within
+  a cluster the self-join is quadratic, so k must scale with n (the
+  paper uses k ~ sqrt(n·avg_cluster); a skewed giant cluster is the
+  operator's known hazard — AQE skew-join splits the probe side, and the
+  cluster histogram is one cheap groupBy to check before committing);
+- components + exemplar selection run on the PAIR survivors only (the
+  unpaired majority of a real corpus short-circuits through a left
+  join), reusing the O(log diameter) pointer-jumping CC loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.cluster import connected_components
+from ds_caselaw_ingester_spark.operators.similarity import (
+    dot_product,
+    ivf_assign,
+    l2_norm,
+)
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: "DataFrame | list",
+    threshold: float = 0.95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """One row per input vector:
+    (id, centroid_id, centroid_cos, component, keep_id, is_duplicate).
+
+    component is the MINIMUM member id of the vector's duplicate group
+    (singleton = itself); keep_id is the group's exemplar — the member
+    with the lowest rounded cosine to its cluster centroid (id ASC
+    tie-break); is_duplicate marks everything else in the group. Rounded
+    cosines everywhere keep the decision engine-portable (the DuckDB
+    oracle replays it bit-for-bit).
+    """
+    assigned = ivf_assign(
+        vectors.select(id_col, vec_col),
+        vec_col,
+        id_col,
+        centroids,
+        nprobe=1,
+        round_digits=round_digits,
+        keep_score=True,
+    ).withColumn("_nrm", l2_norm(F.col(vec_col)))
+    # Both pair-join branches, the exemplar rank, and the output row all
+    # read `assigned`; persisting stops the argmax fold (the expensive
+    # map work) re-running per consumer. Slim cache: id, cell, cos, vec.
+    assigned = assigned.persist()
+
+    left = assigned.select(
+        F.col(id_col).alias("_ida"),
+        F.col("centroid_id").alias("_cell"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    right = assigned.select(
+        F.col(id_col).alias("_idb"),
+        F.col("centroid_id").alias("_cell"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    pairs = (
+        left.join(right, "_cell")
+        .where(F.col("_ida") < F.col("_idb"))
+        .select(
+            "_ida",
+            "_idb",
+            F.round(
+                dot_product(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_digits,
+            ).alias("_cos"),
+        )
+        .where(F.col("_cos") >= F.lit(threshold))
+        .select("_ida", "_idb")
+    )
+
+    # connected_components materializes the edge list (its own cache +
+    # count), so the pair pipeline — the double reader the persist is
+    # for — has already run by the time it returns.
+    comp = connected_components(pairs, id_a="_ida", id_b="_idb")
+    # Materialize the slim labeled rows (id, cell, cos, component — no
+    # vectors) so the vector cache can be released HERE, deterministically,
+    # instead of leaking until LRU eviction; the caller's actions then
+    # read the checkpoint, never the argmax fold again.
+    labeled = (
+        assigned.select(id_col, "centroid_id", "centroid_cos")
+        .join(comp.select(F.col("node").alias(id_col), "component"), id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            "centroid_cos",
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assigned.unpersist()
+    w = Window.partitionBy("component").orderBy(
+        F.col("centroid_cos").asc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("keep_id", F.first(F.col(id_col)).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("keep_id"))
+    )

@@ -349,6 +349,7 @@ def ivf_assign(
     centroids: "DataFrame | list",
     nprobe: int = 1,
     round_digits: int = 4,
+    keep_score: bool = False,
 ) -> DataFrame:
     """Assign each vector to its `nprobe` nearest centroids (by cosine,
     rounded, centroid_id tie-break).
@@ -366,6 +367,11 @@ def ivf_assign(
     Per-row cost is also ~3× lower: the vector's own norm is computed
     once (not per centroid) and each centroid's norm is a Python-
     precomputed constant with bit-identical IEEE value.
+
+    keep_score: also emit the rounded cosine to the assigned centroid as
+    `centroid_cos` (consumers like semantic_dedup rank exemplars by it;
+    the value is already inside the argmax struct, so exposing it is
+    free — no extra fold).
     """
     import math
 
@@ -409,7 +415,10 @@ def ivf_assign(
     # lexicographic struct sort == (score DESC, centroid_id ASC)
     ranked = F.array_sort(F.transform(F.sequence(F.lit(0), F.lit(n_c - 1)), _entry))
     picked = df.withColumn("_pick", F.explode(F.slice(ranked, 1, nprobe)))
-    return picked.withColumn("centroid_id", F.col("_pick")["centroid_id"]).drop("_pick")
+    out = picked.withColumn("centroid_id", F.col("_pick")["centroid_id"])
+    if keep_score:
+        out = out.withColumn("centroid_cos", -F.col("_pick")["neg_score"])
+    return out.drop("_pick")
 
 
 def ivf_topk(

@@ -159,21 +159,25 @@ _KMEANS_K = 16
 _EMB_DIM = 64
 
 
-def _kmeans_oracle() -> str:
-    """DuckDB replay of kmeans_fit(k=16, max_iter=3, tol=0, round_centroids=6)
-    + ivf_topk(nprobe=2): training runs on the deterministic 1/4 sample
+_COSINE_SQL = (
+    "round(list_dot_product({v}, {c}) / "
+    "(sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product({c}, {c}))), 4)"
+)
+
+
+def _kmeans_train_ctes() -> "tuple[str, str]":
+    """(ctes, final_cte): DuckDB replay of kmeans_fit(k=16, max_iter=3,
+    tol=0, round_centroids=6) as a CTE chain plus the name of the final
+    centroid CTE — shared by ann_ivf_trained_topk's probe oracle and
+    semantic_dedup's. Training runs on the deterministic 1/4 sample
     (vec_id % 4 = 0 — the production IVF pattern: quantizers train on a
     corpus sample, then index everything); init = the k lowest-vec_id
     TRAINING vectors; each Lloyd round assigns every training vector to
     its nearest centroid by ROUNDED(4) cosine (centroid_id tie-break) and
     recomputes per-dimension means rounded to 6 digits (the rounding that
     makes Spark's partial-agg mean and DuckDB's sequential mean
-    bit-identical); empty cells keep their centroid. The final index +
-    probe covers the FULL corpus."""
-    cosine = (
-        "round(list_dot_product({v}, {c}) / "
-        "(sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product({c}, {c}))), 4)"
-    )
+    bit-identical); empty cells keep their centroid."""
+    cosine = _COSINE_SQL
     iters = []
     prev = "init"
     for n in range(1, _KMEANS_ITERS + 1):
@@ -199,18 +203,28 @@ c{n} AS (
 )"""
         )
         prev = f"c{n}"
-    qc = cosine.format(v="q.v", c="c.cvec")
-    cc = cosine.format(v="b.v", c="c.cvec")
-    pair = cosine.format(v="qa.qv", c="ca.cv")
-    return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ctes = f"""base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 train AS (SELECT vec_id, v FROM base WHERE vec_id % 4 = 0),
 dims AS (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i),
 init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, v AS cvec
   FROM (SELECT vec_id, v FROM train ORDER BY vec_id LIMIT {_KMEANS_K})
 ),
-{",".join(iters)},
+{",".join(iters)}"""
+    return ctes, prev
+
+
+def _kmeans_oracle() -> str:
+    """The trained-quantizer IVF probe: _kmeans_train_ctes + the same
+    index/probe tail as ANN_IVF_ORACLE. The final index + probe covers
+    the FULL corpus."""
+    cosine = _COSINE_SQL
+    ctes, prev = _kmeans_train_ctes()
+    qc = cosine.format(v="q.v", c="c.cvec")
+    cc = cosine.format(v="b.v", c="c.cvec")
+    pair = cosine.format(v="qa.qv", c="ca.cv")
+    return f"""
+WITH {ctes},
 cand_assign AS (
   SELECT vec_id AS c_id, v AS cv, centroid_id FROM (
     SELECT b.vec_id, b.v, c.centroid_id,
@@ -514,6 +528,108 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.where(F.col("cosine") >= 0.9)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup: cluster-bounded embedding dedup, keep-one
+# ---------------------------------------------------------------------------
+
+# NOT @register-ed (registry at the driver's 50-row cap): pytest-gated
+# with the identical DuckDB oracle in tests/test_oracle_parity.py, like
+# bm25_search / repeated_spans / corpus_mixture. Same planted-near-dup
+# corpus as embedding_neardup. The quantizer is TRAINED (the shared
+# _kmeans_train_ctes replay): naive data-row centroids co-located only
+# 40/50 planted pairs (boundary misses — SemDeDup's known hazard); the
+# trained cells co-locate 48/50 (measured at sf0.001, pinned below the
+# 0.9 bar in tests/test_oracle_parity.py).
+
+
+def semantic_dedup_oracle() -> str:
+    ctes, prev = _kmeans_train_ctes()
+    asg = _COSINE_SQL.format(v="b.v", c="ct.cvec")
+    pair = _COSINE_SQL.format(v="a.v", c="b.v")
+    return f"""
+WITH RECURSIVE {ctes},
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, [0.0] || list_slice(v, 2, len(v)) AS v
+  FROM base WHERE vec_id % 10 = 0
+),
+assign AS (
+  SELECT vec_id, v, centroid_id, cc_ AS centroid_cos FROM (
+    SELECT b.vec_id, b.v, ct.centroid_id, {asg} AS cc_,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {asg} DESC, ct.centroid_id ASC) AS rn
+    FROM corpus b CROSS JOIN {prev} ct
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {pair} >= 0.95
+),
+sym AS (
+  SELECT ida AS src, idb AS dst FROM pairs
+  UNION ALL
+  SELECT idb AS src, ida AS dst FROM pairs
+),
+reach(node, comp) AS (
+  SELECT vec_id, vec_id FROM corpus
+  UNION
+  SELECT s.src, r.comp FROM sym s JOIN reach r ON r.node = s.dst
+),
+comps AS (SELECT node AS vec_id, min(comp) AS component FROM reach GROUP BY node),
+exemplar AS (
+  SELECT component, vec_id AS keep_id FROM (
+    SELECT c.component, c.vec_id,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY a.centroid_cos ASC, c.vec_id ASC) AS rn
+    FROM comps c JOIN assign a USING (vec_id)
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.centroid_id, a.centroid_cos, c.component, e.keep_id,
+       a.vec_id <> e.keep_id AS is_duplicate
+FROM assign a
+JOIN comps c USING (vec_id)
+JOIN exemplar e USING (component)
+"""
+
+
+SEMANTIC_DEDUP_ORACLE = semantic_dedup_oracle()
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) over the planted-near-dup corpus:
+    cluster-bounded pair search -> connected components -> keep the
+    member LEAST similar to its centroid (the paper's §3.2 exemplar
+    choice). See operators/semdedup.py for the scale notes."""
+    from ds_caselaw_ingester_spark.operators.semdedup import semantic_dedup
+
+    ensure_oracle_safe(spark)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(0.0)), F.slice(F.col("v"), 2, F.size(F.col("v")) - 1)
+        ).alias("v"),
+    )
+    corpus = spread(emb.unionAll(planted), "vec_id")
+    from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
+
+    centroids = kmeans_fit(
+        spread(emb.where(F.col("vec_id") % 4 == 0), "vec_id"),
+        "v",
+        "vec_id",
+        k=_KMEANS_K,
+        max_iter=_KMEANS_ITERS,
+        tol=0.0,
+        round_centroids=6,
+    )
+    return semantic_dedup(corpus, "v", "vec_id", centroids, threshold=0.95)
 
 
 # ---------------------------------------------------------------------------

@@ -148,3 +148,49 @@ def test_unregistered_corpus_mixture_matches_oracle(spark, sf_dir):
     # and strictly fewer kept rows than the 25 docs it holds per sf.
     assert max(by_src["src2"]) == 0
     assert len(by_src["src2"]) < 25, by_src["src2"]
+
+
+def test_unregistered_semantic_dedup_matches_oracle(spark, sf_dir):
+    """semantic_dedup (SemDeDup, arXiv:2303.09540) is pytest-gated
+    (registry at its 50-row cap): the cluster-bounded keep-one decision
+    must hash-match the DuckDB oracle AND actually dedup — every planted
+    near-copy (cosine ~0.99 to its source) must share a component with
+    its source with exactly one of the two kept, and the exemplar must
+    be the component member least similar to its centroid."""
+    from ds_caselaw_ingester_spark.plans.queries_similarity import (
+        SEMANTIC_DEDUP_ORACLE,
+        q_semantic_dedup,
+    )
+
+    res = check_query(
+        spark, sf_dir, "semantic_dedup", q_semantic_dedup, SEMANTIC_DEDUP_ORACLE
+    )
+    assert res.ok, res.detail
+    rows = {r["vec_id"]: r for r in q_semantic_dedup(spark, sf_dir).collect()}
+    planted = [v for v in rows if v >= 100000]
+    assert planted, "corpus should contain planted near-copies"
+    found = sum(
+        1 for v in planted if rows[v]["component"] == rows[v - 100000]["component"]
+    )
+    # the planted copy zeroes one of 64 components (cosine ~0.99): the
+    # pair is only missed if the two land in different k-means cells
+    assert found >= 0.9 * len(planted), (found, len(planted))
+    for v in planted:
+        if rows[v]["component"] != rows[v - 100000]["component"]:
+            continue
+        kept = {rows[v]["is_duplicate"], rows[v - 100000]["is_duplicate"]}
+        assert kept == {True, False} or rows[v]["keep_id"] not in (
+            v,
+            v - 100000,
+        ), (v, rows[v], rows[v - 100000])
+    # exemplar rule: within every multi-member component, keep_id is the
+    # member with the LOWEST centroid cosine (id tie-break)
+    by_comp: dict = {}
+    for r in rows.values():
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        if len(members) == 1:
+            assert not members[0]["is_duplicate"]
+            continue
+        want = min(members, key=lambda r: (r["centroid_cos"], r["vec_id"]))
+        assert all(m["keep_id"] == want["vec_id"] for m in members), comp

@@ -52,6 +52,7 @@ def main() -> int:
             "  repeated_spans          tests/test_oracle_parity.py (positional passage dedup)",
             "  zorder layout (op)      tests/test_layout.py (footer-stat pruning measured)",
             "  corpus_mixture          tests/test_oracle_parity.py + test_mixture.py",
+            "  semantic_dedup          tests/test_oracle_parity.py + test_semdedup.py (SemDeDup)",
             "  streaming sessions (op) tests/test_streaming.py (merge + emit-once pinned)",
         ):
             print(line)
