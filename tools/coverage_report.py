@@ -54,6 +54,8 @@ def main() -> int:
             "  corpus_mixture          tests/test_oracle_parity.py + test_mixture.py",
             "  semantic_dedup          tests/test_oracle_parity.py + test_semdedup.py (SemDeDup)",
             "  streaming sessions (op) tests/test_streaming.py (merge + emit-once pinned)",
+            "  bucketed layout (op)    tests/test_bucketing.py (exchange-free join plans)",
+            "  stream-stream join (op) tests/test_streaming_joins.py (interval + leftOuter)",
         ):
             print(line)
         print()
