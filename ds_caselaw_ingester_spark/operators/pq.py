@@ -1,0 +1,262 @@
+"""Product quantization (PQ) — the storage tier below int8 for vector
+search (Jégou et al. 2011, "Product quantization for nearest neighbor
+search").
+
+Scalar int8 (operators/quantize.py) is 1 byte/dim. PQ goes further:
+split each vector into `m` subspaces, k-means each subspace into `k`
+codewords, and store ONE code per subspace — m bytes per vector
+regardless of dimension (64-dim float64 = 512 B -> 8 B at m=8, 64×).
+At 100 TB of embeddings that is the difference between an index that
+fits in cluster memory and one that doesn't.
+
+Scoring is ADC (asymmetric distance computation): the float query
+builds a per-subspace lookup table of dot products against every
+codeword (m·k entries, computed ONCE per query), and each candidate's
+score is m table lookups + one stored norm — no per-candidate
+dot-product over `dim` floats. Cost per candidate drops from O(dim)
+multiplies to O(m) lookups; the approximation error is the quantizer's,
+not the scorer's.
+
+Engine-portability follows the repo's IVF conventions: subspace
+training reuses kmeans_fit (deterministic lowest-id init, rounded
+centroid means), encoding is the rounded-cosine argmax with code-id
+tie-break, ADC cosines are rounded — so a pure-Python replay of the
+fit/encode/score pipeline is bit-exact (tests/test_pq.py pins it).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.similarity import (
+    _lit_double_array,
+    kmeans_fit,
+    l2_norm,
+)
+
+
+def pq_fit(
+    vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 3,
+    round_centroids: "int | None" = 6,
+) -> dict:
+    """Train one codebook per subspace. Returns
+    {"m", "k", "subdim", "books": books} where books[s][c] is the
+    c-th codeword (list of floats) of subspace s.
+
+    Training is m independent kmeans_fit runs over SLICED vectors —
+    each run's shuffle carries subdim-wide arrays, and the codebook that
+    reaches the driver is m·k·subdim doubles (= one full-width k-means
+    codebook, however large m is). Like the IVF quantizer, production
+    fits on a corpus sample and encodes everything."""
+    first = vectors.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_fit: empty training set")
+    dim = len(first[vec_col])
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    subdim = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sub = vectors.select(
+            id_col, F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("_sub")
+        )
+        cents = kmeans_fit(
+            sub,
+            "_sub",
+            id_col,
+            k=k,
+            max_iter=max_iter,
+            tol=0.0,
+            round_centroids=round_centroids,
+        )
+        books.append([c["cvec"] for c in sorted(cents, key=lambda c: c["centroid_id"])])
+    return {"m": m, "k": k, "subdim": subdim, "books": books}
+
+
+def _flat_codewords(codebook: dict) -> "list[float]":
+    return [
+        float(x)
+        for book in codebook["books"]
+        for cw in book
+        for x in cw
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebook: dict,
+    round_digits: int = 4,
+) -> DataFrame:
+    """(id, codes array<tinyint>, recon_norm double): per subspace, the
+    rounded-cosine-nearest codeword (code-id tie-break — the same
+    deterministic argmax contract as ivf_assign), plus the L2 norm of
+    the RECONSTRUCTED vector, precomputed at encode time so ADC scoring
+    never touches the codebook's floats again.
+
+    Map-side only: codewords ride in the plan as three flat literals;
+    no join, no shuffle — encoding 100 TB is one scan."""
+    m, k, subdim = codebook["m"], codebook["k"], codebook["subdim"]
+    books = codebook["books"]
+    CW = _lit_double_array(_flat_codewords(codebook))
+    cnorms = [
+        math.sqrt(sum(float(x) * float(x) for x in cw)) for book in books for cw in book
+    ]
+    CNORMS = _lit_double_array(cnorms)
+    vec = F.col(vec_col)
+
+    def _sub_code(s: int) -> Column:
+        subnorm = F.sqrt(
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(subdim)),
+                F.lit(0.0),
+                lambda acc, d: acc
+                + F.pow(F.element_at(vec, s * subdim + d).cast("double"), 2),
+            )
+        )
+        safe = F.greatest(subnorm, F.lit(1e-300))
+
+        def _entry(c: Column) -> Column:
+            dot = F.aggregate(
+                F.sequence(F.lit(1), F.lit(subdim)),
+                F.lit(0.0),
+                lambda acc, d: acc
+                + F.element_at(vec, s * subdim + d).cast("double")
+                * F.element_at(CW, (s * k + c) * subdim + d),
+            )
+            score = F.round(
+                dot / (safe * F.element_at(CNORMS, s * k + c + 1)), round_digits
+            )
+            return F.struct((-score).alias("neg"), c.alias("code"))
+
+        ranked = F.array_sort(F.transform(F.sequence(F.lit(0), F.lit(k - 1)), _entry))
+        return F.element_at(ranked, 1)["code"].cast("tinyint")
+
+    codes = F.array(*[_sub_code(s) for s in range(m)])
+    sqnorms = [n * n for n in cnorms]
+    SQ = _lit_double_array(sqnorms)
+    recon_norm = F.sqrt(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                SQ, s * k + F.element_at(F.col("codes"), s + 1).cast("int") + 1
+            ),
+        )
+    )
+    return (
+        df.select(id_col, codes.alias("codes"))
+        .withColumn("recon_norm", recon_norm)
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebook: dict,
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """ADC top-k: queries (q_id, qv float) against pq_encode output
+    (c_id, codes, recon_norm). Each query computes its m·k dot-product
+    LUT once (a map-side transform over the codeword literals); each
+    candidate costs m lookups + one divide. The broadcast/top-k shape
+    matches cosine_topk, so PQ is a drop-in for the brute path."""
+    m, kk, subdim = codebook["m"], codebook["k"], codebook["subdim"]
+    CW = _lit_double_array(_flat_codewords(codebook))
+    qv = F.col("qv")
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m * kk - 1)),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(1), F.lit(subdim)),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.element_at(qv, (i / kk).cast("int") * subdim + d).cast("double")
+            * F.element_at(CW, i * subdim + d),
+        ),
+    )
+    qs = queries.select(
+        "q_id", "qv", lut.alias("_lut"), l2_norm(qv).alias("qv_norm")
+    )
+    codes = F.col("codes")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("_lut"), s * kk + F.element_at(codes, s + 1).cast("int") + 1
+        ),
+    )
+    scored = (
+        encoded.where(F.col("recon_norm") > 0)
+        .join(F.broadcast(qs))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(adc / (F.col("qv_norm") * F.col("recon_norm")), round_digits).alias(
+                "cosine_adc"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine_adc").desc(), F.col("c_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def pq_topk_rerank(
+    queries: DataFrame,
+    encoded: DataFrame,
+    vectors: DataFrame,
+    codebook: dict,
+    k: int = 10,
+    shortlist: int = 100,
+    round_digits: int = 4,
+) -> DataFrame:
+    """The production PQ search shape: ADC shortlists `shortlist`
+    candidates per query from the m-byte codes, then ONLY the shortlist
+    rows re-join their float vectors for an exact cosine re-rank. The
+    expensive full-width scan is gone — per query the float tier is
+    touched `shortlist` times, however big the corpus — and the
+    quantization error only costs recall a true neighbor ADC ranked
+    below the shortlist (measured on the test embeddings, m=16 k=16:
+    ADC top-10 alone 0.20 recall@10; shortlist@100 + exact re-rank
+    0.95 — pinned in tests/test_pq.py).
+
+    vectors: (c_id, cv) — the float tier, e.g. the original embedding
+    table; joined by id (keyed equi-join, AQE-broadcast when the
+    shortlist is small).
+    """
+    from ds_caselaw_ingester_spark.operators.similarity import dot_product
+
+    sl = pq_topk(
+        queries, encoded, codebook, k=shortlist, round_digits=round_digits
+    ).select("q_id", "c_id")
+    qn = queries.select("q_id", "qv", l2_norm(F.col("qv")).alias("qv_norm"))
+    cn = vectors.select("c_id", "cv", l2_norm(F.col("cv")).alias("cv_norm"))
+    scored = (
+        sl.join(cn, "c_id")
+        .join(F.broadcast(qn), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                dot_product(F.col("qv"), F.col("cv"))
+                / (F.col("qv_norm") * F.col("cv_norm")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

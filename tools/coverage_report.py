@@ -56,6 +56,7 @@ def main() -> int:
             "  streaming sessions (op) tests/test_streaming.py (merge + emit-once pinned)",
             "  bucketed layout (op)    tests/test_bucketing.py (exchange-free join plans)",
             "  stream-stream join (op) tests/test_streaming_joins.py (interval + leftOuter)",
+            "  product quantization    tests/test_pq.py (ADC + rerank, replay-exact)",
         ):
             print(line)
         print()
