@@ -1,0 +1,99 @@
+"""BPE merge learning: the Spark loop must reproduce a pure-Python
+implementation of the published algorithm (Sennrich et al. 2016)
+merge-for-merge, and segmentation must be lossless."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_learn,
+    bpe_segment,
+    word_frequencies,
+)
+from ds_caselaw_ingester_spark.sources.catalog import spread, table
+
+N_MERGES = 12
+
+
+def _py_bpe(word_freqs: dict, num_merges: int):
+    """Reference implementation, straight from the paper's description:
+    count adjacent pairs weighted by word frequency, merge the max
+    (count desc, pair lexicographic asc), repeat."""
+    words = {
+        tuple(list(w) + [END_OF_WORD]): f for w, f in word_freqs.items()
+    }
+    merges = []
+    for _ in range(num_merges):
+        counts: dict = {}
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        new_words = {}
+        for syms, f in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + f
+        words = new_words
+    return merges
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+
+
+def test_spark_merges_match_python_replay(spark, corpus):
+    wf = word_frequencies(corpus, "text")
+    got = bpe_learn(wf, N_MERGES)
+    py = _py_bpe({r["word"]: r["freq"] for r in wf.collect()}, N_MERGES)
+    assert got == py
+    # counts must be non-increasing ONLY per symbol pool state — but the
+    # first merge is always the globally most frequent adjacent pair
+    assert got[0][2] == max(m[2] for m in got)
+
+
+def test_segmentation_is_lossless_and_uses_merges(spark, corpus):
+    wf = word_frequencies(corpus, "text")
+    merges = bpe_learn(wf, N_MERGES)
+    seg = bpe_segment(corpus.limit(30), "doc_id", "text", merges)
+    rows = seg.collect()
+    assert rows
+    merged_symbols = {a + b for a, b, _ in merges}
+    used = 0
+    for r in rows:
+        # concatenating the pieces reproduces token + end marker exactly
+        assert "".join(r["pieces"]) == r["token"] + END_OF_WORD
+        if any(p in merged_symbols for p in r["pieces"]):
+            used += 1
+    # the corpus the merges were learned on must actually compress
+    assert used > len(rows) * 0.3, (used, len(rows))
+
+
+def test_top_merge_is_reapplied_greedily_left_first(spark):
+    """'aaaa' with merge (a,a) -> [aa, aa, </w>] (left-first pairing),
+    the disambiguation the published algorithm fixes by construction."""
+    df = spark.createDataFrame([("d", "aaaa aaa")], ["doc_id", "text"])
+    wf = word_frequencies(df, "text")
+    merges = bpe_learn(wf, 1)
+    assert merges[0][:2] == ("a", "a")
+    seg = {
+        r["token"]: list(r["pieces"])
+        for r in bpe_segment(df, "doc_id", "text", merges[:1]).collect()
+    }
+    assert seg["aaaa"] == ["aa", "aa", END_OF_WORD]
+    assert seg["aaa"] == ["aa", "a", END_OF_WORD]

@@ -57,6 +57,7 @@ def main() -> int:
             "  bucketed layout (op)    tests/test_bucketing.py (exchange-free join plans)",
             "  stream-stream join (op) tests/test_streaming_joins.py (interval + leftOuter)",
             "  product quantization    tests/test_pq.py (ADC + rerank, replay-exact)",
+            "  bpe merge learning      tests/test_bpe.py (replay-exact vs paper algorithm)",
         ):
             print(line)
         print()
