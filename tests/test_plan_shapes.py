@@ -248,3 +248,49 @@ def test_bm25_topk_is_takeordered_with_broadcast_stats(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_is_single_scan_no_exchange(spark, sf_dir):
+    """PQ encoding must stay a map-side projection: codewords ride in
+    the plan as literals, so encoding N vectors is one scan — no join,
+    no shuffle, nothing data-sized crosses stage boundaries."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.pq import pq_encode
+    from ds_caselaw_ingester_spark.sources.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb = {
+        "m": 4,
+        "k": 4,
+        "subdim": 16,
+        "books": [[[float(s * 4 + c)] * 16 for c in range(4)] for s in range(4)],
+    }
+    enc = pq_encode(emb, "v", "c_id", cb)
+    plan = enc._sc._jvm.PythonSQLUtils.explainString(
+        enc._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_ivf_assign_keep_score_stays_shuffle_free(spark, sf_dir):
+    """keep_score must not change the assignment's shape: still a pure
+    map-side argmax (the score is already inside the sort struct)."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.similarity import ivf_assign
+    from ds_caselaw_ingester_spark.sources.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [{"centroid_id": i, "cvec": [float(i + 1)] * 64} for i in range(4)]
+    out = ivf_assign(emb, "v", "vec_id", cents, nprobe=1, keep_score=True)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan, plan
+    assert "centroid_cos" in out.columns

@@ -1,0 +1,124 @@
+"""SCD2 effective-dated merge: a three-batch evolution must match a
+pure-Python replay row-for-row, replay must be idempotent, and
+point-in-time reconstruction must return each batch's state."""
+
+from __future__ import annotations
+
+from ds_caselaw_ingester_spark.operators.scd import scd2_apply, scd2_as_of
+
+B1 = "2024-01-01 00:00:00"
+B2 = "2024-02-01 00:00:00"
+B3 = "2024-03-01 00:00:00"
+
+
+def _apply_all(spark, batches):
+    hist = None
+    for ts, rows in batches:
+        updates = spark.createDataFrame(rows, ["uri", "title", "court"])
+        hist = scd2_apply(hist, updates, "uri", ["title", "court"], ts)
+        # materialize between batches like a real nightly job would
+        # (each batch reads the PREVIOUS table, not a growing lineage)
+        hist = hist.localCheckpoint(eager=True)
+    return hist
+
+
+BATCHES = [
+    (B1, [("a", "A v B", "ewhc"), ("b", "C v D", "uksc")]),
+    # a changes court; b unchanged; c is new
+    (B2, [("a", "A v B", "ewca"), ("b", "C v D", "uksc"), ("c", "E v F", "ewhc")]),
+    # a unchanged; c changes title; b absent from the batch (stays current)
+    (B3, [("a", "A v B", "ewca"), ("c", "E v F (No 2)", "ewhc")]),
+]
+
+
+def _key(r):
+    return (r["uri"], str(r["effective_from"]), str(r["effective_to"]), r["is_current"])
+
+
+def test_three_batch_history_matches_expected(spark):
+    hist = {tuple(r): None for r in []}
+    rows = _apply_all(spark, BATCHES).collect()
+    got = {
+        (r["uri"], r["title"], r["court"],
+         str(r["effective_from"]), str(r["effective_to"]), r["is_current"])
+        for r in rows
+    }
+    want = {
+        # a: ewhc for [B1, B2), then ewca current from B2
+        ("a", "A v B", "ewhc", B1, B2, False),
+        ("a", "A v B", "ewca", B2, "None", True),
+        # b: one row, untouched since B1 (absence from B3 is not a delete)
+        ("b", "C v D", "uksc", B1, "None", True),
+        # c: opened at B2, retitled at B3
+        ("c", "E v F", "ewhc", B2, B3, False),
+        ("c", "E v F (No 2)", "ewhc", B3, "None", True),
+    }
+    assert got == want
+    assert len(rows) == len(got), "duplicate rows emitted"
+
+
+def test_reapplying_a_batch_is_a_noop(spark):
+    hist = _apply_all(spark, BATCHES)
+    updates = spark.createDataFrame(BATCHES[-1][1], ["uri", "title", "court"])
+    again = scd2_apply(hist, updates, "uri", ["title", "court"], B3)
+    assert sorted(map(_key, again.collect())) == sorted(map(_key, hist.collect()))
+
+
+def test_as_of_reconstructs_each_batch_state(spark):
+    hist = _apply_all(spark, BATCHES)
+
+    def state(ts):
+        return {
+            (r["uri"], r["title"], r["court"]) for r in scd2_as_of(hist, ts).collect()
+        }
+
+    assert state("2024-01-15 00:00:00") == {
+        ("a", "A v B", "ewhc"),
+        ("b", "C v D", "uksc"),
+    }
+    assert state("2024-02-15 00:00:00") == {
+        ("a", "A v B", "ewca"),
+        ("b", "C v D", "uksc"),
+        ("c", "E v F", "ewhc"),
+    }
+    assert state("2024-03-15 00:00:00") == {
+        ("a", "A v B", "ewca"),
+        ("b", "C v D", "uksc"),
+        ("c", "E v F (No 2)", "ewhc"),
+    }
+    # before history began: empty
+    assert state("2023-12-31 00:00:00") == set()
+
+
+def test_null_payload_transitions_are_detected(spark):
+    """None -> value and value -> None are CHANGES (the length-framed
+    null-safe hash); None == None is not."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("uri", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("court", T.StringType()),
+        ]
+    )
+    b1 = spark.createDataFrame([("a", None, "x"), ("b", None, None)], schema)
+    b2 = spark.createDataFrame([("a", "t", "x"), ("b", None, None)], schema)
+    h = scd2_apply(None, b1, "uri", ["title", "court"], B1)
+    h = scd2_apply(h, b2, "uri", ["title", "court"], B2).collect()
+    a_rows = sorted(
+        (r for r in h if r["uri"] == "a"), key=lambda r: str(r["effective_from"])
+    )
+    assert len(a_rows) == 2 and not a_rows[0]["is_current"] and a_rows[1]["is_current"]
+    b_rows = [r for r in h if r["uri"] == "b"]
+    assert len(b_rows) == 1 and b_rows[0]["is_current"]
+
+
+def test_validate_raises_on_duplicate_batch_keys(spark):
+    import pytest
+
+    dup = spark.createDataFrame(
+        [("a", "x", "y"), ("a", "x2", "y")], ["uri", "title", "court"]
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        scd2_apply(None, dup, "uri", ["title", "court"], B1, validate=True)
