@@ -82,3 +82,26 @@ def dedup_consignments(messages: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def dedup_messages_within_watermark(
+    messages: DataFrame,
+    key_cols: "list[str]",
+    ts_col: str = "event_time",
+    late: str = "1 hour",
+) -> DataFrame:
+    """The BUILT-IN alternative for the common case: when the output is
+    the surviving rows themselves (no duplicate counting, no custom
+    payload), Spark's dropDuplicatesWithinWatermark does keyed
+    first-wins dedup with watermark-bounded state — no Python workers,
+    no Arrow hop, state eviction handled by the engine.
+
+    Contract difference vs dedup_consignments, pinned in
+    tests/test_streaming.py: eviction here is EVENT-time (a key older
+    than the watermark is forgotten; a replay arriving later than
+    `late` re-emits and the idempotent MERGE sink absorbs it), and the
+    emitted row is the full first-seen record. Prefer this operator;
+    reach for applyInPandasWithState only when the output is computed
+    state (counts, aggregates, session payloads) like the variant
+    above."""
+    return messages.withWatermark(ts_col, late).dropDuplicatesWithinWatermark(key_cols)

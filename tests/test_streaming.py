@@ -295,3 +295,70 @@ def test_session_windows_merge_and_finalize(spark, tmp_path):
     fcl = rows[("FCL", base)]
     assert fcl.n_events == 1
     assert fcl.session_end == base + m(minutes=15)
+
+
+def test_builtin_watermark_dedup_drops_cross_trigger_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (the engine-native dedup): a replay
+    of the same consignment_ref in a LATER trigger, still inside the
+    watermark, is dropped; distinct refs all pass; survivors carry the
+    first-seen payload."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from ds_caselaw_ingester_spark.streaming.stateful import (
+        dedup_messages_within_watermark,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("consignment_ref", T.StringType()),
+            T.StructField("message_id", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "msgs"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for ref, mid, mins in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "consignment_ref": ref,
+                            "message_id": mid,
+                            "event_time": (base + dt.timedelta(minutes=mins)).strftime(
+                                "%Y-%m-%dT%H:%M:%S.000Z"
+                            ),
+                        }
+                    )
+                    + "\n"
+                )
+
+    write("f0.json", [("TDR-1", "m1", 0), ("TDR-2", "m2", 1)])
+    # trigger 2: TDR-1 replayed (same-key, inside watermark) + a new ref
+    write("f1.json", [("TDR-1", "m1-replay", 5), ("TDR-3", "m3", 6)])
+    import os
+
+    for i, name in enumerate(["f0.json", "f1.json"]):
+        os.utime(src / name, (1700000000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with _few_shuffle_partitions(spark):
+        q = (
+            dedup_messages_within_watermark(stream, ["consignment_ref"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    rows = {r.consignment_ref: r.message_id for r in spark.read.parquet(out).collect()}
+    assert rows == {"TDR-1": "m1", "TDR-2": "m2", "TDR-3": "m3"}

@@ -59,6 +59,7 @@ def main() -> int:
             "  product quantization    tests/test_pq.py (ADC + rerank, replay-exact)",
             "  bpe merge learning      tests/test_bpe.py (replay-exact vs paper algorithm)",
             "  scd2 history merge      tests/test_scd.py (effective-dated, as-of reconstruction)",
+            "  shuffled export (op)    tests/test_export.py (deterministic balanced shards)",
         ):
             print(line)
         print()
