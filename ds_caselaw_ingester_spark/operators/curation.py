@@ -47,17 +47,31 @@ def curate_corpus(
     overlap: int = 16,
     benchmark: DataFrame | None = None,
     decontam_n: int = 8,
+    embeddings: DataFrame | None = None,
+    semdedup_threshold: float = 0.95,
+    semdedup_k: int = 16,
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens) for the curated
     corpus: scrubbed text, quality-gated, optionally decontaminated
     against a benchmark set, one canonical document per near-dup
-    cluster, chunked. Deterministic end to end — a rerun produces
-    identical chunks.
+    cluster, optionally SEMANTICALLY deduplicated, chunked.
+    Deterministic end to end — a rerun produces identical chunks.
 
     benchmark: optional frame with a `text_col` column; documents
     sharing any word `decontam_n`-gram with it are DROPPED before
     dedup (operators/decontam.py — broadcast probe on the RAW text,
-    before scrubbing, so redaction tokens cannot mask an overlap)."""
+    before scrubbing, so redaction tokens cannot mask an overlap).
+
+    embeddings: optional (id_col, embedding array<double>) frame; after
+    the LEXICAL keep-one, survivors run SemDeDup
+    (operators/semdedup.py) — paraphrases and re-encodes that share no
+    n-grams but sit within `semdedup_threshold` cosine collapse to the
+    paper's least-centroid-similar exemplar. The quantizer trains on
+    the survivors' own embeddings (k = min(semdedup_k, survivors), 3
+    Lloyd rounds, deterministic init) — the stages compose, they don't
+    share hidden state. Runs after lexical dedup on purpose: lexical
+    pairs are cheaper per candidate, so the embedding stage sees an
+    already-shrunk corpus."""
     if benchmark is not None:
         from ds_caselaw_ingester_spark.operators.decontam import decontaminate
 
@@ -86,6 +100,27 @@ def curate_corpus(
     keepers = gated.join(
         assignment.where(~F.col("is_duplicate")).select(id_col), id_col
     )
+    if embeddings is not None:
+        from ds_caselaw_ingester_spark.operators.semdedup import semantic_dedup
+        from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
+
+        vecs = keepers.select(id_col).join(embeddings, id_col).select(
+            id_col, F.col("embedding").cast("array<double>").alias("_v")
+        )
+        n_vecs = vecs.count()
+        if n_vecs:
+            k = min(semdedup_k, n_vecs)
+            cents = kmeans_fit(
+                vecs, "_v", id_col, k=k, max_iter=3, tol=0.0, round_centroids=6
+            )
+            sem = semantic_dedup(
+                vecs, "_v", id_col, cents, threshold=semdedup_threshold
+            )
+            # anti-join on CONFIRMED duplicates: a document with no
+            # embedding row cannot be semantically judged and survives
+            keepers = keepers.join(
+                sem.where(F.col("is_duplicate")).select(id_col), id_col, "left_anti"
+            )
     return chunk_documents(
         keepers, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     )

@@ -80,3 +80,44 @@ def test_pipeline_decontaminates_against_benchmark(spark):
     docs_out = {r.doc_id for r in chunks}
     assert 3 not in docs_out  # contaminated doc dropped entirely
     assert 1 in docs_out  # untouched survivors still flow through
+
+
+def test_pipeline_semantic_stage_collapses_paraphrases(spark):
+    """Two documents sharing NO n-grams (lexical dedup is blind to them)
+    but with near-identical embeddings collapse to one exemplar when the
+    embeddings frame is supplied; without it both survive. A document
+    with no embedding row always survives the stage."""
+    filler = "one two three four five six seven eight nine ten "
+    rows = [
+        (10, "the quick brown fox jumps over the lazy dog near the river " + filler),
+        # paraphrase: disjoint vocabulary, same meaning -> same embedding
+        (11, "a fast auburn canine leaps across an idle hound by a stream " + filler),
+        (12, "completely unrelated document about parquet row groups and shuffles " + filler),
+        # no embedding row for this one
+        (13, "another unrelated document regarding watermark state eviction rules " + filler),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = [1.0, 0.5, -0.25] * 8
+    other = [-0.5, 1.0, 0.75] * 8
+    emb_rows = [
+        (10, base),
+        (11, [v * 1.001 for v in base]),  # cosine ~1.0 with base
+        (12, other),
+    ]
+    emb = spark.createDataFrame(emb_rows, "doc_id long, embedding array<double>")
+
+    with_sem = curate_corpus(
+        docs, min_tokens=8, min_alpha_ratio=0.5, chunk_tokens=64, overlap=0,
+        embeddings=emb, semdedup_k=2,
+    )
+    ids_sem = {r.doc_id for r in with_sem.select("doc_id").distinct().collect()}
+    without = curate_corpus(
+        docs, min_tokens=8, min_alpha_ratio=0.5, chunk_tokens=64, overlap=0,
+    )
+    ids_plain = {r.doc_id for r in without.select("doc_id").distinct().collect()}
+
+    assert ids_plain == {10, 11, 12, 13}
+    # the paraphrase pair collapsed to one; 12 (distinct embedding) and
+    # 13 (no embedding) both survive
+    assert len(ids_sem & {10, 11}) == 1
+    assert {12, 13} <= ids_sem
