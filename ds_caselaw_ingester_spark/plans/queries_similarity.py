@@ -317,14 +317,11 @@ FROM documents
 """
 
 
-@register(
-    "multimodal_meta",
-    MULTIMODAL_ORACLE,
-    doc="Opaque-binary multimodal path: text->bytes as the stand-in asset, "
-    "metadata extracted via Arrow-batched mapInPandas (decode kernel "
-    "stubbed; plumbing real — see operators/multimodal.py).",
-    survey_ops=("ext:multimodal", "K6", "K9"),
-)
+# NOT @register-ed since round 6: its slot went to semantic_dedup (the
+# registry is capped at 50). Coverage keys stay green — ext:multimodal
+# via frame_sample (same mapInPandas decode-stub plumbing), K6/K9 via
+# asset_fanout — and the identical oracle check continues in
+# tests/test_oracle_parity.py::test_unregistered_multimodal_meta.
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
     d = table(spark, sf_dir, "documents").select(
@@ -534,14 +531,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantic_dedup — SemDeDup: cluster-bounded embedding dedup, keep-one
 # ---------------------------------------------------------------------------
 
-# NOT @register-ed (registry at the driver's 50-row cap): pytest-gated
-# with the identical DuckDB oracle in tests/test_oracle_parity.py, like
-# bm25_search / repeated_spans / corpus_mixture. Same planted-near-dup
-# corpus as embedding_neardup. The quantizer is TRAINED (the shared
-# _kmeans_train_ctes replay): naive data-row centroids co-located only
-# 40/50 planted pairs (boundary misses — SemDeDup's known hazard); the
-# trained cells co-locate 48/50 (measured at sf0.001, pinned below the
-# 0.9 bar in tests/test_oracle_parity.py).
+# Same planted-near-dup corpus as embedding_neardup. The quantizer is
+# TRAINED (the shared _kmeans_train_ctes replay): naive data-row
+# centroids co-located only 40/50 planted pairs (boundary misses —
+# SemDeDup's known hazard); the trained cells co-locate 48/50 (measured
+# at sf0.001, pinned below the 0.9 bar in tests/test_oracle_parity.py).
+# Registered in multimodal_meta's former slot (registry at the driver's
+# 50-row cap): that query's coverage keys stay green elsewhere —
+# ext:multimodal via frame_sample, K6/K9 via asset_fanout — while its
+# oracle check continues pytest-gated below.
 
 
 def semantic_dedup_oracle() -> str:
@@ -600,6 +598,17 @@ JOIN exemplar e USING (component)
 SEMANTIC_DEDUP_ORACLE = semantic_dedup_oracle()
 
 
+@register(
+    "semantic_dedup",
+    SEMANTIC_DEDUP_ORACLE,
+    doc="SemDeDup (arXiv:2303.09540): trained-quantizer cells bound the "
+    "pair search, connected components group duplicates, and the "
+    "exemplar kept per group is the member LEAST similar to its "
+    "centroid (the paper's keep rule, id tie-break). The oracle replays "
+    "Lloyd's training, cell assignment, in-cell pairing, recursive-CTE "
+    "components, and the exemplar pick end to end.",
+    survey_ops=("ext:dedup-semantic", "ext:dedup-embedding"),
+)
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) over the planted-near-dup corpus:
     cluster-bounded pair search -> connected components -> keep the

@@ -150,22 +150,31 @@ def test_unregistered_corpus_mixture_matches_oracle(spark, sf_dir):
     assert len(by_src["src2"]) < 25, by_src["src2"]
 
 
-def test_unregistered_semantic_dedup_matches_oracle(spark, sf_dir):
-    """semantic_dedup (SemDeDup, arXiv:2303.09540) is pytest-gated
-    (registry at its 50-row cap): the cluster-bounded keep-one decision
-    must hash-match the DuckDB oracle AND actually dedup — every planted
-    near-copy (cosine ~0.99 to its source) must share a component with
-    its source with exactly one of the two kept, and the exemplar must
-    be the component member least similar to its centroid."""
+def test_unregistered_multimodal_meta_matches_oracle(spark, sf_dir):
+    """multimodal_meta gave up its registry slot to semantic_dedup
+    (ext:multimodal stays registry-covered by frame_sample, K6/K9 by
+    asset_fanout) but keeps the same oracle gate here so the
+    mapInPandas metadata-extraction plumbing cannot silently rot."""
     from ds_caselaw_ingester_spark.plans.queries_similarity import (
-        SEMANTIC_DEDUP_ORACLE,
-        q_semantic_dedup,
+        MULTIMODAL_ORACLE,
+        q_multimodal_meta,
     )
 
     res = check_query(
-        spark, sf_dir, "semantic_dedup", q_semantic_dedup, SEMANTIC_DEDUP_ORACLE
+        spark, sf_dir, "multimodal_meta", q_multimodal_meta, MULTIMODAL_ORACLE
     )
     assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
+def test_semantic_dedup_actually_dedups(spark, sf_dir):
+    """The semantic check on top of semantic_dedup's registry row: every
+    planted near-copy (cosine ~0.99 to its source) must share a
+    component with its source with exactly one of the two kept, and the
+    exemplar must be the component member least similar to its
+    centroid."""
+    from ds_caselaw_ingester_spark.plans.queries_similarity import q_semantic_dedup
+
     rows = {r["vec_id"]: r for r in q_semantic_dedup(spark, sf_dir).collect()}
     planted = [v for v in rows if v >= 100000]
     assert planted, "corpus should contain planted near-copies"

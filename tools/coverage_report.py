@@ -41,6 +41,7 @@ def main() -> int:
         print("oracle checks in tests/):")
         for line in (
             "  ann_ivf_topk            tests/test_oracle_parity.py (⊂ ann_ivf_trained_topk)",
+            "  multimodal_meta         tests/test_oracle_parity.py (ext:multimodal ⊂ frame_sample)",
             "  tar_member_listing      tests/test_oracle_parity.py (S7/S8 ⊂ tar_pipeline)",
             "  distinct_supplier_stats tests/test_oracle_parity.py (agg shape covered 4x)",
             "  decontaminate (op)      tests/test_decontam.py",
@@ -52,7 +53,6 @@ def main() -> int:
             "  repeated_spans          tests/test_oracle_parity.py (positional passage dedup)",
             "  zorder layout (op)      tests/test_layout.py (footer-stat pruning measured)",
             "  corpus_mixture          tests/test_oracle_parity.py + test_mixture.py",
-            "  semantic_dedup          tests/test_oracle_parity.py + test_semdedup.py (SemDeDup)",
             "  streaming sessions (op) tests/test_streaming.py (merge + emit-once pinned)",
             "  bucketed layout (op)    tests/test_bucketing.py (exchange-free join plans)",
             "  stream-stream join (op) tests/test_streaming_joins.py (interval + leftOuter)",
