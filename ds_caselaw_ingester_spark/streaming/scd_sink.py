@@ -1,0 +1,99 @@
+"""Streaming SCD2 sink: an audit-preserving history table maintained
+from a change feed via foreachBatch.
+
+The in-place streaming upsert (pipeline.py:run_ingest_stream) keeps
+only the latest state; this sink keeps every state with its validity
+interval (operators/scd.py), turning the message stream into a
+time-travelable dimension — "what did this document look like when the
+model was trained" is a filter, not a forensic reconstruction.
+
+Batch timestamping is EVENT-time: each micro-batch applies at the max
+event timestamp it contains, so the history's validity intervals are a
+property of the data, not of when the pipeline happened to run — a
+backfill replay produces the identical table (the same determinism
+rule the rest of the engine follows). Within a batch, a key's rows
+collapse to the latest event (ts desc, then a stable tie-break) before
+the merge, since SCD2 records one state per key per apply.
+
+Crash-safety reuses the upsert sink's discipline: the merge
+materializes into a temp dir (the plan reads the current table, so an
+in-place overwrite would race its own input), then swaps via renames;
+checkpointed offsets + the event-time stamping make redelivered
+batches converge instead of double-applying.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.scd import scd2_apply
+
+
+def _latest_per_key(batch: DataFrame, key: str, ts_col: str) -> DataFrame:
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc(), *[
+        F.col(c).asc() for c in batch.columns if c not in (key, ts_col)
+    ])
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_scd2_batch(
+    batch: DataFrame,
+    path: str,
+    key: str,
+    payload_cols: "list[str]",
+    ts_col: str = "event_time",
+) -> None:
+    """One micro-batch into the history table at `path` (parquet,
+    tmp-dir + rename swap). Empty batches are a no-op."""
+    import os
+    import shutil
+
+    spark = batch.sparkSession
+    local = path[len("file:") :] if path.startswith("file:") else path
+    first = batch.select(F.max(F.col(ts_col)).alias("m")).collect()[0]["m"]
+    if first is None:
+        return
+    batch_ts = first.strftime("%Y-%m-%d %H:%M:%S")
+    updates = _latest_per_key(batch, key, ts_col).select(key, *payload_cols)
+    try:
+        history = spark.read.parquet(path)
+    except Exception as e:  # noqa: BLE001 — narrowed by message below
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        history = None
+    merged = scd2_apply(history, updates, key, payload_cols, batch_ts)
+    tmp, old = local + ".tmp", local + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(local):
+        os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def run_scd2_stream(
+    updates: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key: str,
+    payload_cols: "list[str]",
+    ts_col: str = "event_time",
+):
+    """Materialize the change feed as an SCD2 history table."""
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_scd2_batch(batch_df, table_path, key, payload_cols, ts_col)
+
+    return (
+        updates.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

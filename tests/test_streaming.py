@@ -362,3 +362,73 @@ def test_builtin_watermark_dedup_drops_cross_trigger_replays(spark, tmp_path):
         q.awaitTermination(120)
     rows = {r.consignment_ref: r.message_id for r in spark.read.parquet(out).collect()}
     assert rows == {"TDR-1": "m1", "TDR-2": "m2", "TDR-3": "m3"}
+
+
+def test_scd2_stream_builds_history_across_triggers(spark, tmp_path):
+    """Three micro-batches of document-state changes become an SCD2
+    history: changed payloads close and reopen rows at the batch's max
+    EVENT time, unchanged re-deliveries are no-ops, and within-batch
+    multi-updates collapse to the latest event."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from ds_caselaw_ingester_spark.streaming.scd_sink import run_scd2_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("uri", T.StringType()),
+            T.StructField("court", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "feed"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for uri, court, mins in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "uri": uri,
+                            "court": court,
+                            "event_time": (base + dt.timedelta(minutes=mins)).strftime(
+                                "%Y-%m-%dT%H:%M:%S.000Z"
+                            ),
+                        }
+                    )
+                    + "\n"
+                )
+
+    # t1: a=ewhc (two in-batch updates: latest wins -> ewhc), b=uksc
+    write("f0.json", [("a", "ewca-draft", 0), ("a", "ewhc", 1), ("b", "uksc", 1)])
+    # t2: a changes to ewca at minute 60; b redelivered unchanged
+    write("f1.json", [("a", "ewca", 60), ("b", "uksc", 60)])
+    import os
+
+    for i, name in enumerate(["f0.json", "f1.json"]):
+        os.utime(src / name, (1700000000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    table, ckpt = str(tmp_path / "history"), str(tmp_path / "ckpt")
+    with _few_shuffle_partitions(spark):
+        q = run_scd2_stream(stream, table, ckpt, "uri", ["court"])
+        q.awaitTermination(120)
+
+    rows = {
+        (r.uri, r.court, str(r.effective_from), str(r.effective_to), r.is_current)
+        for r in spark.read.parquet(table).collect()
+    }
+    t1 = str(base + dt.timedelta(minutes=1))
+    t2 = str(base + dt.timedelta(minutes=60))
+    assert rows == {
+        # a: in-batch collapse kept ewhc (latest event in t1), closed at t2
+        ("a", "ewhc", t1, t2, False),
+        ("a", "ewca", t2, "None", True),
+        # b: unchanged redelivery in t2 -> single untouched row
+        ("b", "uksc", t1, "None", True),
+    }
