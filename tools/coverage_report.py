@@ -60,6 +60,7 @@ def main() -> int:
             "  bpe merge learning      tests/test_bpe.py (replay-exact vs paper algorithm)",
             "  scd2 history merge      tests/test_scd.py + test_streaming.py (event-time stream sink)",
             "  shuffled export (op)    tests/test_export.py (deterministic balanced shards)",
+            "  table expectations (op) tests/test_expectations.py (one-pass check battery)",
         ):
             print(line)
         print()
