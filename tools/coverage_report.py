@@ -61,6 +61,7 @@ def main() -> int:
             "  scd2 history merge      tests/test_scd.py + test_streaming.py (event-time stream sink)",
             "  shuffled export (op)    tests/test_export.py (deterministic balanced shards)",
             "  table expectations (op) tests/test_expectations.py (one-pass check battery)",
+            "  incremental LSH (op)    tests/test_dedup.py (new-vs-index == recompute)",
         ):
             print(line)
         print()
