@@ -1,0 +1,91 @@
+"""Compaction: many tiny appends become few right-sized files with
+identical content; the sorted variant restores min/max pruning."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.compaction import (
+    compact_parquet_dir,
+    dir_stats,
+)
+from ds_caselaw_ingester_spark.sources.catalog import table
+
+
+def _fragmented(spark, sf_dir, out, n_appends=12):
+    """Simulate a streaming sink: many small appends."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    for i in range(n_appends):
+        orders.where(F.col("o_orderkey") % n_appends == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+    return orders
+
+
+def test_compaction_preserves_content_and_shrinks_file_count(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "t")
+    orders = _fragmented(spark, sf_dir, out)
+    before_rows = sorted(map(tuple, spark.read.parquet(out).collect()))
+    n_before, total = dir_stats(out)
+    assert n_before >= 12
+    fb, fa = compact_parquet_dir(spark, out, target_file_bytes=total)
+    assert (fb, fa) == (n_before, 1)
+    after_rows = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert after_rows == before_rows
+
+
+def test_compaction_respects_target_size(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "t")
+    _fragmented(spark, sf_dir, out)
+    _n, total = dir_stats(out)
+    fb, fa = compact_parquet_dir(spark, out, target_file_bytes=total // 4 + 1)
+    assert 2 <= fa <= 6, (fb, fa)
+
+
+def test_sorted_compaction_restores_minmax_pruning(spark, sf_dir, tmp_path):
+    """The modulo appends interleave keys, so every tiny file spans the
+    whole o_orderkey range (row-group stats prune nothing). Sorted
+    compaction makes ranges disjoint: a point predicate's qualifying
+    key range lives in exactly one file."""
+    import os
+
+    out = str(tmp_path / "t")
+    _fragmented(spark, sf_dir, out)
+
+    def key_ranges(d):
+        spans = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # o_orderkey
+                los.append(col.statistics.min)
+                his.append(col.statistics.max)
+            spans.append((min(los), max(his)))
+        return spans
+
+    frag_spans = key_ranges(out)
+    overlap_before = sum(
+        1
+        for i, a in enumerate(frag_spans)
+        for b in frag_spans[i + 1 :]
+        if a[0] <= b[1] and b[0] <= a[1]
+    )
+    assert overlap_before > 0, "fragmented files should overlap in key range"
+    _n, total = dir_stats(out)
+    compact_parquet_dir(
+        spark, out, target_file_bytes=total // 4 + 1, sort_cols=["o_orderkey"]
+    )
+    spans = key_ranges(out)
+    overlap_after = sum(
+        1
+        for i, a in enumerate(spans)
+        for b in spans[i + 1 :]
+        if a[0] <= b[1] and b[0] <= a[1]
+    )
+    assert overlap_after == 0, spans

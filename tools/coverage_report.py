@@ -62,6 +62,7 @@ def main() -> int:
             "  shuffled export (op)    tests/test_export.py (deterministic balanced shards)",
             "  table expectations (op) tests/test_expectations.py (one-pass check battery)",
             "  incremental LSH (op)    tests/test_dedup.py (new-vs-index == recompute)",
+            "  compaction (op)         tests/test_compaction.py (restores min/max pruning)",
         ):
             print(line)
         print()
