@@ -36,6 +36,12 @@ from pyspark.sql import functions as F
 
 from ds_caselaw_ingester_spark.operators.textstats import tokens
 
+# Known sentinel caveat (shared with the published algorithm's own
+# convention): merges can CONSTRUCT a symbol textually equal to the
+# marker (e.g. '</w' + '>'), after which a rule meant for word ends can
+# match mid-word. Corpora whose tokens contain literal '</w>' should
+# pre-escape it; the operator itself stays total either way (see the
+# try_element_at note in _apply_merge).
 END_OF_WORD = "</w>"
 
 
@@ -73,7 +79,13 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
 
     def step(acc: Column, i: Column) -> Column:
         cur = F.element_at(syms, i)
-        nxt = F.element_at(syms, i + 1)
+        # try_element_at, NOT element_at: at the last symbol i+1 is past
+        # the array end, and when cur == a the conjunction below must
+        # evaluate nxt — under Spark 4's default ANSI mode element_at
+        # would throw (reproduced with a merge whose left symbol is the
+        # end-of-word marker); try_element_at yields NULL and the
+        # isNotNull guard declines the merge.
+        nxt = F.try_element_at(syms, i + 1)
         take = (
             (~acc["skip"])
             & (cur == F.lit(a))

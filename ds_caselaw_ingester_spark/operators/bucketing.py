@@ -49,11 +49,15 @@ def write_bucketed(
     mode: str = "overwrite",
 ) -> None:
     """Write df as an external bucketed parquet table registered in the
-    session catalog. Replacing an existing external table drops the
-    stale catalog entry first (saveAsTable would otherwise refuse or,
-    worse, keep the old bucket spec)."""
+    session catalog. In overwrite mode an existing table's stale
+    catalog entry is dropped first (saveAsTable would otherwise refuse
+    or, worse, keep the old bucket spec). In append mode the entry is
+    KEPT so Spark validates the incoming bucket spec against the
+    registered one — dropping it would let an append with a different
+    bucket count re-register a new spec over files hashed under the old
+    one, silently corrupting bucket-local joins."""
     spark = df.sparkSession
-    if spark.catalog.tableExists(table):
+    if mode == "overwrite" and spark.catalog.tableExists(table):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     writer = (
         df.write.mode(mode)

@@ -104,6 +104,15 @@ def curate_corpus(
         from ds_caselaw_ingester_spark.operators.semdedup import semantic_dedup
         from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
 
+        # The semantic stage reads `keepers` many times (the survivor
+        # count, quantizer training's init + per-round aggregations,
+        # semantic_dedup's scans, and the final chunking) — without a
+        # checkpoint each read replays the WHOLE lexical-dedup lineage
+        # (shingle -> minhash -> banding -> connected components), the
+        # most expensive part of the job, ~4x over (review finding).
+        # The stage forces eager jobs anyway (counts/collects), so the
+        # checkpoint changes no laziness contract for callers.
+        keepers = keepers.localCheckpoint(eager=True)
         vecs = keepers.select(id_col).join(embeddings, id_col).select(
             id_col, F.col("embedding").cast("array<double>").alias("_v")
         )

@@ -3,24 +3,29 @@ reproducible parquet shards.
 
 A training run wants its corpus in (a) random order — adjacent documents
 must not correlate, or batches see topic runs — and (b) a FIXED random
-order: re-exporting the same corpus must produce byte-stable shards so
+order: re-exporting the same corpus must produce the same shards so
 runs are reproducible and resumable. `df.orderBy(rand())` fails (b) and
 `repartition(n)` fails both (round-robin from whatever order the scan
 produced).
 
 The Spark-first answer is the same hash-gate trick the sampling
-operators use: shuffle key = md5(id). It is uniform (so range
-partitioning by it balances shards), deterministic (same corpus ->
-same order, any cluster, any partitioning), and data-independent (no
-correlation with any real attribute — exactly what "random order"
-means operationally).
+operators use: shuffle key = md5(id). It is uniform (so hash shards are
+balanced), deterministic (same corpus -> same shard membership and
+same within-shard order, on any cluster, from any input partitioning),
+and data-independent (no correlation with any real attribute — exactly
+what "random order" means operationally).
 
-Plan shape: repartitionByRange on the hash (one range-exchange; Spark
-samples the key distribution to cut balanced ranges) + sortWithin-
-Partitions (no second exchange) -> file i holds the i-th contiguous
-hash range, rows sorted within. At 100 TB this is one pass over the
-corpus, and shard count = task count is chosen for the trainer
-(~dataset_bytes / shard_size), not inherited from upstream.
+Shard identity is derived from the KEY ITSELF (a fixed prefix of the
+md5, mod num_shards) — NOT from repartitionByRange, whose cut points
+come from sampling the actual input partitioning and therefore move
+between clusters/runs (review finding: range bounds are only
+order-stable, not boundary-stable). A row's shard is a pure function
+of its id; the export is byte-stable per shard.
+
+Plan shape: one projection + one hash exchange on the shard id +
+within-partition sort — one pass over the corpus, shard count chosen
+for the trainer (~dataset_bytes / shard_size), not inherited from
+upstream.
 """
 
 from __future__ import annotations
@@ -30,23 +35,33 @@ from pyspark.sql import functions as F
 
 
 def shuffled_shards(df: DataFrame, id_col: str, num_shards: int) -> DataFrame:
-    """The exported frame: `_shuffle_key` = md5 of the id, range-
-    partitioned into num_shards and sorted within each shard. Exposed
+    """The exported frame: `_shuffle_key` = md5 of the id, `_shard` =
+    first 15 hex digits of the key mod num_shards (a pure function of
+    the id), hash-partitioned by shard and sorted within. Exposed
     separately from the write so tests (and resumable exporters) can
     reason about the frame."""
     if num_shards <= 0:
         raise ValueError(f"num_shards must be positive, got {num_shards}")
-    keyed = df.withColumn("_shuffle_key", F.md5(F.col(id_col).cast("string")))
-    return keyed.repartitionByRange(num_shards, "_shuffle_key").sortWithinPartitions(
-        "_shuffle_key"
+    key = F.md5(F.col(id_col).cast("string"))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 15), 16, 10).cast("long"), F.lit(num_shards)
+    ).cast("int")
+    return (
+        df.withColumn("_shuffle_key", key)
+        .withColumn("_shard", shard)
+        .repartition(num_shards, "_shard")
+        .sortWithinPartitions("_shard", "_shuffle_key")
     )
 
 
 def export_shuffled(
     df: DataFrame, id_col: str, out_dir: str, num_shards: int
 ) -> None:
-    """Write the shuffled corpus as num_shards parquet files. The
-    shuffle key column is kept in the output: it is the resume cursor
-    (a restarted consumer seeks to the last key it saw) and the
-    proof-of-order for audits."""
-    shuffled_shards(df, id_col, num_shards).write.mode("overwrite").parquet(out_dir)
+    """Write the shuffled corpus as one directory per shard
+    (`_shard=i/`), each holding that shard's rows sorted by the shuffle
+    key. The key column is kept in the output: it is the resume cursor
+    (a restarted consumer seeks to the last (shard, key) it saw) and
+    the proof-of-order for audits."""
+    shuffled_shards(df, id_col, num_shards).write.mode("overwrite").partitionBy(
+        "_shard"
+    ).parquet(out_dir)

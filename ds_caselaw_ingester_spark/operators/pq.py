@@ -160,6 +160,78 @@ def _flat_codewords(codebook: dict) -> "list[float]":
     ]
 
 
+def _adc_query_frame(queries: DataFrame, codebook: dict) -> DataFrame:
+    """(q_id, qv, _lut, qv_norm): each query's m*k ADC lookup table
+    (dot products against the codeword literals) and norm, computed
+    ONCE per query row. Callers that fan queries out (one row per
+    probed IVF cell) must join THIS frame by q_id rather than project
+    the LUT after the fan-out — otherwise the m*k*subdim fold reruns
+    nprobe times per query."""
+    m, kk, subdim = codebook["m"], codebook["k"], codebook["subdim"]
+    CW = _lit_double_array(_flat_codewords(codebook))
+    qv = F.col("qv")
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m * kk - 1)),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(1), F.lit(subdim)),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.element_at(qv, (i / kk).cast("int") * subdim + d).cast("double")
+            * F.element_at(CW, i * subdim + d),
+        ),
+    )
+    return queries.select(
+        "q_id", "qv", lut.alias("_lut"), l2_norm(qv).alias("qv_norm")
+    )
+
+
+def _adc_expr(codebook: dict) -> Column:
+    """The per-candidate ADC sum: m lookups into the row's _lut by its
+    codes. One definition shared by every ADC scorer so the rounding /
+    indexing semantics the replay tests pin cannot diverge."""
+    m, kk = codebook["m"], codebook["k"]
+    codes = F.col("codes")
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("_lut"), s * kk + F.element_at(codes, s + 1).cast("int") + 1
+        ),
+    )
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    round_digits: int,
+) -> DataFrame:
+    """Shared rerank tail: shortlist (q_id, c_id) rows re-join their
+    float vectors for the exact rounded-cosine top-k."""
+    from ds_caselaw_ingester_spark.operators.similarity import dot_product
+
+    qn = queries.select("q_id", "qv", l2_norm(F.col("qv")).alias("qv_norm"))
+    cn = vectors.select("c_id", "cv", l2_norm(F.col("cv")).alias("cv_norm"))
+    scored = (
+        shortlist.join(cn, "c_id")
+        .join(F.broadcast(qn), "q_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                dot_product(F.col("qv"), F.col("cv"))
+                / (F.col("qv_norm") * F.col("cv_norm")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+
 def pq_encode(
     df: DataFrame,
     vec_col: str,
@@ -242,31 +314,8 @@ def pq_topk(
     LUT once (a map-side transform over the codeword literals); each
     candidate costs m lookups + one divide. The broadcast/top-k shape
     matches cosine_topk, so PQ is a drop-in for the brute path."""
-    m, kk, subdim = codebook["m"], codebook["k"], codebook["subdim"]
-    CW = _lit_double_array(_flat_codewords(codebook))
-    qv = F.col("qv")
-    lut = F.transform(
-        F.sequence(F.lit(0), F.lit(m * kk - 1)),
-        lambda i: F.aggregate(
-            F.sequence(F.lit(1), F.lit(subdim)),
-            F.lit(0.0),
-            lambda acc, d: acc
-            + F.element_at(qv, (i / kk).cast("int") * subdim + d).cast("double")
-            * F.element_at(CW, i * subdim + d),
-        ),
-    )
-    qs = queries.select(
-        "q_id", "qv", lut.alias("_lut"), l2_norm(qv).alias("qv_norm")
-    )
-    codes = F.col("codes")
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.col("_lut"), s * kk + F.element_at(codes, s + 1).cast("int") + 1
-        ),
-    )
+    qs = _adc_query_frame(queries, codebook)
+    adc = _adc_expr(codebook)
     scored = (
         encoded.where(F.col("recon_norm") > 0)
         .join(F.broadcast(qs))
@@ -326,42 +375,24 @@ def ivfadc_topk(
     computed here from `vectors` so the three tiers can be maintained
     independently; a deployed index would store centroid_id alongside
     the codes and skip that join."""
-    m, kk, subdim = codebook["m"], codebook["k"], codebook["subdim"]
-    from ds_caselaw_ingester_spark.operators.similarity import dot_product, ivf_assign
+    from ds_caselaw_ingester_spark.operators.similarity import ivf_assign
 
     cand_cells = ivf_assign(
         vectors.select("c_id", "cv"), "cv", "c_id", coarse_centroids, nprobe=1,
         round_digits=round_digits,
     ).select("c_id", "centroid_id")
     enc_cells = encoded.join(cand_cells, "c_id")
+    # LUT + norm computed on the ONE-row-per-query frame, then joined to
+    # the exploded (query, probed cell) rows — projecting the LUT after
+    # ivf_assign's fan-out recomputed the m*k*subdim fold nprobe times
+    # per query (review finding; cost scaled linearly with nprobe).
+    qmeta = _adc_query_frame(queries, codebook).drop("qv")
     q_cells = ivf_assign(
         queries.select("q_id", "qv"), "qv", "q_id", coarse_centroids, nprobe=nprobe,
         round_digits=round_digits,
-    )
-    CW = _lit_double_array(_flat_codewords(codebook))
-    qv = F.col("qv")
-    lut = F.transform(
-        F.sequence(F.lit(0), F.lit(m * kk - 1)),
-        lambda i: F.aggregate(
-            F.sequence(F.lit(1), F.lit(subdim)),
-            F.lit(0.0),
-            lambda acc, d: acc
-            + F.element_at(qv, (i / kk).cast("int") * subdim + d).cast("double")
-            * F.element_at(CW, i * subdim + d),
-        ),
-    )
-    qs = q_cells.select(
-        "q_id", "centroid_id", lut.alias("_lut"), l2_norm(qv).alias("qv_norm")
-    )
-    codes = F.col("codes")
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.element_at(
-            F.col("_lut"), s * kk + F.element_at(codes, s + 1).cast("int") + 1
-        ),
-    )
+    ).select("q_id", "centroid_id")
+    qs = q_cells.join(qmeta, "q_id")
+    adc = _adc_expr(codebook)
     scored = (
         enc_cells.where(F.col("recon_norm") > 0)
         .join(F.broadcast(qs), "centroid_id")
@@ -382,23 +413,7 @@ def ivfadc_topk(
         .where(F.col("rank") <= shortlist)
         .select("q_id", "c_id")
     )
-    qn = queries.select("q_id", "qv", l2_norm(F.col("qv")).alias("qv_norm"))
-    cn = vectors.select("c_id", "cv", l2_norm(F.col("cv")).alias("cv_norm"))
-    rescored = (
-        sl.join(cn, "c_id")
-        .join(F.broadcast(qn), "q_id")
-        .select(
-            "q_id",
-            "c_id",
-            F.round(
-                dot_product(F.col("qv"), F.col("cv"))
-                / (F.col("qv_norm") * F.col("cv_norm")),
-                round_digits,
-            ).alias("cosine"),
-        )
-    )
-    w2 = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
-    return rescored.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
+    return _exact_rerank(sl, queries, vectors, k, round_digits)
 
 
 def pq_topk_rerank(
@@ -424,25 +439,7 @@ def pq_topk_rerank(
     table; joined by id (keyed equi-join, AQE-broadcast when the
     shortlist is small).
     """
-    from ds_caselaw_ingester_spark.operators.similarity import dot_product
-
     sl = pq_topk(
         queries, encoded, codebook, k=shortlist, round_digits=round_digits
     ).select("q_id", "c_id")
-    qn = queries.select("q_id", "qv", l2_norm(F.col("qv")).alias("qv_norm"))
-    cn = vectors.select("c_id", "cv", l2_norm(F.col("cv")).alias("cv_norm"))
-    scored = (
-        sl.join(cn, "c_id")
-        .join(F.broadcast(qn), "q_id")
-        .select(
-            "q_id",
-            "c_id",
-            F.round(
-                dot_product(F.col("qv"), F.col("cv"))
-                / (F.col("qv_norm") * F.col("cv_norm")),
-                round_digits,
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _exact_rerank(sl, queries, vectors, k, round_digits)

@@ -10,10 +10,14 @@ model was trained" is a filter, not a forensic reconstruction.
 Batch timestamping is EVENT-time: each micro-batch applies at the max
 event timestamp it contains, so the history's validity intervals are a
 property of the data, not of when the pipeline happened to run — a
-backfill replay produces the identical table (the same determinism
-rule the rest of the engine follows). Within a batch, a key's rows
-collapse to the latest event (ts desc, then a stable tie-break) before
-the merge, since SCD2 records one state per key per apply.
+backfill replay IN THE SAME BATCH ORDER produces the identical table
+(the same determinism rule the rest of the engine follows). An
+out-of-order batch (max event time at or behind the history's newest
+effective_from) is clamped forward by a microsecond rather than
+writing inverted intervals — see apply_scd2_batch. Within a batch, a
+key's rows collapse to the latest event (ts desc, then a stable
+tie-break) before the merge, since SCD2 records one state per key per
+apply.
 
 Crash-safety reuses the upsert sink's discipline: the merge
 materializes into a temp dir (the plan reads the current table, so an
@@ -50,6 +54,7 @@ def apply_scd2_batch(
 ) -> None:
     """One micro-batch into the history table at `path` (parquet,
     tmp-dir + rename swap). Empty batches are a no-op."""
+    import datetime as dt
     import os
     import shutil
 
@@ -58,7 +63,6 @@ def apply_scd2_batch(
     first = batch.select(F.max(F.col(ts_col)).alias("m")).collect()[0]["m"]
     if first is None:
         return
-    batch_ts = first.strftime("%Y-%m-%d %H:%M:%S")
     updates = _latest_per_key(batch, key, ts_col).select(key, *payload_cols)
     try:
         history = spark.read.parquet(path)
@@ -67,6 +71,20 @@ def apply_scd2_batch(
         if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
             raise
         history = None
+    # Monotonicity clamp: a late/out-of-order micro-batch whose max
+    # event time is <= the history's newest effective_from would write
+    # INVERTED or zero-width validity intervals (a closed row
+    # [10:05, 10:02) is unreachable by scd2_as_of, and its successor
+    # silently backdates). History time never goes backward: the apply
+    # timestamp is max(batch event time, newest effective_from + 1µs).
+    # Full microsecond precision is kept for the same reason — two
+    # batches inside one second must not collapse to zero-width rows.
+    batch_time = first
+    if history is not None:
+        newest = history.select(F.max("effective_from").alias("m")).collect()[0]["m"]
+        if newest is not None and batch_time <= newest:
+            batch_time = newest + dt.timedelta(microseconds=1)
+    batch_ts = batch_time.strftime("%Y-%m-%d %H:%M:%S.%f")
     merged = scd2_apply(history, updates, key, payload_cols, batch_ts)
     tmp, old = local + ".tmp", local + ".old"
     shutil.rmtree(tmp, ignore_errors=True)

@@ -97,3 +97,22 @@ def test_top_merge_is_reapplied_greedily_left_first(spark):
     }
     assert seg["aaaa"] == ["aa", "aa", END_OF_WORD]
     assert seg["aaa"] == ["aa", "a", END_OF_WORD]
+
+
+def test_marker_left_merge_does_not_crash(spark):
+    """Regression: a merge whose LEFT symbol is the end-of-word marker
+    forces evaluation of the lookahead at the array's last index; under
+    Spark 4's default ANSI mode a plain element_at threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT there. The merge simply never
+    applies at the end (no next symbol) and segmentation stays
+    lossless."""
+    from ds_caselaw_ingester_spark.operators.bpe import (
+        END_OF_WORD,
+        bpe_segment,
+    )
+
+    df = spark.createDataFrame([("d", "x y x")], ["doc_id", "text"])
+    rows = bpe_segment(df, "doc_id", "text", [(END_OF_WORD, "x", 1)]).collect()
+    assert rows
+    for r in rows:
+        assert "".join(r["pieces"]) == r["token"] + END_OF_WORD

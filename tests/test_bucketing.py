@@ -125,3 +125,27 @@ def test_path_read_loses_bucketing(spark, bucketed_pair, tmp_path):
     )
     plan = _plan(joined)
     assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_append_with_mismatched_bucket_count_is_rejected(spark, sf_dir, tmp_path):
+    """The corruption path the writer must refuse: appending under a
+    DIFFERENT bucket count would leave files hashed under two
+    incompatible specs in one directory. The catalog entry survives the
+    append (no drop), so Spark validates and rejects the mismatch;
+    a matching append succeeds and stays bucket-local."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(orders, "b_app", str(tmp_path / "t"), ["o_orderkey"], 8)
+    with pytest.raises(AnalysisException):
+        write_bucketed(
+            orders, "b_app", str(tmp_path / "t"), ["o_orderkey"], 16, mode="append"
+        )
+    write_bucketed(
+        orders, "b_app", str(tmp_path / "t"), ["o_orderkey"], 8, mode="append"
+    )
+    assert bucketed(spark, "b_app").count() == 2 * orders.count()
+    agg = bucketed(spark, "b_app").groupBy("o_orderkey").count()
+    assert "Exchange" not in _plan(agg)
+    spark.sql("DROP TABLE IF EXISTS b_app")

@@ -1,5 +1,6 @@
-"""Shuffled export: lossless, deterministic across runs and input
-partitionings, decorrelated from input order, balanced shards."""
+"""Shuffled export: lossless, shard membership and order deterministic
+across runs and input partitionings, decorrelated from input order,
+balanced shards."""
 
 from __future__ import annotations
 
@@ -22,27 +23,37 @@ def test_export_is_lossless_and_balanced(spark, sf_dir, tmp_path):
     assert set(r["doc_id"] for r in back.select("doc_id").collect()) == set(
         r["doc_id"] for r in docs.select("doc_id").collect()
     )
-    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
-    assert len(files) == N_SHARDS
-    # md5 keys are uniform, so range shards are balanced: no shard more
-    # than 2x the mean
-    sizes = sorted(os.path.getsize(os.path.join(out, f)) for f in files)
-    assert sizes[-1] < 2 * (sum(sizes) / len(sizes)), sizes
+    dirs = [d for d in os.listdir(out) if d.startswith("_shard=")]
+    assert len(dirs) == N_SHARDS
+    # md5 prefixes are uniform: no shard more than 2x the mean row count
+    counts = [
+        r["n"]
+        for r in back.groupBy("_shard").agg(F.count("*").alias("n")).collect()
+    ]
+    assert max(counts) < 2 * (sum(counts) / len(counts)), counts
 
 
-def test_order_is_deterministic_and_partitioning_invariant(spark, sf_dir):
+def test_shard_membership_is_partitioning_invariant(spark, sf_dir):
+    """The review-hardened contract: a row's shard is a pure function
+    of its id (md5-prefix mod n), so shard CONTENTS — not just the
+    global order — are identical however the input was partitioned
+    (range-sampled cut points would not be)."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    a = [
-        r["doc_id"]
-        for r in shuffled_shards(docs, "doc_id", N_SHARDS).select("doc_id").collect()
-    ]
-    b = [
-        r["doc_id"]
-        for r in shuffled_shards(docs.repartition(13), "doc_id", N_SHARDS)
-        .select("doc_id")
-        .collect()
-    ]
-    assert a == b, "shuffle order must not depend on input partitioning"
+
+    def shards(df):
+        out = {}
+        for r in (
+            shuffled_shards(df, "doc_id", N_SHARDS)
+            .select("_shard", "_shuffle_key", "doc_id")
+            .collect()
+        ):
+            out.setdefault(r["_shard"], []).append((r["_shuffle_key"], r["doc_id"]))
+        return {s: rows for s, rows in out.items()}
+
+    a = shards(docs)
+    b = shards(docs.repartition(13))
+    assert a == b, "shard membership and within-shard order must be invariant"
+    assert set(a) == set(range(N_SHARDS))
 
 
 def test_order_is_decorrelated_from_input_order(spark, sf_dir):

@@ -122,3 +122,43 @@ def test_validate_raises_on_duplicate_batch_keys(spark):
     )
     with pytest.raises(ValueError, match="duplicate key"):
         scd2_apply(None, dup, "uri", ["title", "court"], B1, validate=True)
+
+
+def test_out_of_order_batch_is_clamped_not_inverted(spark, tmp_path):
+    """Regression (review finding): a late micro-batch whose max event
+    time is BEHIND the history's newest effective_from must not write
+    inverted/zero-width validity intervals. The sink clamps the apply
+    time forward by 1µs, so every closed interval stays strictly
+    positive and as-of still resolves each state."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from ds_caselaw_ingester_spark.streaming.scd_sink import apply_scd2_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("uri", T.StringType()),
+            T.StructField("court", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+    path = str(tmp_path / "hist")
+    t_late = dt.datetime(2024, 1, 1, 10, 2, 0)
+    t_early_batch_first = dt.datetime(2024, 1, 1, 10, 5, 0)
+    b1 = spark.createDataFrame([("a", "ewhc", t_early_batch_first)], schema)
+    apply_scd2_batch(b1, path, "uri", ["court"])
+    # late batch: earlier event time, CHANGED payload
+    b2 = spark.createDataFrame([("a", "ewca", t_late)], schema)
+    apply_scd2_batch(b2, path, "uri", ["court"])
+    rows = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r["effective_from"]
+    )
+    assert len(rows) == 2
+    closed, current = rows
+    assert not closed["is_current"] and current["is_current"]
+    # interval strictly positive: the clamp pushed the new state 1µs
+    # past the old effective_from instead of backdating it
+    assert closed["effective_to"] > closed["effective_from"]
+    assert current["effective_from"] == closed["effective_to"]
+    assert current["court"] == "ewca"
