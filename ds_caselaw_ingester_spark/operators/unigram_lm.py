@@ -1,0 +1,188 @@
+"""Unigram-LM tokenizer training — SentencePiece-style hard EM (Kudo
+2018, "Subword Regularization", the published algorithm; Viterbi
+counts in place of full forward-backward, the standard hard-EM
+simplification).
+
+Where BPE (operators/bpe.py) grows a vocabulary bottom-up one merge at
+a time, the unigram LM starts from an OVER-complete candidate vocab
+(frequent substrings) and fits piece probabilities by EM:
+
+  E-step: segment every word with Viterbi under current log-probs;
+  M-step: re-estimate probs from the weighted piece usage counts.
+
+Scale decomposition mirrors bpe_learn:
+- corpus-sized work happens ONCE (the word-frequency table);
+- the candidate vocab is seeded by one substring-explode + count
+  shuffle over the word table, capped to the top-N pieces (single
+  characters always kept so every word stays segmentable);
+- each EM round maps the word table once. Viterbi is per-word dynamic
+  programming — genuinely not expressible as a columnar fold at
+  reasonable cost — so this is the repo's sanctioned slow path: an
+  Arrow-batched mapInPandas with the (bounded, top-N) vocab broadcast
+  in the closure, emitting slim (piece, weighted_count) rows into one
+  partially-aggregated groupBy. Only vocab-sized state ever reaches
+  the driver.
+
+Determinism: Viterbi ties break toward the SHORTER split position
+(longer final piece), then lexicographic piece order is fixed by
+construction; counts are exact integers times float log-probs with a
+fixed tie rule, so training is reproducible across partitionings (the
+replay test pins it against a pure-Python run).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NEG_INF = float("-inf")
+
+
+def seed_vocab(
+    word_freqs: DataFrame,
+    max_piece_len: int = 6,
+    max_vocab: int = 2000,
+) -> "dict[str, float]":
+    """Candidate pieces: every substring of length <= max_piece_len of
+    every word, weighted by word frequency; top `max_vocab` by weight,
+    with ALL single characters force-included (totality). Returns
+    {piece: log_prob} normalized over the selected set."""
+    w = F.col("word")
+    subs = F.expr(
+        f"""flatten(transform(sequence(1, length(word)),
+              i -> transform(sequence(i, least(length(word), i + {max_piece_len - 1})),
+                     j -> substring(word, i, j - i + 1))))"""
+    )
+    counts = (
+        word_freqs.select(F.explode(subs).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("piece")).limit(max_vocab).collect()
+    chars = (
+        word_freqs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
+                )
+            ).alias("piece"),
+            "freq",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("n"))
+        .collect()
+    )
+    weights: dict[str, float] = {r["piece"]: float(r["n"]) for r in top}
+    for r in chars:
+        weights.setdefault(r["piece"], float(r["n"]))
+    total = sum(weights.values())
+    return {p: math.log(v / total) for p, v in weights.items()}
+
+
+def viterbi_segment(word: str, logp: "dict[str, float]", max_piece_len: int) -> "list[str]":
+    """Best segmentation of one word under piece log-probs. DP over end
+    positions; ties break toward the SMALLER split point (longer final
+    piece). Falls back to characters for pieces missing from the vocab
+    (single chars are always seeded, so this is total)."""
+    n = len(word)
+    best = [_NEG_INF] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_piece_len), j):
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None or best[i] == _NEG_INF:
+                continue
+            score = best[i] + lp
+            if score > best[j] or (score == best[j] and i < back[j]):
+                best[j] = score
+                back[j] = i
+    if best[n] == _NEG_INF:  # unseen character: emit it raw
+        return list(word)
+    out: list[str] = []
+    j = n
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    return out[::-1]
+
+
+def unigram_fit(
+    word_freqs: DataFrame,
+    num_iters: int = 3,
+    max_piece_len: int = 6,
+    max_vocab: int = 2000,
+) -> "dict[str, float]":
+    """Hard-EM over the word table: returns {piece: log_prob}. Pieces
+    that win no Viterbi usage keep a floor probability (they can be
+    pruned by the caller; SentencePiece prunes the lowest-loss tail
+    each round — kept simple and deterministic here)."""
+    logp = seed_vocab(word_freqs, max_piece_len, max_vocab)
+    spark = word_freqs.sparkSession
+    wf = word_freqs.select("word", "freq").persist()
+    try:
+        for _ in range(num_iters):
+            cur = dict(logp)  # closure snapshot for this round
+
+            def count_pieces(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    counts: dict[str, int] = {}
+                    for word, freq in zip(pdf["word"], pdf["freq"]):
+                        for piece in viterbi_segment(word, cur, max_piece_len):
+                            counts[piece] = counts.get(piece, 0) + int(freq)
+                    if counts:
+                        yield pd.DataFrame(
+                            {"piece": list(counts), "n": list(counts.values())}
+                        )
+
+            used = (
+                wf.mapInPandas(count_pieces, "piece string, n long")
+                .groupBy("piece")
+                .agg(F.sum("n").alias("n"))
+                .collect()
+            )
+            total = sum(int(r["n"]) for r in used)
+            floor = math.log(0.5 / max(total, 1))
+            new_logp = {p: floor for p in logp}
+            for r in used:
+                new_logp[r["piece"]] = math.log(int(r["n"]) / total)
+            logp = new_logp
+    finally:
+        wf.unpersist()
+    return logp
+
+
+def unigram_segment(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    logp: "dict[str, float]",
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """Apply a trained model: (id, token, pieces array<string>). Same
+    Arrow path as training; the vocab rides in the closure."""
+    from ds_caselaw_ingester_spark.operators.textstats import tokens
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    model = dict(logp)
+
+    def seg(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pieces"] = [
+                viterbi_segment(t, model, max_piece_len) for t in pdf["token"]
+            ]
+            yield pdf
+
+    schema = f"{id_col} {dict(tok.dtypes)[id_col]}, token string, pieces array<string>"
+    return tok.mapInPandas(seg, schema)

@@ -1,0 +1,107 @@
+"""Unigram-LM tokenizer: the distributed hard-EM must equal a
+pure-Python run piece-for-piece, Viterbi likelihood must not decrease
+across rounds, and segmentation must be total and lossless."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.bpe import word_frequencies
+from ds_caselaw_ingester_spark.operators.unigram_lm import (
+    seed_vocab,
+    unigram_fit,
+    unigram_segment,
+    viterbi_segment,
+)
+from ds_caselaw_ingester_spark.sources.catalog import spread, table
+
+MAX_LEN = 6
+ITERS = 3
+
+
+@pytest.fixture(scope="module")
+def wf(spark, sf_dir):
+    docs = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text").limit(400),
+        "doc_id",
+    )
+    return word_frequencies(docs, "text").persist()
+
+
+def _py_em(word_freqs: dict, seed: dict, iters: int):
+    logp = dict(seed)
+    for _ in range(iters):
+        counts: dict = {}
+        for w, f in word_freqs.items():
+            for piece in viterbi_segment(w, logp, MAX_LEN):
+                counts[piece] = counts.get(piece, 0) + f
+        total = sum(counts.values())
+        floor = math.log(0.5 / max(total, 1))
+        logp = {p: floor for p in logp}
+        for p, n in counts.items():
+            logp[p] = math.log(n / total)
+    return logp
+
+
+def test_distributed_em_matches_python_replay(spark, wf):
+    seed = seed_vocab(wf, MAX_LEN, max_vocab=800)
+    got = unigram_fit(wf, num_iters=ITERS, max_piece_len=MAX_LEN, max_vocab=800)
+    freqs = {r["word"]: int(r["freq"]) for r in wf.collect()}
+    want = _py_em(freqs, seed, ITERS)
+    assert got.keys() == want.keys()
+    for p in got:
+        assert got[p] == pytest.approx(want[p], abs=1e-12), p
+
+
+def test_viterbi_likelihood_is_nondecreasing(spark, wf):
+    """Hard EM's classical guarantee: the corpus's Viterbi objective
+    never decreases when probabilities are re-fit from Viterbi counts."""
+    freqs = {r["word"]: int(r["freq"]) for r in wf.collect()}
+    seed = seed_vocab(wf, MAX_LEN, max_vocab=800)
+
+    def corpus_ll(logp):
+        tot = 0.0
+        for w, f in freqs.items():
+            pieces = viterbi_segment(w, logp, MAX_LEN)
+            tot += f * sum(logp.get(p, -50.0) for p in pieces)
+        return tot
+
+    lls = [corpus_ll(seed)]
+    model = seed
+    for _ in range(3):
+        model = _py_em(freqs, model, 1)
+        lls.append(corpus_ll(model))
+    for a, b in zip(lls, lls[1:]):
+        assert b >= a - 1e-9, lls
+
+
+def test_segmentation_is_total_and_lossless(spark, wf):
+    model = unigram_fit(wf, num_iters=1, max_piece_len=MAX_LEN, max_vocab=400)
+    docs = spark.createDataFrame(
+        [(1, "the quarterly ingest report"), (2, "zzzqqqxyz unseen™glyph")],
+        "doc_id long, text string",
+    )
+    rows = unigram_segment(docs, "doc_id", "text", model, MAX_LEN).collect()
+    assert rows
+    for r in rows:
+        assert "".join(r["pieces"]) == r["token"], r
+        assert all(r["pieces"]), r
+
+
+def test_em_compresses_vs_characters(spark, wf):
+    """After training, frequent words segment into fewer pieces than
+    characters — the point of the exercise."""
+    model = unigram_fit(wf, num_iters=ITERS, max_piece_len=MAX_LEN, max_vocab=800)
+    top_words = [
+        r["word"]
+        for r in wf.orderBy(F.desc("freq")).limit(20).collect()
+        if len(r["word"]) >= 4
+    ]
+    assert top_words
+    shorter = sum(
+        1 for w in top_words if len(viterbi_segment(w, model, MAX_LEN)) < len(w)
+    )
+    assert shorter >= 0.8 * len(top_words), (shorter, len(top_words))

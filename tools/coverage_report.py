@@ -58,6 +58,7 @@ def main() -> int:
             "  stream-stream join (op) tests/test_streaming_joins.py (interval + leftOuter)",
             "  product quantization    tests/test_pq.py (ADC + rerank, replay-exact)",
             "  bpe merge learning      tests/test_bpe.py (replay-exact vs paper algorithm)",
+            "  unigram-LM tokenizer    tests/test_unigram_lm.py (hard EM, replay-exact)",
             "  scd2 history merge      tests/test_scd.py + test_streaming.py (event-time stream sink)",
             "  shuffled export (op)    tests/test_export.py (deterministic balanced shards)",
             "  table expectations (op) tests/test_expectations.py (one-pass check battery)",
