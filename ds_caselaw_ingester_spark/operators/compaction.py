@@ -10,6 +10,14 @@ file instead of per row group (the classic small-files problem — at
 Compaction rewrites a directory into ~target-sized files. Design
 choices encoded here:
 
+- **single-writer contract**: the caller must quiesce appends for the
+  duration (run it from the sink's own foreachBatch turn, or between
+  triggers) — plain parquet has no transaction log to reconcile a
+  concurrent append against (table formats like Delta/Iceberg do this
+  with optimistic commits; that is the production substitute). The
+  operator still DETECTS violation: after materializing the rewrite it
+  re-lists the directory and aborts — original untouched — if any
+  file appeared or vanished since the snapshot.
 - file count is computed from the table's ACTUAL on-disk bytes, not
   row counts — compression ratios vary too much across tables for a
   rows-per-file heuristic;
@@ -18,9 +26,14 @@ choices encoded here:
   caller wants clustering restored (one shuffle, buys back min/max
   pruning the tiny appends destroyed; see operators/layout.py for the
   multi-column Z-order variant);
-- the swap reuses the engine's tmp-dir + rename discipline: readers
-  of the old files are never raced, a crash leaves the original
-  intact.
+- hive-partitioned directories (`col=value/` subdirs) are REFUSED: a
+  flat rewrite would silently collapse the partition layout readers
+  key on — compact each partition directory individually instead;
+- the swap is crash-recoverable: write tmp -> rename original to
+  .compact-old -> rename tmp in -> drop .compact-old, with an explicit
+  recovery step for every crash point and no path that deletes the
+  only remaining copy (a crash can leave a backup to reconcile, never
+  silent loss).
 """
 
 from __future__ import annotations
@@ -43,6 +56,44 @@ def dir_stats(path: str) -> "tuple[int, int]":
     return n, total
 
 
+def _parquet_files(path: str) -> "set[str]":
+    out = set()
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.relpath(os.path.join(root, f), path))
+    return out
+
+
+def _recover(local: str, tmp: str, old: str) -> None:
+    """Reconcile a previous run's crash point before doing anything
+    destructive. Invariant: never delete `old` unless `local` holds a
+    complete table that SUPERSEDES it."""
+    if not os.path.exists(old):
+        shutil.rmtree(tmp, ignore_errors=True)  # stale partial rewrite
+        return
+    if not os.path.exists(local):
+        if os.path.exists(tmp):
+            # crashed between the two renames: tmp is the finished
+            # rewrite of old — complete the swap
+            os.rename(tmp, local)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            # crashed right after moving the original aside: restore it
+            os.rename(old, local)
+        return
+    # BOTH local and old exist: either a crash after the second rename
+    # (old is a stale backup) or a writer recreated local after a
+    # mid-swap crash (old is the only full copy). Indistinguishable
+    # from the filesystem alone — refuse to guess, never delete.
+    raise RuntimeError(
+        f"compaction found both {local} and {old}; a previous run crashed "
+        "mid-swap and the directory was written to since. Reconcile "
+        "manually (merge or discard the .compact-old backup) before "
+        "compacting again."
+    )
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,
@@ -52,11 +103,27 @@ def compact_parquet_dir(
     """Rewrite `path` into ceil(bytes / target_file_bytes) files.
     Returns (files_before, files_after). sort_cols: restore range
     clustering on these columns during the rewrite (adds one shuffle;
-    without it compaction is a shuffle-free coalesce)."""
+    without it compaction is a shuffle-free coalesce). Raises if the
+    directory is hive-partitioned or if a concurrent writer modified it
+    during the rewrite (original left untouched in both cases)."""
     local = path[len("file:") :] if path.startswith("file:") else path
-    before, total = dir_stats(local)
-    if before == 0:
+    tmp, old = local + ".compact-tmp", local + ".compact-old"
+    _recover(local, tmp, old)
+    partition_dirs = [
+        e
+        for e in os.listdir(local)
+        if "=" in e and os.path.isdir(os.path.join(local, e))
+    ]
+    if partition_dirs:
+        raise ValueError(
+            f"compact_parquet_dir: {local} is hive-partitioned "
+            f"({partition_dirs[0]}, ...); a flat rewrite would collapse the "
+            "partition layout — compact each partition directory instead"
+        )
+    snapshot = _parquet_files(local)
+    if not snapshot:
         return 0, 0
+    before, total = dir_stats(local)
     n_files = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
     if sort_cols:
@@ -64,10 +131,18 @@ def compact_parquet_dir(
         out = out.sortWithinPartitions(*sort_cols)
     else:
         out = df.coalesce(n_files)
-    tmp, old = local + ".compact-tmp", local + ".compact-old"
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
     out.write.mode("overwrite").parquet(tmp)
+    # single-writer violation check: the rewrite covered exactly the
+    # snapshot; any concurrent append/delete means swapping would lose
+    # rows Spark never read. Abort with the original untouched.
+    if _parquet_files(local) != snapshot:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_parquet_dir: {local} was modified during the rewrite "
+            "(concurrent writer?); aborted with the original untouched — "
+            "quiesce the sink and rerun"
+        )
     os.rename(local, old)
     os.rename(tmp, local)
     shutil.rmtree(old, ignore_errors=True)

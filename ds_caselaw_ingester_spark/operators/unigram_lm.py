@@ -49,31 +49,23 @@ def seed_vocab(
     every word, weighted by word frequency; top `max_vocab` by weight,
     with ALL single characters force-included (totality). Returns
     {piece: log_prob} normalized over the selected set."""
-    w = F.col("word")
     subs = F.expr(
         f"""flatten(transform(sequence(1, length(word)),
               i -> transform(sequence(i, least(length(word), i + {max_piece_len - 1})),
                      j -> substring(word, i, j - i + 1))))"""
     )
+    # the substring explode already counts every length-1 piece, so the
+    # single-character force-include filters the SAME aggregated frame —
+    # one explode+shuffle total, cached across the two collects
     counts = (
         word_freqs.select(F.explode(subs).alias("piece"), "freq")
         .groupBy("piece")
         .agg(F.sum("freq").alias("n"))
+        .persist()
     )
     top = counts.orderBy(F.desc("n"), F.asc("piece")).limit(max_vocab).collect()
-    chars = (
-        word_freqs.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, 1)
-                )
-            ).alias("piece"),
-            "freq",
-        )
-        .groupBy("piece")
-        .agg(F.sum("freq").alias("n"))
-        .collect()
-    )
+    chars = counts.where(F.length("piece") == 1).collect()
+    counts.unpersist()
     weights: dict[str, float] = {r["piece"]: float(r["n"]) for r in top}
     for r in chars:
         weights.setdefault(r["piece"], float(r["n"]))

@@ -3,6 +3,8 @@ identical content; the sorted variant restores min/max pruning."""
 
 from __future__ import annotations
 
+import os
+
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
@@ -89,3 +91,80 @@ def test_sorted_compaction_restores_minmax_pruning(spark, sf_dir, tmp_path):
         if a[0] <= b[1] and b[0] <= a[1]
     )
     assert overlap_after == 0, spans
+
+
+def test_partitioned_dir_is_refused(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "p")
+    import pytest
+
+    docs = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    docs.write.partitionBy("o_orderstatus").parquet(out)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet_dir(spark, out)
+
+
+def test_concurrent_append_aborts_with_original_intact(spark, sf_dir, tmp_path):
+    """The single-writer violation detector: a file that appears between
+    the snapshot and the swap aborts the compaction; nothing is lost."""
+    import pytest
+
+    from ds_caselaw_ingester_spark.operators import compaction as C
+
+    out = str(tmp_path / "t")
+    _fragmented(spark, sf_dir, out)
+    rows_before = spark.read.parquet(out).count()
+    extra = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).limit(7)
+
+    real = C._parquet_files
+    calls = {"n": 0}
+
+    def racing(path):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the post-rewrite check: simulate an append
+            extra.coalesce(1).write.mode("append").parquet(out)
+        return real(path)
+
+    C._parquet_files = racing
+    try:
+        with pytest.raises(RuntimeError, match="modified during the rewrite"):
+            compact_parquet_dir(spark, out, target_file_bytes=10**9)
+    finally:
+        C._parquet_files = real
+    # original intact INCLUDING the concurrently appended rows
+    assert spark.read.parquet(out).count() == rows_before + 7
+    assert not os.path.exists(out + ".compact-tmp")
+
+
+def test_crash_recovery_never_deletes_the_only_copy(spark, sf_dir, tmp_path):
+    """Crash points of the swap, replayed: (a) original moved aside,
+    tmp complete -> next run completes the swap; (b) original moved
+    aside, tmp gone -> restored; (c) both local and backup present ->
+    refuse loudly, delete nothing."""
+    import shutil
+
+    out = str(tmp_path / "t")
+    _fragmented(spark, sf_dir, out, n_appends=4)
+    rows = spark.read.parquet(out).count()
+    tmp, old = out + ".compact-tmp", out + ".compact-old"
+
+    # (a) simulate crash between renames: local -> old, tmp holds rewrite
+    spark.read.parquet(out).coalesce(1).write.parquet(tmp)
+    os.rename(out, old)
+    compact_parquet_dir(spark, out, target_file_bytes=10**9)
+    assert spark.read.parquet(out).count() == rows
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+
+    # (b) crash right after moving aside, no tmp
+    os.rename(out, old)
+    compact_parquet_dir(spark, out, target_file_bytes=10**9)
+    assert spark.read.parquet(out).count() == rows
+
+    # (c) both present: refuse, delete nothing
+    shutil.copytree(out, old)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="Reconcile"):
+        compact_parquet_dir(spark, out, target_file_bytes=10**9)
+    assert os.path.exists(out) and os.path.exists(old)

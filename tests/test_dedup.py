@@ -74,3 +74,55 @@ def test_incremental_lsh_matches_full_recompute(spark, sf_dir):
     # finds nothing, and its band set equals the full corpus's
     full_bands = bands_of(corpus)
     assert updated.count() == full_bands.count()
+
+
+def test_incremental_lsh_reingest_replaces_stale_bands(spark, sf_dir):
+    """Review finding pinned: re-ingesting an id with CHANGED text must
+    supersede its old index rows — the updated index holds exactly one
+    version per id, and the probe never pairs against a dead version's
+    band keys."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.dedup import (
+        doc_shingles,
+        incremental_lsh_pairs,
+        lsh_bands,
+        minhash_signatures,
+    )
+    from ds_caselaw_ingester_spark.sources.catalog import spread, table
+
+    corpus = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text").limit(60),
+        "doc_id",
+    )
+
+    def bands_of(df):
+        return lsh_bands(
+            minhash_signatures(doc_shingles(df, "doc_id", "text"), "doc_id"),
+            "doc_id",
+        )
+
+    index = bands_of(corpus)
+    # re-ingest 10 docs with rewritten text
+    changed = corpus.where(F.col("doc_id") % 6 == 0).select(
+        "doc_id", F.concat(F.lit("totally rewritten body now "), F.col("text")).alias("text")
+    )
+    pairs, updated = incremental_lsh_pairs(index, bands_of(changed), "doc_id")
+    changed_ids = {r["doc_id"] for r in changed.select("doc_id").collect()}
+    # one version per id: the updated index equals a fresh index over
+    # the replaced corpus
+    replaced = corpus.where(F.col("doc_id") % 6 != 0).unionAll(changed)
+    fresh = bands_of(replaced)
+    got = {tuple(r) for r in updated.collect()}
+    want = {tuple(r) for r in fresh.collect()}
+    assert got == want
+    # and the pairs equal a full recompute over the replaced corpus,
+    # restricted to pairs touching a re-ingested doc
+    from ds_caselaw_ingester_spark.operators.dedup import lsh_candidate_pairs
+
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(fresh, "doc_id").collect()
+    }
+    want_pairs = {p for p in full if p[0] in changed_ids or p[1] in changed_ids}
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs.collect()} == want_pairs
