@@ -1,0 +1,49 @@
+"""Corpus report: exact metrics on a constructed corpus, sane values on
+the real table, and an empty corpus yields zeros instead of raising."""
+
+from __future__ import annotations
+
+from ds_caselaw_ingester_spark.operators.report import corpus_report
+from ds_caselaw_ingester_spark.sources.catalog import table
+
+
+def _metrics(df):
+    return {r["metric"]: r["value"] for r in df.collect()}
+
+
+def test_constructed_corpus_exact_values(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi"),                      # 16 tokens
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi"),                      # exact dup of 1
+        (3, "tiny doc"),                                     # short
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18"), # numeric, 18 toks
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m = _metrics(corpus_report(docs, corpus="unit"))
+    assert m["n_docs"] == 4.0
+    assert m["total_tokens"] == 16 + 16 + 2 + 18
+    assert m["short_doc_frac"] == 0.25
+    # one repeated text: 1 duplicate over 4 docs, 3 distinct texts
+    assert m["exact_dup_frac"] == 0.25
+    assert m["distinct_texts"] == 3.0
+    assert 0.0 < m["mean_alpha_ratio"] < 1.0
+
+
+def test_real_table_is_sane_and_unionable(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = corpus_report(docs, corpus="documents")
+    m = _metrics(rep)
+    assert m["n_docs"] == docs.count()
+    assert m["p50_tokens"] <= m["p95_tokens"]
+    assert 0.0 <= m["exact_dup_frac"] <= 1.0
+    # frames union across corpora (the multi-source dashboard shape)
+    both = rep.unionAll(corpus_report(docs.limit(10), corpus="sample"))
+    assert both.where("corpus = 'sample'").count() == 9
+
+
+def test_empty_corpus_reports_zeros(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    m = _metrics(corpus_report(empty))
+    assert m["n_docs"] == 0.0 and m["exact_dup_frac"] == 0.0

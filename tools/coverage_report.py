@@ -63,7 +63,8 @@ def main() -> int:
             "  shuffled export (op)    tests/test_export.py (deterministic balanced shards)",
             "  table expectations (op) tests/test_expectations.py (one-pass check battery)",
             "  incremental LSH (op)    tests/test_dedup.py (new-vs-index == recompute)",
-            "  compaction (op)         tests/test_compaction.py (restores min/max pruning)",
+            "  compaction (op)         tests/test_compaction.py (crash-safe, writer-detecting)",
+            "  corpus report (op)      tests/test_report.py (two-pass health metrics)",
         ):
             print(line)
         print()
