@@ -162,3 +162,40 @@ def test_out_of_order_batch_is_clamped_not_inverted(spark, tmp_path):
     assert closed["effective_to"] > closed["effective_from"]
     assert current["effective_from"] == closed["effective_to"]
     assert current["court"] == "ewca"
+
+
+def test_scd2_current_slice_equals_upsert_state(spark):
+    """Cross-sink invariant: driving the SAME batch sequence through the
+    in-place MERGE (operators/upsert.py, the reference's documents sink)
+    and through SCD2 must agree — the SCD2 current slice IS the upsert
+    table, plus audit history. This is what makes the history table a
+    drop-in shadow sink for the ingest pipeline."""
+    from ds_caselaw_ingester_spark.operators.upsert import merge_documents
+
+    batches = [
+        (B1, [("a", "A v B", "ewhc"), ("b", "C v D", "uksc")]),
+        (B2, [("a", "A v B", "ewca"), ("c", "E v F", "ewhc")]),
+        (B3, [("c", "E v F (No 2)", "ewhc"), ("d", "G v H", "ukut")]),
+    ]
+    hist = None
+    merged = None
+    for ts, rows in batches:
+        updates = spark.createDataFrame(rows, ["uri", "title", "court"])
+        hist = scd2_apply(hist, updates, "uri", ["title", "court"], ts)
+        hist = hist.localCheckpoint(eager=True)
+        merged = (
+            updates
+            if merged is None
+            else merge_documents(merged, updates, key="uri").drop("op")
+        )
+        merged = merged.localCheckpoint(eager=True)
+    current = {
+        (r["uri"], r["title"], r["court"])
+        for r in hist.where("is_current").collect()
+    }
+    latest = {(r["uri"], r["title"], r["court"]) for r in merged.collect()}
+    assert current == latest
+    # and the history holds strictly more information: every closed row
+    # is a state the upsert table has already forgotten
+    closed = hist.where("NOT is_current").count()
+    assert closed == 2  # a's ewhc, c's first title
