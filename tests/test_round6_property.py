@@ -5,9 +5,6 @@ band-planner formula. Spark-touching properties keep examples small
 
 from __future__ import annotations
 
-import itertools
-import math
-
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
