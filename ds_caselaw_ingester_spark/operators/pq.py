@@ -443,3 +443,40 @@ def pq_topk_rerank(
         queries, encoded, codebook, k=shortlist, round_digits=round_digits
     ).select("q_id", "c_id")
     return _exact_rerank(sl, queries, vectors, k, round_digits)
+
+
+def save_index(
+    path: str,
+    codebook: dict,
+    coarse_centroids: "list | None" = None,
+) -> None:
+    """Persist the quantizer artifacts as JSON next to the encoded
+    table: the codebook (m·k·subdim floats) and, for an IVFADC index,
+    the coarse centroids. Floats round-trip via repr (shortest
+    round-trip decimal), so a loaded index encodes and scores
+    BIT-IDENTICALLY — the property the replay tests pin is what makes
+    an index built last year probeable today."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "codebook.json"), "w") as f:
+        json.dump(codebook, f)
+    if coarse_centroids is not None:
+        with open(os.path.join(path, "coarse.json"), "w") as f:
+            json.dump(coarse_centroids, f)
+
+
+def load_index(path: str) -> "tuple[dict, list | None]":
+    """(codebook, coarse_centroids or None)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "codebook.json")) as f:
+        cb = json.load(f)
+    coarse = None
+    cpath = os.path.join(path, "coarse.json")
+    if os.path.exists(cpath):
+        with open(cpath) as f:
+            coarse = json.load(f)
+    return cb, coarse

@@ -204,3 +204,29 @@ def test_ivfadc_recall_and_cell_restriction(spark, pq_ctx):
     for q, cids in by_q.items():
         for c in cids:
             assert cand_cell[c] in probed[q], (q, c)
+
+
+def test_index_roundtrip_is_bit_identical(spark, pq_ctx, tmp_path):
+    """save_index/load_index: a reloaded codebook encodes every vector
+    to the same bytes and scores every ADC pair to the same double —
+    JSON's repr round-trip preserves the IEEE values exactly."""
+    from ds_caselaw_ingester_spark.operators.pq import (
+        load_index,
+        pq_encode,
+        pq_topk,
+        save_index,
+    )
+
+    emb, cb, enc = pq_ctx
+    save_index(str(tmp_path / "idx"), cb, coarse_centroids=[{"centroid_id": 0, "cvec": [1.0] * 64}])
+    cb2, coarse2 = load_index(str(tmp_path / "idx"))
+    assert cb2["books"] == cb["books"]
+    assert coarse2 is not None and coarse2[0]["cvec"] == [1.0] * 64
+    sample = emb.where(F.col("vec_id") < 40).select(F.col("vec_id").alias("c_id"), "v")
+    a = {r["c_id"]: (list(r["codes"]), r["recon_norm"]) for r in pq_encode(sample, "v", "c_id", cb).collect()}
+    b = {r["c_id"]: (list(r["codes"]), r["recon_norm"]) for r in pq_encode(sample, "v", "c_id", cb2).collect()}
+    assert a == b
+    qs = emb.where(F.col("vec_id") < 2).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    s1 = sorted(map(tuple, pq_topk(qs, enc, cb, k=5).collect()))
+    s2 = sorted(map(tuple, pq_topk(qs, enc, cb2, k=5).collect()))
+    assert s1 == s2
