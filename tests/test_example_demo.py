@@ -1,0 +1,16 @@
+"""The examples/ demo must stay runnable end to end — it is the repo's
+executable documentation."""
+
+from __future__ import annotations
+
+import sys
+
+
+def test_demo_runs_end_to_end(spark, sf_dir, capsys):
+    sys.argv = ["demo", sf_dir]
+    import examples.curate_and_index as demo
+
+    demo.main()
+    out = capsys.readouterr().out
+    for tag in ("[1 report]", "[2 curate]", "[3 export]", "[4 index]", "[5 search]"):
+        assert tag in out, out
