@@ -454,7 +454,13 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.9
     "component zeroed, cosine ~0.99) must pair with their source inside "
     "a shared hyperplane bucket; in-bucket pairs below the 0.9 cosine "
     "threshold are dropped. At 100 TB the bucket equi-join bounds pair "
-    "work to O(sum bucket^2) instead of O(n^2) brute force.",
+    "work to O(sum bucket^2) instead of O(n^2) brute force. The 8-plane "
+    "config is sized for the oracle-checked sf0.01-sf1 range: planes "
+    "must grow ~log2(n) to keep occupancy bounded (measured at x100: "
+    "8 planes saturate 1022 buckets with a 923M candidate bound, 12 "
+    "planes complete — BENCH_SF1.md sf10 section), and the dedup "
+    "DECISION should flow through neardup_clusters' linear component "
+    "output, since pairs are quadratic in duplicate-family size.",
     survey_ops=("ext:dedup-embedding",),
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
