@@ -121,17 +121,27 @@ def bpe_learn(
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     for round_no in range(num_merges):
+        # Words fully merged to ONE symbol have no adjacent pairs; for
+        # them sequence(1, size-1) would be the DESCENDING [1, 0] and
+        # element_at(syms, 0) throws under Spark 4 ANSI mode (reproduced:
+        # corpus 'a a a a b' aborts on round 2 once (a,'</w>') merges).
+        # The size>1 guard yields an empty pair array instead, which
+        # explode drops — and makes the no-pairs-remain early stop below
+        # actually reachable.
         pairs = (
             words.select(
                 "freq",
                 F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(F.col("syms")) - 1),
-                        lambda i: F.struct(
-                            F.element_at(F.col("syms"), i).alias("a"),
-                            F.element_at(F.col("syms"), i + 1).alias("b"),
+                    F.when(
+                        F.size(F.col("syms")) > 1,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(F.col("syms")) - 1),
+                            lambda i: F.struct(
+                                F.element_at(F.col("syms"), i).alias("a"),
+                                F.element_at(F.col("syms"), i + 1).alias("b"),
+                            ),
                         ),
-                    )
+                    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
                 ).alias("p"),
             )
             .groupBy(F.col("p")["a"].alias("a"), F.col("p")["b"].alias("b"))

@@ -65,10 +65,25 @@ def _parquet_files(path: str) -> "set[str]":
     return out
 
 
-def _recover(local: str, tmp: str, old: str) -> None:
-    """Reconcile a previous run's crash point before doing anything
-    destructive. Invariant: never delete `old` unless `local` holds a
-    complete table that SUPERSEDES it."""
+def recover_swap(local: str, tmp: str, old: str, exclusive: bool = False) -> None:
+    """Reconcile a previous run's crash point in the
+    write-tmp → rename-local-to-old → rename-tmp-in → drop-old swap
+    protocol, before doing anything destructive. Invariant: never
+    delete `old` unless `local` holds a complete table that SUPERSEDES
+    it. Shared by compaction, the flat upsert sink, and the SCD2 sink
+    (ADVICE r6: the sinks previously rmtree'd `old` unconditionally,
+    so a crash between the two renames destroyed the only copy on the
+    next micro-batch).
+
+    `exclusive=True` is for sinks that are the SOLE writer of `local`
+    (checkpointed foreachBatch): there, `local` can only exist via a
+    completed rename from a fully-written tmp, so local+old both
+    existing means old is a stale backup from a crash after the second
+    rename — safe to drop. Maintenance jobs over shared directories
+    (compaction) must pass exclusive=False: another writer may have
+    recreated `local` after a mid-swap crash, leaving `old` the only
+    full copy — indistinguishable from the filesystem alone, so refuse
+    to guess."""
     if not os.path.exists(old):
         shutil.rmtree(tmp, ignore_errors=True)  # stale partial rewrite
         return
@@ -82,16 +97,20 @@ def _recover(local: str, tmp: str, old: str) -> None:
             # crashed right after moving the original aside: restore it
             os.rename(old, local)
         return
-    # BOTH local and old exist: either a crash after the second rename
-    # (old is a stale backup) or a writer recreated local after a
-    # mid-swap crash (old is the only full copy). Indistinguishable
-    # from the filesystem alone — refuse to guess, never delete.
+    if exclusive:
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
     raise RuntimeError(
-        f"compaction found both {local} and {old}; a previous run crashed "
+        f"found both {local} and {old}; a previous run crashed "
         "mid-swap and the directory was written to since. Reconcile "
-        "manually (merge or discard the .compact-old backup) before "
-        "compacting again."
+        "manually (merge or discard the .old backup) before "
+        "running again."
     )
+
+
+# compaction's own entry point keeps its historical name
+_recover = recover_swap
 
 
 def compact_parquet_dir(

@@ -45,6 +45,7 @@ def pq_fit(
     k: int = 16,
     max_iter: int = 3,
     round_centroids: "int | None" = 6,
+    round_digits: int = 4,
 ) -> dict:
     """Train one codebook per subspace. Returns
     {"m", "k", "subdim", "books": books} where books[s][c] is the
@@ -58,7 +59,8 @@ def pq_fit(
     5.7 s at m=16 on the 500-vector sample, codebooks bit-identical to
     the sequential variant).
     Per-subspace semantics are exactly kmeans_fit's: k lowest-id sample
-    rows as init, rounded-cosine argmax with centroid-id tie-break,
+    rows as init, rounded-cosine argmax (`round_digits`, matching
+    pq_encode/pq_topk) with centroid-id tie-break,
     per-dimension means rounded to `round_centroids`, empty cells keep
     their codeword. Like the IVF quantizer, production fits on a corpus
     sample and encodes everything."""
@@ -118,8 +120,13 @@ def pq_fit(
                     + F.element_at(svec, d).cast("double")
                     * F.element_at(CW, (scol * k + c) * subdim + d),
                 )
+                # round_digits (not a hardcoded 4) so a caller using
+                # non-default rounding trains under the SAME argmax
+                # semantics pq_encode/pq_topk score with — the
+                # fit/encode replay contract
                 score = F.round(
-                    dot / (F.col("_nrm") * F.element_at(CN, scol * k + c + 1)), 4
+                    dot / (F.col("_nrm") * F.element_at(CN, scol * k + c + 1)),
+                    round_digits,
                 )
                 return F.struct((-score).alias("neg"), c.alias("code"))
 

@@ -89,7 +89,11 @@ def viterbi_segment(word: str, logp: "dict[str, float]", max_piece_len: int) -> 
             if lp is None or best[i] == _NEG_INF:
                 continue
             score = best[i] + lp
-            if score > best[j] or (score == best[j] and i < back[j]):
+            # strict > with i ascending means the FIRST (smallest) split
+            # point to reach a score keeps it — that IS the documented
+            # tie rule, enforced by iteration order (pinned by the
+            # pure-Python replay in tests/test_unigram_lm.py)
+            if score > best[j]:
                 best[j] = score
                 back[j] = i
     if best[n] == _NEG_INF:  # unseen character: emit it raw

@@ -91,8 +91,16 @@ def upsert_parquet_table(
     import os
     import shutil
 
+    from ds_caselaw_ingester_spark.operators.compaction import recover_swap
+
     spark = spark_df.sparkSession
     local = path[len("file:") :] if path.startswith("file:") else path
+    # Reconcile a prior crash BEFORE reading: a crash between the two
+    # renames below leaves the table only in .old; without recovery the
+    # next batch would read a missing path, bootstrap from the batch
+    # alone, and delete the only full copy. exclusive=True — this sink
+    # is the single writer of `local` (K13 driver-side ordering).
+    recover_swap(local, local + ".tmp", local + ".old", exclusive=True)
     try:
         current = spark.read.parquet(path)
         merged = merge_documents(current, spark_df, key=key).drop("op")
@@ -104,8 +112,6 @@ def upsert_parquet_table(
             raise
         merged = spark_df
     tmp, old = local + ".tmp", local + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.exists(local):
         os.rename(local, old)
@@ -132,13 +138,32 @@ def upsert_parquet_table_bucketed(
 
     Crash-safety mirrors the flat variant: the merge fully materializes
     into a temp dir (reads never race their own overwrite), then each
-    touched bucket is swapped via rename with an `.old` fallback.
+    touched bucket is swapped via rename with an `.old` fallback, and
+    every batch first restores any bucket a prior crash left only in
+    its `.old` — before the read, so the merge never bootstraps a
+    bucket whose full copy is sitting in the backup.
     """
     import os
     import shutil
 
     spark = spark_df.sparkSession
     local = path[len("file:") :] if path.startswith("file:") else path
+    # Per-bucket crash recovery. A crash between rename(dst, old) and
+    # rename(src, dst) leaves bucket kb=N only in kb=N.old; reading
+    # would then miss those rows and the swap below would delete the
+    # backup. kb=N is only ever created by an atomic rename from a
+    # fully-written tmp, so: dst missing -> restore the backup; both
+    # present -> old is a stale backup from a crash after the second
+    # rename, drop it.
+    if os.path.isdir(local):
+        for e in os.listdir(local):
+            if e.startswith("kb=") and e.endswith(".old"):
+                b_old = os.path.join(local, e)
+                b_dst = os.path.join(local, e[: -len(".old")])
+                if os.path.exists(b_dst):
+                    shutil.rmtree(b_old, ignore_errors=True)
+                else:
+                    os.rename(b_old, b_dst)
     upd = spark_df.withColumn(
         "kb", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     )

@@ -58,8 +58,16 @@ def apply_scd2_batch(
     import os
     import shutil
 
+    from ds_caselaw_ingester_spark.operators.compaction import recover_swap
+
     spark = batch.sparkSession
     local = path[len("file:") :] if path.startswith("file:") else path
+    # Reconcile a prior crash BEFORE reading history: without this, a
+    # crash between the two renames below left the table only in .old,
+    # and the next micro-batch read a missing path, bootstrapped fresh
+    # history, and rmtree'd the only copy (ADVICE r6). exclusive=True:
+    # this checkpointed sink is the sole writer of `local`.
+    recover_swap(local, local + ".tmp", local + ".old", exclusive=True)
     first = batch.select(F.max(F.col(ts_col)).alias("m")).collect()[0]["m"]
     if first is None:
         return
@@ -87,8 +95,6 @@ def apply_scd2_batch(
     batch_ts = batch_time.strftime("%Y-%m-%d %H:%M:%S.%f")
     merged = scd2_apply(history, updates, key, payload_cols, batch_ts)
     tmp, old = local + ".tmp", local + ".old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.exists(local):
         os.rename(local, old)

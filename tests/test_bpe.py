@@ -116,3 +116,21 @@ def test_marker_left_merge_does_not_crash(spark):
     assert rows
     for r in rows:
         assert "".join(r["pieces"]) == r["token"] + END_OF_WORD
+
+
+def test_fully_merged_word_does_not_crash_and_early_stop_reached(spark):
+    """Regression (ADVICE r6): corpus 'a a a a b' — merge (a, </w>)
+    wins round 1 and the word 'a' collapses to the single symbol
+    'a</w>'. Round 2's pair explode previously built sequence(1, 0) =
+    [1, 0] and element_at(syms, 0) threw under ANSI mode. Now
+    single-symbol words contribute no pairs, the loop survives, and
+    once EVERY word is one symbol the documented early stop fires."""
+    df = spark.createDataFrame([("d", "a a a a b")], ["doc_id", "text"])
+    wf = word_frequencies(df, "text")
+    merges = bpe_learn(wf, 10)
+    py = _py_bpe({r["word"]: r["freq"] for r in wf.collect()}, 10)
+    assert merges == py
+    # 'a' -> a</w>, 'b' -> b</w>: two merges exhaust every adjacent
+    # pair, so the loop must stop early rather than run all 10 rounds
+    assert len(merges) == 2
+    assert merges[0][:2] == ("a", END_OF_WORD)

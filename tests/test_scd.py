@@ -199,3 +199,66 @@ def test_scd2_current_slice_equals_upsert_state(spark):
     # is a state the upsert table has already forgotten
     closed = hist.where("NOT is_current").count()
     assert closed == 2  # a's ewhc, c's first title
+
+
+def test_scd_sink_crash_between_renames_recovers_history(spark, tmp_path):
+    """Regression (ADVICE r6): a crash between rename(local, old) and
+    rename(tmp, local) left the history only in .old; the next
+    micro-batch read a missing path, bootstrapped fresh history, and
+    rmtree'd the only copy. apply_scd2_batch now reconciles the swap
+    state first — both the tmp-present (complete the swap) and
+    tmp-absent (restore the backup) crash points must preserve the
+    full history."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ds_caselaw_ingester_spark.streaming.scd_sink import apply_scd2_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("uri", T.StringType()),
+            T.StructField("court", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+    path = str(tmp_path / "hist")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    b1 = spark.createDataFrame([("a", "ewhc", t0)], schema)
+    apply_scd2_batch(b1, path, "uri", ["court"])
+    b2 = spark.createDataFrame(
+        [("a", "ewca", t0 + dt.timedelta(minutes=1))], schema
+    )
+    apply_scd2_batch(b2, path, "uri", ["court"])
+    assert spark.read.parquet(path).count() == 2
+
+    # crash point (a): local moved aside, tmp holds the NEXT merge
+    b3 = spark.createDataFrame(
+        [("a", "uksc", t0 + dt.timedelta(minutes=2))], schema
+    )
+    # build what the b3 apply would have staged, then simulate the crash
+    shutil.copytree(path, path + ".staging")
+    apply_scd2_batch(b3, path + ".staging", "uri", ["court"])
+    os.rename(path + ".staging", path + ".tmp")
+    os.rename(path, path + ".old")
+    # redelivered batch (checkpoint replays b3): must first complete
+    # the swap, then converge (same payload -> no double-apply)
+    apply_scd2_batch(b3, path, "uri", ["court"])
+    hist = spark.read.parquet(path)
+    assert hist.count() == 3
+    assert not os.path.exists(path + ".old")
+    current = hist.where("is_current").collect()
+    assert len(current) == 1 and current[0]["court"] == "uksc"
+
+    # crash point (b): local moved aside, no tmp — backup is the only
+    # copy; the next batch must restore it, never bootstrap over it
+    os.rename(path, path + ".old")
+    b4 = spark.createDataFrame(
+        [("a", "ukpc", t0 + dt.timedelta(minutes=3))], schema
+    )
+    apply_scd2_batch(b4, path, "uri", ["court"])
+    hist = spark.read.parquet(path)
+    assert hist.count() == 4  # full 3-state history + the new state
+    assert hist.where("is_current").collect()[0]["court"] == "ukpc"

@@ -143,3 +143,59 @@ def test_bucketed_upsert_only_rewrites_touched_buckets(spark, tmp_path):
     upsert_parquet_table_bucketed(batch, path, key="uri", n_buckets=8)
     rows2 = {r.uri: r.xml for r in spark.read.parquet(path).collect()}
     assert rows2 == rows
+
+
+def test_flat_upsert_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Regression (ADVICE r6 class): crash between the two renames
+    leaves the table only in .old; the next batch must restore it
+    instead of bootstrapping from the batch alone and deleting the
+    backup."""
+    import os
+
+    path = str(tmp_path / "docs")
+    seed = spark.createDataFrame(
+        [("uri/a", "A", 1), ("uri/b", "B", 1)], ["uri", "body", "version"]
+    )
+    upsert_parquet_table(seed, path, key="uri")
+    # simulate the crash point: local moved aside, no tmp
+    os.rename(path, path + ".old")
+    batch = spark.createDataFrame([("uri/c", "C", 1)], ["uri", "body", "version"])
+    upsert_parquet_table(batch, path, key="uri")
+    got = {r["uri"] for r in spark.read.parquet(path).collect()}
+    assert got == {"uri/a", "uri/b", "uri/c"}
+    assert not os.path.exists(path + ".old")
+
+
+def test_bucketed_upsert_recovers_bucket_left_only_in_old(spark, tmp_path):
+    """A crash between the per-bucket renames leaves kb=N only in
+    kb=N.old. The next batch must restore the bucket BEFORE reading,
+    so the merge sees the full history and the backup is never
+    deleted while it is the only copy."""
+    import os
+
+    from ds_caselaw_ingester_spark.operators.upsert import (
+        upsert_parquet_table_bucketed,
+    )
+
+    path = str(tmp_path / "docs")
+    seed = spark.createDataFrame(
+        [(f"uri/{i}", f"B{i}", 1) for i in range(20)],
+        ["uri", "body", "version"],
+    )
+    upsert_parquet_table_bucketed(seed, path, key="uri", n_buckets=4)
+    buckets = [e for e in os.listdir(path) if e.startswith("kb=")]
+    assert buckets
+    # simulate the crash on one bucket: moved aside, tmp already gone
+    victim = sorted(buckets)[0]
+    os.rename(
+        os.path.join(path, victim), os.path.join(path, victim + ".old")
+    )
+    total_before = 20
+    batch = spark.createDataFrame(
+        [("uri/0", "B0-v2", 1)], ["uri", "body", "version"]
+    )
+    upsert_parquet_table_bucketed(batch, path, key="uri", n_buckets=4)
+    tbl = spark.read.parquet(path)
+    assert tbl.count() == total_before
+    assert not any(e.endswith(".old") for e in os.listdir(path))
+    assert tbl.where("uri = 'uri/0'").collect()[0]["body"] == "B0-v2"
