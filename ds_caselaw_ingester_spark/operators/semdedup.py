@@ -133,3 +133,52 @@ def semantic_dedup(
         labeled.withColumn("keep_id", F.first(F.col(id_col)).over(w))
         .withColumn("is_duplicate", F.col(id_col) != F.col("keep_id"))
     )
+
+
+def semantic_dedup_auto(
+    vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    round_digits: int = 4,
+    target_cell_size: "int | None" = None,
+    max_train_rows: int = 20_000,
+    kmeans_iters: int = 5,
+) -> DataFrame:
+    """semantic_dedup with the quantizer auto-sized from corpus
+    statistics — the production entry for an unseen corpus.
+
+    One count() derives k = ceil(n / target_cell_size) (the k ≈
+    n/cell_size rule validated at sf10: the registered k=16 would put
+    ~15k vectors per cell over 220k vectors and the in-cell quadratic
+    explodes; k=256 completes — BENCH_SF1.md). The quantizer trains on
+    a deterministic hash-sample of at most `max_train_rows` vectors
+    (the same sample-vs-index asymmetry as IVF: training cost is
+    sample-sized, assignment is a map-side argmax over everything),
+    then the full corpus dedups against those centroids.
+
+    Registered driver queries pin their trained-quantizer configs for
+    oracle replay; this wrapper is deliberately NOT oracle-pinned —
+    its k depends on n."""
+    from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
+    from ds_caselaw_ingester_spark.operators.sizing import (
+        SEMDEDUP_TARGET_CELL,
+        semdedup_num_clusters,
+    )
+
+    cell = target_cell_size or SEMDEDUP_TARGET_CELL
+    n = vectors.count()
+    k = semdedup_num_clusters(n, target_cell_size=cell)
+    # deterministic sample: keep ids whose hash falls in the first
+    # 1/ratio of the hash space — stable across runs and engines
+    ratio = max(1, n // max_train_rows)
+    train = vectors.select(id_col, vec_col)
+    if ratio > 1:
+        train = train.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(ratio)) == 0)
+    centroids = kmeans_fit(
+        train, vec_col, id_col, k=k, max_iter=kmeans_iters, round_centroids=6
+    )
+    return semantic_dedup(
+        vectors, vec_col, id_col, centroids,
+        threshold=threshold, round_digits=round_digits,
+    )

@@ -162,7 +162,7 @@ def ann_lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
     k: int = 10,
-    num_planes: int = 8,
+    num_planes: "int | str" = 8,
     round_digits: int = 4,
     num_tables: int = 1,
 ) -> DataFrame:
@@ -184,8 +184,18 @@ def ann_lsh_topk(
     keys — the join stays keyed (never all-pairs); a pair colliding in j
     tables is scored j times map-side and deduped on the deterministic
     (q_id, c_id, cosine) row, which shuffles only ids+one double, not
-    vectors."""
+    vectors.
+
+    num_planes="auto": one count() of the candidate side sizes planes
+    as ceil(log2(n / target_occupancy)) — the sf10-measured rule that
+    bucket occupancy, not corpus size, bounds in-bucket pair work
+    (operators/sizing.py). Registered oracle queries pin literal plane
+    counts; auto is the production default for unseen corpora."""
     from pyspark.sql import Window
+
+    from ds_caselaw_ingester_spark.operators.sizing import resolve_num_planes
+
+    num_planes = resolve_num_planes(num_planes, candidates)
 
     if num_tables <= 1:
         # single-table fast path (original shape: no explode, no dedup)
@@ -247,6 +257,85 @@ def ann_lsh_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    num_planes: "int | str" = "auto",
+    num_tables: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed — the
+    operator form of the registered `embedding_neardup` plan
+    (plans/queries_similarity.py pins the oracle config; this is the
+    production entry with auto-sized planes).
+
+    (id_a, id_b, cosine) for every pair with cosine >= threshold that
+    collides in ANY of `num_tables` hyperplane tables. Plan shape (the
+    sf1 audit's tuned version): candidate generation self-joins SLIM
+    (bucket, id) keys only, the id pairs are deduped BEFORE scoring so
+    a pair colliding in all tables costs one dot product, and vectors +
+    hoisted norms re-attach via two keyed equi-joins — wide vectors
+    never enter the candidate or dedup shuffles.
+
+    num_planes="auto" (default): ceil(log2(n / 64)) from one count().
+    The fixed 8-plane config saturates at 220k vectors (measured abort,
+    BENCH_SF1.md); auto picks 12 there and the run completes. Multi-
+    table recall: a 0.99-cosine near-dup flips some sign in one table
+    with p ~ 0.3; `num_tables` independent tables drop the miss rate to
+    ~0.3^L (recall pinned by tests/test_ann_recall.py)."""
+    from ds_caselaw_ingester_spark.operators.sizing import resolve_num_planes
+
+    base = vectors.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    num_planes = resolve_num_planes(num_planes, base)
+    buckets = F.array(
+        *[
+            F.concat(
+                F.lit(f"{t}:"),
+                lsh_bucket(F.col("_v"), num_planes, plane_offset=t * num_planes),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    # persist: both self-join branches read `keys`; without it the
+    # plane-projection fold (the most expensive map work) runs twice.
+    # The cached frame is (id, bucket) only — num_tables slim rows/vec.
+    keys = base.select(id_col, F.explode(buckets).alias("bucket")).persist()
+    a, b = f"{id_col}_a", f"{id_col}_b"
+    pair_ids = (
+        keys.select(F.col(id_col).alias(a), "bucket")
+        .join(keys.select(F.col(id_col).alias(b), "bucket"), "bucket")
+        .where(F.col(a) < F.col(b))
+        .select(a, b)
+        .distinct()
+    )
+    withv = base.select(id_col, "_v", l2_norm(F.col("_v")).alias("_nrm"))
+    scored = (
+        pair_ids.join(
+            withv.select(
+                F.col(id_col).alias(a), F.col("_v").alias("_va"), F.col("_nrm").alias("_na")
+            ),
+            a,
+        )
+        .join(
+            withv.select(
+                F.col(id_col).alias(b), F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb")
+            ),
+            b,
+        )
+        .select(
+            a,
+            b,
+            F.round(
+                dot_product(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_digits,
+            ).alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold)
 
 
 def kmeans_fit(

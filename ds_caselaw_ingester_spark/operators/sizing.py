@@ -1,0 +1,186 @@
+"""Corpus-statistics auto-sizing for the scale knobs the sf10 sweep
+measured cliffing (BENCH_SF1.md, "sf10 spot check"):
+
+1. **LSH planes must grow ~log2(n).** Bucket count is 2^planes, so
+   constant expected occupancy needs one extra plane per corpus
+   doubling. Measured: the 8-plane config sized for sf0.01-sf1
+   (occupancy 9-271) saturates at 220k vectors — avg occupancy ~860,
+   a 923M in-bucket candidate bound, aborted shuffle-spill — while 12
+   planes (occupancy ~54) complete in 292 s.
+2. **SemDeDup k ≈ n / target_cell_size.** Pair work inside a cell is
+   quadratic; k=16 at 220k vectors would put ~15k vectors per cell,
+   k=256 (cell ~860) trains in 59 s and dedups in 297 s.
+3. **The hot-gram df-cap must track corpus duplication.** A cap sized
+   for a dup-free corpus (every df > 50 gram dropped) drops EVERY gram
+   once each document exists in 100+ copies — ngram_jaccard_pairs
+   found 0 pairs at ×100 duplication. The typical (incidence-weighted
+   median — see gram_df_stats) gram document-frequency is ~1 in a
+   dup-free corpus and ~N under ×N copying, so `rare_df_cap ×
+   typical_df` keeps within-family grams alive while still cutting the
+   promiscuous tail.
+
+The sizing functions are pure (pinned at three corpus sizes by
+tests/test_sizing.py); the `*_from` helpers run the one cheap Spark
+job (a count / a quantile over the vocabulary-sized gram table) that
+feeds them. Operators accept ``"auto"`` and call these; registered
+driver queries keep their pinned oracle configs — auto-sizing is the
+production default, not a change to the checked semantics.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+# Target expected vectors per LSH bucket. Pair work per bucket is
+# O(occupancy^2): 64 keeps the per-bucket candidate bound at ~2k pairs
+# (measured healthy range: occupancy 9-271 all complete; ~860 aborts).
+LSH_TARGET_OCCUPANCY = 64
+
+# Target vectors per SemDeDup / IVF cell: in-cell pair work ~cell^2/2
+# (~500k pairs at 1000 — the same order as one saturated-but-healthy
+# LSH bucket), while k stays small enough that centroids ride the plan
+# as literals (k × dim doubles).
+SEMDEDUP_TARGET_CELL = 1000
+
+# df-cap for a duplication-free corpus: grams in more than this many
+# DISTINCT documents carry no near-dup signal (the registered
+# ngram_jaccard_pairs config, correct over the oracle-checked range).
+RARE_DF_CAP = 50
+
+
+def lsh_num_planes(
+    n_vectors: int,
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """planes = ceil(log2(n / target_occupancy)), clamped.
+
+    One plane per corpus doubling keeps expected bucket occupancy — and
+    therefore the O(occupancy²) in-bucket pair bound — constant. The
+    clamp floor keeps tiny corpora from degenerating to 1-2 buckets
+    (recall is then trivially fine but the equi-join is pointless); the
+    ceiling bounds the bucket-key space at 2^24 per table, past which
+    per-bucket occupancy < 1 and recall, not cost, is the binding
+    constraint (add tables, not planes)."""
+    if n_vectors < 1:
+        return min_planes
+    raw = math.ceil(math.log2(max(1.0, n_vectors / target_occupancy)))
+    return max(min_planes, min(max_planes, raw))
+
+
+def semdedup_num_clusters(
+    n_vectors: int,
+    target_cell_size: int = SEMDEDUP_TARGET_CELL,
+    min_k: int = 4,
+    max_k: int = 1 << 16,
+) -> int:
+    """k = ceil(n / target_cell_size), clamped — the k ≈ n/cell_size
+    rule validated at sf10 (k=256 over 220k vectors)."""
+    if n_vectors < 1:
+        return min_k
+    return max(min_k, min(max_k, math.ceil(n_vectors / target_cell_size)))
+
+
+def duplication_scaled_df_cap(typical_df: int, rare_df_cap: int = RARE_DF_CAP) -> int:
+    """Duplication-aware hot-gram cap: rare_df_cap × typical gram df.
+
+    typical_df is the MEDIAN document-frequency over distinct grams —
+    ~1 in a dup-free corpus (cap degenerates to rare_df_cap, the
+    oracle-checked behavior), ~N when each document exists in N copies
+    (a within-family gram then has df ≈ N and must survive the cap).
+    The preferred contract at heavy duplication remains run-exact-
+    dedup-FIRST (pairs are quadratic in family size either way); this
+    cap makes the set-based path degrade loudly instead of silently
+    returning zero rows."""
+    return rare_df_cap * max(1, int(typical_df))
+
+
+def gram_df_stats(shingles: DataFrame, id_col: str) -> dict:
+    """ONE aggregation pass over the vocabulary-sized gram table:
+    {"n_grams", "median_df", "max_df"}, where median_df is the
+    INCIDENCE-WEIGHTED median document-frequency — the df of the
+    median (document, gram) occurrence, i.e. each distinct gram counts
+    df times.
+
+    Why weighted, not the plain vocabulary median: under ×N copying
+    every document also carries a few copy-unique grams (real corpora:
+    boilerplate ids, timestamps; the bench generator: per-copy suffix
+    tokens), and those df=1 grams can OUTNUMBER the shared vocabulary,
+    dragging the unweighted median to 1 and defeating the sizing. From
+    a document's point of view, though, almost every gram it contains
+    sits at df ≈ family size, so the occurrence-weighted median tracks
+    duplication (~N) while staying ~1 on dup-free corpora even when a
+    few promiscuous shingles exist (their mass is bounded by their
+    count, not their df²).
+
+    Cost: the groupBy(gram) shuffle is the same first shuffle the
+    inverted index pays anyway; the weighted median reduces the vocab
+    to one row per DISTINCT df value (a tiny table) and finishes
+    driver-side."""
+    per_df = (
+        shingles.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .groupBy("df")
+        .agg(F.count("*").alias("n_grams_at_df"))
+        .orderBy("df")
+        .collect()
+    )
+    n_grams = sum(int(r["n_grams_at_df"]) for r in per_df)
+    total_mass = sum(int(r["df"]) * int(r["n_grams_at_df"]) for r in per_df)
+    median_df, cum = 1, 0
+    for r in per_df:
+        cum += int(r["df"]) * int(r["n_grams_at_df"])
+        if cum * 2 >= total_mass:
+            median_df = int(r["df"])
+            break
+    return {
+        "n_grams": n_grams,
+        "median_df": median_df,
+        "max_df": int(per_df[-1]["df"]) if per_df else 0,
+    }
+
+
+def resolve_num_planes(num_planes: "int | str", candidates: DataFrame) -> int:
+    """Resolve an operator's ``num_planes="auto"`` with one count()."""
+    if num_planes != "auto":
+        return int(num_planes)
+    n = candidates.count()
+    planes = lsh_num_planes(n)
+    log.info(
+        "lsh auto-sizing: n=%d vectors -> %d planes (2^%d buckets/table, "
+        "expected occupancy ~%.0f)",
+        n,
+        planes,
+        planes,
+        n / (1 << planes),
+    )
+    return planes
+
+
+def resolve_max_doc_freq(
+    max_doc_freq: "int | str | None", shingles: DataFrame, id_col: str
+) -> "int | None":
+    """Resolve ``max_doc_freq="auto"`` from the gram-df distribution
+    (one vocabulary-sized aggregation). Logs the derived cap so a
+    heavily-duplicated corpus is visible in the run record."""
+    if max_doc_freq != "auto":
+        return max_doc_freq  # int or None, unchanged
+    stats = gram_df_stats(shingles, id_col)
+    cap = duplication_scaled_df_cap(stats["median_df"])
+    log.info(
+        "jaccard df-cap auto-sizing: %d grams, median df=%d, max df=%d "
+        "-> max_doc_freq=%d (duplication factor ~%d)",
+        stats["n_grams"],
+        stats["median_df"],
+        stats["max_df"],
+        cap,
+        max(1, stats["median_df"]),
+    )
+    return cap

@@ -464,7 +464,7 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.9
     survey_ops=("ext:dedup-embedding",),
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ds_caselaw_ingester_spark.operators.similarity import dot_product, l2_norm
+    from ds_caselaw_ingester_spark.operators.similarity import lsh_neardup_pairs
 
     ensure_oracle_safe(spark)
     emb = table(spark, sf_dir, "embeddings").select(
@@ -475,62 +475,20 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.array(F.lit(0.0)), F.slice(F.col("v"), 2, F.size(F.col("v")) - 1)).alias("v"),
     )
     corpus = spread(emb.unionAll(planted), "vec_id")
-    # 4 tables × 8 planes; see EMB_NEARDUP_ORACLE comment for the recall
-    # math. Candidate generation and scoring are SEPARATED: the bucket
-    # self-join carries only (bucket, vec_id) — no vectors — and the id
-    # pairs are deduped BEFORE any cosine, so a pair colliding in all 4
-    # tables costs ONE 64-dim dot product, not four (was the sf1 plan
-    # audit's top note: ~4x redundant flops on exactly the true
-    # near-dups, which collide everywhere). Vectors + hoisted norms
-    # re-attach to the deduped pairs via two keyed equi-joins (AQE
-    # broadcasts the corpus side at test scale; keyed shuffle at 100 TB
-    # — never all-pairs, and the wide vectors never enter the
-    # candidate-generation or dedup shuffles).
-    buckets = F.array(
-        *[
-            F.concat(F.lit(f"{t}:"), lsh_bucket(F.col("v"), 8, plane_offset=8 * t))
-            for t in range(4)
-        ]
+    # The operator carries the tuned plan shape (slim-key candidate
+    # join, pair dedup BEFORE scoring, keyed vector re-attach — see
+    # lsh_neardup_pairs). Planes are PINNED at the oracle's 4×8 config;
+    # production callers use num_planes="auto", which at the measured
+    # 220k-vector scale picks 12 and avoids the 8-plane saturation
+    # abort (BENCH_SF1.md sf10).
+    pairs = lsh_neardup_pairs(
+        corpus, "v", "vec_id", threshold=0.9, num_planes=8, num_tables=4
     )
-    # persist: both self-join branches read `keys`; without it the
-    # 32-plane projection fold — the query's most expensive map work —
-    # runs twice (renamed projections defeat exchange reuse). The cached
-    # frame is (id, bucket) only: 4 slim rows per vector.
-    keys = corpus.select("vec_id", F.explode(buckets).alias("bucket")).persist()
-    pair_ids = (
-        keys.select(F.col("vec_id").alias("vec_a"), "bucket")
-        .join(keys.select(F.col("vec_id").alias("vec_b"), "bucket"), "bucket")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    return pairs.select(
+        F.col("vec_id_a").alias("vec_a"),
+        F.col("vec_id_b").alias("vec_b"),
+        "cosine",
     )
-    withv = corpus.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
-    scored = (
-        pair_ids.join(
-            withv.select(
-                F.col("vec_id").alias("vec_a"),
-                F.col("v").alias("va"),
-                F.col("nrm").alias("na"),
-            ),
-            "vec_a",
-        )
-        .join(
-            withv.select(
-                F.col("vec_id").alias("vec_b"),
-                F.col("v").alias("vb"),
-                F.col("nrm").alias("nb"),
-            ),
-            "vec_b",
-        )
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(
-                dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
-            ).alias("cosine"),
-        )
-    )
-    return scored.where(F.col("cosine") >= 0.9)
 
 
 # ---------------------------------------------------------------------------

@@ -185,7 +185,8 @@ def test_embedding_neardup_dedups_id_pairs_before_scoring(spark, sf_dir):
 
     plan = _physical_plan(all_specs()["embedding_neardup"].fn(spark, sf_dir))
     keys = re.findall(r"Keys \[\d+\]: \[([^\]]*)\]", plan)
-    assert any("vec_a" in k and "vec_b" in k for k in keys), plan
+    # the lsh_neardup_pairs operator names the pair ids <id>_a/<id>_b
+    assert any("vec_id_a" in k and "vec_id_b" in k for k in keys), plan
     assert not any("cosine" in k for k in keys), plan
     # every operator input that carries a bucket key is id-width only —
     # no raw vector (v/embedding) rides the candidate-generation side

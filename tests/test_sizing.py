@@ -1,0 +1,205 @@
+"""Corpus-statistics auto-sizing (operators/sizing.py): the three
+sf10-measured scale knobs — LSH planes, SemDeDup k, and the
+duplication-aware hot-gram df-cap — pinned at three corpus sizes, plus
+the operator-level `auto` paths and the no-silent-caps drop counter."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.dedup import (
+    doc_shingles,
+    exact_jaccard_pairs,
+    hot_gram_drop_stats,
+)
+from ds_caselaw_ingester_spark.operators.sizing import (
+    duplication_scaled_df_cap,
+    gram_df_stats,
+    lsh_num_planes,
+    semdedup_num_clusters,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure sizing rules, pinned at the three measured corpus sizes
+# (2.2k = sf0.01, 22k = sf1, 220k = sf10 vector counts)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_planes_pinned_at_three_corpus_sizes():
+    # sf0.01: 2.2k vectors -> 6 planes (64 buckets, occupancy ~34)
+    assert lsh_num_planes(2_200) == 6
+    # sf1: 22k vectors -> 9 planes (512 buckets, occupancy ~43)
+    assert lsh_num_planes(22_000) == 9
+    # sf10: 220k vectors -> 12 planes — the value the manual sf10 rerun
+    # needed after the 8-plane registered config aborted (BENCH_SF1.md)
+    assert lsh_num_planes(220_000) == 12
+
+
+def test_lsh_planes_grow_one_per_doubling_and_clamp():
+    assert lsh_num_planes(220_000 * 2) == 13
+    assert lsh_num_planes(0) == 4 and lsh_num_planes(10) == 4  # floor
+    assert lsh_num_planes(10**12) == 24  # ceiling
+    # monotone in n
+    planes = [lsh_num_planes(n) for n in (10**3, 10**4, 10**5, 10**6, 10**7)]
+    assert planes == sorted(planes)
+
+
+def test_semdedup_k_pinned_at_three_corpus_sizes():
+    assert semdedup_num_clusters(2_200) == 4  # floor: tiny corpora
+    assert semdedup_num_clusters(22_000) == 22
+    # sf10: 220 cells of ~1000 — same order as the manually-validated
+    # k=256 run (cell ~860); the registered k=16 would be ~15k/cell
+    assert semdedup_num_clusters(220_000) == 220
+
+
+def test_df_cap_scales_with_duplication():
+    assert duplication_scaled_df_cap(typical_df=1) == 50  # dup-free: unchanged
+    assert duplication_scaled_df_cap(typical_df=0) == 50  # degenerate guard
+    # ×100 copy corpus: median gram df ~100 -> cap 5000 keeps
+    # within-family grams (the sf10 silent-zero fix)
+    assert duplication_scaled_df_cap(typical_df=100) == 5000
+
+
+# ---------------------------------------------------------------------------
+# operator-level auto paths
+# ---------------------------------------------------------------------------
+
+
+def _dup_corpus(spark, n_copies: int):
+    """20 base documents, each replicated n_copies times with a unique
+    marker token appended — every base 3-gram then has df == n_copies."""
+    rows = []
+    for b in range(20):
+        text = f"base{b}a base{b}b base{b}c base{b}d base{b}e base{b}f"
+        for c in range(n_copies):
+            rows.append((b * 1000 + c, f"{text} copy{b}x{c}"))
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_auto_df_cap_finds_pairs_where_fixed_cap_finds_zero(spark):
+    """The sf10 failure in miniature: with 60 copies per document a
+    fixed cap of 50 drops EVERY pair-generating gram and returns zero
+    rows; max_doc_freq='auto' measures median df ~60 and keeps the
+    within-family grams."""
+    shingles = doc_shingles(_dup_corpus(spark, 60), "doc_id", "text", n=3)
+    fixed = exact_jaccard_pairs(shingles, "doc_id", threshold=0.5, max_doc_freq=50)
+    assert fixed.count() == 0  # the silent-zero the cap used to produce
+    auto = exact_jaccard_pairs(shingles, "doc_id", threshold=0.5, max_doc_freq="auto")
+    # every within-family pair shares 4 of its ~6 grams -> jaccard ~0.5
+    assert auto.count() > 0
+
+
+def test_auto_df_cap_matches_fixed_on_dup_free_corpus(spark):
+    """On a duplication-free corpus median df = 1, so 'auto' resolves to
+    exactly the dup-free RARE_DF_CAP and the result is unchanged."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b shared tail w{i}c") for i in range(30)],
+        schema="doc_id long, text string",
+    )
+    shingles = doc_shingles(docs, "doc_id", "text", n=3)
+    auto = exact_jaccard_pairs(shingles, "doc_id", threshold=0.01, max_doc_freq="auto")
+    fixed = exact_jaccard_pairs(shingles, "doc_id", threshold=0.01, max_doc_freq=50)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, fixed.collect()))
+
+
+def test_hot_gram_drop_stats_counts_planted_hot_shingle(spark):
+    """No-silent-caps: the drop counter reports exactly the planted hot
+    grams a literal cap excludes (VERDICT r6 #2 done-criterion)."""
+    rows = [
+        (i, f"u{i}a u{i}b the court finds u{i}c") for i in range(40)
+    ] + [(100, "alpha beta gamma delta"), (101, "alpha beta gamma epsilon")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    shingles = doc_shingles(docs, "doc_id", "text", n=3)
+    stats = hot_gram_drop_stats(shingles, "doc_id", max_doc_freq=10)
+    # exactly one gram ('the court finds') exceeds df=10; the two
+    # alpha-beta-gamma docs contribute the surviving pairable grams
+    assert stats["n_hot_dropped"] == 1
+    assert stats["max_df"] == 40
+    assert stats["n_pairable"] >= 1
+    # and when the cap kills EVERYTHING, the stats say so loudly
+    all_dropped = hot_gram_drop_stats(
+        doc_shingles(_dup_corpus(spark, 30), "doc_id", "text", n=3),
+        "doc_id",
+        max_doc_freq=10,
+    )
+    assert all_dropped["n_pairable"] == 0 and all_dropped["n_hot_dropped"] > 0
+
+
+def test_gram_df_stats_measures_duplication(spark):
+    shingles = doc_shingles(_dup_corpus(spark, 25), "doc_id", "text", n=3)
+    stats = gram_df_stats(shingles, "doc_id")
+    # base grams dominate the vocabulary: median df == copy count
+    assert stats["median_df"] == 25
+    assert stats["max_df"] == 25
+
+
+def test_ann_lsh_topk_auto_planes_runs_and_ranks(spark, sf_dir):
+    """num_planes='auto' end-to-end: sizes from the candidate count and
+    returns ranked neighbors with the same schema as the fixed config."""
+    from ds_caselaw_ingester_spark.operators.similarity import ann_lsh_topk
+    from ds_caselaw_ingester_spark.sources.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    candidates = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    got = ann_lsh_topk(queries, candidates, k=5, num_planes="auto", num_tables=4)
+    rows = got.collect()
+    assert rows and {r["rank"] for r in rows} <= set(range(1, 6))
+    assert set(got.columns) == {"q_id", "c_id", "cosine", "rank"}
+
+
+def test_lsh_neardup_pairs_auto_finds_planted_dups(spark, sf_dir):
+    """The operator form of embedding_neardup at num_planes='auto':
+    planted 0.99-cosine near-dups must still pair with their source."""
+    from ds_caselaw_ingester_spark.operators.similarity import lsh_neardup_pairs
+    from ds_caselaw_ingester_spark.sources.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(0.0)), F.slice(F.col("v"), 2, F.size(F.col("v")) - 1)
+        ).alias("v"),
+    )
+    n_planted = planted.count()
+    corpus = emb.unionAll(planted)
+    pairs = lsh_neardup_pairs(corpus, "v", "vec_id", threshold=0.9, num_planes="auto")
+    found = pairs.where(F.col("vec_id_b") == F.col("vec_id_a") + 100000).count()
+    assert found >= int(n_planted * 0.9), (found, n_planted)
+
+
+def test_semantic_dedup_auto_keeps_one_exemplar_per_family(spark, sf_dir):
+    """semantic_dedup_auto on the planted corpus: auto-sized quantizer,
+    every planted duplicate lands in a component with its source and
+    exactly one exemplar per component survives."""
+    from ds_caselaw_ingester_spark.operators.semdedup import semantic_dedup_auto
+    from ds_caselaw_ingester_spark.sources.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    planted = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(0.0)), F.slice(F.col("v"), 2, F.size(F.col("v")) - 1)
+        ).alias("v"),
+    )
+    corpus = emb.unionAll(planted)
+    out = semantic_dedup_auto(corpus, "v", "vec_id", threshold=0.95)
+    rows = out.collect()
+    assert len(rows) == corpus.count()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp_rows in by_comp.values():
+        keeps = [r for r in comp_rows if not r["is_duplicate"]]
+        assert len(keeps) == 1
+        assert keeps[0]["vec_id"] == keeps[0]["keep_id"]
