@@ -288,13 +288,11 @@ GROUP BY doc_id
 """
 
 
-@register(
-    "simhash_signatures",
-    SIMHASH_ORACLE,
-    doc="16-bit SimHash from md5 hex digits, token multiplicity preserved — "
-    "one explode + one groupBy with 16 conditional sums.",
-    survey_ops=("ext:dedup-simhash",),
-)
+# UNREGISTERED (round 7): gave up its registry slot to pq_adc_topk
+# (queries_similarity.py) under the driver's 50-row cap. The SimHash
+# shape (explode + groupBy with conditional sums) stays registry-covered
+# by the minhash/ngram dedup family, and this exact query keeps an
+# identical pytest DuckDB gate in tests/test_oracle_parity.py.
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
     corpus = _corpus(spark, sf_dir)

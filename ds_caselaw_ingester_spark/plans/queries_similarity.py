@@ -639,3 +639,171 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
     return sample_frames(d, "doc_id", "content", stride=256)
+
+
+# ---------------------------------------------------------------------------
+# pq_adc_topk — product quantization: trained codebooks, ADC top-k
+# ---------------------------------------------------------------------------
+# (Round 7 rotation: simhash_signatures gave up its registry slot — its
+# explode+groupBy shape stays covered by the minhash/ngram family and an
+# identical pytest gate — so the PQ/ADC stack (operators/pq.py) gets a
+# first-class driver correctness row. The oracle replays the JOINT
+# per-subspace Lloyd fit, the encode argmax, and the ADC scoring in
+# DuckDB under the repo's rounding conventions.)
+
+_PQ_M = 8        # subspaces (64-dim embeddings -> subdim 8)
+_PQ_K = 16       # codewords per subspace
+_PQ_ITERS = 2    # Lloyd rounds (fixed, tol-free, oracle-replayed)
+_PQ_SUBDIM = _EMB_DIM // _PQ_M
+
+
+def _pq_oracle() -> str:
+    """DuckDB replay of pq_fit(m=8, k=16, max_iter=2, round_centroids=6,
+    round_digits=4) + pq_encode + pq_topk(k=10) — operators/pq.py
+    semantics exactly: per-(vector, subspace) assignment by rounded(4)
+    cosine with code-ASC tie-break and the 1e-300 subnorm guard on the
+    VECTOR side only; per-dimension codeword means rounded to 6; empty
+    cells keep their codeword; recon_norm from the trained codeword
+    norms; ADC = sum over subspaces of dot(query-sub, codeword(code));
+    final score round(adc / (qv_norm * recon_norm), 4)."""
+    score = (
+        "round(list_dot_product(b.sub, c.cw) / "
+        "(greatest(sqrt(list_dot_product(b.sub, b.sub)), 1e-300) "
+        "* sqrt(list_dot_product(c.cw, c.cw))), 4)"
+    )
+    iters = []
+    prev = "init"
+    for n in range(1, _PQ_ITERS + 1):
+        iters.append(
+            f"""a{n} AS (
+  SELECT vec_id, s, sub, code FROM (
+    SELECT b.vec_id, b.s, b.sub, c.code,
+           row_number() OVER (PARTITION BY b.vec_id, b.s
+                              ORDER BY {score} DESC, c.code ASC) AS rn
+    FROM subs b JOIN {prev} c ON b.s = c.s
+  ) WHERE rn = 1
+),
+u{n} AS (
+  SELECT s, code, d.i, round(avg(list_extract(sub, d.i)), 6) AS mval
+  FROM a{n} CROSS JOIN sdims d GROUP BY s, code, d.i
+),
+c{n} AS (
+  SELECT c.s, c.code, COALESCE(u.cw, c.cw) AS cw
+  FROM {prev} c LEFT JOIN (
+    SELECT s, code, list(mval ORDER BY i) AS cw FROM u{n} GROUP BY s, code
+  ) u ON c.s = u.s AND c.code = u.code
+)"""
+        )
+        prev = f"c{n}"
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+train AS (SELECT vec_id, v FROM base WHERE vec_id % 4 = 0),
+sgrid AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+sdims AS (SELECT unnest(generate_series(1, {_PQ_SUBDIM})) AS i),
+subs AS (
+  SELECT t.vec_id, g.s,
+         list_slice(t.v, g.s * {_PQ_SUBDIM} + 1, (g.s + 1) * {_PQ_SUBDIM}) AS sub
+  FROM train t CROSS JOIN sgrid g
+),
+init AS (
+  SELECT s, rn - 1 AS code, sub AS cw FROM (
+    SELECT s, sub, row_number() OVER (PARTITION BY s ORDER BY vec_id) AS rn
+    FROM subs
+  ) WHERE rn <= {_PQ_K}
+),
+{",".join(iters)},
+allsubs AS (
+  SELECT b.vec_id, g.s,
+         list_slice(b.v, g.s * {_PQ_SUBDIM} + 1, (g.s + 1) * {_PQ_SUBDIM}) AS sub
+  FROM base b CROSS JOIN sgrid g
+),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT b.vec_id, b.s, c.code,
+           row_number() OVER (PARTITION BY b.vec_id, b.s
+                              ORDER BY {score} DESC, c.code ASC) AS rn
+    FROM allsubs b JOIN {prev} c ON b.s = c.s
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT e.vec_id, sqrt(sum(list_dot_product(c.cw, c.cw))) AS recon_norm
+  FROM enc e JOIN {prev} c ON e.s = c.s AND e.code = c.code
+  GROUP BY e.vec_id
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < 8),
+qsubs AS (
+  SELECT q.q_id, g.s,
+         list_slice(q.qv, g.s * {_PQ_SUBDIM} + 1, (g.s + 1) * {_PQ_SUBDIM}) AS qsub
+  FROM q CROSS JOIN sgrid g
+),
+adc AS (
+  SELECT qs.q_id, e.vec_id AS c_id,
+         sum(list_dot_product(qs.qsub, c.cw)) AS num
+  FROM enc e
+  JOIN {prev} c ON e.s = c.s AND e.code = c.code
+  JOIN qsubs qs ON qs.s = e.s
+  GROUP BY qs.q_id, e.vec_id
+),
+scored AS (
+  SELECT a.q_id, a.c_id,
+         round(a.num / (sqrt(list_dot_product(q.qv, q.qv)) * r.recon_norm), 4)
+           AS cosine_adc
+  FROM adc a
+  JOIN q ON a.q_id = q.q_id
+  JOIN recon r ON a.c_id = r.vec_id
+  WHERE a.q_id <> a.c_id AND r.recon_norm > 0
+)
+SELECT q_id, c_id, cosine_adc, rank FROM (
+  SELECT q_id, c_id, cosine_adc,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cosine_adc DESC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+PQ_ADC_ORACLE = _pq_oracle()
+
+
+@register(
+    "pq_adc_topk",
+    PQ_ADC_ORACLE,
+    doc="Product quantization ANN (Jégou et al. 2011, TPAMI — published "
+    "method, no implementation consulted): codebooks train JOINTLY "
+    "across the m subspaces on the deterministic 1/4 sample (one "
+    "exploded (id, subspace, subvector) frame, each Lloyd round = one "
+    "assignment scan + one (s, code, pos) mean agg for ALL m books), "
+    "the full corpus encodes map-side (codewords ride as plan "
+    "literals — encoding 100 TB is one scan producing m tinyints + one "
+    "double per vector, a ~32x storage cut at 64-dim), and ADC top-k "
+    "scores each candidate with m LUT lookups instead of a 64-dim dot "
+    "product. Replay-exact: fit, encode, and scoring all reproduce in "
+    "DuckDB under the repo's rounding conventions (round 4 argmax, "
+    "round 6 centroid means).",
+    survey_ops=("ext:ann-pq", "ext:kmeans-train"),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ds_caselaw_ingester_spark.operators.pq import pq_encode, pq_fit, pq_topk
+
+    ensure_oracle_safe(spark)
+    emb = table(spark, sf_dir, "embeddings")
+    train = spread(
+        emb.where(F.col("vec_id") % 4 == 0).select(
+            "vec_id", F.col("embedding").alias("v")
+        ),
+        "vec_id",
+    )
+    codebook = pq_fit(train, "v", "vec_id", m=_PQ_M, k=_PQ_K, max_iter=_PQ_ITERS)
+    encoded = pq_encode(
+        spread(
+            emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")),
+            "c_id",
+        ),
+        "cv",
+        "c_id",
+        codebook,
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return pq_topk(queries, encoded, codebook, k=10)

@@ -203,3 +203,20 @@ def test_semantic_dedup_actually_dedups(spark, sf_dir):
             continue
         want = min(members, key=lambda r: (r["centroid_cos"], r["vec_id"]))
         assert all(m["keep_id"] == want["vec_id"] for m in members), comp
+
+
+def test_unregistered_simhash_matches_oracle(spark, sf_dir):
+    """simhash_signatures gave up its registry slot to pq_adc_topk
+    (round 7); the explode+groupBy signature shape stays registered via
+    the minhash family, and this identical DuckDB gate keeps the SimHash
+    bit rule from silently rotting."""
+    from ds_caselaw_ingester_spark.plans.queries_dedup import (
+        SIMHASH_ORACLE,
+        q_simhash_signatures,
+    )
+
+    res = check_query(
+        spark, sf_dir, "simhash_signatures", q_simhash_signatures, SIMHASH_ORACLE
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0

@@ -56,7 +56,9 @@ def main() -> int:
             "  streaming sessions (op) tests/test_streaming.py (merge + emit-once pinned)",
             "  bucketed layout (op)    tests/test_bucketing.py (exchange-free join plans)",
             "  stream-stream join (op) tests/test_streaming_joins.py (interval + leftOuter)",
-            "  product quantization    tests/test_pq.py (ADC + rerank, replay-exact)",
+            "  pq rerank / ivfadc      tests/test_pq.py (ADC core registered as pq_adc_topk)",
+            "  simhash_signatures      tests/test_oracle_parity.py (slot -> pq_adc_topk r7)",
+            "  auto-sizing (op)        tests/test_sizing.py (LSH planes / k / df-cap rules)",
             "  bpe merge learning      tests/test_bpe.py (replay-exact vs paper algorithm)",
             "  unigram-LM tokenizer    tests/test_unigram_lm.py (hard EM, replay-exact)",
             "  scd2 history merge      tests/test_scd.py + test_streaming.py (event-time stream sink)",
