@@ -50,14 +50,12 @@ SELECT * FROM (
 """
 
 
-@register(
-    "cosine_topk",
-    COSINE_TOPK_ORACLE,
-    doc="Exact cosine top-10 for 8 query vectors: broadcast queries × "
-    "streamed candidates, sequential-fold dot product, rank on rounded "
-    "cosine with id tie-break.",
-    survey_ops=("ext:ann-brute",),
-)
+# UNREGISTERED (round 7): gave up its registry slot to bm25_search
+# (queries_text.py) under the driver's 50-row cap. The exact rounded-
+# cosine scoring + rank tail stays registry-covered by ann_lsh_topk /
+# ann_ivf_trained_topk (same scoring expression over their candidate
+# sets), and this brute-force baseline keeps an identical pytest DuckDB
+# gate in tests/test_oracle_parity.py.
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
     emb = table(spark, sf_dir, "embeddings")

@@ -515,15 +515,36 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# bm25_search — lexical top-k retrieval (UNREGISTERED: pytest-gated with
-# the same full DuckDB oracle in tests/test_oracle_parity.py; the 50-row
-# driver registry is held at its cap by the broader-coverage queries)
+# bm25_search — lexical top-k retrieval
 # ---------------------------------------------------------------------------
+# (Round 7 rotation: cosine_topk gave up its registry slot — the exact
+# rounded-cosine scoring tail stays registered via the LSH/IVF ANN rows
+# and the brute baseline keeps its pytest gate — so lexical retrieval
+# gets a first-class driver correctness row.)
 
 _BM25_TERMS = ["spark", "window", "merge"]
 _BM25_K = 25
 
 
+def bm25_search_oracle() -> str:
+    from ds_caselaw_ingester_spark.operators.search import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, _BM25_K)
+
+
+@register(
+    "bm25_search",
+    bm25_search_oracle(),
+    doc="BM25 lexical top-k retrieval (Robertson/Sparck-Jones idf) for a "
+    "fixed bag-of-terms query over `documents`. Scale shape "
+    "(operators/search.py): the explode prunes to query terms inside one "
+    "codegen pass (non-matching tokens never shuffle), document length "
+    "rides the groupBy key so no corpus-sized join back, term df and the "
+    "one corpus-stats row broadcast, and the final rank window touches "
+    "only the <= k survivors of a TakeOrdered. Scores are micro-rounded "
+    "per-term sums — order-stable integers, engine-exact vs DuckDB.",
+    survey_ops=("ext:search-bm25",),
+)
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k over `documents` for a fixed bag-of-terms query.
 
@@ -538,12 +559,6 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
     return bm25_topk(d, "doc_id", "text", _BM25_TERMS, _BM25_K)
-
-
-def bm25_search_oracle() -> str:
-    from ds_caselaw_ingester_spark.operators.search import bm25_oracle_sql
-
-    return bm25_oracle_sql(_BM25_TERMS, _BM25_K)
 
 
 # ---------------------------------------------------------------------------

@@ -69,17 +69,18 @@ def test_unregistered_tar_listing_matches_oracle(spark, sf_dir):
     assert res.spark_rows > 0
 
 
-def test_unregistered_bm25_matches_oracle(spark, sf_dir):
-    """bm25_search is pytest-gated (registry at its 50-row cap): lexical
-    top-k retrieval must hash-match the DuckDB oracle, micro-rounded
-    per-term scores summed as BIGINT for order-stable float parity."""
-    from ds_caselaw_ingester_spark.plans.queries_text import (
-        bm25_search_oracle,
-        q_bm25_search,
+def test_unregistered_cosine_topk_matches_oracle(spark, sf_dir):
+    """cosine_topk gave up its registry slot to bm25_search (round 7);
+    the exact scoring + rank tail stays registered via the LSH/IVF ANN
+    rows, and this identical DuckDB gate keeps the brute-force baseline
+    from silently rotting."""
+    from ds_caselaw_ingester_spark.plans.queries_similarity import (
+        COSINE_TOPK_ORACLE,
+        q_cosine_topk,
     )
 
     res = check_query(
-        spark, sf_dir, "bm25_search", q_bm25_search, bm25_search_oracle()
+        spark, sf_dir, "cosine_topk", q_cosine_topk, COSINE_TOPK_ORACLE
     )
     assert res.ok, res.detail
     assert res.spark_rows > 0

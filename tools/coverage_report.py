@@ -49,7 +49,7 @@ def main() -> int:
             "  chunk_documents (op)    tests/test_chunking.py + test_curation_property.py",
             "  token_frequencies/vocab tests/test_vocab.py",
             "  edit_distance_join      tests/test_fuzzy_join.py (SymSpell variant)",
-            "  bm25_search             tests/test_oracle_parity.py (lexical top-k retrieval)",
+            "  cosine_topk             tests/test_oracle_parity.py (slot -> bm25_search r7)",
             "  repeated_spans          tests/test_oracle_parity.py (positional passage dedup)",
             "  zorder layout (op)      tests/test_layout.py (footer-stat pruning measured)",
             "  corpus_mixture          tests/test_oracle_parity.py + test_mixture.py",
