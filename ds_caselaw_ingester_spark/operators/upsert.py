@@ -142,6 +142,16 @@ def upsert_parquet_table_bucketed(
     every batch first restores any bucket a prior crash left only in
     its `.old` — before the read, so the merge never bootstraps a
     bucket whose full copy is sitting in the backup.
+
+    Single-writer contract, DETECTED not assumed (same discipline as
+    compact_parquet_dir): the touched buckets' file lists are
+    snapshotted at read time and re-checked after the merge
+    materializes; if a concurrent writer changed any touched bucket in
+    between, the batch aborts loudly with the table untouched — the
+    alternative is a last-writer-wins swap that silently drops the
+    other writer's rows. (A window between the check and the renames
+    remains — plain parquet has no commit log; Delta/Iceberg
+    optimistic commits are the production substitute.)
     """
     import os
     import shutil
@@ -173,6 +183,13 @@ def upsert_parquet_table_bucketed(
     has_table = os.path.isdir(local) and any(
         e.startswith("kb=") for e in os.listdir(local)
     )
+    def _bucket_files(b: int) -> "frozenset[str]":
+        d = os.path.join(local, f"kb={b}")
+        if not os.path.isdir(d):
+            return frozenset()
+        return frozenset(e for e in os.listdir(d) if e.endswith(".parquet"))
+
+    snapshot = {b: _bucket_files(b) for b in touched}
     if has_table:
         current = spark.read.parquet(local).where(F.col("kb").isin(touched))
         merged = merge_documents(current, upd, key=key).drop("op")
@@ -181,6 +198,19 @@ def upsert_parquet_table_bucketed(
     tmp = local + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.mode("overwrite").partitionBy("kb").parquet(tmp)
+    # single-writer violation check: the merge covered exactly the
+    # snapshotted files; a concurrent append/overwrite in any touched
+    # bucket means swapping would drop rows Spark never read. Abort
+    # with the table untouched.
+    changed = [b for b in touched if _bucket_files(b) != snapshot[b]]
+    if changed:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"upsert_parquet_table_bucketed: bucket(s) {changed} of {local} "
+            "were modified by another writer during the merge; aborting "
+            "without swapping (single-writer contract — serialize batches "
+            "or use a transactional table format)."
+        )
     os.makedirs(local, exist_ok=True)
     for b in touched:
         src = os.path.join(tmp, f"kb={b}")

@@ -199,3 +199,50 @@ def test_bucketed_upsert_recovers_bucket_left_only_in_old(spark, tmp_path):
     assert tbl.count() == total_before
     assert not any(e.endswith(".old") for e in os.listdir(path))
     assert tbl.where("uri = 'uri/0'").collect()[0]["body"] == "B0-v2"
+
+
+def test_bucketed_upsert_detects_concurrent_writer(spark, tmp_path, monkeypatch):
+    """Single-writer contract, detected: a file appearing in a touched
+    bucket between the read snapshot and the swap must abort the batch
+    loudly with the table untouched — a silent last-writer-wins swap
+    would drop the other writer's rows."""
+    import os
+
+    import pytest
+
+    from ds_caselaw_ingester_spark.operators import upsert as upsert_mod
+
+    path = str(tmp_path / "docs")
+    seed = spark.createDataFrame(
+        [(f"uri/{i}", f"B{i}") for i in range(20)], ["uri", "body"]
+    )
+    upsert_mod.upsert_parquet_table_bucketed(seed, path, key="uri", n_buckets=4)
+    before = {
+        d: sorted(os.listdir(os.path.join(path, d)))
+        for d in os.listdir(path)
+        if d.startswith("kb=")
+    }
+
+    real_merge = upsert_mod.merge_documents
+
+    def merge_and_race(current, updates, key="uri"):
+        # simulate the concurrent writer: drop a file into every bucket
+        # dir after the snapshot was taken but before the swap
+        for d in os.listdir(path):
+            if d.startswith("kb=") and not d.endswith((".old", ".tmp")):
+                with open(os.path.join(path, d, "intruder.parquet"), "wb") as f:
+                    f.write(b"x")
+        return real_merge(current, updates, key=key)
+
+    monkeypatch.setattr(upsert_mod, "merge_documents", merge_and_race)
+    batch = spark.createDataFrame([("uri/0", "B0-v2")], ["uri", "body"])
+    with pytest.raises(RuntimeError, match="another writer"):
+        upsert_mod.upsert_parquet_table_bucketed(batch, path, key="uri", n_buckets=4)
+    # table untouched: no tmp left behind, original files still in place
+    assert not os.path.exists(path + ".tmp")
+    after = {
+        d: sorted(e for e in os.listdir(os.path.join(path, d)) if e != "intruder.parquet")
+        for d in os.listdir(path)
+        if d.startswith("kb=")
+    }
+    assert after == before
