@@ -253,7 +253,16 @@ def pq_encode(
     never touches the codebook's floats again.
 
     Map-side only: codewords ride in the plan as three flat literals;
-    no join, no shuffle — encoding 100 TB is one scan."""
+    no join, no shuffle — encoding 100 TB is one scan.
+
+    Consumers should MATERIALIZE this frame (write it out, or
+    localCheckpoint for an in-session index) before scoring against it:
+    that is the production contract (encode once, query many), and a
+    lazy `codes` column is a ~1k-node expression tree that
+    CollapseProject inlines into every downstream reference — an ADC
+    scorer reads it m+1 times and the combined plan pays ~10x in
+    optimizer/codegen (measured, plans/queries_similarity.py
+    pq_adc_topk)."""
     m, k, subdim = codebook["m"], codebook["k"], codebook["subdim"]
     books = codebook["books"]
     CW = _lit_double_array(_flat_codewords(codebook))
