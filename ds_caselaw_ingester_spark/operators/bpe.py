@@ -162,14 +162,88 @@ def bpe_learn(
     return merges
 
 
-def bpe_segment(
+def _segment_word(word: str, merges: "list[tuple[str, str]]") -> "list[str]":
+    """Pure-Python replay of _apply_merge over the full merge list:
+    greedy left-first replacement per merge, in merge order — the same
+    semantics the expression fold implements and tests/test_bpe.py's
+    reference pins."""
+    syms: list[str] = list(word) + [END_OF_WORD]
+    for a, b in merges:
+        if len(syms) == 1:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_segment_arrow(
     docs: DataFrame, id_col: str, text_col: str, merges: "list[tuple[str, str, int]]"
 ) -> DataFrame:
+    """The SCALE path for large merge lists: constant plan depth however
+    many merges. Tokenization stays JVM-side (explode); the merge
+    application runs as an Arrow-batched mapInPandas with a per-batch
+    memo over distinct tokens (natural-language batches repeat words
+    heavily, so each distinct word segments once per batch).
+
+    bpe_segment's expression-fold variant builds one plan node per
+    merge — ideal for small corpus-statistics runs (fully JVM-side,
+    whole-stage codegen) but unplannable at real vocab sizes (a 32k-
+    merge list would be a 32k-deep expression tree). This variant is
+    what a 100 TB tokenization pass uses; semantics are identical
+    (pinned equal on the test corpus, tests/test_bpe.py)."""
+    from pyspark.sql import types as T
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    schema = T.StructType(
+        [
+            tok.schema[id_col],
+            T.StructField("token", T.StringType()),
+            T.StructField("pieces", T.ArrayType(T.StringType())),
+        ]
+    )
+    ms = [(a, b) for a, b, *_ in merges]
+
+    def _seg(batches):
+        for pdf in batches:
+            memo: dict = {}
+            pdf = pdf.copy()
+            pdf["pieces"] = [
+                memo.get(w) or memo.setdefault(w, _segment_word(w, ms))
+                for w in pdf["token"]
+            ]
+            yield pdf
+
+    return tok.mapInPandas(_seg, schema)
+
+
+def bpe_segment(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: "list[tuple[str, str, int]]",
+    max_expr_merges: int = 64,
+) -> DataFrame:
     """Apply a learned merge list to fresh text: (id, token, pieces
-    array<string>). Plan depth grows with len(merges) — fine for the
-    corpus-statistics use (how many pieces would this corpus tokenize
-    to?); export the merge list to a real tokenizer for the per-request
-    path."""
+    array<string>).
+
+    Engine choice: up to `max_expr_merges` merges, one expression-fold
+    plan node per merge (JVM-side, codegen — right for the corpus-
+    statistics use); beyond that, the plan tree would grow unplannably
+    deep, so it routes to bpe_segment_arrow (constant-depth, Arrow-
+    batched Python with per-batch token memoization — the path a real
+    32k-merge vocab takes). Semantics are identical in both engines."""
+    if len(merges) > max_expr_merges:
+        return bpe_segment_arrow(docs, id_col, text_col, merges)
     out = docs.select(
         F.col(id_col),
         F.explode(tokens(F.col(text_col))).alias("token"),

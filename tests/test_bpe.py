@@ -134,3 +134,33 @@ def test_fully_merged_word_does_not_crash_and_early_stop_reached(spark):
     # pair, so the loop must stop early rather than run all 10 rounds
     assert len(merges) == 2
     assert merges[0][:2] == ("a", END_OF_WORD)
+
+
+def test_arrow_segmentation_matches_expression_fold(spark, corpus):
+    """bpe_segment_arrow (the constant-plan-depth scale path) must
+    produce byte-identical segmentations to the expression-fold
+    variant, and the auto dispatch must route large merge lists to
+    it."""
+    from ds_caselaw_ingester_spark.operators.bpe import bpe_segment_arrow
+
+    wf = word_frequencies(corpus, "text")
+    merges = bpe_learn(wf, N_MERGES)
+    sample = corpus.limit(20)
+    expr = {
+        (r["doc_id"], r["token"], tuple(r["pieces"]))
+        for r in bpe_segment(sample, "doc_id", "text", merges).collect()
+    }
+    arrow = {
+        (r["doc_id"], r["token"], tuple(r["pieces"]))
+        for r in bpe_segment_arrow(sample, "doc_id", "text", merges).collect()
+    }
+    assert expr == arrow and expr
+    # dispatch: force the threshold below the merge count -> the plan
+    # must contain the Python evaluator, not the expression fold
+    routed = bpe_segment(sample, "doc_id", "text", merges, max_expr_merges=2)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    got = {
+        (r["doc_id"], r["token"], tuple(r["pieces"])) for r in routed.collect()
+    }
+    assert got == expr
