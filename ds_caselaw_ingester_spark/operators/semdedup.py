@@ -54,6 +54,7 @@ def semantic_dedup(
     centroids: "DataFrame | list",
     threshold: float = 0.95,
     round_digits: int = 4,
+    log_cell_stats: bool = False,
 ) -> DataFrame:
     """One row per input vector:
     (id, centroid_id, centroid_cos, component, keep_id, is_duplicate).
@@ -78,6 +79,54 @@ def semantic_dedup(
     # read `assigned`; persisting stops the argmax fold (the expensive
     # map work) re-running per consumer. Slim cache: id, cell, cos, vec.
     assigned = assigned.persist()
+
+    if log_cell_stats:
+        # The cluster histogram the module docstring calls the operator's
+        # known hazard check: in-cell pair work is quadratic, so one
+        # skewed giant cell dominates the whole job. One cheap agg on
+        # the already-persisted assignment. The skew metric is pair
+        # work vs the BALANCED baseline (candidate_bound relative to
+        # k cells of n/k: n²/2k) — a mean-over-nonempty-cells test can
+        # never flag the worst case, everything in one cell, because
+        # there max == mean. WARN past 4x: re-k with a larger k, or
+        # pre-split the dense region, before committing the pair join.
+        import logging
+
+        from ds_caselaw_ingester_spark.operators.sizing import (
+            bucket_occupancy_stats,
+        )
+
+        k = (
+            len(centroids)
+            if isinstance(centroids, list)
+            else centroids.count()
+        )
+        stats = bucket_occupancy_stats(
+            assigned.select(F.col("centroid_id").alias("bucket"))
+        )
+        balanced = max(1.0, stats["n_rows"] ** 2 / (2.0 * max(1, k)))
+        skew = stats["candidate_bound"] / balanced
+        lg = logging.getLogger(__name__)
+        msg = (
+            "semantic_dedup cell stats: %d/%d cells occupied, max %d, "
+            "mean %.1f, in-cell candidate bound %d pairs (%.1fx the "
+            "balanced-k baseline)"
+        )
+        args = (
+            stats["n_buckets"],
+            k,
+            stats["max_occupancy"],
+            stats["mean_occupancy"],
+            stats["candidate_bound"],
+            skew,
+        )
+        if skew > 4.0:
+            lg.warning(
+                msg + " — SKEWED: the giant cell's quadratic pair work "
+                "will dominate the job", *args
+            )
+        else:
+            lg.info(msg, *args)
 
     left = assigned.select(
         F.col(id_col).alias("_ida"),
@@ -181,4 +230,7 @@ def semantic_dedup_auto(
     return semantic_dedup(
         vectors, vec_col, id_col, centroids,
         threshold=threshold, round_digits=round_digits,
+        # unseen corpus -> always surface the cell histogram (the
+        # quadratic-cell hazard the sizing rule protects against)
+        log_cell_stats=True,
     )

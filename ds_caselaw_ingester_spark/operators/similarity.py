@@ -267,6 +267,7 @@ def lsh_neardup_pairs(
     num_planes: "int | str" = "auto",
     num_tables: int = 4,
     round_digits: int = 4,
+    log_bucket_stats: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed — the
     operator form of the registered `embedding_neardup` plan
@@ -286,7 +287,17 @@ def lsh_neardup_pairs(
     BENCH_SF1.md); auto picks 12 there and the run completes. Multi-
     table recall: a 0.99-cosine near-dup flips some sign in one table
     with p ~ 0.3; `num_tables` independent tables drop the miss rate to
-    ~0.3^L (recall pinned by tests/test_ann_recall.py)."""
+    ~0.3^L (recall pinned by tests/test_ann_recall.py).
+
+    log_bucket_stats=True: after hashing, log the measured occupancy
+    distribution and the EXACT in-bucket candidate bound (one cheap agg
+    on the already-persisted (id, bucket) frame — sizing.py
+    bucket_occupancy_stats). Auto-sizing picks planes from n before
+    hashing; this validates what the hash actually did, since skewed
+    embeddings can still pile into few buckets. Check it before
+    committing a multi-hour join."""
+    import logging
+
     from ds_caselaw_ingester_spark.operators.sizing import resolve_num_planes
 
     base = vectors.select(F.col(id_col), F.col(vec_col).alias("_v"))
@@ -304,6 +315,20 @@ def lsh_neardup_pairs(
     # plane-projection fold (the most expensive map work) runs twice.
     # The cached frame is (id, bucket) only — num_tables slim rows/vec.
     keys = base.select(id_col, F.explode(buckets).alias("bucket")).persist()
+    if log_bucket_stats:
+        from ds_caselaw_ingester_spark.operators.sizing import (
+            bucket_occupancy_stats,
+        )
+
+        stats = bucket_occupancy_stats(keys)
+        logging.getLogger(__name__).info(
+            "lsh_neardup_pairs bucket stats: %d buckets, max occupancy %d, "
+            "mean %.1f, in-bucket candidate bound %d pairs",
+            stats["n_buckets"],
+            stats["max_occupancy"],
+            stats["mean_occupancy"],
+            stats["candidate_bound"],
+        )
     a, b = f"{id_col}_a", f"{id_col}_b"
     pair_ids = (
         keys.select(F.col(id_col).alias(a), "bucket")

@@ -184,3 +184,37 @@ def resolve_max_doc_freq(
         max(1, stats["median_df"]),
     )
     return cap
+
+
+def bucket_occupancy_stats(keys: DataFrame, bucket_col: str = "bucket") -> dict:
+    """Post-hash validation of an LSH/cell layout — ONE aggregation over
+    the bucket-keyed frame: {"n_buckets", "max_occupancy",
+    "mean_occupancy", "candidate_bound"} where candidate_bound =
+    sum over buckets of C(occ, 2), the exact number of in-bucket
+    candidate pairs the self-join will generate.
+
+    The auto-sizing picks planes from n BEFORE hashing; this measures
+    what the hash actually did (skewed data can still pile into few
+    buckets — the sf10 abort was an occupancy problem, not a count
+    problem). One cheap agg against the slim (id, bucket) frame the
+    pair join already persists; check it before committing to a
+    multi-hour join."""
+    row = (
+        keys.groupBy(bucket_col)
+        .agg(F.count("*").alias("occ"))
+        .select(
+            F.count("*").alias("n_buckets"),
+            F.sum("occ").alias("n_rows"),
+            F.max("occ").alias("max_occ"),
+            F.avg("occ").alias("mean_occ"),
+            F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("cand"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_buckets": int(row["n_buckets"]),
+        "n_rows": int(row["n_rows"]),
+        "max_occupancy": int(row["max_occ"]),
+        "mean_occupancy": float(row["mean_occ"]),
+        "candidate_bound": int(row["cand"]),
+    }

@@ -203,3 +203,64 @@ def test_semantic_dedup_auto_keeps_one_exemplar_per_family(spark, sf_dir):
         keeps = [r for r in comp_rows if not r["is_duplicate"]]
         assert len(keeps) == 1
         assert keeps[0]["vec_id"] == keeps[0]["keep_id"]
+
+
+def test_bucket_occupancy_stats_exact_candidate_bound(spark):
+    """The post-hash validator: candidate_bound must equal the exact
+    sum of C(occ, 2) over buckets — the number of pairs the in-bucket
+    self-join will generate."""
+    from ds_caselaw_ingester_spark.operators.sizing import bucket_occupancy_stats
+
+    keys = spark.createDataFrame(
+        [(i, "b0") for i in range(5)]      # C(5,2) = 10
+        + [(i, "b1") for i in range(3)]    # C(3,2) = 3
+        + [(99, "b2")],                    # singleton: 0
+        schema="vec_id long, bucket string",
+    )
+    stats = bucket_occupancy_stats(keys)
+    assert stats["n_buckets"] == 3
+    assert stats["max_occupancy"] == 5
+    assert stats["candidate_bound"] == 13
+    assert abs(stats["mean_occupancy"] - 3.0) < 1e-9
+
+
+def test_lsh_neardup_pairs_bucket_stats_logged(spark, sf_dir, caplog):
+    """log_bucket_stats surfaces the measured occupancy + candidate
+    bound (the no-silent-saturation analog of the df-cap counter)."""
+    import logging
+
+    from ds_caselaw_ingester_spark.operators.similarity import lsh_neardup_pairs
+    from ds_caselaw_ingester_spark.sources.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    with caplog.at_level(logging.INFO, logger="ds_caselaw_ingester_spark.operators.similarity"):
+        lsh_neardup_pairs(
+            emb, "v", "vec_id", num_planes=4, log_bucket_stats=True
+        ).count()
+    assert any("candidate bound" in r.message for r in caplog.records)
+
+
+def test_semantic_dedup_warns_on_skewed_cells(spark, caplog):
+    """An 8-centroid quantizer where 7 cells are dead (everything lands
+    in one cell) does 8x the balanced pair work; the histogram check
+    must WARN about the quadratic hazard. (The metric is pair work vs
+    the balanced-k baseline — a mean-occupancy test can never flag the
+    all-in-one-cell worst case, since there max == mean.)"""
+    import logging
+
+    from ds_caselaw_ingester_spark.operators.semdedup import semantic_dedup
+
+    # 60 near-identical vectors along e1 (tiny jitter in dim 2) -> all
+    # cosine ~1 to centroid 0; the 7 dead centroids point the other way
+    vecs = [(i, [1.0, 0.001 * i] + [0.0] * 62) for i in range(60)]
+    df = spark.createDataFrame(vecs, schema="vec_id long, v array<double>")
+    cents = [{"centroid_id": 0, "cvec": [1.0] + [0.0] * 63}] + [
+        {"centroid_id": c, "cvec": [-1.0] + [0.0] * 63} for c in range(1, 8)
+    ]
+    with caplog.at_level(logging.WARNING, logger="ds_caselaw_ingester_spark.operators.semdedup"):
+        semantic_dedup(
+            df, "v", "vec_id", cents, threshold=0.99, log_cell_stats=True
+        ).count()
+    assert any("SKEWED" in r.message for r in caplog.records)
