@@ -198,7 +198,10 @@ def test_rate_source_stream_parses_and_quarantines(spark, tmp_path):
         q = run_ingest_stream(stream, out, ckpt)
         import time
 
-        deadline = time.time() + 120
+        # generous: the rate source needs one wall-clock micro-batch and
+        # this has flaked at 120 s when the suite shared the host with a
+        # concurrent sf10 sweep (passes in isolation in ~13 s)
+        deadline = time.time() + 240
         processed = None
         while time.time() < deadline:
             try:
