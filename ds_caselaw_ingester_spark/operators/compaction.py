@@ -101,10 +101,11 @@ def recover_swap(local: str, tmp: str, old: str, exclusive: bool = False) -> Non
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
         return
+    backup_name = os.path.basename(old)
     raise RuntimeError(
         f"found both {local} and {old}; a previous run crashed "
         "mid-swap and the directory was written to since. Reconcile "
-        "manually (merge or discard the .old backup) before "
+        f"manually (merge or discard the {backup_name} backup) before "
         "running again."
     )
 

@@ -201,29 +201,46 @@ def semantic_dedup_auto(
     n/cell_size rule validated at sf10: the registered k=16 would put
     ~15k vectors per cell over 220k vectors and the in-cell quadratic
     explodes; k=256 completes — BENCH_SF1.md). The quantizer trains on
-    a deterministic hash-sample of at most `max_train_rows` vectors
-    (the same sample-vs-index asymmetry as IVF: training cost is
-    sample-sized, assignment is a map-side argmax over everything),
-    then the full corpus dedups against those centroids.
+    a deterministic hash-sample (the same sample-vs-index asymmetry as
+    IVF: training cost is sample-sized, assignment is a map-side argmax
+    over everything), then the full corpus dedups against those
+    centroids.
+
+    The sample GROWS WITH k: its target is max(max_train_rows,
+    TRAIN_ROWS_PER_CENTROID*k), so a 25M-vector corpus (k=25,000)
+    trains on ~800k rows, not a fixed 20k — a fixed cap would fall
+    below k itself past ~20M vectors and crash kmeans_fit's init, and
+    even near the boundary it would starve the centroids of data. The
+    materialized sample size is still counted and k clamped to it, so
+    the boundary cannot crash regardless of how the hash-sample lands.
 
     Registered driver queries pin their trained-quantizer configs for
     oracle replay; this wrapper is deliberately NOT oracle-pinned —
     its k depends on n."""
+    import math
+
     from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
     from ds_caselaw_ingester_spark.operators.sizing import (
         SEMDEDUP_TARGET_CELL,
+        TRAIN_ROWS_PER_CENTROID,
         semdedup_num_clusters,
     )
 
     cell = target_cell_size or SEMDEDUP_TARGET_CELL
     n = vectors.count()
     k = semdedup_num_clusters(n, target_cell_size=cell)
+    target_train = max(max_train_rows, TRAIN_ROWS_PER_CENTROID * k)
     # deterministic sample: keep ids whose hash falls in the first
-    # 1/ratio of the hash space — stable across runs and engines
-    ratio = max(1, n // max_train_rows)
+    # 1/ratio of the hash space — stable across runs and engines.
+    # ceil, not floor: floor made the sample up to ~2x the target
+    # (n just under 2x target -> ratio 1 -> no sampling at all)
+    ratio = max(1, math.ceil(n / target_train))
     train = vectors.select(id_col, vec_col)
     if ratio > 1:
         train = train.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(ratio)) == 0)
+        # the hash-sample's size is a random variable around n/ratio;
+        # k must not exceed what actually materialized
+        k = max(1, min(k, train.count()))
     centroids = kmeans_fit(
         train, vec_col, id_col, k=k, max_iter=kmeans_iters, round_centroids=6
     )

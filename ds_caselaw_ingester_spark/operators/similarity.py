@@ -311,10 +311,16 @@ def lsh_neardup_pairs(
             for t in range(num_tables)
         ]
     )
-    # persist: both self-join branches read `keys`; without it the
-    # plane-projection fold (the most expensive map work) runs twice.
-    # The cached frame is (id, bucket) only — num_tables slim rows/vec.
-    keys = base.select(id_col, F.explode(buckets).alias("bucket")).persist()
+    # localCheckpoint, not persist: both self-join branches read `keys`,
+    # so the plane-projection fold (the most expensive map work) must
+    # materialize once — but a persist here would pin executor cache
+    # with no unpersist point after return (the hazard dedup.py
+    # documents). The eager checkpoint stores only the slim (id,
+    # bucket) rows — num_tables per vector — and is released by the
+    # ContextCleaner when the result goes out of scope.
+    keys = base.select(id_col, F.explode(buckets).alias("bucket")).localCheckpoint(
+        eager=True
+    )
     if log_bucket_stats:
         from ds_caselaw_ingester_spark.operators.sizing import (
             bucket_occupancy_stats,

@@ -53,6 +53,12 @@ SEMDEDUP_TARGET_CELL = 1000
 # ngram_jaccard_pairs config, correct over the oracle-checked range).
 RARE_DF_CAP = 50
 
+# Training rows per k-means centroid: the quantizer sample must grow
+# with k (a fixed sample cap falls below k itself once n/cell_size
+# exceeds it, and near that boundary starves every centroid). ~32
+# points per centroid is the standard IVF training density floor.
+TRAIN_ROWS_PER_CENTROID = 32
+
 
 def lsh_num_planes(
     n_vectors: int,
@@ -123,7 +129,9 @@ def gram_df_stats(shingles: DataFrame, id_col: str) -> dict:
     Cost: the groupBy(gram) shuffle is the same first shuffle the
     inverted index pays anyway; the weighted median reduces the vocab
     to one row per DISTINCT df value (a tiny table) and finishes
-    driver-side."""
+    driver-side. The returned "histogram" [(df, n_grams_at_df), ...]
+    lets consumers (hot_gram_drop_stats, the auto df-cap resolver)
+    derive their counts WITHOUT re-running the vocabulary shuffle."""
     per_df = (
         shingles.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
@@ -132,18 +140,20 @@ def gram_df_stats(shingles: DataFrame, id_col: str) -> dict:
         .orderBy("df")
         .collect()
     )
-    n_grams = sum(int(r["n_grams_at_df"]) for r in per_df)
-    total_mass = sum(int(r["df"]) * int(r["n_grams_at_df"]) for r in per_df)
+    hist = [(int(r["df"]), int(r["n_grams_at_df"])) for r in per_df]
+    n_grams = sum(n for _, n in hist)
+    total_mass = sum(df * n for df, n in hist)
     median_df, cum = 1, 0
-    for r in per_df:
-        cum += int(r["df"]) * int(r["n_grams_at_df"])
+    for df, n in hist:
+        cum += df * n
         if cum * 2 >= total_mass:
-            median_df = int(r["df"])
+            median_df = df
             break
     return {
         "n_grams": n_grams,
         "median_df": median_df,
-        "max_df": int(per_df[-1]["df"]) if per_df else 0,
+        "max_df": hist[-1][0] if hist else 0,
+        "histogram": hist,
     }
 
 
@@ -166,12 +176,23 @@ def resolve_num_planes(num_planes: "int | str", candidates: DataFrame) -> int:
 
 def resolve_max_doc_freq(
     max_doc_freq: "int | str | None", shingles: DataFrame, id_col: str
-) -> "int | None":
+) -> "tuple[int | None, dict | None]":
     """Resolve ``max_doc_freq="auto"`` from the gram-df distribution
-    (one vocabulary-sized aggregation). Logs the derived cap so a
-    heavily-duplicated corpus is visible in the run record."""
+    (one vocabulary-sized aggregation). Returns (cap, stats) — stats is
+    the gram_df_stats dict when the scan ran, None otherwise, so a
+    caller that also wants drop diagnostics reuses the one scan instead
+    of shuffling the vocabulary twice. Logs the derived cap so a
+    heavily-duplicated corpus is visible in the run record.
+
+    Any string other than exactly "auto" raises here, at the call site
+    — passed through, it would surface as a NumberFormatException deep
+    inside the job when the Column comparison coerces it."""
+    if max_doc_freq is None or isinstance(max_doc_freq, int):
+        return max_doc_freq, None
     if max_doc_freq != "auto":
-        return max_doc_freq  # int or None, unchanged
+        raise ValueError(
+            f"max_doc_freq must be an int, None, or 'auto'; got {max_doc_freq!r}"
+        )
     stats = gram_df_stats(shingles, id_col)
     cap = duplication_scaled_df_cap(stats["median_df"])
     log.info(
@@ -183,7 +204,7 @@ def resolve_max_doc_freq(
         cap,
         max(1, stats["median_df"]),
     )
-    return cap
+    return cap, stats
 
 
 def bucket_occupancy_stats(keys: DataFrame, bucket_col: str = "bucket") -> dict:
@@ -211,6 +232,16 @@ def bucket_occupancy_stats(keys: DataFrame, bucket_col: str = "bucket") -> dict:
         )
         .collect()[0]
     )
+    if row["n_buckets"] == 0:
+        # empty input: max/avg/sum aggregate to NULL — a diagnostics
+        # call must report zero buckets, not crash on int(None)
+        return {
+            "n_buckets": 0,
+            "n_rows": 0,
+            "max_occupancy": 0,
+            "mean_occupancy": 0.0,
+            "candidate_bound": 0,
+        }
     return {
         "n_buckets": int(row["n_buckets"]),
         "n_rows": int(row["n_rows"]),

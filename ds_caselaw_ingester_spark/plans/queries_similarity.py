@@ -10,7 +10,6 @@ from ds_caselaw_ingester_spark.operators.multimodal import extract_asset_metadat
 from ds_caselaw_ingester_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
-    lsh_bucket,
 )
 from ds_caselaw_ingester_spark.plans.registry import register
 from ds_caselaw_ingester_spark.session import ensure_oracle_safe

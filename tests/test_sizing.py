@@ -264,3 +264,67 @@ def test_semantic_dedup_warns_on_skewed_cells(spark, caplog):
             df, "v", "vec_id", cents, threshold=0.99, log_cell_stats=True
         ).count()
     assert any("SKEWED" in r.message for r in caplog.records)
+
+
+def test_bucket_occupancy_stats_empty_frame_reports_zeros(spark):
+    """Review regression: an empty keyed frame (a filter matched
+    nothing) must report zero buckets, not crash on int(None)."""
+    from ds_caselaw_ingester_spark.operators.sizing import bucket_occupancy_stats
+
+    empty = spark.createDataFrame([], schema="vec_id long, bucket string")
+    stats = bucket_occupancy_stats(empty)
+    assert stats == {
+        "n_buckets": 0,
+        "n_rows": 0,
+        "max_occupancy": 0,
+        "mean_occupancy": 0.0,
+        "candidate_bound": 0,
+    }
+
+
+def test_max_doc_freq_typo_raises_at_call_site(spark):
+    """Review regression: a string other than exactly 'auto' must raise
+    ValueError immediately — passed through, it would die deep inside
+    the job as an ANSI cast error on the Column comparison."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], schema="doc_id long, text string"
+    )
+    shingles = doc_shingles(docs, "doc_id", "text", n=3)
+    with pytest.raises(ValueError, match="auto"):
+        exact_jaccard_pairs(shingles, "doc_id", 0.5, max_doc_freq="Auto")
+
+
+def test_drop_stats_reuse_matches_fresh_scan(spark):
+    """hot_gram_drop_stats fed the auto path's precomputed histogram
+    must equal a fresh scan — the one-vocabulary-shuffle contract."""
+    from ds_caselaw_ingester_spark.operators.sizing import gram_df_stats
+
+    shingles = doc_shingles(_dup_corpus(spark, 10), "doc_id", "text", n=3)
+    base = gram_df_stats(shingles, "doc_id")
+    reused = hot_gram_drop_stats(shingles, "doc_id", 5, _df_stats=base)
+    fresh = hot_gram_drop_stats(shingles, "doc_id", 5)
+    assert reused == fresh
+    assert reused["n_hot_dropped"] > 0  # the df=10 base grams exceed cap 5
+
+
+def test_semdedup_auto_sample_grows_with_k(spark):
+    """Review regression: with a fixed sample cap, k = ceil(n/cell) can
+    exceed the training sample and kmeans_fit's init raises. The sample
+    target must grow with k (TRAIN_ROWS_PER_CENTROID * k), so a tiny
+    max_train_rows with a small cell size still trains and dedups."""
+    from ds_caselaw_ingester_spark.operators.semdedup import semantic_dedup_auto
+
+    vecs = [
+        (i, [float((i * 7 + d * 3) % 11) for d in range(8)]) for i in range(100)
+    ]
+    df = spark.createDataFrame(vecs, schema="vec_id long, v array<double>")
+    out = semantic_dedup_auto(
+        df, "v", "vec_id",
+        threshold=0.999,
+        target_cell_size=5,   # k = 20 > the 10-row fixed cap below
+        max_train_rows=10,
+        kmeans_iters=1,
+    )
+    assert out.count() == 100
