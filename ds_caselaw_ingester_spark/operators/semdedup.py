@@ -251,3 +251,102 @@ def semantic_dedup_auto(
         # quadratic-cell hazard the sizing rule protects against)
         log_cell_stats=True,
     )
+
+
+def semdedup_build_index(
+    vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: "DataFrame | list",
+    round_digits: int = 4,
+) -> DataFrame:
+    """The persisted side of incremental SemDeDup: (id, centroid_id,
+    vec) for every indexed vector — the map-side argmax runs ONCE at
+    ingest time and the cell assignment is stored (parquet partitioned
+    or bucketed by centroid_id makes the daily probe co-located), so
+    increments never re-assign the corpus."""
+    return ivf_assign(
+        vectors.select(id_col, vec_col),
+        vec_col,
+        id_col,
+        centroids,
+        nprobe=1,
+        round_digits=round_digits,
+    ).select(id_col, "centroid_id", vec_col)
+
+
+def semantic_dedup_incremental(
+    index: DataFrame,
+    new_vectors: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: "DataFrame | list",
+    threshold: float = 0.95,
+    round_digits: int = 4,
+) -> "tuple[DataFrame, DataFrame]":
+    """Daily-increment semantic dedup: near-duplicate pairs INVOLVING a
+    new vector, probed against a persisted cell index
+    (semdedup_build_index output) — the embedding-space analog of
+    incremental_lsh_pairs, with the same shape and contract:
+
+    - new-vs-OLD pairs: the new vectors' cells equi-join the index —
+      cost tracks the increment times cell occupancy, never the corpus;
+    - new-vs-NEW pairs: in-cell combination over just the increment;
+    - REPLACE semantics: an id present in the increment supersedes its
+      index rows (anti-join), so re-ingested documents neither pair
+      against their own stale embedding nor accumulate versions;
+    - returns (pairs, updated_index); pairs is (id_a, id_b, cosine)
+      with id_a < id_b, updated_index feeds tomorrow.
+
+    Equivalence contract (pinned in tests/test_semdedup.py): the pair
+    set EQUALS the full in-cell recompute over surviving-old + new
+    vectors restricted to pairs touching a new id. The quantizer must
+    be the SAME centroid set the index was built with — cells are only
+    comparable under one quantizer; retraining it means rebuilding the
+    index (k-means-sized work, amortized over the corpus it indexes).
+    """
+    new_assigned = semdedup_build_index(
+        new_vectors, vec_col, id_col, centroids, round_digits=round_digits
+    ).localCheckpoint(eager=True)  # read by 3 consumers: 2 joins + union
+    surviving = index.join(
+        new_assigned.select(id_col).distinct(), id_col, "left_anti"
+    )
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(vec_col)
+        return df.select(
+            F.col(id_col).alias(f"_id{tag}"),
+            F.col("centroid_id"),
+            v.alias(f"_v{tag}"),
+            l2_norm(v).alias(f"_n{tag}"),
+        )
+
+    def _score(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (
+            left.join(right, "centroid_id")
+            .select(
+                "_ida",
+                "_idb",
+                F.round(
+                    dot_product(F.col("_va"), F.col("_vb"))
+                    / (F.col("_na") * F.col("_nb")),
+                    round_digits,
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= F.lit(threshold))
+        )
+
+    nv_a, nv_b = _side(new_assigned, "a"), _side(new_assigned, "b")
+    cross = _score(nv_a, _side(surviving, "b")).where(F.col("_ida") != F.col("_idb"))
+    within = _score(nv_a, nv_b).where(F.col("_ida") < F.col("_idb"))
+    pairs = (
+        cross.unionByName(within)
+        .select(
+            F.least(F.col("_ida"), F.col("_idb")).alias("id_a"),
+            F.greatest(F.col("_ida"), F.col("_idb")).alias("id_b"),
+            "cosine",
+        )
+        .distinct()
+    )
+    updated = surviving.unionByName(new_assigned)
+    return pairs, updated

@@ -67,3 +67,81 @@ def test_exact_copies_collapse_to_one_keeper(spark, sf_dir):
             assert not a["is_duplicate"] or any(
                 m["centroid_cos"] < a["centroid_cos"] for m in group
             )
+
+
+def test_incremental_matches_full_recompute_restricted_to_new(spark, sf_dir):
+    """Equivalence contract of semantic_dedup_incremental: its pair set
+    equals the full in-cell recompute over surviving-old + new vectors,
+    restricted to pairs touching a new id — including REPLACE semantics
+    for a re-ingested id whose embedding changed."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+        semdedup_build_index,
+    )
+    from ds_caselaw_ingester_spark.operators.similarity import (
+        dot_product,
+        kmeans_fit,
+        l2_norm,
+    )
+    from ds_caselaw_ingester_spark.sources.catalog import table
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = kmeans_fit(
+        emb.where(F.col("vec_id") % 4 == 0), "v", "vec_id", k=8, max_iter=2
+    )
+    old = emb.where(F.col("vec_id") % 5 != 0)
+    # increment: planted near-dups (first component zeroed) of bases
+    # that ARE in the index (% 5 == 1), PLUS vec_id 1 re-ingested with
+    # a completely different embedding (reverse of vec 3's) -> replace
+    fresh = emb.where(F.col("vec_id") % 5 == 1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(F.array(F.lit(0.0)), F.slice(F.col("v"), 2, F.size(F.col("v")) - 1)).alias("v"),
+    )
+    reingest = emb.where(F.col("vec_id") == 3).select(
+        F.lit(1).cast("long").alias("vec_id"), F.reverse(F.col("v")).alias("v")
+    )
+    new = fresh.unionByName(reingest)
+
+    index = semdedup_build_index(old, "v", "vec_id", cents)
+    pairs, updated = semantic_dedup_incremental(
+        index, new, "v", "vec_id", cents, threshold=0.9
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+    # reference: full in-cell pair listing over surviving-old + new
+    new_ids = {r["vec_id"] for r in new.select("vec_id").distinct().collect()}
+    survived = old.where(~F.col("vec_id").isin([1]))
+    full = semdedup_build_index(survived.unionByName(new), "v", "vec_id", cents)
+    s1 = full.select(
+        F.col("vec_id").alias("a"), "centroid_id",
+        F.col("v").alias("va"), l2_norm(F.col("v")).alias("na"),
+    )
+    s2 = full.select(
+        F.col("vec_id").alias("b"), "centroid_id",
+        F.col("v").alias("vb"), l2_norm(F.col("v")).alias("nb"),
+    )
+    ref_pairs = (
+        s1.join(s2, "centroid_id")
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.9)
+        .collect()
+    )
+    want = {
+        (r["a"], r["b"])
+        for r in ref_pairs
+        if r["a"] in new_ids or r["b"] in new_ids
+    }
+    assert got == want and got  # non-trivial: planted dups must appear
+
+    # updated index: one row per id, new ids present, replaced id fresh
+    upd = {r["vec_id"]: r for r in updated.collect()}
+    assert len(upd) == updated.count()
+    assert set(upd) == {r["vec_id"] for r in survived.collect()} | new_ids
