@@ -1,0 +1,147 @@
+"""Property tests for the round-7 machinery: the BPE engines agree on
+arbitrary corpora (including the single-symbol words that crashed the
+expression fold under ANSI), the sizing rules keep their occupancy
+invariants over the whole input range, and the swap-recovery state
+machine never deletes the only copy from ANY crash state."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ds_caselaw_ingester_spark.operators.bpe import (
+    END_OF_WORD,
+    _segment_word,
+)
+from ds_caselaw_ingester_spark.operators.sizing import (
+    LSH_TARGET_OCCUPANCY,
+    duplication_scaled_df_cap,
+    lsh_num_planes,
+    semdedup_num_clusters,
+)
+
+# ---------------------------------------------------------------------------
+# sizing invariants
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=1, max_value=10**13))
+def test_lsh_occupancy_invariant(n):
+    """Inside the clamp region, expected occupancy n/2^planes stays in
+    (target/2, target] — the derivation ceil(log2(n/target)) promises
+    exactly this band; outside it the clamp binds."""
+    p = lsh_num_planes(n)
+    assert 4 <= p <= 24
+    occ = n / (1 << p)
+    raw_would_be = lsh_num_planes(n, min_planes=0, max_planes=10**6)
+    if raw_would_be == p:  # clamp not binding
+        assert occ <= LSH_TARGET_OCCUPANCY
+        if p > 0:
+            assert occ > LSH_TARGET_OCCUPANCY / 2
+
+
+@given(st.integers(min_value=1, max_value=10**13))
+def test_semdedup_cell_invariant(n):
+    k = semdedup_num_clusters(n)
+    assert 4 <= k <= 1 << 16
+    if 4 < k < 1 << 16:  # clamp not binding
+        assert (n + 999) // 1000 == k
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+def test_df_cap_monotone_and_floored(typical_df):
+    cap = duplication_scaled_df_cap(typical_df)
+    assert cap >= 50
+    assert duplication_scaled_df_cap(typical_df + 1) >= cap
+
+
+# ---------------------------------------------------------------------------
+# BPE: the pure-Python segmenter is total and lossless for ANY word and
+# merge list (the Spark engines are pinned equal to it in test_bpe.py)
+# ---------------------------------------------------------------------------
+
+_sym = st.text(alphabet="ab</w>", min_size=1, max_size=4)
+
+
+@given(
+    st.text(alphabet="ab", min_size=1, max_size=8),
+    st.lists(st.tuples(_sym, _sym), max_size=6),
+)
+def test_segment_word_is_total_and_lossless(word, merges):
+    pieces = _segment_word(word, merges)
+    assert pieces
+    assert "".join(pieces) == word + END_OF_WORD
+
+
+# ---------------------------------------------------------------------------
+# recover_swap: state-machine safety over every crash state
+# ---------------------------------------------------------------------------
+
+
+def _mk(path, content):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "data"), "w") as f:
+        f.write(content)
+
+
+def _read(path):
+    with open(os.path.join(path, "data")) as f:
+        return f.read()
+
+
+@given(
+    st.booleans(), st.booleans(), st.booleans(), st.booleans()
+)
+@settings(max_examples=16, deadline=None)
+def test_recover_swap_never_deletes_the_only_copy(
+    has_local, has_tmp, has_old, exclusive
+):
+    """For every combination of {local, tmp, old} existing: after
+    recovery, if ANY complete copy existed, a complete copy exists at
+    `local` — and it is the newest available (tmp supersedes old)."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from ds_caselaw_ingester_spark.operators.compaction import recover_swap
+
+    base = tempfile.mkdtemp()
+    try:
+        local, tmp, old = (
+            os.path.join(base, "t"),
+            os.path.join(base, "t.tmp"),
+            os.path.join(base, "t.old"),
+        )
+        if has_local:
+            _mk(local, "local")
+        if has_tmp:
+            _mk(tmp, "tmp")
+        if has_old:
+            _mk(old, "old")
+        if has_local and has_old and not exclusive:
+            with pytest.raises(RuntimeError):
+                recover_swap(local, tmp, old, exclusive=False)
+            # refusal must not delete anything
+            assert _read(local) == "local" and _read(old) == "old"
+            return
+        recover_swap(local, tmp, old, exclusive=exclusive)
+        if has_local:
+            # an existing local always survives recovery untouched
+            assert _read(local) == "local"
+        elif has_old and has_tmp:
+            # crash between renames: tmp is the finished successor
+            assert _read(local) == "tmp"
+        elif has_old:
+            # crash after moving aside: the backup is restored
+            assert _read(local) == "old"
+        else:
+            assert not os.path.exists(local)
+        # no recovery path leaves a backup or staging dir behind when
+        # local holds a copy (stale dirs would poison the next run)
+        if os.path.exists(local):
+            assert not os.path.exists(old)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
