@@ -251,3 +251,32 @@ def bpe_segment(
     for a, b, _ in merges:
         out = out.withColumn("pieces", _apply_merge(F.col("pieces"), a, b))
     return out
+
+
+def export_merges(merges: "list[tuple[str, str, int]]") -> str:
+    """Serialize a learned merge list in the interchange form real
+    tokenizer runtimes consume — one "left right" pair per line in
+    merge order (the format Sennrich's subword-nmt writes and
+    HuggingFace tokenizers' BPE reads as merges.txt; counts are
+    training diagnostics and deliberately excluded). The per-request
+    tokenization path belongs in a serving runtime; this engine's job
+    is learning the merges at corpus scale and handing them off —
+    applying them in-engine (bpe_segment) is for corpus statistics."""
+    return "".join(f"{a} {b}\n" for a, b, _ in merges)
+
+
+def import_merges(text: str) -> "list[tuple[str, str, int]]":
+    """Inverse of export_merges (counts restored as 0 — they are not
+    part of the interchange form). Blank lines and '#version'-style
+    comment headers are skipped, matching what merges.txt consumers
+    accept."""
+    out: list[tuple[str, str, int]] = []
+    for line in text.splitlines():
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        a, sep, b = line.partition(" ")
+        if not sep:
+            raise ValueError(f"malformed merge line: {line!r}")
+        out.append((a, b, 0))
+    return out

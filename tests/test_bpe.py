@@ -164,3 +164,24 @@ def test_arrow_segmentation_matches_expression_fold(spark, corpus):
         (r["doc_id"], r["token"], tuple(r["pieces"])) for r in routed.collect()
     }
     assert got == expr
+
+
+def test_merge_export_roundtrip_drives_identical_segmentation(spark, corpus):
+    """The merges.txt interchange form round-trips and the re-imported
+    list segments identically — the loud hand-off to a real tokenizer
+    runtime for the per-request path."""
+    from ds_caselaw_ingester_spark.operators.bpe import (
+        export_merges,
+        import_merges,
+    )
+
+    wf = word_frequencies(corpus, "text")
+    merges = bpe_learn(wf, N_MERGES)
+    text = export_merges(merges)
+    assert len(text.splitlines()) == len(merges)
+    back = import_merges("#version: 0.2\n\n" + text)
+    assert [(a, b) for a, b, _ in back] == [(a, b) for a, b, _ in merges]
+    sample = corpus.limit(10)
+    a = [tuple(r["pieces"]) for r in bpe_segment(sample, "doc_id", "text", merges).collect()]
+    b = [tuple(r["pieces"]) for r in bpe_segment(sample, "doc_id", "text", back).collect()]
+    assert a == b
