@@ -114,6 +114,63 @@ def recover_swap(local: str, tmp: str, old: str, exclusive: bool = False) -> Non
 _recover = recover_swap
 
 
+def read_parquet_or_none(spark: SparkSession, path: str):
+    """Read a parquet table, or return None ONLY when the path does not
+    exist (the legitimate first-batch case). Any other read failure —
+    corrupt footer, transient IO — propagates: silently treating it as
+    "no table yet" is how a sink clobbers its own history. One
+    definition shared by every swap-protocol sink (previously four
+    hand-copied try/excepts that had to stay in sync)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # noqa: BLE001 — narrowed by message below
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        return None
+
+
+def commit_swap(local: str, tmp: "str | None" = None, old: "str | None" = None) -> None:
+    """Complete a write-tmp swap: the caller has fully materialized the
+    new table at `tmp`; move the current table aside, rename tmp in,
+    drop the backup. Every crash point here is reconciled by
+    recover_swap at the next run's start — the one protocol, one
+    implementation (previously triplicated across the sinks)."""
+    tmp = tmp or local + ".tmp"
+    old = old or local + ".old"
+    if os.path.exists(local):
+        os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_buckets(local: str, prefix: str = "kb=") -> None:
+    """Per-partition-directory recovery for bucketed layouts
+    (operators/upsert.py upsert_parquet_table_bucketed): a crash
+    between rename(dst, old) and rename(src, dst) leaves partition
+    `kb=N` only in `kb=N.old`. A bucket dir is only ever created by an
+    atomic rename from a fully-written tmp, so: dst missing -> restore
+    the backup; both present -> old is a stale backup from a crash
+    after the second rename, drop it.
+
+    Readers of the bucketed table MUST run this before
+    spark.read.parquet on it: partition discovery would otherwise pick
+    up `kb=5.old` as a partition VALUE ('5.old'), double-reading every
+    row of that bucket — for the documents state table that means two
+    contradictory is_published rows per uri fanning out the analysis
+    join."""
+    if not os.path.isdir(local):
+        return
+    for e in os.listdir(local):
+        if e.startswith(prefix) and e.endswith(".old"):
+            b_old = os.path.join(local, e)
+            b_dst = os.path.join(local, e[: -len(".old")])
+            if os.path.exists(b_dst):
+                shutil.rmtree(b_old, ignore_errors=True)
+            else:
+                os.rename(b_old, b_dst)
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,

@@ -88,10 +88,11 @@ def upsert_parquet_table(
     real object store this maps to write-to-staging + catalog pointer flip
     (or a Delta/Iceberg MERGE, which is the production substitute).
     """
-    import os
-    import shutil
-
-    from ds_caselaw_ingester_spark.operators.compaction import recover_swap
+    from ds_caselaw_ingester_spark.operators.compaction import (
+        commit_swap,
+        read_parquet_or_none,
+        recover_swap,
+    )
 
     spark = spark_df.sparkSession
     local = path[len("file:") :] if path.startswith("file:") else path
@@ -101,22 +102,14 @@ def upsert_parquet_table(
     # alone, and delete the only full copy. exclusive=True — this sink
     # is the single writer of `local` (K13 driver-side ordering).
     recover_swap(local, local + ".tmp", local + ".old", exclusive=True)
-    try:
-        current = spark.read.parquet(path)
+    current = read_parquet_or_none(spark, path)
+    if current is not None:
         merged = merge_documents(current, spark_df, key=key).drop("op")
-    except Exception as e:  # noqa: BLE001 — narrowed by message below
-        # ONLY the first-batch case may fall through to a plain write;
-        # any other read failure must propagate, never clobber the table.
-        msg = str(e)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
+    else:
+        # ONLY the first-batch case falls through to a plain write
         merged = spark_df
-    tmp, old = local + ".tmp", local + ".old"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(local):
-        os.rename(local, old)
-    os.rename(tmp, local)
-    shutil.rmtree(old, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(local + ".tmp")
+    commit_swap(local)
 
 
 def upsert_parquet_table_bucketed(
@@ -156,24 +149,17 @@ def upsert_parquet_table_bucketed(
     import os
     import shutil
 
+    from ds_caselaw_ingester_spark.operators.compaction import recover_buckets
+
     spark = spark_df.sparkSession
     local = path[len("file:") :] if path.startswith("file:") else path
-    # Per-bucket crash recovery. A crash between rename(dst, old) and
-    # rename(src, dst) leaves bucket kb=N only in kb=N.old; reading
-    # would then miss those rows and the swap below would delete the
-    # backup. kb=N is only ever created by an atomic rename from a
-    # fully-written tmp, so: dst missing -> restore the backup; both
-    # present -> old is a stale backup from a crash after the second
-    # rename, drop it.
-    if os.path.isdir(local):
-        for e in os.listdir(local):
-            if e.startswith("kb=") and e.endswith(".old"):
-                b_old = os.path.join(local, e)
-                b_dst = os.path.join(local, e[: -len(".old")])
-                if os.path.exists(b_dst):
-                    shutil.rmtree(b_old, ignore_errors=True)
-                else:
-                    os.rename(b_old, b_dst)
+    # Per-bucket crash recovery BEFORE the read: a crash between the
+    # bucket renames leaves kb=N only in kb=N.old, and reading without
+    # recovery would miss those rows then delete the backup (and any
+    # OTHER reader of this table — e.g. the streaming state lookup —
+    # must run the same recovery, or partition discovery reads kb=N.old
+    # as a partition value; see recover_buckets).
+    recover_buckets(local)
     upd = spark_df.withColumn(
         "kb", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     )

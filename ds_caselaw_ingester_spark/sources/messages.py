@@ -52,8 +52,16 @@ def unwrap_envelope(records: DataFrame) -> DataFrame:
 
 
 def classify_payload(payload: Column) -> Column:
-    """S3 classification ladder (messages.py:17-24)."""
-    first_record_source = F.element_at(payload["Records"], 1)["eventSource"]
+    """S3 classification ladder (messages.py:17-24).
+
+    try_element_at, NOT element_at: a body decoding to {"Records": []}
+    is valid JSON, so from_json yields an EMPTY array (not NULL), and
+    under Spark 4's default ANSI mode element_at(…, 1) would throw —
+    failing the whole micro-batch and, with checkpointed offsets,
+    replaying the same poison message forever. try_element_at yields
+    NULL and the ladder routes the row to kind='invalid', which is the
+    documented quarantine contract."""
+    first_record_source = F.try_element_at(payload["Records"], F.lit(1))["eventSource"]
     return (
         F.when(first_record_source == "aws:s3", F.lit(KIND_S3))
         .when(payload["parameters"].isNotNull(), F.lit(KIND_V2))
@@ -66,7 +74,8 @@ def consignment_reference(kind: Column, payload: Column) -> Column:
     messages.py:48-57); s3 -> filename stem of the object key
     (messages.py:83-93)."""
     v2_ref = F.nullif(F.trim(payload["parameters"]["reference"]), F.lit(""))
-    key = F.element_at(payload["Records"], 1)["s3"]["object"]["key"]
+    # try_element_at: total on empty Records (see classify_payload)
+    key = F.try_element_at(payload["Records"], F.lit(1))["s3"]["object"]["key"]
     s3_ref = F.split(F.element_at(F.split(key, "/"), -1), "\\.", 2).getItem(0)
     return F.when(kind == KIND_V2, v2_ref).when(kind == KIND_S3, s3_ref)
 
@@ -84,11 +93,11 @@ def parse_messages(records: DataFrame) -> DataFrame:
     ).otherwise(F.col("payload")["parameters"]["originator"])
     bucket = F.when(
         F.col("kind") == KIND_S3,
-        F.element_at(F.col("payload")["Records"], 1)["s3"]["bucket"]["name"],
+        F.try_element_at(F.col("payload")["Records"], F.lit(1))["s3"]["bucket"]["name"],
     ).otherwise(F.col("payload")["parameters"]["s3Bucket"])
     key = F.when(
         F.col("kind") == KIND_S3,
-        F.element_at(F.col("payload")["Records"], 1)["s3"]["object"]["key"],
+        F.try_element_at(F.col("payload")["Records"], F.lit(1))["s3"]["object"]["key"],
     ).otherwise(F.col("payload")["parameters"]["s3Key"])
     return (
         out.withColumn("consignment_ref", ref)

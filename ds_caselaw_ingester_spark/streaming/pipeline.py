@@ -168,34 +168,59 @@ def run_full_ingest_stream(
       partition instead of appending duplicates.
 
     documents_state (J5 exists/published lookups) is re-read from the
-    documents sink at each batch start, so a batch sees every earlier
-    batch's writes — the streaming analog of the reference checking
-    MarkLogic per message.
+    documents sink at each batch start — AFTER per-bucket crash
+    recovery, since the bucketed MERGE can crash leaving a kb=N.old
+    backup that partition discovery would read as a partition VALUE,
+    doubling every uri in that bucket and fanning the analysis join out
+    to contradictory is_published rows — so a batch sees every earlier
+    batch's writes exactly once (the streaming analog of the reference
+    checking MarkLogic per message).
+
+    Invalid messages (unclassifiable / missing reference) are written
+    to `quarantine/` partitioned by epoch BEFORE analysis — the C6 DLQ
+    the simpler run_ingest_stream has; without it a parse-invalid
+    message would vanish (analyze() filters kind='invalid'), with no
+    message_id recorded for a ReportBatchItemFailures-style redrive.
     """
+    from ds_caselaw_ingester_spark.operators.compaction import (
+        read_parquet_or_none,
+        recover_buckets,
+    )
     from ds_caselaw_ingester_spark.operators.ingest import analyze, perform_ingest
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
-            state = spark.read.parquet(f"{sink_root}/documents").select(
-                "uri", "is_published"
-            )
-        except Exception as e:  # noqa: BLE001 — narrowed by message below
-            # ONLY the first-batch case (no documents table yet) may run
-            # with empty state. Any other read failure — corrupt footer,
-            # transient IO — must fail the batch: silently treating it as
-            # "first batch" would flip exists_in_db/was_published for every
-            # message and write wrong versions/publish decisions.
-            # (Same narrowing as operators/upsert.py.)
-            msg = str(e)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-                raise
-            state = spark.createDataFrame([], "uri string, is_published boolean")
-        msgs = parse_messages(batch_df)
-        a = analyze(msgs, metadata, best_xmls, identifiers, state, environment=environment)
-        perform_ingest(
-            a, sink_root, members=members, batch_id=epoch_id, archives=archives
+        docs_path = f"{sink_root}/documents"
+        recover_buckets(docs_path[len("file:") :] if docs_path.startswith("file:") else docs_path)
+        docs = read_parquet_or_none(spark, docs_path)
+        # ONLY the first-batch case (no documents table yet) runs with
+        # empty state; read_parquet_or_none propagates any other read
+        # failure — silently treating a corrupt table as "first batch"
+        # would flip exists_in_db/was_published for every message.
+        state = (
+            docs.select("uri", "is_published")
+            if docs is not None
+            else spark.createDataFrame([], "uri string, is_published boolean")
         )
+        msgs = parse_messages(batch_df).persist()
+        try:
+            # DLQ first: analyze() drops kind='invalid', so quarantine is
+            # the only record these messages existed. Epoch-keyed dynamic
+            # overwrite — a redelivered epoch replaces its own partition.
+            bad = msgs.where(F.col("kind") == "invalid").drop("payload")
+            bad.withColumn("batch_id", F.lit(epoch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(f"{sink_root}/quarantine")
+            a = analyze(
+                msgs, metadata, best_xmls, identifiers, state, environment=environment
+            )
+            perform_ingest(
+                a, sink_root, members=members, batch_id=epoch_id, archives=archives
+            )
+        finally:
+            msgs.unpersist()
 
     return (
         records.writeStream.foreachBatch(_process)

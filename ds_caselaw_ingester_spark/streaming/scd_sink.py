@@ -55,10 +55,12 @@ def apply_scd2_batch(
     """One micro-batch into the history table at `path` (parquet,
     tmp-dir + rename swap). Empty batches are a no-op."""
     import datetime as dt
-    import os
-    import shutil
 
-    from ds_caselaw_ingester_spark.operators.compaction import recover_swap
+    from ds_caselaw_ingester_spark.operators.compaction import (
+        commit_swap,
+        read_parquet_or_none,
+        recover_swap,
+    )
 
     spark = batch.sparkSession
     local = path[len("file:") :] if path.startswith("file:") else path
@@ -68,17 +70,20 @@ def apply_scd2_batch(
     # history, and rmtree'd the only copy (ADVICE r6). exclusive=True:
     # this checkpointed sink is the sole writer of `local`.
     recover_swap(local, local + ".tmp", local + ".old", exclusive=True)
+    # persist: the batch plan is read twice (max event time, then the
+    # per-key latest rows feeding the merge write) — without the cache
+    # every trigger pays the batch computation twice
+    batch = batch.persist()
     first = batch.select(F.max(F.col(ts_col)).alias("m")).collect()[0]["m"]
     if first is None:
+        batch.unpersist()
         return
     updates = _latest_per_key(batch, key, ts_col).select(key, *payload_cols)
-    try:
-        history = spark.read.parquet(path)
-    except Exception as e:  # noqa: BLE001 — narrowed by message below
-        msg = str(e)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
-        history = None
+    history = read_parquet_or_none(spark, path)
+    if history is not None:
+        # history is also read twice (newest effective_from, then the
+        # merge); cache it for the life of this apply
+        history = history.persist()
     # Monotonicity clamp: a late/out-of-order micro-batch whose max
     # event time is <= the history's newest effective_from would write
     # INVERTED or zero-width validity intervals (a closed row
@@ -94,12 +99,13 @@ def apply_scd2_batch(
             batch_time = newest + dt.timedelta(microseconds=1)
     batch_ts = batch_time.strftime("%Y-%m-%d %H:%M:%S.%f")
     merged = scd2_apply(history, updates, key, payload_cols, batch_ts)
-    tmp, old = local + ".tmp", local + ".old"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(local):
-        os.rename(local, old)
-    os.rename(tmp, local)
-    shutil.rmtree(old, ignore_errors=True)
+    try:
+        merged.write.mode("overwrite").parquet(local + ".tmp")
+    finally:
+        batch.unpersist()
+        if history is not None:
+            history.unpersist()
+    commit_swap(local)
 
 
 def run_scd2_stream(

@@ -37,7 +37,11 @@ import os
 
 from pyspark.sql import DataFrame
 
-from ds_caselaw_ingester_spark.operators.compaction import recover_swap
+from ds_caselaw_ingester_spark.operators.compaction import (
+    commit_swap,
+    read_parquet_or_none,
+    recover_swap,
+)
 from ds_caselaw_ingester_spark.operators.semdedup import (
     semantic_dedup_incremental,
     semdedup_build_index,
@@ -64,13 +68,7 @@ def apply_semdedup_batch(
     recover_swap(local, local + ".tmp", local + ".old", exclusive=True)
     if batch.isEmpty():
         return
-    try:
-        index = spark.read.parquet(index_path)
-    except Exception as e:  # noqa: BLE001 — narrowed by message below
-        msg = str(e)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
-            raise
-        index = None
+    index = read_parquet_or_none(spark, index_path)
     if index is None:
         updated = semdedup_build_index(batch, vec_col, id_col, centroids)
         # in-batch pairs still matter on bootstrap: probe against an
@@ -88,14 +86,8 @@ def apply_semdedup_batch(
     pairs.write.mode("overwrite").parquet(
         os.path.join(pairs_path, f"epoch={epoch_id}")
     )
-    tmp, old = local + ".tmp", local + ".old"
-    updated.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(local):
-        os.rename(local, old)
-    os.rename(tmp, local)
-    import shutil
-
-    shutil.rmtree(old, ignore_errors=True)
+    updated.write.mode("overwrite").parquet(local + ".tmp")
+    commit_swap(local)
 
 
 def run_semdedup_stream(

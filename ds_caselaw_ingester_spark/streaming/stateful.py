@@ -47,8 +47,12 @@ def _dedup_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """First-wins: the first message for a consignment_ref passes through;
-    every later one (same trigger or any later trigger) is counted and
-    dropped. On state timeout the key is forgotten (a very-late replay
+    every later one is dropped. n_duplicates_dropped counts SAME-TRIGGER
+    duplicates only — append mode emits each key once, so duplicates
+    arriving in LATER triggers are dropped silently (the key's row has
+    already shipped and cannot be amended; a cross-trigger duplicate
+    count would need the update-mode variant or a separate counting
+    sink). On state timeout the key is forgotten (a very-late replay
     after the timeout would re-ingest — the idempotent MERGE sink behind
     this operator makes that harmless, matching the reference where a
     redelivery re-runs the whole ingest against the same uri)."""
@@ -59,11 +63,10 @@ def _dedup_fn(
         return
     rows = pd.concat(list(pdfs), ignore_index=True)
     seen, first_id = state.get if state.exists else (False, None)
-    dropped = len(rows) if seen else len(rows) - 1
     out_rows = []
     if not seen and len(rows):
         first_id = rows["message_id"].iloc[0]
-        out_rows.append((ref, first_id, int(dropped)))
+        out_rows.append((ref, first_id, int(len(rows) - 1)))
     state.update((True, first_id))
     state.setTimeoutDuration(24 * 3600 * 1000)  # forget keys after a day
     yield pd.DataFrame(out_rows, columns=[f.name for f in DEDUP_OUTPUT_SCHEMA.fields])

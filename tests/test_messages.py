@@ -99,3 +99,22 @@ def test_unclassifiable_is_invalid(parsed):
 
 def test_malformed_json_is_invalid(parsed):
     assert parsed[("m6", "aws:sqs")].kind == "invalid"
+
+
+def test_empty_records_array_is_invalid_not_crash(spark):
+    """Review regression: a body decoding to {"Records": []} is valid
+    JSON, so from_json yields an EMPTY array; under ANSI mode a plain
+    element_at would throw and poison the whole micro-batch forever
+    (checkpointed replay). try_element_at routes it to kind='invalid'
+    — the quarantine contract."""
+    import json
+
+    from ds_caselaw_ingester_spark.sources.messages import parse_messages
+
+    body = json.dumps({"Message": json.dumps({"Records": []})})
+    records = spark.createDataFrame(
+        [("m1", "aws:sqs", body)],
+        "message_id string, event_source string, body string",
+    )
+    rows = parse_messages(records).collect()
+    assert len(rows) == 1 and rows[0]["kind"] == "invalid"

@@ -181,3 +181,64 @@ def test_corrupt_documents_state_fails_the_batch(spark, tmp_path, context_tables
     assert "PATH_NOT_FOUND" not in msg
     # and no effect tables were written for the failed batch
     assert not (sink_root / "versions").exists()
+
+
+def test_invalid_messages_land_in_quarantine_not_void(spark, tmp_path, context_tables):
+    """Review regression: the full pipeline must DLQ parse-invalid
+    messages (empty reference, empty Records array) with their
+    message_id — analyze() filters kind='invalid', so without the
+    quarantine write they would vanish with no redrive record."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    empty_records_body = json.dumps({"Message": json.dumps({"Records": []})})
+    with open(src / "f0.json", "w") as f:
+        f.write(json.dumps(_record("m1", "TDR-1", "TDR")) + "\n")
+        f.write(json.dumps(_record("m-bad", "", "TDR")) + "\n")  # empty ref
+        f.write(
+            json.dumps(
+                {
+                    "messageId": "m-poison",
+                    "eventSource": "aws:sqs",
+                    "body": empty_records_body,
+                }
+            )
+            + "\n"
+        )
+
+    sink_root = str(tmp_path / "sinks")
+    _run_stream(spark, src, sink_root, str(tmp_path / "ckpt"), context_tables)
+    q = spark.read.parquet(f"{sink_root}/quarantine")
+    quarantined = {r.message_id for r in q.collect()}
+    assert quarantined == {"m-bad", "m-poison"}
+    # the valid message still ingested normally
+    docs = spark.read.parquet(f"{sink_root}/documents")
+    assert docs.count() == 1
+
+
+def test_bucket_backup_is_recovered_before_state_read(spark, tmp_path, context_tables):
+    """Review regression: a kb=N.old backup left by a bucketed-MERGE
+    crash must be reconciled BEFORE the documents-state read — without
+    recovery, partition discovery reads 'N.old' as a partition value
+    and every uri in that bucket appears twice in the analysis join."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    with open(src / "f0.json", "w") as f:
+        f.write(json.dumps(_record("m1", "TDR-1", "TDR")) + "\n")
+    sink_root = str(tmp_path / "sinks")
+    _run_stream(spark, src, sink_root, str(tmp_path / "ckpt"), context_tables)
+    docs_dir = os.path.join(sink_root, "documents")
+    bucket = next(e for e in os.listdir(docs_dir) if e.startswith("kb="))
+    # simulate the crash: bucket moved aside, swap never completed
+    os.rename(
+        os.path.join(docs_dir, bucket), os.path.join(docs_dir, bucket + ".old")
+    )
+    # redeliver the same message in a fresh stream run
+    with open(src / "f1.json", "w") as f:
+        f.write(json.dumps(_record("m2", "TDR-1", "TDR")) + "\n")
+    os.utime(src / "f1.json", (1700000100, 1700000100))
+    _run_stream(spark, src, sink_root, str(tmp_path / "ckpt2"), context_tables)
+    docs = spark.read.parquet(f"{sink_root}/documents")
+    rows = docs.where(F.col("uri").isNotNull()).collect()
+    # one row per uri (no .old double-read), backup reconciled
+    assert len(rows) == len({r.uri for r in rows}) == 1
+    assert not any(e.endswith(".old") for e in os.listdir(docs_dir))
