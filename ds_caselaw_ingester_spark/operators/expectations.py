@@ -42,7 +42,19 @@ def not_null(col: str) -> Check:
 
 
 def in_set(col: str, allowed: "list") -> Check:
-    bad = (~F.col(col).isin(*allowed)) & F.col(col).isNotNull()
+    # A None in `allowed` (the natural "nulls are fine" spelling) must
+    # mean exactly that — fed to isin it poisons the check instead: IN
+    # with a NULL element is three-valued, ~NULL is NULL, and sum()
+    # skips NULLs, so every out-of-set value went UNCOUNTED and the
+    # audit green-lit bad columns. Split the None out: it only widens
+    # the already-null-tolerant contract.
+    non_null = [v for v in allowed if v is not None]
+    c = F.col(col)
+    bad = (
+        (~c.isin(*non_null)) & c.isNotNull()
+        if non_null
+        else c.isNotNull()  # only None allowed: every value violates
+    )
     return Check("in_set", col, F.sum(bad.cast("long")))
 
 
@@ -102,16 +114,27 @@ def referential(
     pk: str,
     table: str = "",
 ) -> DataFrame:
-    """FK integrity as an anti-join: child rows whose non-null fk has no
-    parent pk. One keyed job; Spark broadcasts the parent's key side
-    when small (dims), shuffles co-located otherwise — at 100 TB bucket
-    both sides on the key like any other fact join."""
-    orphans = (
-        child.where(F.col(fk).isNotNull())
-        .join(parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti")
-        .count()
+    """FK integrity in ONE keyed job: left join the parent's distinct
+    keys and count rows + orphans in the same aggregation — a separate
+    child.count() would rescan the whole fact table just for the
+    denominator. Spark broadcasts the parent's key side when small
+    (dims), shuffles co-located otherwise — at 100 TB bucket both sides
+    on the key like any other fact join."""
+    p = parent.select(F.col(pk).alias(fk)).distinct().withColumn(
+        "_pk_hit", F.lit(True)
     )
-    total = child.count()
+    row = (
+        child.select(fk)
+        .join(p, fk, "left")
+        .select(
+            F.count("*").alias("total"),
+            F.count_if(
+                F.col(fk).isNotNull() & F.col("_pk_hit").isNull()
+            ).alias("orphans"),
+        )
+        .collect()[0]
+    )
+    orphans, total = int(row["orphans"]), int(row["total"])
     spark = child.sparkSession
     return spark.createDataFrame(
         [(table, "referential", fk, orphans, total, orphans == 0)],

@@ -46,10 +46,17 @@ def shuffled_shards(df: DataFrame, id_col: str, num_shards: int) -> DataFrame:
     shard = F.pmod(
         F.conv(F.substring(key, 1, 15), 16, 10).cast("long"), F.lit(num_shards)
     ).cast("int")
+    # repartitionByRange, NOT hash repartition, on _shard: hashing the
+    # num_shards distinct shard ids into num_shards partitions is
+    # balls-in-bins — ~1/e of tasks end up EMPTY while the worst task
+    # carries 4-5 whole shards and becomes the export straggler. Range
+    # partitioning the already-uniform shard id gives one shard per
+    # task. Physical distribution only: shard membership and
+    # within-shard order are pure functions of the id either way.
     return (
         df.withColumn("_shuffle_key", key)
         .withColumn("_shard", shard)
-        .repartition(num_shards, "_shard")
+        .repartitionByRange(num_shards, "_shard")
         .sortWithinPartitions("_shard", "_shuffle_key")
     )
 

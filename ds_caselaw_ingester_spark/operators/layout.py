@@ -54,6 +54,13 @@ def zorder_key(
         raise ValueError("one (lo, hi) domain per column required")
     if not 1 <= bits * len(cols) <= 63:
         raise ValueError(f"ndims*bits must fit a signed long, got {bits * len(cols)}")
+    for lo, hi in domains:
+        # a degenerate/reversed domain divides by <= 0: every value maps
+        # to NaN/Inf and the edge clamp silently collapses the dimension
+        # to one cell — the caller pays the z-order shuffle for nothing.
+        # Fail fast like the bits check above.
+        if not float(lo) < float(hi):
+            raise ValueError(f"domain (lo, hi) must satisfy lo < hi, got ({lo}, {hi})")
     qs = [
         _quantize(c, lo, hi, bits) for c, (lo, hi) in zip(cols, domains)
     ]

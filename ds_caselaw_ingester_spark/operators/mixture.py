@@ -40,18 +40,34 @@ def mixture_rates(
     totals: dict[str, int], weights: dict[str, float], token_budget: int
 ) -> dict[str, float]:
     """Per-source replication rate: rate_s = budget * w_s / tokens_s,
-    with weights normalized over the sources actually present. A rate
-    above 1 means up-sampling (full repeats + fractional remainder)."""
+    with weights normalized over the sources that actually have tokens.
+    A rate above 1 means up-sampling (full repeats + fractional
+    remainder).
+
+    Zero-token sources are excluded BEFORE normalization (and logged):
+    keeping their weight in the denominator but dropping them from the
+    output would silently shrink the blend below token_budget by their
+    weight share — their budget is redistributed over the sources that
+    can absorb it instead."""
     if token_budget <= 0:
         raise ValueError(f"token_budget must be positive, got {token_budget}")
-    present = {s: w for s, w in weights.items() if s in totals}
+    present = {s: w for s, w in weights.items() if totals.get(s, 0) > 0}
+    empty = [s for s in weights if s not in present]
+    if empty:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mixture_rates: weighted source(s) %s have no tokens; their "
+            "weight share is renormalized over the remaining sources",
+            empty,
+        )
     wsum = sum(present.values())
     if wsum <= 0:
-        raise ValueError("no overlapping sources between weights and corpus")
+        raise ValueError(
+            "no weighted source has any tokens (weights/corpus mismatch)"
+        )
     return {
-        s: (token_budget * (w / wsum)) / totals[s]
-        for s, w in present.items()
-        if totals[s] > 0
+        s: (token_budget * (w / wsum)) / totals[s] for s, w in present.items()
     }
 
 
@@ -80,7 +96,8 @@ def mix_corpus(
         .agg(F.sum(F.col(token_col)).alias("_tok"))
         .collect()
     )
-    totals = {r[0]: int(r[1]) for r in agg}
+    # sum() over an all-NULL token column is NULL — treat as zero tokens
+    totals = {r[0]: int(r[1]) if r[1] is not None else 0 for r in agg}
     rates = mixture_rates(totals, weights, token_budget)
     over = {s: r for s, r in rates.items() if r > max_rate}
     if over:

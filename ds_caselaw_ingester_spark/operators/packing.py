@@ -30,18 +30,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-PACK_SCHEMA = T.StructType(
-    [
-        T.StructField("pack_id", T.StringType(), False),
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("chunk_index", T.IntegerType(), False),
-        T.StructField("n_chunk_tokens", T.IntegerType(), False),
-        T.StructField("pack_slot", T.IntegerType(), False),
-        T.StructField("pack_fill", T.IntegerType(), False),
-    ]
-)
-
-
 def pack_sequences(
     chunks: DataFrame,
     budget: int,
@@ -51,56 +39,72 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign every chunk row to a pack of total size <= budget.
 
-    Returns (pack_id, doc_id, chunk_index, n_chunk_tokens, pack_slot,
-    pack_fill): pack_fill is the pack's final token total (repeated per
-    member row for self-contained downstream grouping). Chunks longer
-    than the budget get a singleton pack (they must be re-chunked
-    upstream; packing never drops data silently).
+    Returns (pack_id, <key_col>, <index_col>, <tokens_col>, pack_slot,
+    pack_fill) — the three input columns keep their NAMES and TYPES
+    (string keys like `uri` work; nothing is coerced to long).
+    pack_fill is the pack's final token total (repeated per member row
+    for self-contained downstream grouping). Chunks longer than the
+    budget get a singleton pack (they must be re-chunked upstream;
+    packing never drops data silently).
 
     Greedy next-fit over (key, index) order within each hash partition
-    of the key column: one Arrow pass, no shuffle beyond the one
-    repartition, deterministic for a given key set."""
+    of the key column. The SORT runs in Spark
+    (sortWithinPartitions — spillable, off-heap), and the Arrow pass
+    STREAMS batches carrying only the currently-open pack across batch
+    boundaries — per-task memory is one Arrow batch + one open pack,
+    never the whole partition (the previous implementation
+    pandas-concatenated and pandas-sorted the entire partition in
+    memory, an executor OOM at the corpus scale this module targets).
+    Deterministic for a given key set and partitioning."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+
+    in_fields = {f.name: f for f in chunks.schema.fields}
+    schema = T.StructType(
+        [
+            T.StructField("pack_id", T.StringType(), False),
+            in_fields[key_col],
+            in_fields[index_col],
+            in_fields[tokens_col],
+            T.StructField("pack_slot", T.IntegerType(), False),
+            T.StructField("pack_fill", T.IntegerType(), False),
+        ]
+    )
+    out_cols = [f.name for f in schema.fields]
 
     def _pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        batches = list(it)  # an iterator is always truthy — materialise,
-        if not batches:  # then guard: empty partitions DO occur (AQE off,
-            return  # or fewer keys than shuffle partitions)
-        rows = pd.concat(batches, ignore_index=True)
-        if rows.empty:
-            return
-        rows = rows.sort_values([key_col, index_col], ignore_index=True)
-        out = []
         pack_n, fill, members = 0, 0, []
 
-        def flush():
+        def flush(out: list) -> None:
             nonlocal pack_n, fill, members
             for slot, (d, ci, nt) in enumerate(members):
                 out.append((f"p{pid}-{pack_n}", d, ci, nt, slot, fill))
             pack_n += 1
             fill, members = 0, []
 
-        for d, ci, nt in zip(
-            rows[key_col], rows[index_col], rows[tokens_col]
-        ):
-            nt = int(nt)
-            if members and fill + nt > budget:
-                flush()
-            members.append((int(d), int(ci), nt))
-            fill += nt
-            if fill >= budget:
-                flush()
+        for pdf in it:
+            out: list = []
+            for d, ci, nt in zip(pdf[key_col], pdf[index_col], pdf[tokens_col]):
+                nt = int(nt)
+                if members and fill + nt > budget:
+                    flush(out)
+                members.append((d, ci, nt))
+                fill += nt
+                if fill >= budget:
+                    flush(out)
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
         if members:
-            flush()
-        yield pd.DataFrame(
-            out, columns=[f.name for f in PACK_SCHEMA.fields]
-        )
+            out = []
+            flush(out)
+            yield pd.DataFrame(out, columns=out_cols)
 
-    keyed = chunks.select(key_col, index_col, tokens_col).repartition(
-        F.col(key_col)
+    keyed = (
+        chunks.select(key_col, index_col, tokens_col)
+        .repartition(F.col(key_col))
+        .sortWithinPartitions(key_col, index_col)
     )
-    return keyed.mapInPandas(_pack, PACK_SCHEMA)
+    return keyed.mapInPandas(_pack, schema)

@@ -60,7 +60,16 @@ def scd2_apply(
 
     The batch must be key-unique (one state per key per batch);
     validate=True spends one aggregation job to raise on duplicates
-    instead of silently fanning out the full-outer join."""
+    instead of silently fanning out the full-outer join.
+
+    batch_ts must be STRICTLY AFTER every current row's effective_from
+    — applying an older batch would close current rows with INVERTED
+    intervals (unreachable by scd2_as_of) and resurrect stale payloads
+    as current, silently. validate=True also checks this (one max()
+    over the current slice); the streaming sink enforces it cheaper by
+    clamping (streaming/scd_sink.py apply_scd2_batch) since it already
+    collects the max for event-time monotonicity. Batch callers
+    replaying history must apply batches in timestamp order."""
     ts = F.to_timestamp(F.lit(batch_ts))
     if validate:
         dup = (
@@ -68,6 +77,26 @@ def scd2_apply(
         )
         if dup:
             raise ValueError(f"scd2_apply: duplicate key in batch: {dup[0][key]!r}")
+        if history is not None:
+            newest = (
+                history.where(F.col("is_current"))
+                .select(F.max("effective_from").alias("m"))
+                .collect()[0]["m"]
+            )
+            import datetime as dt
+
+            try:
+                bt = dt.datetime.fromisoformat(batch_ts)
+            except ValueError:
+                bt = None  # exotic literal: Spark parses it; skip the guard
+            if newest is not None and bt is not None and newest >= bt:
+                raise ValueError(
+                    f"scd2_apply: batch_ts {batch_ts!r} is not after the "
+                    f"newest current effective_from ({newest}); an "
+                    "out-of-order apply writes inverted validity intervals "
+                    "— apply batches in timestamp order (the streaming "
+                    "sink clamps instead: streaming/scd_sink.py)"
+                )
     u = updates.select(
         F.col(key),
         *[F.col(c) for c in payload_cols],

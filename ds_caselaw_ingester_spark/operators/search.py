@@ -69,7 +69,13 @@ def bm25_topk(
     if len(set(terms)) != len(terms):
         raise ValueError("terms must be distinct")
 
-    base = docs.select(
+    # NULL-text rows are excluded from the CORPUS, not just from
+    # matching: size(tokens(NULL)) is NULL, so without the filter
+    # count(*) would include such a doc in n_docs while sum(dl) skipped
+    # it — n_docs and total_dl disagreeing on the doc set, and both
+    # diverging from the DuckDB oracle (which excludes NULL text from
+    # both). idf/avgdl must see one consistent corpus.
+    base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
     )
     tok = tokens(F.col("_text"))
@@ -84,6 +90,13 @@ def bm25_topk(
     # BEFORE the explode, so the per-doc score assembly later needs no
     # corpus-sized join back to a lengths table — `dl` is functionally
     # dependent on doc_id and lands in the groupBy key for free.
+    # localCheckpoint: tf has TWO consumers (the df_t broadcast build
+    # and the probe side of the scoring join) — left lazy, the
+    # corpus-sized tokenize+explode subtree runs once per consumer.
+    # The materialized frame is tiny: one row per (matching doc, query
+    # term). With the separate stats row, the corpus tokenizes exactly
+    # twice total (stats needs docs with NO matching terms, which the
+    # pruned explode no longer carries).
     tf = (
         base.select(
             "doc_id", F.size(tok).alias("dl"), F.explode(tok).alias("token")
@@ -91,6 +104,7 @@ def bm25_topk(
         .where(F.col("token").isin(terms))
         .groupBy("doc_id", "dl", "token")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     # Stage 3b: document frequency per query term (≤ |terms| rows).
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))

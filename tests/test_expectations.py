@@ -104,3 +104,38 @@ def test_referential_orphans(spark, sf_dir):
     broken = customer.where(F.col("c_custkey") % 7 != 0)
     bad = referential(orders, "o_custkey", broken, "c_custkey", "orders").collect()[0]
     assert not bad["passed"] and bad["violations"] > 0
+
+
+def test_in_set_with_none_in_allowed_still_counts_violations(spark):
+    """Review regression: a None in the allowed list (the natural
+    'nulls are fine' spelling) previously poisoned the check via SQL
+    three-valued IN — every out-of-set value went uncounted and the
+    audit green-lit bad columns."""
+    from ds_caselaw_ingester_spark.operators.expectations import (
+        audit_table,
+        in_set,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("c",), (None,)], "status string"
+    )
+    report = {
+        r["check"]: r
+        for r in audit_table(df, [in_set("status", ["a", "b", None])]).collect()
+    }
+    row = report["in_set"]
+    assert row["violations"] == 1  # exactly the 'c' row
+    assert not row["passed"]
+
+
+def test_referential_is_one_job_and_counts_match(spark):
+    from ds_caselaw_ingester_spark.operators.expectations import referential
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    row = referential(child, "fk", parent, "pk", table="t").collect()[0]
+    assert row["total_rows"] == 4
+    assert row["violations"] == 1  # fk=99; NULL fk is not an orphan
+    assert not row["passed"]

@@ -68,3 +68,30 @@ def test_order_is_decorrelated_from_input_order(spark, sf_dir):
     # mean absolute gap of a random permutation is ~n/3; id order gives 1
     gaps = [abs(ids[i + 1] - ids[i]) for i in range(n - 1)]
     assert sum(gaps) / len(gaps) > n / 6, sum(gaps) / len(gaps)
+
+
+def test_shards_map_one_to_one_onto_tasks(spark):
+    """Review regression: hash-repartitioning the num_shards distinct
+    shard ids left ~1/e of tasks empty and piled several shards onto
+    the worst task (the export straggler). Range partitioning gives
+    each task at most a couple of contiguous shard ids and leaves
+    almost no task idle."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.export import shuffled_shards
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    n = 32
+    parts = (
+        shuffled_shards(df, "doc_id", n)
+        .withColumn("_pid", F.spark_partition_id())
+        .select("_pid", "_shard")
+        .distinct()
+        .collect()
+    )
+    per_task: dict = {}
+    for r in parts:
+        per_task.setdefault(r["_pid"], set()).add(r["_shard"])
+    # no task carries a pile of shards, and almost every task has work
+    assert max(len(s) for s in per_task.values()) <= 2
+    assert len(per_task) >= int(n * 0.9)

@@ -105,3 +105,16 @@ def test_zordered_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
         spark.read.parquet(byz).orderBy("event_id").collect()
         == ev.orderBy("event_id").collect()
     )
+
+
+def test_degenerate_domain_raises(spark):
+    """Review regression: lo >= hi silently collapsed the dimension to
+    one cell (NaN/Inf through the edge clamp) — the z-order shuffle
+    bought no pruning with no error. Fail fast instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.layout import zorder_key
+
+    with pytest.raises(ValueError, match="lo < hi"):
+        zorder_key([F.col("x"), F.col("y")], [(5.0, 5.0), (0.0, 1.0)])

@@ -44,3 +44,33 @@ def test_mix_corpus_realized_shares_near_weights(spark):
     # rate ≈ 1.67 -> repeats exist and epochs are dense from 0.
     b_epochs = {r["epoch"] for r in out if r["src"] == "b"}
     assert 0 in b_epochs and 1 in b_epochs
+
+
+def test_zero_token_source_weight_is_renormalized(spark):
+    """Review regression: a weighted source with zero tokens previously
+    kept its weight share in the denominator while being dropped from
+    the output — the blend silently shrank below token_budget. Its
+    share now redistributes over the sources that have tokens."""
+    from ds_caselaw_ingester_spark.operators.mixture import mixture_rates
+
+    rates = mixture_rates(
+        {"a": 0, "b": 1000}, {"a": 0.5, "b": 0.5}, token_budget=500
+    )
+    assert set(rates) == {"b"}
+    # b absorbs the full budget: 500 * 1.0 / 1000
+    assert abs(rates["b"] - 0.5) < 1e-12
+
+
+def test_all_null_token_source_treated_as_empty_not_crash(spark):
+    from ds_caselaw_ingester_spark.operators.mixture import mix_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 100)],
+        "doc_id long, src string, n_tokens int",
+    )
+    out = mix_corpus(
+        docs, "doc_id", "src", "n_tokens",
+        weights={"a": 0.5, "b": 0.5}, token_budget=100,
+    )
+    rows = out.collect()
+    assert rows and all(r["src"] == "b" for r in rows)

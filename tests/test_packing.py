@@ -85,3 +85,23 @@ def test_empty_partitions_do_not_crash(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
     assert {(r.doc_id, r.chunk_index) for r in rows} == {(1, 0), (2, 0)}
+
+
+def test_string_keys_and_input_column_names_survive(spark):
+    """Review regression: pack_sequences crashed on non-integer keys
+    (int(d) coercion) and renamed output columns to doc_id regardless
+    of the input names. Keys keep their type and name."""
+    chunks = spark.createDataFrame(
+        [("uri/a", 0, 5), ("uri/a", 1, 5), ("uri/b", 0, 7)],
+        "uri string, idx int, n_tok int",
+    )
+    rows = pack_sequences(
+        chunks, budget=10, key_col="uri", index_col="idx", tokens_col="n_tok"
+    ).collect()
+    assert {r["uri"] for r in rows} == {"uri/a", "uri/b"}
+    # conservation: every chunk assigned exactly once
+    assert sorted((r["uri"], r["idx"]) for r in rows) == [
+        ("uri/a", 0), ("uri/a", 1), ("uri/b", 0)
+    ]
+    for r in rows:
+        assert r["pack_fill"] <= 10

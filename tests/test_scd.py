@@ -4,6 +4,8 @@ point-in-time reconstruction must return each batch's state."""
 
 from __future__ import annotations
 
+import pytest
+
 from ds_caselaw_ingester_spark.operators.scd import scd2_apply, scd2_as_of
 
 B1 = "2024-01-01 00:00:00"
@@ -262,3 +264,23 @@ def test_scd_sink_crash_between_renames_recovers_history(spark, tmp_path):
     hist = spark.read.parquet(path)
     assert hist.count() == 4  # full 3-state history + the new state
     assert hist.where("is_current").collect()[0]["court"] == "ukpc"
+
+
+def test_scd2_apply_validate_rejects_out_of_order_batch(spark):
+    """Review regression: applying a batch whose timestamp is not after
+    the newest current effective_from writes INVERTED validity
+    intervals and resurrects stale payloads as current — silently.
+    validate=True must refuse (the streaming sink clamps instead)."""
+    from ds_caselaw_ingester_spark.operators.scd import scd2_apply
+
+    b1 = spark.createDataFrame([("a", "ewhc")], "uri string, court string")
+    hist = scd2_apply(None, b1, "uri", ["court"], "2024-01-01 10:05:00")
+    older = spark.createDataFrame([("a", "ewca")], "uri string, court string")
+    with pytest.raises(ValueError, match="timestamp order"):
+        scd2_apply(hist, older, "uri", ["court"], "2024-01-01 10:02:00", validate=True)
+    # equal timestamp is also rejected (must be strictly after)
+    with pytest.raises(ValueError, match="timestamp order"):
+        scd2_apply(hist, older, "uri", ["court"], "2024-01-01 10:05:00", validate=True)
+    # a later batch passes validation and applies normally
+    ok = scd2_apply(hist, older, "uri", ["court"], "2024-01-01 10:06:00", validate=True)
+    assert ok.where("is_current").collect()[0]["court"] == "ewca"
