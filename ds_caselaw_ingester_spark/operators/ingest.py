@@ -25,7 +25,7 @@ consignment_ref; execute shuffles each sink once on `uri`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ds_caselaw_ingester_spark.functions.scalars import (
@@ -83,6 +83,16 @@ def analyze(
         messages.where(F.col("kind") != "invalid")
         .join(m, "consignment_ref", "left")
         .join(best_xmls, "consignment_ref", "left")
+        # The PRE-override reference survives as raw_consignment_ref:
+        # the reference snapshots it at Ingest.__init__ (ingester.py:193)
+        # BEFORE the TRE update (:206) and every FILE operation — tar
+        # filename, copy_file member paths {ref}/parser.log,
+        # {ref}/{source}, {ref}/{image} — reads the snapshot
+        # (:364-413). Tar members are keyed by the archive filename
+        # stem, so asset joins keyed on the post-override ref would
+        # probe 'TRE-X/parser.log' against member 'X/parser.log' and
+        # silently miss (review finding).
+        .withColumn("raw_consignment_ref", F.col("consignment_ref"))
         # P10: S3-path consignment ref is overwritten by the TRE reference;
         # V2 path keeps the message reference (messages.py:33-34, 84-93)
         .withColumn(
@@ -102,6 +112,22 @@ def analyze(
         .withColumn("ncn_candidate", F.col("extracted_ncn"))
         .withColumn("expected_ns", expected_namespace_col(F.col("doc_kind")))
         .withColumn("msg_id", F.coalesce(F.col("message_id"), F.col("consignment_ref")))
+    )
+    # msg_id is the join key back from resolution, so it must be UNIQUE
+    # within the batch: an at-least-once source can deliver the same
+    # message_id twice in one micro-batch (and direct-SNS rows fall back
+    # to the shared consignment_ref), and duplicate keys would fan the
+    # enriched<->resolved join out quadratically — every sink then gets
+    # 2x rows. First-wins per msg_id mirrors the reference, where a
+    # redelivery re-runs the SAME work idempotently rather than twice in
+    # one invocation.
+    w_dedup = Window.partitionBy("msg_id").orderBy(
+        F.col("message_id").asc_nulls_last()
+    )
+    enriched = (
+        enriched.withColumn("_rn", F.row_number().over(w_dedup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
     resolved = resolve_uris(
         enriched.select(
@@ -129,6 +155,7 @@ def analyze(
         "message_id",
         "kind",
         "consignment_ref",
+        "raw_consignment_ref",
         "originator",
         "doc_kind",
         "status",
@@ -202,13 +229,22 @@ def perform_ingest(
     from pyspark.sql import Observation
 
     analysis = analysis.persist()
-    ok = analysis.where(
-        ~F.col("status").startswith("error") & (F.col("write_route") != "error_existing")
-    ).persist()
+    # A row errors out of the happy path when resolution errored, the
+    # insert-vs-update gate refused, OR the routing ladder hit an
+    # unknown originator (email_action == 'error'; the reference raises
+    # RuntimeError there, failing the message into the DLQ —
+    # ingester.py's originator dispatch). Review regression: the third
+    # clause was missing, so unknown-originator rows sailed through
+    # every sink while their 'error' action was silently dropped by the
+    # notifications filter — no quarantine row, no operator signal.
+    bad = (
+        F.col("status").startswith("error")
+        | (F.col("write_route") == "error_existing")
+        | (F.col("email_action") == "error")
+    )
+    ok = analysis.where(~bad).persist()
     try:
-        quarantine = analysis.where(
-            F.col("status").startswith("error") | (F.col("write_route") == "error_existing")
-        )
+        quarantine = analysis.where(bad)
         counts: dict[str, int] = {}
 
         def append_counted(df: DataFrame, name: str) -> None:
@@ -250,10 +286,13 @@ def perform_ingest(
         )
         append_counted(versions, "versions")
 
-        # C5 — identifiers: only types with an identifier class AND an NCN
+        # C5 — identifiers: only types with an identifier class AND an
+        # NCN. Falsy filter, not just null (reference: `if ncn:` —
+        # ingester.py:277): an empty-string cite must not write a bogus
+        # ('', ukncn) identifier row into the index J2 later probes.
         idents = (
             ok.where(F.col("doc_kind").isin("judgment", "pressSummary"))
-            .where(F.col("extracted_ncn").isNotNull())
+            .where(F.col("extracted_ncn").isNotNull() & (F.col("extracted_ncn") != ""))
             .select(
                 "uri",
                 expected_namespace_col(F.col("doc_kind")).alias("namespace"),
@@ -309,35 +348,51 @@ def perform_ingest(
 
         asset_src = ok.select(
             "uri",
-            F.col("consignment_ref").alias("ref"),
+            # PRE-override ref: file operations use the Ingest.__init__
+            # snapshot in the reference (see analyze), and tar members
+            # are keyed by the archive filename stem — the post-P10 TRE
+            # ref would miss every member join and misname the tar
+            F.col("raw_consignment_ref").alias("ref"),
             "source_filename",
             "images",
         )
         has_log = None
         if members is not None:
             logs_present = (
-                members.where(F.col("member_name").endswith("parser.log"))
+                # containment, matching the reference scan (file_helpers
+                # .py:88) and sources/tar.py scan_parser_log
+                members.where(F.col("member_name").contains("parser.log"))
                 .select(F.col("consignment_ref").alias("ref"))
                 .distinct()
                 .withColumn("_has_log", F.lit(True))
             )
             asset_src = asset_src.join(logs_present, "ref", "left")
             has_log = F.col("_has_log").isNotNull()
+        # persist: TWO sinks consume the fan-out (assets, then the K11
+        # asset_copies projection of it). Left lazy, the whole plan —
+        # including md5 over every tar member's bytes and the
+        # whole-archive digests — re-executes for the second write
+        # (review regression vs this function's own "no sink plan runs
+        # twice" contract).
         assets = asset_rows(
             asset_src,
             ["uri"],
             has_parser_log=has_log,
             members=members,
             archives=archives,
-        )
-        append_counted(assets, "assets")
+        ).persist()
+        try:
+            append_counted(assets, "assets")
 
-        # K11 — publish: copy every asset under the published uri's prefix
-        # private -> public (docs/workflow.md:169-175); unpublish is the
-        # is_published=false flag already written in the documents MERGE
-        pub_uris = ok.where(F.col("will_publish") == F.lit(True)).select("uri")
-        copies = publish_copies(assets, pub_uris)
-        append_counted(copies, "asset_copies")
+            # K11 — publish: copy every asset under the published uri's
+            # prefix private -> public (docs/workflow.md:169-175);
+            # unpublish is the is_published=false flag already written
+            # in the documents MERGE
+            pub_uris = ok.where(F.col("will_publish") == F.lit(True)).select("uri")
+            copies = publish_copies(assets, pub_uris)
+            append_counted(copies, "asset_copies")
+        finally:
+            assets.unpersist()
 
         # C6 — quarantine/DLQ
         q = quarantine.select("msg_id", "message_id", "status", "write_route")

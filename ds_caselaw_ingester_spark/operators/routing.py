@@ -197,11 +197,17 @@ def insert_or_update_route(exists_in_db: Column, error_on_existing: Column) -> C
 
 
 def annotation_message(is_tdr: Column, exists_in_db: Column) -> Column:
-    """C4 (ingester.py:225-238, 243-255): TDR vs Find Case Law wording,
-    new vs updated."""
-    submitter = F.when(is_tdr, F.lit("TDR user")).otherwise(F.lit("Find Case Law"))
+    """C4 (ingester.py:226-229, 245-248), exact reference wording: the
+    VERB differs by submitter — TDR documents are "submitted by TDR
+    user", everything else is "uploaded by Find Case Law" (review
+    regression: a previous version emitted "submitted by a Find Case
+    Law", disagreeing with both the reference and this repo's own
+    metadata_probe oracle)."""
+    tail = F.when(is_tdr, F.lit("submitted by TDR user")).otherwise(
+        F.lit("uploaded by Find Case Law")
+    )
     verb = F.when(exists_in_db, F.lit("Updated")).otherwise(F.lit("New"))
-    return F.concat(verb, F.lit(" document submitted by a "), submitter)
+    return F.concat(verb, F.lit(" document "), tail)
 
 
 def split_quarantine(df: DataFrame, error_predicate: Column) -> tuple[DataFrame, DataFrame]:

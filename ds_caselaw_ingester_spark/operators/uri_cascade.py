@@ -111,7 +111,13 @@ def resolve_uris(messages: DataFrame, identifiers: DataFrame) -> DataFrame:
         .when(n_ncn > 1, F.lit(None).cast("string"))
         .otherwise(
             # deterministic surrogate for uuid4 (ingester.py:538) — see module doc
-            F.concat(F.lit("d-"), F.substring(F.md5(F.col("msg_id").cast("string")), 1, 12))
+            # FULL 32-hex md5 (128 bits), not a truncation: a 12-hex (48-bit)
+            # surrogate collides with ~50% probability around 20M new
+            # documents (birthday bound) and the MERGE keyed on uri would
+            # silently fuse two judgments. The reference uses uuid4 (122
+            # bits); md5(msg_id) is the deterministic, oracle-replayable
+            # equivalent at the same collision resistance.
+            F.concat(F.lit("d-"), F.md5(F.col("msg_id").cast("string")))
         )
     )
     out = joined.select(

@@ -87,7 +87,7 @@ refd AS (
   FROM classified
 )
 SELECT k AS msg_seq, message_id,
-  CASE WHEN kind0 = 'v2' AND consignment_ref IS NULL THEN 'invalid' ELSE kind0 END AS kind,
+  CASE WHEN kind0 IN ('v2', 's3') AND consignment_ref IS NULL THEN 'invalid' ELSE kind0 END AS kind,
   consignment_ref,
   CASE WHEN kind0 = 's3' THEN 'TRE-' || consignment_ref ELSE consignment_ref END AS updated_ref,
   CASE WHEN kind0 = 's3' THEN 'FCL S3'

@@ -82,7 +82,7 @@ resolved AS (
               WHEN s.n_slug > 1 THEN NULL
               WHEN n.n_ncn = 1 THEN n.uri_ncn
               WHEN n.n_ncn > 1 THEN NULL
-              ELSE 'd-' || substr(md5(CAST(m.msg_id AS VARCHAR)), 1, 12) END AS uri
+              ELSE 'd-' || md5(CAST(m.msg_id AS VARCHAR)) END AS uri
   FROM msgs2 m
   LEFT JOIN slug_idx s ON m.slug_candidate = s.slug
   LEFT JOIN ncn_idx n

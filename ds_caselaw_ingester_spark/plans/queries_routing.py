@@ -62,8 +62,9 @@ SELECT msg_id, originator, environment,
        WHEN exists_in_db THEN 'update'
        ELSE 'insert' END AS write_route,
   (CASE WHEN exists_in_db THEN 'Updated' ELSE 'New' END)
-    || ' document submitted by a '
-    || (CASE WHEN originator = 'TDR' THEN 'TDR user' ELSE 'Find Case Law' END)
+    || ' document '
+    || (CASE WHEN originator = 'TDR' THEN 'submitted by TDR user'
+             ELSE 'uploaded by Find Case Law' END)
     AS annotation,
   CASE WHEN exists_in_db THEN 'updated' ELSE 'inserted' END AS upload_state
 FROM acts

@@ -29,16 +29,16 @@ KIND_INVALID = "invalid"
 def unwrap_envelope(records: DataFrame) -> DataFrame:
     """S1/S2: records(message_id, event_source, body) -> + payload struct.
 
-    SQS rows double-decode: body -> SNS notification -> Message payload.
-    Direct SNS rows ('aws:sns') treat body as the notification itself
-    (lambda_function.py:108-110) and carry a NULL message_id so failures
-    are not retryable (messages.py:110-113).
+    Both delivery paths carry the payload inside an SNS notification's
+    `Message` field — SQS wraps the notification in the queue record's
+    body (messages.py:116-120: json.loads(body)["Message"]), direct SNS
+    puts it in the record's Sns.Message (messages.py:122-125), which
+    this input model normalizes into `body` upstream. So the decode is
+    IDENTICAL for both sources; what differs is only message_id: NULL
+    for direct SNS, so failures are not retryable (messages.py:108-113).
     """
     sns = F.from_json(F.col("body"), SNS_BODY_SCHEMA)
-    inner_json = F.when(
-        F.col("event_source") == "aws:sqs", sns["Message"]
-    ).otherwise(sns["Message"])  # direct SNS: body IS the notification
-    payload = F.from_json(inner_json, PAYLOAD_SCHEMA)
+    payload = F.from_json(sns["Message"], PAYLOAD_SCHEMA)
     message_id = F.when(
         F.col("event_source") == "aws:sqs", F.col("message_id")
     ).otherwise(F.lit(None).cast("string"))
@@ -109,6 +109,15 @@ def parse_messages(records: DataFrame) -> DataFrame:
             F.when(
                 (F.col("kind") == KIND_V2) & F.col("consignment_ref").isNull(),
                 F.lit(KIND_INVALID),
-            ).otherwise(F.col("kind")),
+            )
+            # an s3 record without an object key has no reference to
+            # derive — the reference raises (KeyError -> batch item
+            # failure); here the row is re-kinded invalid so it lands in
+            # quarantine instead of inserting a junk NULL-xml document
+            .when(
+                (F.col("kind") == KIND_S3) & F.col("consignment_ref").isNull(),
+                F.lit(KIND_INVALID),
+            )
+            .otherwise(F.col("kind")),
         )
     )

@@ -117,9 +117,12 @@ def scan_named_xml(members: DataFrame, xml_names: DataFrame) -> DataFrame:
 
 
 def scan_parser_log(members: DataFrame) -> DataFrame:
-    """S11 scan half: the parser.log member (file_helpers.py:85-95)."""
+    """S11 scan half: the parser.log member — CONTAINMENT, not suffix
+    (file_helpers.py:88 is `"parser.log" in member.name`, so
+    'REF/parser.log.txt' matches the reference; an endswith here missed
+    it, substituting the not-found default for real log content)."""
     return _last_match(
-        members, F.col("member_name").endswith("parser.log"), "parser_log_bytes"
+        members, F.col("member_name").contains("parser.log"), "parser_log_bytes"
     )
 
 

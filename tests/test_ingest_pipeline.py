@@ -203,15 +203,21 @@ def test_analyze_new_document_fallback(pipeline_out):
 
 
 def test_unknown_originator_routes_to_error(pipeline_out):
-    _, rows, _, _ = pipeline_out
+    """The reference raises RuntimeError on an unknown originator, so the
+    message fails into the DLQ before any write — the engine's analog is
+    the quarantine split: the row reaches NO sink and IS recorded."""
+    spark, rows, counts, sink_root = pipeline_out
     r = {x.consignment_ref: x for x in rows}["TDR-3"]
     assert r.will_publish is None  # reference raises RuntimeError (C1)
     assert r.email_action == "error"
+    q = spark.read.parquet(f"{sink_root}/quarantine").collect()
+    assert "m3" in {x.message_id for x in q}
 
 
 def test_sink_effects(pipeline_out):
     spark, _, counts, sink_root = pipeline_out
-    assert counts["documents"] == 4
+    # m1, m2, m4 — m3 (unknown originator) is quarantined, not written
+    assert counts["documents"] == 3
     docs = {r.uri: r for r in spark.read.parquet(f"{sink_root}/documents").collect()}
     assert docs["doc/ewca-111"].doc_type == "judgment"
     # properties: 5 TDR keys (reference ingester.py:333-347 store_tdr_metadata)
@@ -251,7 +257,8 @@ def test_asset_effects(pipeline_out):
     # TDR-2 (no source filename -> _nodocx tar; no parser.log member)
     u2 = next(r.uri for r in rows if r.consignment_ref == "TDR-2")
     assert by_uri[u2] == {(1, "tar", f"{u2}/TDR-2_nodocx.tar.gz")}
-    assert counts["assets"] == len(assets) == 10
+    # 9 rows: m3 (unknown originator) is quarantined before the fan-out
+    assert counts["assets"] == len(assets) == 9
 
     # K11 — only TDR-4 (FCL S3 auto_publish) publishes; all 3 of its
     # assets get a private->public copy row
@@ -444,3 +451,101 @@ def test_member_hash_index_last_occurrence_wins(spark):
 
     with pytest.raises(ValueError, match="member_index"):
         member_hash_index(members.drop("member_index"))
+
+
+def _s3_record(mid: str, key: str) -> tuple:
+    payload = {
+        "Records": [
+            {
+                "eventSource": "aws:s3",
+                "s3": {"bucket": {"name": "drops"}, "object": {"key": key}},
+            }
+        ]
+    }
+    return (mid, "aws:sqs", json.dumps({"Message": json.dumps(payload)}))
+
+
+def test_s3_tre_override_keeps_raw_ref_for_file_operations(spark, tmp_path):
+    """Parity regression (reference ingester.py:193 vs 206): the TRE
+    reference overrides the MESSAGE ref (P10), but every file operation
+    uses the Ingest.__init__ snapshot — the archive-filename stem. An
+    s3 message 'BULK-7.tar.gz' whose metadata says TRE 'TRE-BULK-7'
+    must name the tar 'BULK-7.tar.gz' and find member
+    'BULK-7/parser.log' (the post-override ref silently missed both)."""
+    records = spark.createDataFrame(
+        [_s3_record("s1", "drops/BULK-7.tar.gz")],
+        schema="message_id string, event_source string, body string",
+    )
+    messages = parse_messages(records)
+    meta = {
+        "parameters": {
+            "TRE": {
+                "reference": "TRE-BULK-7",
+                "payload": {"filename": "bulk.docx", "xml": "BULK-7.xml", "images": []},
+            },
+            "PARSER": {"uri": None, "cite": None, "parser_run_id": "run-b"},
+            "INGESTER_OPTIONS": {"auto_publish": False},
+        }
+    }
+    metadata = spark.createDataFrame(
+        [("BULK-7", json.dumps(meta))], "consignment_ref string, raw string"
+    ).select("consignment_ref", F.from_json("raw", METADATA_SCHEMA).alias("metadata"))
+    best_xmls = spark.createDataFrame(
+        [("BULK-7", JUDGMENT_XML, True)],
+        "consignment_ref string, best_xml string, xml_was_valid boolean",
+    )
+    identifiers = spark.createDataFrame(
+        [], "slug string, value string, namespace string, uri string"
+    )
+    state = spark.createDataFrame([], "uri string, is_published boolean")
+    archives = spark.createDataFrame(
+        [("BULK-7", _tar_gz({
+            "BULK-7/parser.log": b"bulk parse OK",
+            "BULK-7/bulk.docx": b"PK bulk bytes",
+        }))],
+        "consignment_ref string, content binary",
+    )
+    members = explode_tar_members(archives)
+    a = analyze(messages, metadata, best_xmls, identifiers, state)
+    row = a.collect()[0]
+    assert row.consignment_ref == "TRE-BULK-7"       # P10 override visible
+    assert row.raw_consignment_ref == "BULK-7"       # snapshot preserved
+    sink_root = str(tmp_path / "sinks")
+    perform_ingest(a, sink_root, members=members, archives=archives)
+    assets = spark.read.parquet(f"{sink_root}/assets").collect()
+    keys = {x.asset_kind: x.s3_key for x in assets}
+    uri = row.uri
+    assert keys["tar"] == f"{uri}/BULK-7.tar.gz"     # NOT TRE-BULK-7.tar.gz
+    assert "parser_log" in keys                       # member join found the log
+    md5s = {x.asset_kind: x.content_md5 for x in assets}
+    assert md5s["parser_log"] == hashlib.md5(b"bulk parse OK").hexdigest()
+    assert md5s["source_doc"] == hashlib.md5(b"PK bulk bytes").hexdigest()
+
+
+def test_duplicate_message_id_in_one_batch_does_not_fan_out(spark, tmp_path):
+    """Review regression: at-least-once can deliver the same message_id
+    twice in ONE micro-batch; the enriched<->resolved self-join on
+    msg_id previously fanned out quadratically and every sink got 2x
+    rows. First-wins per msg_id."""
+    records = spark.createDataFrame(
+        [_v2_record("mdup", "TDR-2", "TDR"), _v2_record("mdup", "TDR-2", "TDR")],
+        schema="message_id string, event_source string, body string",
+    )
+    messages = parse_messages(records)
+    metadata = spark.createDataFrame(
+        [("TDR-2", json.dumps(METADATA_NEW))], "consignment_ref string, raw string"
+    ).select("consignment_ref", F.from_json("raw", METADATA_SCHEMA).alias("metadata"))
+    best_xmls = spark.createDataFrame(
+        [("TDR-2", PRESS_XML, True)],
+        "consignment_ref string, best_xml string, xml_was_valid boolean",
+    )
+    identifiers = spark.createDataFrame(
+        [], "slug string, value string, namespace string, uri string"
+    )
+    state = spark.createDataFrame([], "uri string, is_published boolean")
+    a = analyze(messages, metadata, best_xmls, identifiers, state)
+    assert a.count() == 1  # one analysis row, not 4
+    sink_root = str(tmp_path / "sinks")
+    counts = perform_ingest(a, sink_root)
+    assert counts["documents"] == 1
+    assert counts["versions"] == 1

@@ -118,3 +118,26 @@ def test_empty_records_array_is_invalid_not_crash(spark):
     )
     rows = parse_messages(records).collect()
     assert len(rows) == 1 and rows[0]["kind"] == "invalid"
+
+
+def test_s3_record_without_object_key_is_invalid(spark):
+    """Parity regression: an s3 record with no object key has no
+    reference to derive — the reference raises (batch item failure).
+    Previously the row kept kind='s3' with NULL ref and inserted a junk
+    NULL-xml document; it must quarantine instead."""
+    import json
+
+    from ds_caselaw_ingester_spark.sources.messages import parse_messages
+
+    payload = {
+        "Records": [
+            {"eventSource": "aws:s3", "s3": {"bucket": {"name": "b"}}}
+        ]
+    }
+    body = json.dumps({"Message": json.dumps(payload)})
+    records = spark.createDataFrame(
+        [("m1", "aws:sqs", body)],
+        "message_id string, event_source string, body string",
+    )
+    rows = parse_messages(records).collect()
+    assert len(rows) == 1 and rows[0]["kind"] == "invalid"

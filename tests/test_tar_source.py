@@ -176,3 +176,31 @@ def test_member_hash_index_last_occurrence_wins(spark):
     # sanity: stdlib tarfile agrees that the last occurrence is the one read
     with tarfile.open(fileobj=io.BytesIO(buf.getvalue()), mode="r:*") as tf:
         assert tf.extractfile(tf.getmember("REF-1/doc.docx")).read() == b"new bytes"
+
+
+def test_parser_log_matched_by_containment_like_reference(spark):
+    """Parity regression (file_helpers.py:88 is substring containment):
+    a member named 'R1/parser.log.txt' must match the scan; endswith
+    missed it and substituted the not-found default."""
+    import io
+    import tarfile as _tarfile
+
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.sources.tar import (
+        explode_tar_members,
+        scan_parser_log,
+    )
+
+    buf = io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        data = b"log line"
+        info = _tarfile.TarInfo(name="R1/parser.log.txt")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    archives = spark.createDataFrame(
+        [("R1", buf.getvalue())], "consignment_ref string, content binary"
+    )
+    logs = scan_parser_log(explode_tar_members(archives)).collect()
+    assert len(logs) == 1
+    assert bytes(logs[0]["parser_log_bytes"]) == b"log line"

@@ -91,4 +91,4 @@ def test_parser_log_never_looks_up_ncn(cascade):
 def test_nn_falls_back_to_fresh_document(cascade):
     r = cascade["all_null"]
     assert (r.status, r.exists_in_db, r.upload_state) == ("new", False, "inserted")
-    assert r.uri.startswith("d-") and len(r.uri) == 14  # d- + 12 hex chars
+    assert r.uri.startswith("d-") and len(r.uri) == 34  # d- + full 32-hex md5
