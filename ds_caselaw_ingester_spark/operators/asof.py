@@ -36,31 +36,45 @@ def asof_join_backward(
 ) -> DataFrame:
     """Columns of `left` are preserved; every non-key/non-ts column of
     `right` is appended (NULL where no right row precedes the left row).
-    `right_tie`: a right column ordering equal-timestamp right rows."""
+    `right_tie`: a right column ordering equal-timestamp right rows.
+
+    The right row travels as ONE struct through the running fill:
+    last(ignorenulls) applied per COLUMN would mix columns from
+    different right rows whenever the latest row carries NULLs
+    (verified: right rows (tag='old', val=100) then (tag='new',
+    val=NULL) produced the never-existed (tag='new', val=100), where
+    DuckDB's ASOF JOIN — the pinned oracle semantics — returns
+    (tag='new', val=NULL)). A struct is non-NULL whenever the right ROW
+    exists, so the fill picks whole rows and NULL values inside them
+    survive."""
     right_value_cols = [c for c in right.columns if c not in (key, right_ts)]
+    overlap = set(right_value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"asof_join_backward: column(s) {sorted(overlap)} exist on both "
+            "sides; the union-based fill would conflate them and the output "
+            "would carry duplicate names — rename one side first"
+        )
     l = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
-    r = right.withColumn("_t", F.col(right_ts)).withColumn("_side", F.lit(0))
-    both = l.unionByName(r, allowMissingColumns=True)
+    r = right.withColumn("_t", F.col(right_ts)).withColumn(
+        "_side", F.lit(0)
+    ).withColumn("_rrow", F.struct(*[F.col(c) for c in right_value_cols]))
+    both = l.unionByName(r.drop(*right_value_cols), allowMissingColumns=True)
     order = [F.col("_t").asc(), F.col("_side").asc()]
     if right_tie is not None:
-        order.append(F.col(right_tie).asc_nulls_first())
+        order.append(F.col("_rrow")[right_tie].asc_nulls_first())
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = both.select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in right_value_cols
-        ],
+        "*", F.last(F.col("_rrow"), ignorenulls=True).over(w).alias("_asof")
     )
     return (
         filled.where(F.col("_side") == 1)
-        .drop("_t", "_side", *right_value_cols)
         .select(
             *left.columns,
-            *[F.col(f"_asof_{c}").alias(c) for c in right_value_cols],
+            *[F.col("_asof")[c].alias(c) for c in right_value_cols],
         )
     )

@@ -84,6 +84,11 @@ def sample_frames(
     ffmpeg frame grab would have). The 'decoded frame' is stubbed as the
     first byte of each `stride`-byte chunk; a real decoder drops in at the
     marked line without touching the Spark plan."""
+    # validate at DRIVER time: stride=0 would be a per-task
+    # ZeroDivisionError surfacing as an opaque PythonException mid-job,
+    # and a negative stride silently reads wrong bytes
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

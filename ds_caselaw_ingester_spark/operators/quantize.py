@@ -67,7 +67,12 @@ def cosine_topk_int8(
     cosine_topk."""
     from pyspark.sql import Window
 
-    qn = queries.withColumn("qv_norm", l2_norm(F.col("qv")))
+    # guard BOTH norms: a zero-norm query divides by zero just like a
+    # zero-norm candidate, and under ANSI mode that aborts the job
+    # (verified) instead of skipping the degenerate row
+    qn = queries.withColumn("qv_norm", l2_norm(F.col("qv"))).where(
+        F.col("qv_norm") > 0
+    )
     cn = quantized.select(
         "c_id",
         F.transform("codes", lambda c: c.cast("double")).alias("cv"),

@@ -39,9 +39,17 @@ def point_in_interval_join(
     # left_outer needs a row identity for the anti-join: keying on the
     # interval's own columns is null-unsafe (NULL <=> NULL mismatch in a
     # join key) and collapses duplicate interval rows. A synthetic id is
-    # the only correct key; it never shuffles the interval table twice.
+    # the only correct key — and it must be PINNED: both the joined
+    # branch and the anti-join re-evaluate this subtree, and
+    # monotonically_increasing_id is nondeterministic across
+    # evaluations (partition layout, task retries), so without the
+    # localCheckpoint the two branches could assign different ids —
+    # matched intervals reappearing as "missing" and unmatched ones
+    # vanishing.
     iv = (
-        intervals.withColumn("_iid", F.monotonically_increasing_id())
+        intervals.withColumn(
+            "_iid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
         if how == "left_outer"
         else intervals
     )

@@ -55,8 +55,14 @@ def corpus_report(
         F.avg("_alpha").alias("mean_alpha_ratio"),
         F.avg((F.col("_ntok") < 16).cast("double")).alias("short_doc_frac"),
     ).collect()[0]
+    # NULL-text rows are excluded from the duplicate stats: content_hash
+    # of NULL is NULL, and grouping them would count every missing-text
+    # doc as a "duplicate" of the others and all of them as ONE distinct
+    # text — inflating exactly the dial curation thresholds are
+    # calibrated from. They still count in n_docs/short_doc_frac above.
     dup = (
-        base.groupBy("_h")
+        base.where(F.col("_h").isNotNull())
+        .groupBy("_h")
         .agg(F.count("*").alias("c"))
         .agg(
             F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("double").alias("dups"),

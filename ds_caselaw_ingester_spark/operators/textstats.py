@@ -38,22 +38,32 @@ def token_count(text: Column) -> Column:
 
 
 def stopword_count(text: Column, word: str) -> Column:
-    """Occurrences of a space-delimited word via non-overlapping replace —
-    (len(padded) - len(replace(padded))) / len(' word ')."""
-    padded = F.concat(F.lit(" "), text, F.lit(" "))
-    needle = f" {word} "
-    return (
-        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-        / F.lit(len(needle))
+    """Occurrences of `word` as a whitespace token. Counted by token
+    equality, NOT by replacing ' word ' in the padded text — the
+    replace trick is non-overlapping, so adjacent occurrences sharing a
+    delimiter space undercount (verified: 'the the end' counted 1, not
+    2), skewing every quality signal built on these counts."""
+    return F.size(
+        F.filter(tokens(text), lambda t: t == F.lit(word))
     ).cast("bigint")
 
 
 def alpha_ratio(text: Column) -> Column:
-    """Share of alphabetic characters — doubles divided in a fixed order."""
-    return F.length(F.regexp_replace(text, "[^a-zA-Z]", "")) / F.length(text)
+    """Share of alphabetic characters — doubles divided in a fixed
+    order; NULL for empty text (an unguarded division throws
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode, aborting e.g. the
+    whole corpus health report on one empty document)."""
+    n = F.length(text)
+    return F.when(n > 0, F.length(F.regexp_replace(text, "[^a-zA-Z]", "")) / n)
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
-    """Array of space-joined word n-grams (order preserved)."""
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    """Array of space-joined word n-grams (order preserved); fewer than
+    n tokens -> empty array. The guard lives HERE, not at call sites:
+    sequence(1, size-(n-1)) is DESCENDING for short docs and
+    slice(toks, 0, n) throws under ANSI mode — one short document
+    aborted any unguarded caller's whole job (verified)."""
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))

@@ -85,10 +85,12 @@ WITH feats AS (
   SELECT doc_id, n_chars,
          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
               ELSE string_split_regex(trim(text), '\\s+') END AS tok,
-         CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS BIGINT) AS cnt_the,
-         CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' data ', ''))) / 6 AS BIGINT) AS cnt_data,
-         CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' query ', ''))) / 7 AS BIGINT) AS cnt_query,
-         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         CAST(len(list_filter(tok, x -> x = 'the')) AS BIGINT) AS cnt_the,
+         CAST(len(list_filter(tok, x -> x = 'data')) AS BIGINT) AS cnt_data,
+         CAST(len(list_filter(tok, x -> x = 'query')) AS BIGINT) AS cnt_query,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text)
+         END AS alpha_ratio,
          CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word_tokens,
          CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit_tokens,
          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_other_tokens,

@@ -103,3 +103,29 @@ def test_asof_matches_pandas_merge_asof(spark):
         assert got == expected, (left_rows, right_rows)
 
     run()
+
+
+def test_null_values_in_latest_right_row_survive(spark):
+    """Review regression (verified): last(ignorenulls) per COLUMN mixed
+    columns from different right rows when the latest carried NULLs —
+    (tag='new', val=100) for rows that never existed. The whole-row
+    struct fill must return (tag='new', val=NULL), matching DuckDB
+    ASOF JOIN."""
+    left = spark.createDataFrame(
+        [(1, 10)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, "old", 100), (1, 5, "new", None)],
+        "k long, rts long, tag string, val int",
+    )
+    out = asof_join_backward(left, right, "k", "ts", "rts").collect()[0]
+    assert out["tag"] == "new" and out["val"] is None
+
+
+def test_shared_column_names_are_rejected(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, 7)], "k long, ts long, v int")
+    right = spark.createDataFrame([(1, 5, 9)], "k long, rts long, v int")
+    with pytest.raises(ValueError, match="both"):
+        asof_join_backward(left, right, "k", "ts", "rts")

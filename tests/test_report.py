@@ -47,3 +47,19 @@ def test_empty_corpus_reports_zeros(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     m = _metrics(corpus_report(empty))
     assert m["n_docs"] == 0.0 and m["exact_dup_frac"] == 0.0
+
+
+def test_null_text_docs_do_not_inflate_dup_stats(spark):
+    """Review regression: NULL-text docs grouped under the NULL hash
+    counted as duplicates of each other. They must be excluded from
+    exact_dup_frac / distinct_texts (still counted in n_docs)."""
+    from ds_caselaw_ingester_spark.operators.report import corpus_report
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, None), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    m = {r["metric"]: r["value"] for r in corpus_report(docs).collect()}
+    assert m["n_docs"] == 5.0
+    assert m["exact_dup_frac"] == 0.0   # no true duplicates
+    assert m["distinct_texts"] == 2.0

@@ -107,3 +107,16 @@ def test_scalar_functions_match_reference_models(spark, strings, default):
     uris_out = df.select("uri", trimmed_uri(F.col("uri")).alias("t")).collect()
     for r in uris_out:
         assert r.t == model_trimmed_uri(r.uri), r.uri
+
+
+def test_url_decode_is_lenient_on_stray_percent(spark):
+    """Parity regression (reference unquote_plus is lenient): a stray
+    '%' in an S3 key — legal in key names — must pass through instead
+    of aborting the job with CANNOT_DECODE_URL (verified crash)."""
+    from ds_caselaw_ingester_spark.functions.scalars import url_decode_key
+
+    df = spark.createDataFrame(
+        [("folder/report 100%.docx",), ("a%20b+c.pdf",)], "key string"
+    )
+    got = [r[0] for r in df.select(url_decode_key(F.col("key"))).collect()]
+    assert got == ["folder/report 100%.docx", "a b c.pdf"]
