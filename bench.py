@@ -66,17 +66,20 @@ def main() -> None:
         timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    # failed queries must be VISIBLE in the JSON artifact: a silent
+    # exclusion shrinks the headline total, so a regression that breaks
+    # a query reads as a speedup when comparing BENCH_r{N}.json files
+    errors = sorted(n for n, t in timings.items() if t < 0)
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -74,10 +74,15 @@ def check_query(
         ok = True  # rows-only check
         return ParityResult(name, ok, "rows-only (no oracle)", len(spark_rows), -1)
 
+    # close the per-call connection: a 50-query sweep otherwise leaks 50
+    # in-memory DuckDB instances (file handles + buffers) until GC
     con = duckdb_connection(sf_dir)
-    res = con.execute(oracle)
-    oracle_cols = [d[0] for d in res.description]
-    oracle_rows = res.fetchall()
+    try:
+        res = con.execute(oracle)
+        oracle_cols = [d[0] for d in res.description]
+        oracle_rows = res.fetchall()
+    finally:
+        con.close()
 
     if sorted(spark_cols) != sorted(oracle_cols):
         return ParityResult(

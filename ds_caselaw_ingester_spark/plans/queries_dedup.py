@@ -4,7 +4,7 @@ pair-producing branches are verifiable (a purely random corpus would
 yield zero pairs and an empty — vacuous — correctness check).
 
 Planted corpus: every doc_id % 10 == 0 document reappears as
-doc_id + 100000 with its last token dropped (a true near-duplicate).
+doc_id + 1000000000 with its last token dropped (a true near-duplicate).
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ CORPUS_SQL = """
 corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 100000 AS doc_id,
+  SELECT doc_id + 1000000000 AS doc_id,
          array_to_string(
            list_slice(string_split_regex(trim(text), '\\s+'), 1,
                       len(string_split_regex(trim(text), '\\s+')) - 1), ' ') AS text
@@ -46,7 +46,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     tok = tokens(F.col("text"))
     dups = d.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
         F.array_join(F.slice(tok, 1, F.size(tok) - 1), " ").alias("text"),
     )
     return d.unionAll(dups)

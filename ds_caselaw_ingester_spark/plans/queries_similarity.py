@@ -411,7 +411,7 @@ EMB_NEARDUP_ORACLE = """
 WITH corpus AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id,
+  SELECT vec_id + 1000000000 AS vec_id,
          [0.0] || list_slice(embedding::DOUBLE[], 2, len(embedding)) AS v
   FROM embeddings WHERE vec_id % 10 = 0
 ),
@@ -468,7 +468,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     planted = emb.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + 1000000000).alias("vec_id"),
         F.concat(F.array(F.lit(0.0)), F.slice(F.col("v"), 2, F.size(F.col("v")) - 1)).alias("v"),
     )
     corpus = spread(emb.unionAll(planted), "vec_id")
@@ -512,7 +512,7 @@ WITH RECURSIVE {ctes},
 corpus AS (
   SELECT vec_id, v FROM base
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id, [0.0] || list_slice(v, 2, len(v)) AS v
+  SELECT vec_id + 1000000000 AS vec_id, [0.0] || list_slice(v, 2, len(v)) AS v
   FROM base WHERE vec_id % 10 = 0
 ),
 assign AS (
@@ -582,7 +582,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     planted = emb.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + 1000000000).alias("vec_id"),
         F.concat(
             F.array(F.lit(0.0)), F.slice(F.col("v"), 2, F.size(F.col("v")) - 1)
         ).alias("v"),

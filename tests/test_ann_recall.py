@@ -88,7 +88,7 @@ def test_embedding_neardup_finds_planted_pairs(spark, sf_correctness_dir):
     )
     assert n_planted == 50, n_planted
     rows = all_specs()["embedding_neardup"].fn(spark, sf_correctness_dir).collect()
-    planted = {r.vec_a for r in rows if r.vec_b == r.vec_a + 100000}
+    planted = {r.vec_a for r in rows if r.vec_b == r.vec_a + 1000000000}
     assert len(planted) >= n_planted - 2, (len(planted), n_planted)
 
 

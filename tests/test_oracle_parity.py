@@ -104,20 +104,20 @@ def test_unregistered_repeated_spans_matches_oracle(spark, sf_dir):
     )
     assert res.ok, res.detail
     rows = {r["doc_id"]: r for r in q_repeated_spans(spark, sf_dir).collect()}
-    planted = [d for d in rows if d >= 100000]
+    planted = [d for d in rows if d >= 1000000000]
     assert planted, "corpus should contain planted near-copies"
     for d in planted:
         # The copy drops the original's last token, so every copy gram
         # exists in the original (fraction 1.0) and at most ONE of the
         # original's g grams (the final window) is unmatched: >= (g-1)/g.
         assert rows[d]["dup_fraction"] >= 0.99, (d, rows[d])
-        orig = rows[d - 100000]
+        orig = rows[d - 1000000000]
         g = orig["n_grams"]
         assert orig["dup_fraction"] >= round((g - 1) / g, 4) - 1e-9, (d, orig)
     untouched = [
         r["dup_fraction"]
     for d, r in rows.items()
-        if d < 100000 and d % 10 != 0
+        if d < 1000000000 and d % 10 != 0
     ]
     clean = sum(1 for f in untouched if f <= 0.1)
     assert clean >= 0.8 * len(untouched), (clean, len(untouched))
@@ -177,22 +177,22 @@ def test_semantic_dedup_actually_dedups(spark, sf_dir):
     from ds_caselaw_ingester_spark.plans.queries_similarity import q_semantic_dedup
 
     rows = {r["vec_id"]: r for r in q_semantic_dedup(spark, sf_dir).collect()}
-    planted = [v for v in rows if v >= 100000]
+    planted = [v for v in rows if v >= 1000000000]
     assert planted, "corpus should contain planted near-copies"
     found = sum(
-        1 for v in planted if rows[v]["component"] == rows[v - 100000]["component"]
+        1 for v in planted if rows[v]["component"] == rows[v - 1000000000]["component"]
     )
     # the planted copy zeroes one of 64 components (cosine ~0.99): the
     # pair is only missed if the two land in different k-means cells
     assert found >= 0.9 * len(planted), (found, len(planted))
     for v in planted:
-        if rows[v]["component"] != rows[v - 100000]["component"]:
+        if rows[v]["component"] != rows[v - 1000000000]["component"]:
             continue
-        kept = {rows[v]["is_duplicate"], rows[v - 100000]["is_duplicate"]}
+        kept = {rows[v]["is_duplicate"], rows[v - 1000000000]["is_duplicate"]}
         assert kept == {True, False} or rows[v]["keep_id"] not in (
             v,
-            v - 100000,
-        ), (v, rows[v], rows[v - 100000])
+            v - 1000000000,
+        ), (v, rows[v], rows[v - 1000000000])
     # exemplar rule: within every multi-member component, keep_id is the
     # member with the LOWEST centroid cosine (id tie-break)
     by_comp: dict = {}

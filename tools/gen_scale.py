@@ -57,10 +57,22 @@ KEY_BASE = {
 COPIED_UNCHANGED = {"region", "nation"}
 
 
+_SPAN_CACHE: dict[tuple[str, str, str], int] = {}
+
+
 def _span(src: str, base_table: str, col_hint: str) -> int:
-    t = pq.read_table(os.path.join(src, f"{base_table}.parquet"))
-    col = col_hint if col_hint in t.column_names else t.column_names[0]
-    return int(pc.max(t.column(col)).as_py()) + 1
+    """Max(key)+1 of the base table, reading ONLY the key column (the
+    previous whole-table read materialized wide text columns per key
+    column — customer/orders twice each) and memoized per (src, table,
+    column)."""
+    ck = (src, base_table, col_hint)
+    if ck not in _SPAN_CACHE:
+        path = os.path.join(src, f"{base_table}.parquet")
+        names = pq.read_schema(path).names
+        col = col_hint if col_hint in names else names[0]
+        t = pq.read_table(path, columns=[col])
+        _SPAN_CACHE[ck] = int(pc.max(t.column(col)).as_py()) + 1
+    return _SPAN_CACHE[ck]
 
 
 def scale(src: str, dst: str, factor: int) -> None:
@@ -68,7 +80,7 @@ def scale(src: str, dst: str, factor: int) -> None:
     spans: dict[str, int] = {}
     for col, base in KEY_BASE.items():
         key = f"{base}:{col}"
-        spans[key] = _span(src, base, col if col in ("user_id",) else col)
+        spans[key] = _span(src, base, col)
 
     for name in TABLES:
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
@@ -91,6 +103,14 @@ def scale(src: str, dst: str, factor: int) -> None:
                     )
                 elif name == "embeddings" and cname == "embedding" and i > 0:
                     flat = col.combine_chunks()
+                    if flat.null_count:
+                        # from_arrays(offsets, values) would DROP the
+                        # validity bitmap — null lists silently becoming
+                        # empty/garbage lists; refuse rather than corrupt
+                        raise NotImplementedError(
+                            "gen_scale: embeddings with NULL rows are not "
+                            "supported by the per-copy offset rebuild"
+                        )
                     values = pc.add(flat.values, pa.scalar(i * 1e-3, type=pa.float32()))
                     col = pa.ListArray.from_arrays(flat.offsets, values)
                 cols.append(col)

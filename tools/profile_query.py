@@ -75,23 +75,29 @@ def main() -> int:
     # drain via toLocalIterator: it executes THIS DataFrame's own
     # QueryExecution (count()/write() build a separate execution and
     # leave df's metrics empty) while holding only one partition's rows
-    # on the driver at a time
+    # on the driver at a time. prefetchPartitions=True keeps the next
+    # partition computing while the current one serializes — without it
+    # the final stage runs one partition-job at a time and the printed
+    # wall overstates the plan's parallel cost several-fold. Even so:
+    # the drain serializes every row over Py4J, so compare WALLS from
+    # bench.py's noop sink; this tool's number contextualizes the
+    # per-operator metrics below, nothing more.
     n_drained = 0
-    for _ in df.toLocalIterator():
+    for _ in df.toLocalIterator(prefetchPartitions=True):
         n_drained += 1
     wall = time.time() - t0
     rows = profile_plan(df)
     n = n_drained
     shuffle = sum(m.get("dataSize", 0) for _, nm, m in rows if nm == "Exchange")
-    spilled = sum(
-        m.get("spillSize", 0) + m.get("numSpilledPartitions", 0) for _, _, m in rows
-    )
+    spill_bytes = sum(m.get("spillSize", 0) for _, _, m in rows)
+    spill_parts = sum(m.get("numSpilledPartitions", 0) for _, _, m in rows)
     peak = max((m.get("peakMemory", 0) for _, _, m in rows), default=0)
     scan = sum(m.get("filesSize", 0) for _, nm, m in rows if nm.startswith("Scan"))
     print(f"== {name} @ {sf_dir}: {wall:.2f}s, {n} rows ==")
     print(
         f"summary: scan {scan/1e6:.1f} MB, shuffle {shuffle/1e6:.2f} MB, "
-        f"peak-op memory {peak/1e6:.1f} MB, spill {spilled}"
+        f"peak-op memory {peak/1e6:.1f} MB, "
+        f"spill {spill_bytes/1e6:.1f} MB over {spill_parts} partitions"
     )
     for depth, nm, m in rows:
         parts = ", ".join(f"{k}={v}" for k, v in sorted(m.items())[:6])
