@@ -87,7 +87,7 @@ def test_canonical_assignment_end_to_end(spark, sf_dir):
         .select("doc_a", "doc_b")
     )
     docs = spark.createDataFrame(
-        [(i,) for i in range(0, 100)] + [(i + 100000,) for i in range(0, 100, 10)],
+        [(i,) for i in range(0, 100)] + [(i + 1000000000,) for i in range(0, 100, 10)],
         "doc_id long",
     )
     out = {r.doc_id: r for r in canonical_assignment(docs, pairs).collect()}
@@ -106,5 +106,5 @@ def test_canonical_assignment_end_to_end(spark, sf_dir):
     # and the planted copies specifically must share their source's
     # component and be marked duplicates
     for i in range(0, 100, 10):
-        assert out[i + 100000].component == out[i].component
-        assert out[i + 100000].is_duplicate
+        assert out[i + 1000000000].component == out[i].component
+        assert out[i + 1000000000].is_duplicate
