@@ -145,3 +145,55 @@ def test_recover_swap_never_deletes_the_only_copy(
             assert not os.path.exists(old)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# parse_messages is TOTAL: arbitrary bodies never throw, they classify
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def _parse_spark(spark):
+    return spark
+
+
+def test_parse_messages_total_over_hostile_bodies(spark):
+    """The poison-message class, swept: malformed JSON, wrong shapes,
+    empty Records, missing keys, nulls — every row must come out with a
+    kind in {v2, s3, invalid} and NEVER abort the batch (under ANSI
+    mode a single throwing expression fails the whole trigger and the
+    checkpoint replays it forever)."""
+    from ds_caselaw_ingester_spark.sources.messages import parse_messages
+
+    bodies = [
+        "not json at all",
+        "",
+        "{}",
+        _json.dumps({"Message": "also not json"}),
+        _json.dumps({"Message": "{}"}),
+        _json.dumps({"Message": _json.dumps({"Records": []})}),
+        _json.dumps({"Message": _json.dumps({"Records": [{}]})}),
+        _json.dumps({"Message": _json.dumps({"Records": [{"eventSource": "aws:s3"}]})}),
+        _json.dumps({"Message": _json.dumps(
+            {"Records": [{"eventSource": "aws:s3", "s3": {}}]})}),
+        _json.dumps({"Message": _json.dumps({"parameters": {}})}),
+        _json.dumps({"Message": _json.dumps({"parameters": {"reference": "  "}})}),
+        _json.dumps({"Message": _json.dumps({"parameters": None})}),
+        _json.dumps({"Message": None}),
+        None,
+    ]
+    records = spark.createDataFrame(
+        [(f"m{i}", "aws:sqs", b) for i, b in enumerate(bodies)],
+        "message_id string, event_source string, body string",
+    )
+    rows = parse_messages(records).collect()
+    assert len(rows) == len(bodies)
+    assert {r["kind"] for r in rows} <= {"v2", "s3", "invalid"}
+    # nothing with a missing/blank reference may classify as ingestable
+    for r in rows:
+        if r["kind"] in ("v2", "s3"):
+            assert r["consignment_ref"]
