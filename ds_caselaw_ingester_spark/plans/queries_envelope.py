@@ -636,12 +636,23 @@ def q_publish_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 3 == 0).alias("was_published"),
         (k % 5 == 0).alias("auto_publish"),
     )
-    will_publish = (
-        F.when(F.col("originator") == "TDR", F.lit(False))
-        .when(F.col("originator") == "FCL S3", F.col("auto_publish"))
-        .otherwise(F.col("exists_in_db") & F.col("was_published"))
+    # the SHARED C1 ladder (operators/routing.will_publish), not an
+    # inline copy: the copy this replaced defaulted unknown originators
+    # into the FCL branch while the shared helper returns NULL (the
+    # reference raises) — invisible on this synth (only the three known
+    # originators) but a silent two-place edit trap (review finding)
+    from ds_caselaw_ingester_spark.operators.routing import will_publish
+
+    decided = src.select(
+        "uri",
+        "originator",
+        will_publish(
+            F.col("originator"),
+            F.col("auto_publish"),
+            F.col("exists_in_db"),
+            F.col("was_published"),
+        ).alias("will_publish"),
     )
-    decided = src.select("uri", "originator", will_publish.alias("will_publish"))
     flags = decided.select(
         "uri",
         "originator",

@@ -193,19 +193,19 @@ WHERE doc_kind IN ('judgment', 'pressSummary')  -- parserLog has no identifier c
 )
 def q_identifier_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
-    o = table(spark, sf_dir, "orders")
-    doc_kind = (
-        F.when(F.col("o_orderkey") % 3 == 0, F.lit("judgment"))
-        .when(F.col("o_orderkey") % 3 == 1, F.lit("pressSummary"))
-        .otherwise(F.lit("parserLog"))
-    )
-    msgs = o.select(
-        F.col("o_orderkey").alias("msg_id"),
-        doc_kind.alias("doc_kind"),
-        F.concat(F.lit("doc/"), F.col("o_custkey").cast("string")).alias("uri"),
-        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string"))
-        .otherwise(F.concat(F.lit("[NCN-"), F.col("o_custkey").cast("string"), F.lit("]")))
-        .alias("extracted_ncn"),
+    # SAME synth as the cascade (shared helper, not a hand-copied
+    # doc_kind/NCN mod ladder: the rules and their oracle CTEs must move
+    # in lockstep — review finding). The uri ('doc/' || o_custkey) is
+    # reconstructed from the kept rows' ncn_candidate, which always
+    # embeds the custkey and is non-null for every row this query keeps.
+    msgs = _cascade_messages(spark, sf_dir).select(
+        "msg_id",
+        "doc_kind",
+        F.concat(
+            F.lit("doc/"),
+            F.regexp_extract(F.col("ncn_candidate"), r"NCN-(\d+)", 1),
+        ).alias("uri"),
+        F.col("ncn_candidate").alias("extracted_ncn"),
     )
     return (
         msgs.where(F.col("doc_kind").isin("judgment", "pressSummary"))
@@ -462,6 +462,8 @@ FROM idx
 )
 def q_tar_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_caselaw_ingester_spark.functions.scalars import classify_document_xml
+
+    ensure_oracle_safe(spark)
     from ds_caselaw_ingester_spark.schemas import METADATA_SCHEMA
     from ds_caselaw_ingester_spark.sources.tar import (
         best_xml,
@@ -478,7 +480,12 @@ def q_tar_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     archives = spark.createDataFrame(
         _build_archives(), "consignment_ref string, content binary"
     ).coalesce(4)
-    members = explode_tar_members(archives).persist()
+    # localCheckpoint, not persist: four consumers read members, but a
+    # plain persist pins a new cached RDD per INVOCATION of this query
+    # for the session's lifetime (driver sweep + bench loops call it
+    # repeatedly); the checkpointed RDD is released by the
+    # ContextCleaner when the returned frame goes out of scope
+    members = explode_tar_members(archives).localCheckpoint(eager=True)
     meta = scan_metadata(members).withColumn(
         "meta", F.from_json(F.col("metadata_bytes").cast("string"), METADATA_SCHEMA)
     )

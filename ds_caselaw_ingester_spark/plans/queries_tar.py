@@ -71,6 +71,9 @@ FROM r WHERE i % 4 <> 0
 # file_helpers.py:24-29). A leading directory member pins the
 # skip-non-file + ordinal-still-counts semantics. The oracle predicts
 # every (name, ordinal, md5(content)) row from the construction rule.
+_TAR_LISTING_FIXTURE_DIR: "str | None" = None
+
+
 def q_tar_member_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     import io
     import os
@@ -79,7 +82,20 @@ def q_tar_member_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ds_caselaw_ingester_spark.sources.tar import explode_tar_members, read_archives
 
+    # ONE fixture dir per process, reused: mkdtemp per invocation leaked
+    # a 24-file directory every pytest/bench run (the archives must
+    # outlive the returned lazy frame, so a with-block can't own them)
+    global _TAR_LISTING_FIXTURE_DIR
+    try:
+        tmp = _TAR_LISTING_FIXTURE_DIR
+        if tmp is not None and os.path.isdir(tmp):
+            archives = read_archives(spark, tmp).coalesce(2)
+            members = explode_tar_members(archives)
+            return _tar_listing_projection(members)
+    except NameError:
+        pass
     tmp = tempfile.mkdtemp(prefix="spark_tar_listing_")
+    _TAR_LISTING_FIXTURE_DIR = tmp
     for i in range(24):
         ref = f"TDR-2031-{i:04d}"
         buf = io.BytesIO()
@@ -108,6 +124,10 @@ def q_tar_member_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at real scale archive counts dwarf cores and the coalesce is a no-op.
     archives = read_archives(spark, tmp).coalesce(2)
     members = explode_tar_members(archives)
+    return _tar_listing_projection(members)
+
+
+def _tar_listing_projection(members: DataFrame) -> DataFrame:
     return members.select(
         "consignment_ref",
         "member_name",
@@ -158,6 +178,9 @@ FROM documents
 )
 def q_tar_best_xml_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_caselaw_ingester_spark.functions.scalars import classify_document_xml
+    from ds_caselaw_ingester_spark.session import ensure_oracle_safe
+
+    ensure_oracle_safe(spark)
     from ds_caselaw_ingester_spark.sources.tar import (
         best_xml,
         scan_named_xml,
