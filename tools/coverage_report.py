@@ -65,6 +65,7 @@ def main() -> int:
             "  shuffled export (op)    tests/test_export.py (deterministic balanced shards)",
             "  table expectations (op) tests/test_expectations.py (one-pass check battery)",
             "  incremental LSH (op)    tests/test_dedup.py (new-vs-index == recompute)",
+            "  incremental semdedup    tests/test_semdedup.py + test_streaming_semdedup.py",
             "  compaction (op)         tests/test_compaction.py (crash-safe, writer-detecting)",
             "  corpus report (op)      tests/test_report.py (two-pass health metrics)",
         ):
