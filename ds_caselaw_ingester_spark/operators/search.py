@@ -178,3 +178,53 @@ GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """
+
+
+def rrf_fuse(
+    ranked_lists: "list[DataFrame]",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, SIGIR — the
+    published formula: score(d) = sum over lists of 1/(rrf_k + rank_d))
+    — the standard way to combine the lexical (bm25_topk) and dense
+    (cosine/LSH/IVF/PQ top-k) halves of a retrieval stack without
+    score calibration: ranks are comparable across scorers, raw scores
+    are not.
+
+    Each input frame needs (id_col, rank_col) — exactly what every
+    top-k operator in this repo emits. Documents absent from a list
+    contribute nothing for it (the standard convention). Scale shape:
+    the inputs are already top-k-sized (k rows per query per scorer),
+    so the union + groupBy moves k x |lists| rows — fusion cost is
+    bounded by the SHORTLISTS, never the corpus; determinism comes
+    from integer micro-rounding of the per-list reciprocal before the
+    sum (the repo's order-stable float convention) and the id
+    tie-break.
+
+    Returns (id_col, rrf_score, rank) with rank 1..k."""
+    from pyspark.sql import Window
+
+    if not ranked_lists:
+        raise ValueError("ranked_lists must be non-empty")
+    if rrf_k <= 0:
+        raise ValueError(f"rrf_k must be positive, got {rrf_k}")
+    slim = [
+        df.select(F.col(id_col), F.col(rank_col).alias("_r")) for df in ranked_lists
+    ]
+    both = slim[0]
+    for s in slim[1:]:
+        both = both.unionByName(s)
+    micro = F.round(
+        (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("_r"))) * F.lit(_MICRO), 0
+    ).cast("long")
+    fused = both.groupBy(id_col).agg(
+        (F.sum(micro) / F.lit(_MICRO)).alias("rrf_score")
+    )
+    topk = fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return topk.select(
+        id_col, "rrf_score", F.row_number().over(w).alias("rank")
+    )

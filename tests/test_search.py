@@ -25,3 +25,64 @@ def test_null_text_docs_are_outside_the_corpus(spark):
     a = sorted(map(tuple, bm25_topk(clean, "doc_id", "text", terms, 10).collect()))
     b = sorted(map(tuple, bm25_topk(with_null, "doc_id", "text", terms, 10).collect()))
     assert a == b and a
+
+
+def test_rrf_fusion_matches_hand_computation(spark):
+    """RRF (Cormack 2009): score(d) = sum 1/(60 + rank_d), micro-rounded
+    per list. Pinned against an exact Python computation."""
+    from ds_caselaw_ingester_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(3, 1), (1, 2), (9, 3)], "doc_id long, rank int"
+    )
+    got = {r["doc_id"]: (r["rrf_score"], r["rank"]) for r in
+           rrf_fuse([lex, dense], k=10).collect()}
+
+    def rr(rank):
+        return round(1.0 / (60 + rank) * 1e6) / 1e6
+
+    want = {
+        1: rr(1) + rr(2),
+        2: rr(2),
+        3: rr(3) + rr(1),
+        9: rr(3),
+    }
+    for d, s in want.items():
+        assert abs(got[d][0] - s) < 1e-9, (d, got[d], s)
+    # doc 1 (ranks 1+2) outranks doc 3 (ranks 1+3) outranks the
+    # single-list docs; unmatched doc 9 trails
+    assert got[1][1] == 1 and got[3][1] == 2 and got[9][1] == 4
+    assert got[1][0] > got[3][0] > got[2][0]
+
+
+def test_hybrid_retrieval_composes_lexical_and_dense(spark, sf_dir):
+    """End-to-end: fuse bm25_topk with a dense cosine top-k over the
+    same corpus — the hybrid stack the module docstring promises. The
+    fused list must surface documents from BOTH shortlists."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.search import rrf_fuse
+    from ds_caselaw_ingester_spark.operators.similarity import cosine_topk
+    from ds_caselaw_ingester_spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = bm25_topk(docs, "doc_id", "text", ["spark", "window"], 10)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    dense = cosine_topk(q, c, k=10).select(
+        F.col("c_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([lex, dense], k=15).collect()
+    assert fused and len(fused) <= 15
+    fused_ids = {r["doc_id"] for r in fused}
+    lex_ids = {r["doc_id"] for r in lex.collect()}
+    dense_ids = {r["doc_id"] for r in dense.collect()}
+    assert fused_ids & lex_ids and fused_ids & dense_ids
