@@ -346,3 +346,64 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_caselaw_ingester_spark.operators.dedup import repeated_spans
 
     return repeated_spans(_corpus(spark, sf_dir), "doc_id", "text", n=_SPAN_N)
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans — maximal duplicated-passage ranges (UNREGISTERED:
+# pytest-gated in tests/test_oracle_parity.py with the full DuckDB
+# oracle; the 50-row driver registry is at its cap). The gaps-and-islands
+# extension of repeated_spans: instead of per-doc fractions it emits the
+# token ranges an exact-substring dedup pass would actually cut.
+# ---------------------------------------------------------------------------
+
+DUPLICATE_SPANS_ORACLE = f"""
+WITH {{corpus}},
+tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM corpus
+),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {_SPAN_N - 2}, 1))) AS i
+  FROM tok
+),
+ex AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}), ' ')) AS g
+  FROM pos
+),
+totals AS (SELECT g, count(*) AS total FROM ex GROUP BY g),
+dup AS (
+  SELECT doc_id, i FROM ex JOIN totals USING (g) WHERE total >= 2
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev IS NULL OR i - prev > {_SPAN_N} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM (
+    SELECT doc_id, i,
+           lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM dup
+  )
+)
+SELECT doc_id,
+       min(i) AS span_start,
+       max(i) + {_SPAN_N - 1} AS span_end,
+       max(i) + {_SPAN_N - 1} - min(i) + 1 AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+""".format(corpus=CORPUS_SQL)
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token ranges over the planted-dup corpus: each
+    planted near-copy and its original must each report one span
+    covering (nearly) the whole document, while clean documents emit
+    either nothing or short boilerplate-collision spans."""
+    ensure_oracle_safe(spark)
+    from ds_caselaw_ingester_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_corpus(spark, sf_dir), "doc_id", "text", n=_SPAN_N)

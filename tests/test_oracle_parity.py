@@ -221,3 +221,35 @@ def test_unregistered_simhash_matches_oracle(spark, sf_dir):
     )
     assert res.ok, res.detail
     assert res.spark_rows > 0
+
+
+def test_unregistered_duplicate_spans_matches_oracle(spark, sf_dir):
+    """duplicate_spans is pytest-gated (registry at its 50-row cap):
+    the maximal duplicated token ranges must hash-match the DuckDB
+    gaps-and-islands oracle, and the planted near-copies must each
+    collapse to ONE span covering the whole shared region — the
+    semantic check that the island merge actually merges instead of
+    emitting one span per window."""
+    from ds_caselaw_ingester_spark.plans.queries_dedup import (
+        DUPLICATE_SPANS_ORACLE,
+        q_duplicate_spans,
+    )
+
+    res = check_query(
+        spark, sf_dir, "duplicate_spans", q_duplicate_spans, DUPLICATE_SPANS_ORACLE
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+    spans: dict[int, list] = {}
+    for r in q_duplicate_spans(spark, sf_dir).collect():
+        spans.setdefault(r["doc_id"], []).append(r)
+    planted = [d for d in spans if d >= 1000000000]
+    assert planted, "corpus should contain planted near-copies"
+    for d in planted:
+        # The copy drops only the original's last token, so the copy's
+        # every window is duplicated -> exactly one maximal span that
+        # starts at token 1 and covers the entire copy.
+        assert len(spans[d]) == 1, (d, spans[d])
+        s = spans[d][0]
+        assert s["span_start"] == 1
+        assert s["span_tokens"] == s["span_end"]
