@@ -407,3 +407,89 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_caselaw_ingester_spark.operators.dedup import duplicate_spans
 
     return duplicate_spans(_corpus(spark, sf_dir), "doc_id", "text", n=_SPAN_N)
+
+
+# ---------------------------------------------------------------------------
+# strip_spans — the cut applied (UNREGISTERED: pytest-gated in
+# tests/test_oracle_parity.py; the 50-row driver registry is at its cap).
+# Composes duplicate_spans with the token-range cut, so the gate covers
+# the full detect -> cut exact-substring pipeline end-to-end.
+# ---------------------------------------------------------------------------
+
+STRIP_SPANS_ORACLE = f"""
+WITH {{corpus}},
+tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+  FROM corpus
+),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {_SPAN_N - 2}, 1))) AS i
+  FROM tok
+),
+ex AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}), ' ')) AS g
+  FROM pos
+),
+totals AS (SELECT g, count(*) AS total FROM ex GROUP BY g),
+dup AS (
+  SELECT doc_id, i FROM ex JOIN totals USING (g) WHERE total >= 2
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN prev IS NULL OR i - prev > {_SPAN_N} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+           AS island
+  FROM (
+    SELECT doc_id, i,
+           lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+    FROM dup
+  )
+),
+spans AS (
+  SELECT doc_id, min(i) AS span_start, max(i) + {_SPAN_N - 1} AS span_end
+  FROM isl GROUP BY doc_id, island
+),
+toks2 AS (
+  SELECT doc_id,
+         unnest(toks) AS t,
+         unnest(range(1, len(toks) + 1)) AS i
+  FROM tok
+),
+kept AS (
+  SELECT k.doc_id, k.i, k.t FROM toks2 k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = k.doc_id AND k.i BETWEEN s.span_start AND s.span_end
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS new_text
+  FROM kept GROUP BY doc_id
+),
+touched AS (SELECT DISTINCT doc_id FROM spans)
+SELECT c.doc_id,
+       CASE WHEN tc.doc_id IS NULL THEN c.text
+            ELSE coalesce(a.new_text, '') END AS text
+FROM corpus c
+LEFT JOIN touched tc USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+""".format(corpus=CORPUS_SQL)
+
+
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup applied: every planted near-copy (and the
+    duplicated region of its original) must come back with the shared
+    passage cut, untouched documents must pass through verbatim."""
+    ensure_oracle_safe(spark)
+    from ds_caselaw_ingester_spark.operators.dedup import (
+        duplicate_spans,
+        strip_spans,
+    )
+
+    corpus = _corpus(spark, sf_dir)
+    spans = duplicate_spans(corpus, "doc_id", "text", n=_SPAN_N)
+    return strip_spans(corpus, "doc_id", "text", spans)

@@ -192,3 +192,34 @@ def test_duplicate_spans_exact_geometry(spark):
         duplicate_spans(docs, "doc_id", "text", n=1)
     with pytest.raises(ValueError):
         duplicate_spans(docs, "doc_id", "text", n=8, min_count=1)
+
+
+def test_strip_spans_cut_geometry(spark):
+    """The cut applied to the hand-built geometry corpus: covered
+    tokens vanish, survivors keep their order, a fully-covered document
+    comes back as the empty string (row retained), and documents with
+    no spans pass through VERBATIM — including whitespace the
+    tokenizer would otherwise normalize."""
+    from ds_caselaw_ingester_spark.operators.dedup import (
+        duplicate_spans,
+        strip_spans,
+    )
+
+    block = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, block + " u1 u2 " + block),
+            (2, "x1 x2 x3 " + block + " y1"),
+            (3, "z0 z1  z2\tz3"),  # unique -> verbatim, odd spacing kept
+            (4, block),  # exactly the block: fully covered -> ""
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, "doc_id", "text", n=8)
+    got = {r["doc_id"]: r["text"] for r in strip_spans(docs, "doc_id", "text", spans).collect()}
+    assert got == {
+        1: "u1 u2",
+        2: "x1 x2 x3 y1",
+        3: "z0 z1  z2\tz3",
+        4: "",
+    }
