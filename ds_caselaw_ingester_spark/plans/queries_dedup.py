@@ -410,10 +410,10 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# strip_spans — the cut applied (UNREGISTERED: pytest-gated in
-# tests/test_oracle_parity.py; the 50-row driver registry is at its cap).
-# Composes duplicate_spans with the token-range cut, so the gate covers
-# the full detect -> cut exact-substring pipeline end-to-end.
+# strip_spans — the cut applied (REGISTERED round 7, slot freed by
+# customers_without_orders). Composes duplicate_spans with the
+# token-range cut, so one driver row gates the full detect -> cut
+# exact-substring pipeline end-to-end.
 # ---------------------------------------------------------------------------
 
 STRIP_SPANS_ORACLE = f"""
@@ -480,6 +480,20 @@ LEFT JOIN agg a USING (doc_id)
 """.format(corpus=CORPUS_SQL)
 
 
+@register(
+    "strip_spans",
+    STRIP_SPANS_ORACLE,
+    doc="Exact-substring dedup end-to-end (Lee et al. 2022 ExactSubstr, "
+    "re-expressed set-oriented): duplicated 8-token windows -> "
+    "gaps-and-islands maximal spans (per-doc window over ONLY the "
+    "duplicated positions) -> map-side token cut with the span arrays "
+    "joined back per document. Positions ride the per-(gram, doc) "
+    "aggregation as arrays bounded by one document's internal repeats, "
+    "so hot grams cost counters, never an inverted index; the corpus is "
+    "exploded exactly once. Linear at the duplication worst case "
+    "(BENCH_SF1.md: 500k docs, 98% duplicated, 62 s + 56.5 s).",
+    survey_ops=("ext:dedup-exact-substring",),
+)
 def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup applied: every planted near-copy (and the
     duplicated region of its original) must come back with the shared

@@ -275,3 +275,21 @@ def test_unregistered_strip_spans_matches_oracle(spark, sf_dir):
     assert planted, "corpus should contain planted near-copies"
     for d in planted:
         assert rows[d] == "", (d, rows[d][:80])
+
+
+def test_unregistered_anti_join_matches_oracle(spark, sf_dir):
+    """customers_without_orders gave up its registry slot to strip_spans
+    (round 7): J4 stays registered via existence_guard and the equi-join
+    shape via revenue_by_nation/part_setops, but the LeftAnti physical
+    shape keeps this identical DuckDB gate so it cannot silently rot."""
+    from ds_caselaw_ingester_spark.plans.queries_relational import (
+        ANTI_JOIN_ORACLE,
+        q_customers_without_orders,
+    )
+
+    res = check_query(
+        spark, sf_dir, "customers_without_orders",
+        q_customers_without_orders, ANTI_JOIN_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0

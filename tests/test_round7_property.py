@@ -197,3 +197,118 @@ def test_parse_messages_total_over_hostile_bodies(spark):
     for r in rows:
         if r["kind"] in ("v2", "s3"):
             assert r["consignment_ref"]
+
+
+# ---------------------------------------------------------------------------
+# exact-substring spans vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+
+def _py_duplicate_spans(texts, n, min_count=2):
+    """Reference model of duplicate_spans: corpus n-gram counts, per-doc
+    duplicated positions, gaps-and-islands merge with gap > n."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in texts.items()}
+    cnt = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - n + 1):
+            cnt[" ".join(ts[i : i + n])] += 1
+    spans = []
+    for d, ts in toks.items():
+        dup = [
+            i + 1
+            for i in range(len(ts) - n + 1)
+            if cnt[" ".join(ts[i : i + n])] >= min_count
+        ]
+        start = last = None
+        for p in dup:
+            if start is None:
+                start, last = p, p
+            elif p - last > n:
+                spans.append((d, start, last + n - 1, last + n - start))
+                start, last = p, p
+            else:
+                last = p
+        if start is not None:
+            spans.append((d, start, last + n - 1, last + n - start))
+    return spans
+
+
+def _py_strip(texts, spans):
+    covered = {}
+    for d, s, e, _ in spans:
+        covered.setdefault(d, set()).update(range(s, e + 1))
+    out = {}
+    for d, t in texts.items():
+        if d not in covered:
+            out[d] = t
+        else:
+            ts = t.split()
+            out[d] = " ".join(
+                tok for i, tok in enumerate(ts, 1) if i not in covered[d]
+            )
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=1, max_value=9),
+        st.lists(st.sampled_from("abc"), max_size=14).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_span_detect_and_cut_match_python_model(spark, texts, n):
+    """A 3-letter alphabet forces dense window collisions — within and
+    across documents, overlapping, adjacent, and whole-doc spans all
+    occur. The Spark detect AND cut must equal the model exactly, and
+    the cut's own invariant must hold: every ORIGINAL window surviving
+    the cut is corpus-unique (the reason the pass terminates)."""
+    from ds_caselaw_ingester_spark.operators.dedup import (
+        duplicate_spans,
+        strip_spans,
+    )
+
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    spans = duplicate_spans(docs, "doc_id", "text", n=n)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in spans.collect()
+    }
+    assert got == set(_py_duplicate_spans(texts, n))
+
+    stripped = {
+        r["doc_id"]: r["text"]
+        for r in strip_spans(docs, "doc_id", "text", spans).collect()
+    }
+    assert stripped == _py_strip(texts, _py_duplicate_spans(texts, n))
+
+    # invariant: no window of the ORIGINAL tokenisation survives twice
+    from collections import Counter
+
+    cnt = Counter()
+    for t in texts.values():
+        ts = t.split()
+        for i in range(len(ts) - n + 1):
+            cnt[" ".join(ts[i : i + n])] += 1
+    for d, t in stripped.items():
+        orig = texts[d].split()
+        kept_ts = t.split()
+        # surviving tokens appear in original order; walk both to map
+        # each surviving window back: if it was an original window
+        # (contiguous in the source), its corpus count must be 1
+        j = 0
+        pos_map = []
+        for tok in kept_ts:
+            while orig[j] != tok:
+                j += 1
+            pos_map.append(j)
+            j += 1
+        for i in range(len(kept_ts) - n + 1):
+            if pos_map[i + n - 1] - pos_map[i] == n - 1:  # contiguous
+                assert cnt[" ".join(kept_ts[i : i + n])] == 1
