@@ -217,10 +217,15 @@ def bpe_segment_arrow(
         for pdf in batches:
             memo: dict = {}
             pdf = pdf.copy()
-            pdf["pieces"] = [
-                memo.get(w) or memo.setdefault(w, _segment_word(w, ms))
-                for w in pdf["token"]
-            ]
+
+            def _memo_seg(w):
+                # identity-safe memo: `get(w) or setdefault(...)` would
+                # recompute on falsy cached values (e.g. an empty list)
+                if w not in memo:
+                    memo[w] = _segment_word(w, ms)
+                return memo[w]
+
+            pdf["pieces"] = [_memo_seg(w) for w in pdf["token"]]
             yield pdf
 
     return tok.mapInPandas(_seg, schema)

@@ -89,6 +89,11 @@ def scd2_apply(
                 bt = dt.datetime.fromisoformat(batch_ts)
             except ValueError:
                 bt = None  # exotic literal: Spark parses it; skip the guard
+            if bt is not None and bt.tzinfo is not None:
+                # normalize to naive UTC: `newest` comes back tz-naive
+                # from Spark, and aware-vs-naive >= raises TypeError
+                # instead of the intended out-of-order ValueError
+                bt = bt.astimezone(dt.timezone.utc).replace(tzinfo=None)
             if newest is not None and bt is not None and newest >= bt:
                 raise ValueError(
                     f"scd2_apply: batch_ts {batch_ts!r} is not after the "

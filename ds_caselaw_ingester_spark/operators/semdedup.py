@@ -228,7 +228,10 @@ def semantic_dedup_auto(
 
     cell = target_cell_size or SEMDEDUP_TARGET_CELL
     n = vectors.count()
-    k = semdedup_num_clusters(n, target_cell_size=cell)
+    # clamp to the corpus itself FIRST: for n below the rule's clamp
+    # floor (e.g. 1-3 vectors) ratio stays 1, the sampling branch never
+    # re-clamps, and kmeans_fit would raise "need at least k vectors"
+    k = max(1, min(semdedup_num_clusters(n, target_cell_size=cell), n))
     target_train = max(max_train_rows, TRAIN_ROWS_PER_CENTROID * k)
     # deterministic sample: keep ids whose hash falls in the first
     # 1/ratio of the hash space — stable across runs and engines.

@@ -284,3 +284,27 @@ def test_scd2_apply_validate_rejects_out_of_order_batch(spark):
     # a later batch passes validation and applies normally
     ok = scd2_apply(hist, older, "uri", ["court"], "2024-01-01 10:06:00", validate=True)
     assert ok.where("is_current").collect()[0]["court"] == "ewca"
+
+
+def test_scd2_apply_validate_handles_tz_aware_batch_ts(spark):
+    """ADVICE r7: a batch_ts carrying a UTC offset parses tz-aware and
+    the monotonicity guard's aware-vs-naive >= raised TypeError instead
+    of the intended out-of-order ValueError. The guard must normalize
+    to naive UTC and still fire (or pass) correctly."""
+    from ds_caselaw_ingester_spark.operators.scd import scd2_apply
+
+    b1 = spark.createDataFrame([("a", "ewhc")], "uri string, court string")
+    hist = scd2_apply(None, b1, "uri", ["court"], "2024-01-01 10:05:00")
+    nxt = spark.createDataFrame([("a", "ewca")], "uri string, court string")
+    # aware-but-older: must be the out-of-order ValueError, not TypeError
+    with pytest.raises(ValueError, match="timestamp order"):
+        scd2_apply(
+            hist, nxt, "uri", ["court"], "2024-01-01 10:02:00+00:00",
+            validate=True,
+        )
+    # aware-and-later passes the guard and applies
+    ok = scd2_apply(
+        hist, nxt, "uri", ["court"], "2024-01-01 10:06:00+00:00",
+        validate=True,
+    )
+    assert ok.where("is_current").collect()[0]["court"] == "ewca"

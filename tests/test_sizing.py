@@ -328,3 +328,17 @@ def test_semdedup_auto_sample_grows_with_k(spark):
         kmeans_iters=1,
     )
     assert out.count() == 100
+
+
+def test_semdedup_auto_tiny_corpus_does_not_crash(spark):
+    """ADVICE r7: for n below the sizing rule's clamp floor (e.g. 2
+    vectors) the ratio==1 branch never re-clamped k, so kmeans_fit
+    raised. k must clamp to the corpus size up front."""
+    from ds_caselaw_ingester_spark.operators.semdedup import semantic_dedup_auto
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, v array<double>"
+    )
+    out = semantic_dedup_auto(df, "v", "vec_id", kmeans_iters=1)
+    assert out.count() == 2
+    assert out.where("is_duplicate").count() == 0
