@@ -171,6 +171,52 @@ def recover_buckets(local: str, prefix: str = "kb=") -> None:
                 os.rename(b_old, b_dst)
 
 
+def swap_partition_dirs(local: str, tmp: str, touched: "list", col: str) -> None:
+    """Swap ONLY the `col=<value>` partition directories listed in
+    `touched` from a fully-materialized `tmp` layout into `local` —
+    the touched-partition half of the bucketed-upsert protocol
+    (operators/upsert.py), shared by every sink that bounds its
+    rewrite by the increment instead of rewriting the whole table.
+
+    Each touched partition swaps via rename(dst, dst.old) →
+    rename(src, dst) → drop dst.old; every crash point is reconciled
+    by recover_buckets(local, prefix=f"{col}=") at the next run's
+    start. A touched value with NO rows in tmp (the increment emptied
+    it) ends with the partition directory removed — that is the
+    correct post-state, not data loss. Untouched partitions are never
+    opened, listed, or rewritten."""
+    os.makedirs(local, exist_ok=True)
+    for b in touched:
+        src = os.path.join(tmp, f"{col}={b}")
+        dst = os.path.join(local, f"{col}={b}")
+        old = dst + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        if os.path.exists(src):
+            os.rename(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def partition_file_snapshot(local: str, touched: "list", col: str) -> dict:
+    """File listing per touched `col=<value>` partition — the
+    concurrent-writer detection half of the bucketed protocol: snapshot
+    before the read, compare after the merge materializes, abort the
+    swap on any difference (a change means the merge read stale data
+    and swapping would drop the other writer's rows)."""
+    out = {}
+    for b in touched:
+        d = os.path.join(local, f"{col}={b}")
+        if os.path.isdir(d):
+            out[b] = frozenset(
+                e for e in os.listdir(d) if e.endswith(".parquet")
+            )
+        else:
+            out[b] = frozenset()
+    return out
+
+
 def compact_parquet_dir(
     spark: SparkSession,
     path: str,

@@ -149,7 +149,11 @@ def upsert_parquet_table_bucketed(
     import os
     import shutil
 
-    from ds_caselaw_ingester_spark.operators.compaction import recover_buckets
+    from ds_caselaw_ingester_spark.operators.compaction import (
+        partition_file_snapshot,
+        recover_buckets,
+        swap_partition_dirs,
+    )
 
     spark = spark_df.sparkSession
     local = path[len("file:") :] if path.startswith("file:") else path
@@ -169,13 +173,7 @@ def upsert_parquet_table_bucketed(
     has_table = os.path.isdir(local) and any(
         e.startswith("kb=") for e in os.listdir(local)
     )
-    def _bucket_files(b: int) -> "frozenset[str]":
-        d = os.path.join(local, f"kb={b}")
-        if not os.path.isdir(d):
-            return frozenset()
-        return frozenset(e for e in os.listdir(d) if e.endswith(".parquet"))
-
-    snapshot = {b: _bucket_files(b) for b in touched}
+    snapshot = partition_file_snapshot(local, touched, "kb")
     if has_table:
         current = spark.read.parquet(local).where(F.col("kb").isin(touched))
         merged = merge_documents(current, upd, key=key).drop("op")
@@ -188,7 +186,8 @@ def upsert_parquet_table_bucketed(
     # snapshotted files; a concurrent append/overwrite in any touched
     # bucket means swapping would drop rows Spark never read. Abort
     # with the table untouched.
-    changed = [b for b in touched if _bucket_files(b) != snapshot[b]]
+    after = partition_file_snapshot(local, touched, "kb")
+    changed = [b for b in touched if after[b] != snapshot[b]]
     if changed:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(
@@ -197,15 +196,4 @@ def upsert_parquet_table_bucketed(
             "without swapping (single-writer contract — serialize batches "
             "or use a transactional table format)."
         )
-    os.makedirs(local, exist_ok=True)
-    for b in touched:
-        src = os.path.join(tmp, f"kb={b}")
-        dst = os.path.join(local, f"kb={b}")
-        old = dst + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(dst):
-            os.rename(dst, old)
-        if os.path.exists(src):
-            os.rename(src, dst)
-        shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+    swap_partition_dirs(local, tmp, touched, "kb")
