@@ -286,6 +286,7 @@ def semantic_dedup_incremental(
     centroids: "DataFrame | list",
     threshold: float = 0.95,
     round_digits: int = 4,
+    new_assigned: "DataFrame | None" = None,
 ) -> "tuple[DataFrame, DataFrame]":
     """Daily-increment semantic dedup: near-duplicate pairs INVOLVING a
     new vector, probed against a persisted cell index
@@ -307,10 +308,18 @@ def semantic_dedup_incremental(
     be the SAME centroid set the index was built with — cells are only
     comparable under one quantizer; retraining it means rebuilding the
     index (k-means-sized work, amortized over the corpus it indexes).
+
+    new_assigned: the increment ALREADY assigned to cells
+    (semdedup_build_index output, materialized) — callers that need the
+    assignment themselves first (the cell-partitioned streaming sink
+    collects touched cells from it) pass it in so the argmax fold runs
+    once, not twice. Must be the assignment of exactly `new_vectors`
+    under exactly `centroids`.
     """
-    new_assigned = semdedup_build_index(
-        new_vectors, vec_col, id_col, centroids, round_digits=round_digits
-    ).localCheckpoint(eager=True)  # read by 3 consumers: 2 joins + union
+    if new_assigned is None:
+        new_assigned = semdedup_build_index(
+            new_vectors, vec_col, id_col, centroids, round_digits=round_digits
+        ).localCheckpoint(eager=True)  # read by 3 consumers: 2 joins + union
     surviving = index.join(
         new_assigned.select(id_col).distinct(), id_col, "left_anti"
     )

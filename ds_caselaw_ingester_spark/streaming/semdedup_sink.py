@@ -10,15 +10,31 @@ Composition, all from parts this engine already tests:
   only the increment (map-side argmax, centroids as plan literals),
   new-vs-index probe via the cell equi-join, replace semantics for
   re-ingested ids;
-- the index is a parquet directory swapped with the same
-  write-tmp / rename / recover protocol as the upsert and SCD2 sinks
-  (`recover_swap`, exclusive=True: this checkpointed sink is the sole
-  writer), so a crash at any point leaves either the old or the new
-  index intact, never neither;
+- the index is parquet PARTITIONED BY CELL (`centroid_id=<k>/`
+  directories) and a micro-batch rewrites ONLY the cells it touches,
+  via the same per-partition rename protocol as the bucketed upsert
+  (operators/upsert.py, compaction.swap_partition_dirs /
+  recover_buckets): write-tmp → per-cell rename with an `.old`
+  fallback, every crash point reconciled before the next batch's
+  read. The earlier flat layout rewrote the ENTIRE index parquet
+  every micro-batch — O(corpus) write amplification per epoch, the
+  one scale-killer the batch operators didn't have. Here the write
+  is O(touched cells) ≈ O(batch × corpus/k): a small batch touches
+  few cells and each cell is corpus/k small. The cell is also the
+  probe's join key, so the READ is pruned to the same partitions.
 - pairs append to a separate directory per epoch — an append-only
   decision log downstream consumers (connected components, keep-one)
   fold at their own cadence, exactly the batch pipeline's
   pairs-then-components split.
+
+Touched cells = cells of the increment's vectors UNION cells holding
+superseded ids. The second set exists because replace semantics must
+remove a re-ingested id's OLD row even when its new embedding landed
+in a different cell; finding those rows is a column-pruned (id,
+partition-dir) probe of the index — it reads only the id column, never
+the vectors that dominate the index's bytes. Streams whose ids are
+guaranteed novel (append-only ingest) pass check_replaced=False and
+skip that probe entirely, making the whole batch increment-sized.
 
 The quantizer is FIXED for the life of the stream: cells are only
 comparable under one centroid set. Retraining it is an offline event —
@@ -34,18 +50,137 @@ overwritten per epoch_id, not appended blindly.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ds_caselaw_ingester_spark.operators.compaction import (
-    commit_swap,
-    read_parquet_or_none,
-    recover_swap,
+    recover_buckets,
+    swap_partition_dirs,
 )
 from ds_caselaw_ingester_spark.operators.semdedup import (
     semantic_dedup_incremental,
     semdedup_build_index,
 )
+
+CELL_COL = "centroid_id"
+
+# Bootstrap sizing margin: the quantizer trained on the FIRST batch must
+# serve the corpus the stream will GROW INTO — k is derived from
+# first_batch_rows × this factor (sizing.semdedup_num_clusters), clamped
+# to the batch itself. 10× is one decade of growth at constant cell
+# size; past that the under-partitioning WARN below fires and the
+# documented remedy is the offline retrain + semdedup_build_index
+# rebuild (cells are only comparable under one quantizer).
+BOOTSTRAP_GROWTH = 10.0
+
+# WARN once the sizing rule wants this many times more cells than the
+# stream's fixed quantizer has — in-cell pair work is quadratic in
+# occupancy, so 4× the target cell size ≈ 16× the per-cell join cost.
+GROWTH_WARN_FACTOR = 4.0
+
+_QUANTIZER_SUFFIX = ".quantizer.json"
+
+
+def _local(path: str) -> str:
+    return path[len("file:") :] if path.startswith("file:") else path
+
+
+def _load_quantizer(local: str) -> "list | None":
+    import json
+
+    p = local + _QUANTIZER_SUFFIX
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_quantizer(local: str, cents: "list") -> None:
+    """Atomic single-file persist (write tmp + os.replace): the
+    quantizer must survive a stream restart — retraining on a later
+    batch would silently make every indexed cell incomparable."""
+    import json
+
+    p = local + _QUANTIZER_SUFFIX
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            [
+                {"centroid_id": int(c["centroid_id"]),
+                 "cvec": [float(x) for x in c["cvec"]]}
+                for c in cents
+            ],
+            f,
+        )
+    os.replace(tmp, p)
+
+
+def _resolve_centroids(
+    batch: DataFrame,
+    local: str,
+    vec_col: str,
+    id_col: str,
+    bootstrap_growth: float,
+) -> "list | None":
+    """centroids='auto' resolution: load the persisted quantizer, or —
+    first non-empty batch only — derive k from the batch size × the
+    growth margin (sizing.semdedup_num_clusters), train, persist.
+    Returns None when the batch is empty and no quantizer exists yet
+    (nothing to do this epoch)."""
+    import logging
+
+    from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
+    from ds_caselaw_ingester_spark.operators.sizing import (
+        semdedup_num_clusters,
+    )
+
+    cents = _load_quantizer(local)
+    if cents is not None:
+        return cents
+    if batch.isEmpty():
+        return None
+    n0 = batch.count()
+    k = max(1, min(semdedup_num_clusters(int(n0 * bootstrap_growth)), n0))
+    cents = kmeans_fit(
+        batch.select(id_col, vec_col), vec_col, id_col, k=k,
+        max_iter=3, round_centroids=6,
+    )
+    _save_quantizer(local, cents)
+    logging.getLogger(__name__).info(
+        "semdedup stream bootstrap: trained k=%d quantizer from the "
+        "first batch (%d vectors × growth margin %.0f); persisted to "
+        "%s%s — retrain offline and rebuild the index to re-size",
+        k, n0, bootstrap_growth, local, _QUANTIZER_SUFFIX,
+    )
+    return cents
+
+
+def _warn_if_under_partitioned(spark, index_path: str, k: int) -> None:
+    """Growth check after each swap: parquet count() is footer-metadata
+    only (no data bytes read), so comparing the indexed total against
+    the sizing rule is near-free. Fires when the rule wants
+    GROWTH_WARN_FACTOR× more cells than the stream's fixed quantizer
+    has — the streaming analog of semantic_dedup's cell-skew WARN."""
+    import logging
+
+    from ds_caselaw_ingester_spark.operators.sizing import (
+        semdedup_num_clusters,
+    )
+
+    n_total = spark.read.parquet(index_path).count()
+    derived = semdedup_num_clusters(n_total)
+    if derived > GROWTH_WARN_FACTOR * max(1, k):
+        logging.getLogger(__name__).warning(
+            "semdedup stream index has grown to %d vectors; the sizing "
+            "rule wants k=%d cells but the stream's quantizer has %d — "
+            "mean cell occupancy is ~%.0fx target and in-cell pair work "
+            "grows quadratically. Retrain the quantizer offline and "
+            "rebuild the index (semdedup_build_index), then restart the "
+            "stream.",
+            n_total, derived, k, derived / max(1, k),
+        )
 
 
 def apply_semdedup_batch(
@@ -54,40 +189,111 @@ def apply_semdedup_batch(
     pairs_path: str,
     vec_col: str,
     id_col: str,
-    centroids: "list",
+    centroids: "list | str",
     threshold: float = 0.95,
     epoch_id: int = 0,
+    check_replaced: bool = True,
+    bootstrap_growth: float = BOOTSTRAP_GROWTH,
 ) -> None:
-    """One micro-batch: probe `batch` against the index at `index_path`,
-    write this epoch's pairs, swap in the updated index. Empty batches
-    are a no-op. First batch bootstraps the index."""
+    """One micro-batch: probe `batch` against the cell-partitioned index
+    at `index_path`, write this epoch's pairs, swap in ONLY the touched
+    cell partitions. Empty batches are a no-op. First batch bootstraps
+    the index (its touched set is every cell it populates).
+
+    centroids: a fixed centroid list, or the string "auto" — then the
+    first non-empty batch derives k from its own size × bootstrap_growth
+    (sizing.semdedup_num_clusters), trains the quantizer, and persists
+    it beside the index (atomic rename; reloaded on every later batch
+    and across stream restarts). Either way the quantizer is FIXED for
+    the index's life; once the corpus outgrows it, the sink WARNs (see
+    _warn_if_under_partitioned) and the remedy is an offline retrain +
+    rebuild.
+
+    check_replaced=False skips the superseded-id probe (the only
+    corpus-wide read in the batch, column-pruned to the id column) —
+    valid ONLY when the stream never re-delivers an id with a DIFFERENT
+    embedding. Checkpoint replay of an identical batch stays correct
+    either way: the same vector lands in the same cell, so its old row
+    is superseded inside a touched cell.
+    """
     spark = batch.sparkSession
-    local = (
-        index_path[len("file:") :] if index_path.startswith("file:") else index_path
-    )
-    recover_swap(local, local + ".tmp", local + ".old", exclusive=True)
+    local = _local(index_path)
+    # reconcile any per-cell crash point BEFORE reading: a crash between
+    # the two renames leaves centroid_id=N only in centroid_id=N.old
+    recover_buckets(local, prefix=f"{CELL_COL}=")
+    if isinstance(centroids, str):
+        if centroids != "auto":
+            raise ValueError(f"centroids must be a list or 'auto', got {centroids!r}")
+        centroids = _resolve_centroids(
+            batch, local, vec_col, id_col, bootstrap_growth
+        )
+        if centroids is None:
+            return  # empty batch before any quantizer exists
     if batch.isEmpty():
         return
-    index = read_parquet_or_none(spark, index_path)
-    if index is None:
-        updated = semdedup_build_index(batch, vec_col, id_col, centroids)
-        # in-batch pairs still matter on bootstrap: probe against an
-        # empty index of the same schema
-        empty = updated.limit(0)
+    # assign the increment ONCE (map-side argmax); three consumers —
+    # touched-cell collect, the probe joins, the updated-index union
+    new_assigned = semdedup_build_index(
+        batch, vec_col, id_col, centroids
+    ).localCheckpoint(eager=True)
+    # bounded by k — the driver-side list that becomes both the read's
+    # partition-pruning predicate and the swap's touched set
+    touched = {r[CELL_COL] for r in new_assigned.select(CELL_COL).distinct().collect()}
+
+    # presence = at least one cell partition dir (read_parquet_or_none
+    # would raise on an empty-but-existing dir — a crash window between
+    # the swap's makedirs and its first rename)
+    has_index = os.path.isdir(local) and any(
+        e.startswith(f"{CELL_COL}=") for e in os.listdir(local)
+    )
+    if has_index:
+        index = spark.read.parquet(index_path)
+        # partition-column round-trip: dirs come back as ints; the
+        # assignment emits longs — align before joins/unions
+        index = index.withColumn(CELL_COL, F.col(CELL_COL).cast("long"))
+        if check_replaced:
+            # replace semantics across cells: a re-ingested id whose new
+            # embedding moved cells leaves a stale row in its OLD cell —
+            # find those cells with a column-pruned id probe (reads the
+            # id column only; cell is free from the directory name)
+            batch_ids = new_assigned.select(id_col).distinct()
+            stale = (
+                index.join(F.broadcast(batch_ids), id_col, "semi")
+                .select(CELL_COL)
+                .distinct()
+                .collect()
+            )
+            touched |= {r[CELL_COL] for r in stale}
+        touched_cells = sorted(touched)
+        current = index.where(F.col(CELL_COL).isin(touched_cells))
         pairs, updated = semantic_dedup_incremental(
-            empty, batch, vec_col, id_col, centroids, threshold=threshold
+            current, batch, vec_col, id_col, centroids,
+            threshold=threshold, new_assigned=new_assigned,
         )
     else:
+        touched_cells = sorted(touched)
+        # in-batch pairs still matter on bootstrap: probe against an
+        # empty index of the same schema
+        empty = new_assigned.limit(0)
         pairs, updated = semantic_dedup_incremental(
-            index, batch, vec_col, id_col, centroids, threshold=threshold
+            empty, batch, vec_col, id_col, centroids,
+            threshold=threshold, new_assigned=new_assigned,
         )
     # epoch-keyed pair output: replaying the same epoch overwrites its
     # own directory (idempotent) instead of double-appending
     pairs.write.mode("overwrite").parquet(
         os.path.join(pairs_path, f"epoch={epoch_id}")
     )
-    updated.write.mode("overwrite").parquet(local + ".tmp")
-    commit_swap(local)
+    # `updated` holds exactly the touched cells' post-state (surviving
+    # old rows of those cells ∪ the increment); materialize it
+    # partitioned by cell and swap only those directories — untouched
+    # cells are never opened, listed, or rewritten
+    tmp = local + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    updated.write.mode("overwrite").partitionBy(CELL_COL).parquet(tmp)
+    swap_partition_dirs(local, tmp, touched_cells, CELL_COL)
+    k_actual = len(centroids) if isinstance(centroids, list) else centroids.count()
+    _warn_if_under_partitioned(spark, index_path, k_actual)
 
 
 def run_semdedup_stream(
@@ -97,8 +303,9 @@ def run_semdedup_stream(
     checkpoint_dir: str,
     vec_col: str,
     id_col: str,
-    centroids: "list",
+    centroids: "list | str",
     threshold: float = 0.95,
+    check_replaced: bool = True,
 ):
     """Materialize the embedding stream as a maintained cell index plus
     an append-only near-dup pair log."""
@@ -113,6 +320,7 @@ def run_semdedup_stream(
             centroids,
             threshold=threshold,
             epoch_id=epoch_id,
+            check_replaced=check_replaced,
         )
 
     return (
