@@ -28,6 +28,9 @@ batches converge instead of double-applying.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -108,6 +111,85 @@ def apply_scd2_batch(
     commit_swap(local)
 
 
+def apply_scd2_batch_bucketed(
+    batch: DataFrame,
+    path: str,
+    key: str,
+    payload_cols: "list[str]",
+    ts_col: str = "event_time",
+    n_buckets: int = 64,
+) -> None:
+    """One micro-batch into a history table laid out as
+    ``kb=<pmod(xxhash64(key), n_buckets)>`` partitions, rewriting ONLY
+    the buckets the batch's keys hash into — the same touched-partition
+    protocol as the bucketed upsert and the SemDeDup cell index.
+
+    The flat apply_scd2_batch rewrites the WHOLE history every batch —
+    O(history) write amplification on a table that grows forever (the
+    closed rows never change again but are re-serialized every epoch).
+    Here the write is O(touched buckets); SCD2's apply is per-key
+    independent (the full-outer join and the closed-row pass-through
+    both key on `key`), so restricting history to the touched buckets
+    changes nothing about the result on those keys and cannot touch
+    any other key.
+
+    The one global read that remains is the event-time monotonicity
+    clamp: the newest effective_from is a max over ALL buckets. That
+    scan is column-pruned to one timestamp column — footer + a single
+    column per bucket, not the payload bytes that dominate the table.
+    """
+    import datetime as dt
+
+    from ds_caselaw_ingester_spark.operators.compaction import (
+        recover_buckets,
+        swap_partition_dirs,
+    )
+
+    spark = batch.sparkSession
+    local = path[len("file:") :] if path.startswith("file:") else path
+    recover_buckets(local)
+    batch = batch.persist()
+    first = batch.select(F.max(F.col(ts_col)).alias("m")).collect()[0]["m"]
+    if first is None:
+        batch.unpersist()
+        return
+    kb = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    updates = (
+        _latest_per_key(batch, key, ts_col)
+        .select(key, *payload_cols)
+        .withColumn("kb", kb)
+        .persist()  # read twice: touched-bucket collect + the merge
+    )
+    touched = sorted(r.kb for r in updates.select("kb").distinct().collect())
+    has_table = os.path.isdir(local) and any(
+        e.startswith("kb=") for e in os.listdir(local)
+    )
+    batch_time = first
+    history = None
+    if has_table:
+        full = spark.read.parquet(local)
+        # monotonicity clamp (see apply_scd2_batch): global max, but
+        # column-pruned — only effective_from is read
+        newest = full.select(F.max("effective_from").alias("m")).collect()[0]["m"]
+        if newest is not None and batch_time <= newest:
+            batch_time = newest + dt.timedelta(microseconds=1)
+        history = full.where(F.col("kb").isin(touched)).drop("kb").persist()
+    batch_ts = batch_time.strftime("%Y-%m-%d %H:%M:%S.%f")
+    merged = scd2_apply(history, updates.drop("kb"), key, payload_cols, batch_ts)
+    tmp = local + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        merged.withColumn("kb", kb).write.mode("overwrite").partitionBy(
+            "kb"
+        ).parquet(tmp)
+    finally:
+        batch.unpersist()
+        updates.unpersist()
+        if history is not None:
+            history.unpersist()
+    swap_partition_dirs(local, tmp, touched, "kb")
+
+
 def run_scd2_stream(
     updates: DataFrame,
     table_path: str,
@@ -115,11 +197,22 @@ def run_scd2_stream(
     key: str,
     payload_cols: "list[str]",
     ts_col: str = "event_time",
+    n_buckets: "int | None" = None,
 ):
-    """Materialize the change feed as an SCD2 history table."""
+    """Materialize the change feed as an SCD2 history table.
+
+    n_buckets=None keeps the flat single-directory layout (rewritten
+    whole each batch — fine for small state); an int lays the history
+    out bucketed by key hash and bounds each batch's rewrite to the
+    touched buckets (the 100 TB configuration)."""
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        apply_scd2_batch(batch_df, table_path, key, payload_cols, ts_col)
+        if n_buckets is None:
+            apply_scd2_batch(batch_df, table_path, key, payload_cols, ts_col)
+        else:
+            apply_scd2_batch_bucketed(
+                batch_df, table_path, key, payload_cols, ts_col, n_buckets
+            )
 
     return (
         updates.writeStream.foreachBatch(_process)

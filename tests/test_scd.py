@@ -308,3 +308,147 @@ def test_scd2_apply_validate_handles_tz_aware_batch_ts(spark):
         validate=True,
     )
     assert ok.where("is_current").collect()[0]["court"] == "ewca"
+
+
+def _evt_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("uri", T.StringType()),
+            T.StructField("court", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+        ]
+    )
+
+
+def _kb_state(d):
+    import os
+
+    out = {}
+    for e in os.listdir(d):
+        if e.startswith("kb="):
+            p = os.path.join(d, e)
+            out[e] = {
+                f: (os.path.getsize(os.path.join(p, f)),
+                    os.path.getmtime(os.path.join(p, f)))
+                for f in os.listdir(p) if f.endswith(".parquet")
+            }
+    return out
+
+
+def test_bucketed_scd_sink_equals_flat_sink(spark, tmp_path):
+    """Driving the SAME batch sequence through the flat and the bucketed
+    SCD2 sinks must produce identical histories (modulo the kb layout
+    column) — the bucketing is a write-amplification optimization, not
+    a semantics change."""
+    import datetime as dt
+
+    from ds_caselaw_ingester_spark.streaming.scd_sink import (
+        apply_scd2_batch,
+        apply_scd2_batch_bucketed,
+    )
+
+    schema = _evt_schema()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    batches = [
+        [("a", "ewhc", t0), ("b", "ukSC", t0)],
+        [("a", "ewca", t0 + dt.timedelta(minutes=1))],
+        [("a", "ewca", t0 + dt.timedelta(minutes=2)),  # unchanged payload
+         ("c", "ukpc", t0 + dt.timedelta(minutes=2))],
+        [("b", "ewhc", t0 + dt.timedelta(minutes=3))],
+    ]
+    flat, buck = str(tmp_path / "flat"), str(tmp_path / "buck")
+    for rows in batches:
+        b = spark.createDataFrame(rows, schema)
+        apply_scd2_batch(b, flat, "uri", ["court"])
+        apply_scd2_batch_bucketed(b, buck, "uri", ["court"], n_buckets=8)
+
+    cols = ["uri", "court", "effective_from", "effective_to", "is_current"]
+    got_flat = sorted(
+        tuple(r[c] for c in cols) for r in spark.read.parquet(flat).collect()
+    )
+    got_buck = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(buck).select(*cols).collect()
+    )
+    assert got_flat == got_buck and len(got_flat) >= 5
+
+
+def test_bucketed_scd_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """The scale contract: a batch whose keys hash into c buckets swaps
+    exactly those c partition directories; every other bucket keeps its
+    exact files (the closed past is never re-serialized)."""
+    import datetime as dt
+
+    from ds_caselaw_ingester_spark.streaming.scd_sink import (
+        apply_scd2_batch_bucketed,
+    )
+
+    schema = _evt_schema()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    seed = [(f"doc-{i}", "ewhc", t0) for i in range(40)]
+    path = str(tmp_path / "hist")
+    apply_scd2_batch_bucketed(
+        spark.createDataFrame(seed, schema), path, "uri", ["court"],
+        n_buckets=16,
+    )
+    before = _kb_state(path)
+    assert len(before) > 2
+    # one-key update: exactly one bucket should move
+    upd = spark.createDataFrame(
+        [("doc-7", "ukSC", t0 + dt.timedelta(minutes=1))], schema
+    )
+    from pyspark.sql import functions as F
+
+    want = {
+        f"kb={r.kb}"
+        for r in upd.select(
+            F.pmod(F.xxhash64(F.col("uri")), F.lit(16)).cast("int").alias("kb")
+        ).collect()
+    }
+    assert len(want) == 1
+    apply_scd2_batch_bucketed(upd, path, "uri", ["court"], n_buckets=16)
+    after = _kb_state(path)
+    for b, files in before.items():
+        if b in want:
+            assert after[b] != files, f"{b} should have been swapped"
+        else:
+            assert after[b] == files, f"{b} was rewritten needlessly"
+    # and the update actually landed
+    hist = spark.read.parquet(path)
+    assert hist.where("uri = 'doc-7' and is_current").collect()[0]["court"] == "ukSC"
+    assert hist.where("uri = 'doc-7'").count() == 2
+
+
+def test_bucketed_scd_sink_recovers_bucket_crash(spark, tmp_path):
+    """Per-bucket crash point: a bucket left only in kb=N.old must be
+    restored before the next batch reads — never dropped, never read
+    as a bogus partition value."""
+    import datetime as dt
+    import os
+
+    from ds_caselaw_ingester_spark.streaming.scd_sink import (
+        apply_scd2_batch_bucketed,
+    )
+
+    schema = _evt_schema()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    seed = [(f"doc-{i}", "ewhc", t0) for i in range(20)]
+    path = str(tmp_path / "hist")
+    apply_scd2_batch_bucketed(
+        spark.createDataFrame(seed, schema), path, "uri", ["court"],
+        n_buckets=8,
+    )
+    n0 = spark.read.parquet(path).count()
+    victim = os.path.join(
+        path, sorted(e for e in os.listdir(path) if e.startswith("kb="))[0]
+    )
+    os.rename(victim, victim + ".old")
+    upd = spark.createDataFrame(
+        [("doc-3", "ukSC", t0 + dt.timedelta(minutes=1))], schema
+    )
+    apply_scd2_batch_bucketed(upd, path, "uri", ["court"], n_buckets=8)
+    hist = spark.read.parquet(path)
+    assert hist.count() == n0 + 1  # recovered rows + the opened state
+    assert not any(e.endswith(".old") for e in os.listdir(path))
