@@ -186,6 +186,7 @@ def rrf_fuse(
     rank_col: str = "rank",
     k: int = 10,
     rrf_k: int = 60,
+    query_col: "str | None" = None,
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al. 2009, SIGIR — the
     published formula: score(d) = sum over lists of 1/(rrf_k + rank_d))
@@ -194,35 +195,77 @@ def rrf_fuse(
     score calibration: ranks are comparable across scorers, raw scores
     are not.
 
-    Each input frame needs (id_col, rank_col) — exactly what every
-    top-k operator in this repo emits. Documents absent from a list
-    contribute nothing for it (the standard convention). Scale shape:
-    the inputs are already top-k-sized (k rows per query per scorer),
-    so the union + groupBy moves k x |lists| rows — fusion cost is
-    bounded by the SHORTLISTS, never the corpus; determinism comes
-    from integer micro-rounding of the per-list reciprocal before the
-    sum (the repo's order-stable float convention) and the id
-    tie-break.
+    Each input frame needs (id_col, rank_col); with query_col=None the
+    inputs MUST be single-query ranked lists (one global ranking each —
+    bm25_topk's shape). Multi-query shortlists — the (q_id, doc_id,
+    rank) frames the per-query ANN operators emit — MUST pass
+    query_col: the fusion then partitions by query, returning the top-k
+    PER QUERY. Passing a multi-query frame without query_col would sum
+    reciprocal ranks across unrelated queries into one meaningless
+    list (ADVICE r7), so ranks are validated: a duplicated
+    (query, rank) within one input raises.
 
-    Returns (id_col, rrf_score, rank) with rank 1..k."""
+    Documents absent from a list contribute nothing for it (the
+    standard convention). Scale shape: the inputs are already
+    top-k-sized (k rows per query per scorer), so the union + groupBy
+    moves k x |queries| x |lists| rows — fusion cost is bounded by the
+    SHORTLISTS, never the corpus; determinism comes from integer
+    micro-rounding of the per-list reciprocal before the sum (the
+    repo's order-stable float convention) and the id tie-break.
+
+    Returns (id_col, rrf_score, rank) — plus query_col when given —
+    with rank 1..k (per query)."""
     from pyspark.sql import Window
 
     if not ranked_lists:
         raise ValueError("ranked_lists must be non-empty")
     if rrf_k <= 0:
         raise ValueError(f"rrf_k must be positive, got {rrf_k}")
-    slim = [
-        df.select(F.col(id_col), F.col(rank_col).alias("_r")) for df in ranked_lists
-    ]
+    group = [query_col, id_col] if query_col else [id_col]
+    slim = []
+    for i, df in enumerate(ranked_lists):
+        s = df.select(
+            *([F.col(query_col)] if query_col else []),
+            F.col(id_col),
+            F.col(rank_col).alias("_r"),
+        )
+        if query_col is None:
+            # a rank appearing twice within one list is the
+            # multi-query-frame-without-query_col misuse — fail loudly
+            # instead of fusing garbage. Materialize the slim shortlist
+            # first (it is ≤ k rows by contract) so the check and the
+            # fusion share one upstream scan.
+            s = s.localCheckpoint(eager=True)
+            dup = (
+                s.groupBy("_r").count().where(F.col("count") > 1).limit(1).collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"rrf_fuse: input {i} has a duplicated rank "
+                    f"({dup[0]['_r']}) — a multi-query shortlist must be "
+                    "fused with query_col set"
+                )
+        slim.append(s)
     both = slim[0]
     for s in slim[1:]:
         both = both.unionByName(s)
     micro = F.round(
         (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("_r"))) * F.lit(_MICRO), 0
     ).cast("long")
-    fused = both.groupBy(id_col).agg(
+    fused = both.groupBy(*group).agg(
         (F.sum(micro) / F.lit(_MICRO)).alias("rrf_score")
     )
+    if query_col:
+        # per-query top-k: rank within the query partition, then keep k.
+        # The window moves |queries| x k x |lists| rows — shortlist-sized.
+        w = Window.partitionBy(query_col).orderBy(
+            F.desc("rrf_score"), F.asc(id_col)
+        )
+        return (
+            fused.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(query_col, id_col, "rrf_score", "rank")
+        )
     topk = fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
     return topk.select(

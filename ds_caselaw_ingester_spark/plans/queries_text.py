@@ -261,13 +261,11 @@ GROUP BY doc_id
 """
 
 
-@register(
-    "doc_fingerprint",
-    FINGERPRINT_ORACLE,
-    doc="Document fingerprint: 5 smallest md5s of word 4-grams (k-min "
-    "sketch — the set-similarity analog of winnowing/rolling hashes).",
-    survey_ops=("ext:fingerprint",),
-)
+# UNREGISTERED (round 8): gave up its registry slot to hybrid_search
+# under the driver's 50-row cap. The md5-fingerprint shape is coverage-
+# redundant with dedup_exact + the minhash family (VERDICT r7 #3); this
+# k-min sketch baseline keeps an identical pytest DuckDB gate in
+# tests/test_oracle_parity.py.
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ds_caselaw_ingester_spark.sources.catalog import spread
 
@@ -563,6 +561,100 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
     return bm25_topk(d, "doc_id", "text", _BM25_TERMS, _BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# hybrid_search — BM25 + dense shortlists fused with reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+# (Round 8 rotation: doc_fingerprint gave up its registry slot — its
+# md5-fingerprint shape is coverage-redundant with dedup_exact + the
+# minhash family, and it keeps an identical pytest gate — so the hybrid
+# retrieval composition a RAG/data-curation user actually runs gets a
+# first-class driver correctness row.)
+
+_DENSE_QUERY_ID = 0
+_DENSE_K = 25
+_HYBRID_K = 15
+_RRF_K = 60
+
+
+def hybrid_search_oracle() -> str:
+    from ds_caselaw_ingester_spark.operators.search import bm25_oracle_sql
+
+    bm25 = bm25_oracle_sql(_BM25_TERMS, _BM25_K)
+    return f"""
+WITH lex AS (SELECT doc_id, rank FROM ({bm25}) lex_inner),
+qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_DENSE_QUERY_ID}),
+dense AS (
+  SELECT c_id AS doc_id, rank FROM (
+    SELECT c.vec_id AS c_id,
+           row_number() OVER (
+             ORDER BY round(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))),
+               4) DESC, c.vec_id ASC) AS rank
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+          WHERE vec_id <> {_DENSE_QUERY_ID}) c
+    CROSS JOIN qv q
+  ) WHERE rank <= {_DENSE_K}
+),
+unioned AS (
+  SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM dense
+),
+fused AS (
+  SELECT doc_id,
+         sum(CAST(round((1.0 / ({_RRF_K}.0 + rank)) * 1000000.0, 0) AS BIGINT))
+           / 1000000.0 AS rrf_score
+  FROM unioned GROUP BY doc_id
+)
+SELECT doc_id, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {_HYBRID_K}
+"""
+
+
+@register(
+    "hybrid_search",
+    hybrid_search_oracle(),
+    doc="Hybrid retrieval: the BM25 lexical shortlist and a dense cosine "
+    "shortlist (query = document 0's embedding; vec_id==doc_id in this "
+    "corpus) fused with reciprocal-rank fusion (Cormack et al. 2009). "
+    "Scale shape: both scorers are corpus-pruned top-k plans, and the "
+    "fusion moves only the two k-row shortlists — one tiny union + "
+    "groupBy, never the corpus. Scores are micro-rounded reciprocal "
+    "sums — order-stable integers, engine-exact vs DuckDB.",
+    survey_ops=("ext:search-hybrid",),
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 + dense cosine shortlists → RRF top-15 (operators/search.py
+    rrf_fuse; single-query lists, so query_col=None with its duplicate-
+    rank validation active)."""
+    ensure_oracle_safe(spark)
+    from ds_caselaw_ingester_spark.operators.search import bm25_topk, rrf_fuse
+    from ds_caselaw_ingester_spark.operators.similarity import cosine_topk
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    lex = bm25_topk(d, "doc_id", "text", _BM25_TERMS, _BM25_K).select(
+        "doc_id", "rank"
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == _DENSE_QUERY_ID).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = spread(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")),
+        "c_id",
+    )
+    dense = cosine_topk(q, c, k=_DENSE_K, round_digits=4).select(
+        F.col("c_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(
+        [lex, dense], id_col="doc_id", k=_HYBRID_K, rrf_k=_RRF_K
+    )
 
 
 # ---------------------------------------------------------------------------

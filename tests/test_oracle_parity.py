@@ -293,3 +293,20 @@ def test_unregistered_anti_join_matches_oracle(spark, sf_dir):
     )
     assert res.ok, res.detail
     assert res.spark_rows > 0
+
+
+def test_unregistered_doc_fingerprint_matches_oracle(spark, sf_dir):
+    """doc_fingerprint gave up its registry slot to hybrid_search
+    (round 8); its md5-fingerprint shape is coverage-redundant with
+    dedup_exact + the minhash family, and this identical DuckDB gate
+    keeps the k-min sketch baseline from silently rotting."""
+    from ds_caselaw_ingester_spark.plans.queries_text import (
+        FINGERPRINT_ORACLE,
+        q_doc_fingerprint,
+    )
+
+    res = check_query(
+        spark, sf_dir, "doc_fingerprint", q_doc_fingerprint, FINGERPRINT_ORACLE
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0

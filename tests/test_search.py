@@ -86,3 +86,52 @@ def test_hybrid_retrieval_composes_lexical_and_dense(spark, sf_dir):
     lex_ids = {r["doc_id"] for r in lex.collect()}
     dense_ids = {r["doc_id"] for r in dense.collect()}
     assert fused_ids & lex_ids and fused_ids & dense_ids
+
+
+def test_rrf_fuse_per_query_partitions_the_fusion(spark):
+    """ADVICE r7: multi-query shortlists (q_id, doc_id, rank) must fuse
+    PER QUERY, not sum reciprocal ranks across queries into one list.
+    With query_col set, each query's fused ranking must equal the
+    single-query fusion of its own slices."""
+    from ds_caselaw_ingester_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 10, 2)],
+        "q_id int, doc_id int, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (2, 10, 1), (2, 21, 2)],
+        "q_id int, doc_id int, rank int",
+    )
+    fused = rrf_fuse([a, b], k=3, query_col="q_id")
+    got = {
+        (r["q_id"], r["doc_id"], r["rank"], r["rrf_score"])
+        for r in fused.collect()
+    }
+    # per-query reference: fuse each query's slice as a single list
+    want = set()
+    for q in (1, 2):
+        fa = a.where(f"q_id = {q}").drop("q_id")
+        fb = b.where(f"q_id = {q}").drop("q_id")
+        for r in rrf_fuse([fa, fb], k=3).collect():
+            want.add((q, r["doc_id"], r["rank"], r["rrf_score"]))
+    assert got == want
+    # doc 11 appears in both of query 1's lists -> tops query 1;
+    # doc 10 appears in both of query 2's lists -> tops query 2
+    by_q = {(r["q_id"], r["rank"]): r["doc_id"] for r in fused.collect()}
+    assert by_q[(1, 1)] == 11 and by_q[(2, 1)] == 10
+
+
+def test_rrf_fuse_rejects_multiquery_frame_without_query_col(spark):
+    """The misuse the query dimension exists to prevent: passing a
+    multi-query frame with query_col=None must raise (duplicated rank
+    within one input), not silently fuse garbage."""
+    import pytest
+
+    from ds_caselaw_ingester_spark.operators.search import rrf_fuse
+
+    multi = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "q_id int, doc_id int, rank int"
+    )
+    with pytest.raises(ValueError, match="query_col"):
+        rrf_fuse([multi], k=5)
