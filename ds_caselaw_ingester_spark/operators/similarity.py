@@ -324,6 +324,7 @@ def lsh_neardup_pairs(
     if log_bucket_stats:
         from ds_caselaw_ingester_spark.operators.sizing import (
             bucket_occupancy_stats,
+            occupancy_guard,
         )
 
         stats = bucket_occupancy_stats(keys)
@@ -335,6 +336,9 @@ def lsh_neardup_pairs(
             stats["mean_occupancy"],
             stats["candidate_bound"],
         )
+        # skew guard: auto-sized planes bound EXPECTED occupancy; this
+        # WARNs when the hash actually piled up (sizing.occupancy_guard)
+        occupancy_guard(stats, what="lsh_neardup_pairs")
     a, b = f"{id_col}_a", f"{id_col}_b"
     pair_ids = (
         keys.select(F.col(id_col).alias(a), "bucket")

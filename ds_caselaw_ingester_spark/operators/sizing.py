@@ -249,3 +249,44 @@ def bucket_occupancy_stats(keys: DataFrame, bucket_col: str = "bucket") -> dict:
         "mean_occupancy": float(row["mean_occ"]),
         "candidate_bound": int(row["cand"]),
     }
+
+
+def occupancy_guard(
+    stats: dict,
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
+    warn_factor: float = 4.0,
+    what: str = "lsh",
+) -> bool:
+    """Pre-join guard over bucket_occupancy_stats output: returns True
+    when the layout is healthy, logs a WARNING and returns False when
+    the measured in-bucket candidate bound exceeds warn_factor × the
+    healthy bound.
+
+    The healthy bound is n_rows × target_occupancy / 2 — what the
+    candidate bound would be with every bucket at the target occupancy
+    (the same constant the plane auto-sizing aims for). Auto-sizing
+    picks the bucket-key space from n BEFORE hashing; this checks what
+    the hash actually did — skewed embeddings or a hot band can still
+    pile candidates into few buckets, and the in-bucket join is
+    quadratic in occupancy, so committing to it blind is how the sf10
+    8-plane abort happened. Call it on the slim (id, bucket) frame the
+    pair join already materializes; it costs one aggregation."""
+    healthy = max(1.0, stats["n_rows"] * target_occupancy / 2.0)
+    if stats["candidate_bound"] <= warn_factor * healthy:
+        return True
+    logging.getLogger(__name__).warning(
+        "%s bucket layout is skewed: in-bucket candidate bound %d is "
+        "%.1fx the healthy bound (%d rows x target occupancy %d / 2 = "
+        "%.0f); max bucket holds %d of %d rows. The in-bucket join is "
+        "quadratic in occupancy — re-size (more planes / larger k), "
+        "pre-split the hot region, or dedup exact copies first.",
+        what,
+        stats["candidate_bound"],
+        stats["candidate_bound"] / healthy,
+        stats["n_rows"],
+        target_occupancy,
+        healthy,
+        stats["max_occupancy"],
+        stats["n_rows"],
+    )
+    return False

@@ -114,7 +114,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the shingle->md5->groupBy-min subtree runs once, not three times
     sigs = minhash_signatures(shingles, "doc_id", num_seeds=16).persist()
     bands = lsh_bands(sigs, "doc_id", rows_per_band=4)
-    pairs = lsh_candidate_pairs(bands, "doc_id")
+    # SPARK_GRAFT_OCCUPANCY_GUARD=1: one extra agg that WARNs before the
+    # pair explode when a hot band would make the in-bucket work
+    # quadratic (sizing.occupancy_guard). Off by default so the
+    # oracle/bench path pays nothing; flip it on for unseen corpora.
+    import os as _os
+
+    pairs = lsh_candidate_pairs(
+        bands, "doc_id",
+        guard_occupancy=bool(_os.environ.get("SPARK_GRAFT_OCCUPANCY_GUARD")),
+    )
     return estimate_jaccard(pairs, sigs, "doc_id", num_seeds=16)
 
 

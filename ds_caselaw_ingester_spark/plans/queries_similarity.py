@@ -478,8 +478,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production callers use num_planes="auto", which at the measured
     # 220k-vector scale picks 12 and avoids the 8-plane saturation
     # abort (BENCH_SF1.md sf10).
+    # SPARK_GRAFT_OCCUPANCY_GUARD=1: measure what the hash actually did
+    # and WARN pre-join on skew (sizing.occupancy_guard) — auto-sized
+    # planes bound EXPECTED occupancy only. Off by default (bench/oracle
+    # path pays nothing).
+    import os as _os
+
     pairs = lsh_neardup_pairs(
-        corpus, "v", "vec_id", threshold=0.9, num_planes=8, num_tables=4
+        corpus, "v", "vec_id", threshold=0.9, num_planes=8, num_tables=4,
+        log_bucket_stats=bool(_os.environ.get("SPARK_GRAFT_OCCUPANCY_GUARD")),
     )
     return pairs.select(
         F.col("vec_id_a").alias("vec_a"),

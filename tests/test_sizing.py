@@ -342,3 +342,60 @@ def test_semdedup_auto_tiny_corpus_does_not_crash(spark):
     out = semantic_dedup_auto(df, "v", "vec_id", kmeans_iters=1)
     assert out.count() == 2
     assert out.where("is_duplicate").count() == 0
+
+
+def test_occupancy_guard_warns_on_skew_and_passes_healthy(spark, caplog):
+    """occupancy_guard: a hot bucket (everything colliding) must WARN
+    before the quadratic in-bucket join; a layout at/below the target
+    occupancy must stay silent. Wired into lsh_candidate_pairs /
+    lsh_neardup_pairs behind their guard flags."""
+    import logging
+
+    from ds_caselaw_ingester_spark.operators import sizing as sizing_mod
+    from ds_caselaw_ingester_spark.operators.sizing import (
+        bucket_occupancy_stats,
+        occupancy_guard,
+    )
+
+    # 2000 rows in ONE bucket: candidate bound ~2M >> 4 x (2000 x 64/2)
+    hot = spark.range(2000).select(F.lit("b0").alias("bucket"))
+    stats = bucket_occupancy_stats(hot)
+    with caplog.at_level(logging.WARNING, logger=sizing_mod.__name__):
+        ok = occupancy_guard(stats, what="test-hot")
+    assert not ok
+    assert any("skewed" in r.message for r in caplog.records)
+
+    caplog.clear()
+    # 2000 rows spread 8 per bucket: well under target occupancy 64
+    spread = spark.range(2000).select(
+        F.concat(F.lit("b"), (F.col("id") % 250).cast("string")).alias("bucket")
+    )
+    with caplog.at_level(logging.WARNING, logger=sizing_mod.__name__):
+        ok = occupancy_guard(bucket_occupancy_stats(spread), what="test-ok")
+    assert ok
+    assert not caplog.records
+
+
+def test_lsh_candidate_pairs_guard_fires_on_hot_band(spark, caplog):
+    """End-to-end wiring: identical documents share every band, so the
+    guarded lsh_candidate_pairs must WARN (df-cap can't help — the heat
+    is in the BANDS, not any one shingle)."""
+    import logging
+
+    from ds_caselaw_ingester_spark.operators import sizing as sizing_mod
+    from ds_caselaw_ingester_spark.operators.dedup import (
+        doc_shingles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact text repeated for every document here").alias("text"),
+    )
+    sh = doc_shingles(docs, "doc_id", "text", n=3)
+    bands = lsh_bands(minhash_signatures(sh, "doc_id", 16), "doc_id", 4)
+    with caplog.at_level(logging.WARNING, logger=sizing_mod.__name__):
+        lsh_candidate_pairs(bands, "doc_id", guard_occupancy=True)
+    assert any("skewed" in r.message for r in caplog.records)
