@@ -15,13 +15,14 @@ the benchmarks it will be evaluated on. Spark-first shape:
   quotes); callers tune it per suite.
 - Exactness: the flag is a set-membership test, no hashing involved —
   gram strings join directly, so there are no false positives to argue
-  about. (At extreme benchmark sizes, swap the broadcast for a
-  bloom-filter pre-probe + confirming join; the corpus-side plan shape
-  is unchanged.)
+  about. At extreme benchmark sizes, `decontaminate_bloom` swaps the
+  broadcast for a Bloom pre-probe (+ confirming join by default, so the
+  output stays exact); the corpus-side plan shape is unchanged.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,6 +72,149 @@ def decontaminate(
         doc_grams.join(bench, "gram")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("n_contaminated_grams"), F.lit(0).cast("long")
+            ).alias("n_contaminated_grams"),
+            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-probe — the extreme-benchmark-size escape hatch the
+# decontaminate docstring promises.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SALT = "bloom:h2"
+
+
+def _gram_hash_cols(gram):
+    """The two 64-bit hashes Kirsch-Mitzenmacher double hashing derives
+    every probe position from (g_i = h1 + i*h2 mod m, "Less Hashing,
+    Same Performance", 2006). Computed JVM-SIDE on both the build and
+    probe paths — the one way to guarantee the two sides hash
+    identically without a Python xxhash implementation."""
+    return (
+        F.xxhash64(gram).alias("_h1"),
+        F.xxhash64(gram, F.lit(_BLOOM_SALT)).alias("_h2"),
+    )
+
+
+def bloom_build(
+    benchmark: DataFrame,
+    text_col: str,
+    n: int = 8,
+    bits_per_element: int = 10,
+) -> "tuple[bytes, int, int]":
+    """(bitmap, m_bits, n_hashes) over the benchmark's distinct n-grams.
+
+    10 bits/element with k = round(ln2 * 10) = 7 hashes gives ~1% false
+    positives — the standard sizing. The collect is BENCHMARK-sized
+    (two longs per distinct gram, not the gram strings): eval suites
+    are MBs against a 100 TB corpus, and the resulting bitmap is
+    ~1.25 bytes/gram — an order of magnitude under the per-executor
+    hash-table a broadcast join would build from the gram strings."""
+    import math
+
+    import numpy as np
+
+    hashes = (
+        benchmark_ngrams(benchmark, text_col, n)
+        .select(*_gram_hash_cols(F.col("gram")))
+        .collect()
+    )
+    n_grams = max(1, len(hashes))
+    m = max(64, n_grams * bits_per_element)
+    j = max(1, round(math.log(2) * bits_per_element))
+    h1 = np.array([r["_h1"] for r in hashes], dtype=np.uint64)
+    h2 = np.array([r["_h2"] for r in hashes], dtype=np.uint64)
+    bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for i in range(j):
+        # uint64 wraparound is fine: both sides compute the identical
+        # sequence, which is all a Bloom position needs
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(bitmap, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return bitmap.tobytes(), m, j
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: "str | None" = None,
+    n: int = 8,
+    bits_per_element: int = 10,
+    confirm: bool = True,
+) -> DataFrame:
+    """`decontaminate` with a Bloom pre-probe on the corpus side — for
+    benchmark sets too large to broadcast as a join hash-table.
+
+    The corpus's (doc, gram) rows are filtered MAP-SIDE by a
+    ~1.25-byte/gram bitmap (numpy-vectorized bit tests in one
+    Arrow-batched pandas UDF over the two JVM-computed xxhash64s); only
+    the ~contamination + ~1% false-positive survivors reach anything
+    downstream. confirm=True (default) then re-joins the survivors
+    against the exact gram set, so the OUTPUT IS EXACTLY
+    `decontaminate`'s — the bloom is purely a scan-side prefilter that
+    keeps the shuffle bounded by contamination volume even when the
+    corpus is dirty and the benchmark huge. confirm=False skips the
+    join and accepts the documented ~1% per-gram false-positive rate
+    (never false negatives: every truly contaminated gram passes its
+    own bits).
+
+    Scale shape: the bitmap broadcasts once per executor
+    (sc.broadcast); the corpus never shuffles un-filtered rows; the
+    confirming join's probe side is survivor-sized.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    spark = docs.sparkSession
+    bitmap_bytes, m, j = bloom_build(
+        benchmark, bench_text_col or text_col, n, bits_per_element
+    )
+    bc = spark.sparkContext.broadcast(bitmap_bytes)
+
+    @pandas_udf("boolean")
+    def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        a = h1.to_numpy(dtype=np.int64).astype(np.uint64)
+        b = h2.to_numpy(dtype=np.int64).astype(np.uint64)
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(j):
+            idx = (a + np.uint64(i) * b) % np.uint64(m)
+            hit &= (bm[(idx >> np.uint64(3)).astype(np.int64)]
+                    >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+        return pd.Series(hit)
+
+    tok = tokens(F.col(text_col))
+    grams = F.when(F.size(tok) >= n, word_ngrams(tok, n)).otherwise(
+        F.array().cast("array<string>")
+    )
+    doc_grams = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+    survivors = doc_grams.select(
+        id_col, "gram", *_gram_hash_cols(F.col("gram"))
+    ).where(_might_contain(F.col("_h1"), F.col("_h2")))
+    if confirm:
+        # deliberately hint-free: if the gram set were broadcastable we
+        # would not need the bloom — the confirming join shuffles
+        # benchmark grams + survivors on `gram` (both bounded: benchmark
+        # size and contamination volume), never the unfiltered corpus.
+        # AQE still broadcasts it when it is actually small.
+        bench = benchmark_ngrams(benchmark, bench_text_col or text_col, n)
+        survivors = survivors.join(bench, "gram")
+    hits = survivors.groupBy(id_col).agg(
+        F.count("*").alias("n_contaminated_grams")
     )
     return (
         docs.select(id_col)
