@@ -168,3 +168,35 @@ def test_crash_recovery_never_deletes_the_only_copy(spark, sf_dir, tmp_path):
     with pytest.raises(RuntimeError, match="Reconcile"):
         compact_parquet_dir(spark, out, target_file_bytes=10**9)
     assert os.path.exists(out) and os.path.exists(old)
+
+
+def test_swap_partition_dirs_removes_emptied_partition(tmp_path):
+    """A touched partition value with NO rows in the materialized tmp
+    (the increment emptied it) must end with the partition directory
+    REMOVED — the correct post-state, not data loss — while untouched
+    partitions are never opened."""
+    import os
+
+    from ds_caselaw_ingester_spark.operators.compaction import (
+        recover_buckets,
+        swap_partition_dirs,
+    )
+
+    local = str(tmp_path / "tbl")
+    tmp = local + ".tmp"
+    for b, names in [(0, ["a.parquet"]), (1, ["b.parquet"]), (2, ["c.parquet"])]:
+        d = os.path.join(local, f"kb={b}")
+        os.makedirs(d)
+        for n in names:
+            open(os.path.join(d, n), "w").write("x")
+    # tmp holds a replacement for kb=0 and NOTHING for kb=1 (emptied)
+    os.makedirs(os.path.join(tmp, "kb=0"))
+    open(os.path.join(tmp, "kb=0", "new.parquet"), "w").write("y")
+    swap_partition_dirs(local, tmp, [0, 1], "kb")
+    assert os.listdir(os.path.join(local, "kb=0")) == ["new.parquet"]
+    assert not os.path.exists(os.path.join(local, "kb=1"))  # emptied
+    assert os.listdir(os.path.join(local, "kb=2")) == ["c.parquet"]  # untouched
+    assert not os.path.exists(tmp)
+    # idempotent recovery afterwards is a no-op
+    recover_buckets(local)
+    assert sorted(os.listdir(local)) == ["kb=0", "kb=2"]
