@@ -103,7 +103,11 @@ def test_doc_fingerprint_single_aggregation_no_window(spark, sf_dir):
     """The k-min sketch must be ONE bounded aggregation: no per-doc sort
     window, no distinct pre-pass — at 100x the window's full sort of every
     gram hash is the bottleneck the single collect_set plan avoids."""
-    plan = _physical_plan(all_specs()["doc_fingerprint"].fn(spark, sf_dir))
+    from ds_caselaw_ingester_spark.plans.queries_text import q_doc_fingerprint
+
+    # (unregistered since the r8 hybrid_search rotation — the plan-shape
+    # contract outlives the registry slot)
+    plan = _physical_plan(q_doc_fingerprint(spark, sf_dir))
     assert "Window" not in plan, plan
     # spread() repartition + at most the aggregation exchange
     assert plan.count("Exchange") <= 2, plan
@@ -295,3 +299,15 @@ def test_ivf_assign_keep_score_stays_shuffle_free(spark, sf_dir):
     )
     assert "Exchange" not in plan, plan
     assert "centroid_cos" in out.columns
+
+
+def test_hybrid_search_fusion_is_shortlist_bounded(spark, sf_dir):
+    """The RRF fusion must never touch corpus-sized data: both scorers
+    end in a TakeOrderedAndProject top-k (per-partition heap, no global
+    sort shuffle), and the dense scorer's query side broadcasts. The
+    localCheckpointed shortlists keep the fusion's own plan tiny."""
+    plan = _physical_plan(all_specs()["hybrid_search"].fn(spark, sf_dir))
+    # the only rows reaching the fused groupBy are the two checkpointed
+    # k-row shortlists (rrf_fuse materializes them for the rank check)
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
