@@ -199,6 +199,58 @@ def swap_partition_dirs(local: str, tmp: str, touched: "list", col: str) -> None
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def ensure_partitioned_layout(
+    local: str, col: str, n_buckets: "int | None" = None
+) -> None:
+    """Refuse the two silent-corruption paths of a partitioned sink
+    (review findings, round 8):
+
+    1. **Flat table at `local`** (root-level .parquet files — e.g. a
+       table written by the pre-partitioned version of the same sink):
+       treating it as "no table yet" would bootstrap over it, write
+       `col=` dirs NEXT TO the flat files, and leave a mixed layout no
+       reader can load. Raise with the migration instruction instead.
+    2. **Changed bucket count** (hash-bucketed layouts only): a key
+       hashed with n_buckets=32 looks up a bucket written under 64 and
+       silently misses its own history. The first call pins n_buckets
+       in a sidecar (`local + ".layout.json"`, atomic rename); later
+       calls verify and raise on mismatch. Pass n_buckets=None for
+       layouts whose partition values are data-derived (SemDeDup cells)
+       rather than a modulus.
+    """
+    import json
+
+    if os.path.isdir(local):
+        flat = [e for e in os.listdir(local) if e.endswith(".parquet")]
+        if flat:
+            raise ValueError(
+                f"{local} holds root-level parquet files ({flat[0]}, ...) — "
+                f"a FLAT table, not a {col}= partitioned layout. Migrate "
+                "first (read the flat table, write it partitioned, swap), "
+                "or point the sink at a fresh path; proceeding would "
+                "bootstrap over the existing data and mix two layouts."
+            )
+    if n_buckets is None:
+        return
+    sidecar = local + ".layout.json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            meta = json.load(f)
+        if meta.get("col") != col or meta.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"{local} was laid out with {meta.get('col')}="
+                f"{meta.get('n_buckets')} buckets but this run uses "
+                f"{col}={n_buckets}; changing the modulus silently "
+                "orphans every key's history — rebuild the table under "
+                "the new bucket count instead."
+            )
+        return
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"col": col, "n_buckets": n_buckets}, f)
+    os.replace(tmp, sidecar)
+
+
 def partition_file_snapshot(local: str, touched: "list", col: str) -> dict:
     """File listing per touched `col=<value>` partition — the
     concurrent-writer detection half of the bucketed protocol: snapshot

@@ -134,8 +134,12 @@ def bloom_build(
     n_grams = max(1, len(hashes))
     m = max(64, n_grams * bits_per_element)
     j = max(1, round(math.log(2) * bits_per_element))
-    h1 = np.array([r["_h1"] for r in hashes], dtype=np.uint64)
-    h2 = np.array([r["_h2"] for r in hashes], dtype=np.uint64)
+    # int64 first, then reinterpret as uint64: xxhash64 is signed and
+    # ~half the values are negative — a direct uint64 array raises
+    # OverflowError under NumPy >= 2.0 (the probe side already does
+    # to_numpy(int64).astype(uint64); the two sides must stay identical)
+    h1 = np.array([r["_h1"] for r in hashes], dtype=np.int64).astype(np.uint64)
+    h2 = np.array([r["_h2"] for r in hashes], dtype=np.int64).astype(np.uint64)
     bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
     for i in range(j):
         # uint64 wraparound is fine: both sides compute the identical

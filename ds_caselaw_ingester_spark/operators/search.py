@@ -202,8 +202,10 @@ def rrf_fuse(
     query_col: the fusion then partitions by query, returning the top-k
     PER QUERY. Passing a multi-query frame without query_col would sum
     reciprocal ranks across unrelated queries into one meaningless
-    list (ADVICE r7), so ranks are validated: a duplicated
-    (query, rank) within one input raises.
+    list (ADVICE r7), so the query_col=None path validates its inputs:
+    a duplicated rank within one input raises. (The per-query path does
+    not re-validate — its inputs are the repo's own per-query top-k
+    frames, rank-unique by construction.)
 
     Documents absent from a list contribute nothing for it (the
     standard convention). Scale shape: the inputs are already
@@ -234,7 +236,11 @@ def rrf_fuse(
             # multi-query-frame-without-query_col misuse — fail loudly
             # instead of fusing garbage. Materialize the slim shortlist
             # first (it is ≤ k rows by contract) so the check and the
-            # fusion share one upstream scan.
+            # fusion share one upstream scan. A MISUSED corpus-sized
+            # frame does get materialized before the error — bounded by
+            # executor disk, not memory (localCheckpoint persists
+            # MEMORY_AND_DISK) — the price of not double-running every
+            # correct caller's scorer.
             s = s.localCheckpoint(eager=True)
             dup = (
                 s.groupBy("_r").count().where(F.col("count") > 1).limit(1).collect()

@@ -150,6 +150,7 @@ def upsert_parquet_table_bucketed(
     import shutil
 
     from ds_caselaw_ingester_spark.operators.compaction import (
+        ensure_partitioned_layout,
         partition_file_snapshot,
         recover_buckets,
         swap_partition_dirs,
@@ -157,6 +158,9 @@ def upsert_parquet_table_bucketed(
 
     spark = spark_df.sparkSession
     local = path[len("file:") :] if path.startswith("file:") else path
+    # refuse a flat table at `path` and a changed n_buckets (both
+    # silently corrupt the MERGE — see ensure_partitioned_layout)
+    ensure_partitioned_layout(local, "kb", n_buckets)
     # Per-bucket crash recovery BEFORE the read: a crash between the
     # bucket renames leaves kb=N only in kb=N.old, and reading without
     # recovery would miss those rows then delete the backup (and any

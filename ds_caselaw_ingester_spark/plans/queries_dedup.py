@@ -118,11 +118,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair explode when a hot band would make the in-bucket work
     # quadratic (sizing.occupancy_guard). Off by default so the
     # oracle/bench path pays nothing; flip it on for unseen corpora.
-    import os as _os
+    from ds_caselaw_ingester_spark.session import env_flag
 
     pairs = lsh_candidate_pairs(
         bands, "doc_id",
-        guard_occupancy=bool(_os.environ.get("SPARK_GRAFT_OCCUPANCY_GUARD")),
+        guard_occupancy=env_flag("SPARK_GRAFT_OCCUPANCY_GUARD"),
     )
     return estimate_jaccard(pairs, sigs, "doc_id", num_seeds=16)
 

@@ -482,11 +482,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and WARN pre-join on skew (sizing.occupancy_guard) — auto-sized
     # planes bound EXPECTED occupancy only. Off by default (bench/oracle
     # path pays nothing).
-    import os as _os
+    from ds_caselaw_ingester_spark.session import env_flag
 
     pairs = lsh_neardup_pairs(
         corpus, "v", "vec_id", threshold=0.9, num_planes=8, num_tables=4,
-        log_bucket_stats=bool(_os.environ.get("SPARK_GRAFT_OCCUPANCY_GUARD")),
+        log_bucket_stats=env_flag("SPARK_GRAFT_OCCUPANCY_GUARD"),
     )
     return pairs.select(
         F.col("vec_id_a").alias("vec_a"),

@@ -141,12 +141,17 @@ def apply_scd2_batch_bucketed(
     import datetime as dt
 
     from ds_caselaw_ingester_spark.operators.compaction import (
+        ensure_partitioned_layout,
         recover_buckets,
         swap_partition_dirs,
     )
 
     spark = batch.sparkSession
     local = path[len("file:") :] if path.startswith("file:") else path
+    # refuse a flat history (the flat sink's layout) and a changed
+    # n_buckets — both silently corrupt: the flat table would be
+    # bootstrapped over, and a re-hashed key misses its own history
+    ensure_partitioned_layout(local, "kb", n_buckets)
     recover_buckets(local)
     batch = batch.persist()
     first = batch.select(F.max(F.col(ts_col)).alias("m")).collect()[0]["m"]

@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ds_caselaw_ingester_spark.operators.compaction import (
+    ensure_partitioned_layout,
     recover_buckets,
     swap_partition_dirs,
 )
@@ -139,6 +140,19 @@ def _resolve_centroids(
     cents = _load_quantizer(local)
     if cents is not None:
         return cents
+    if os.path.isdir(local) and any(
+        e.startswith(f"{CELL_COL}=") for e in os.listdir(local)
+    ):
+        # cell partitions without the sidecar: someone restored/copied
+        # the index directory alone. Training a FRESH quantizer here
+        # would probe stored cells under an incomparable centroid set —
+        # near-dups against the whole existing corpus silently missed.
+        raise ValueError(
+            f"{local} has {CELL_COL}= partitions but no quantizer at "
+            f"{local}{_QUANTIZER_SUFFIX}; cells are only comparable "
+            "under the centroid set that built them — restore the "
+            "sidecar alongside the index, or rebuild the index."
+        )
     if batch.isEmpty():
         return None
     n0 = batch.count()
@@ -194,6 +208,7 @@ def apply_semdedup_batch(
     epoch_id: int = 0,
     check_replaced: bool = True,
     bootstrap_growth: float = BOOTSTRAP_GROWTH,
+    growth_check_every: int = 16,
 ) -> None:
     """One micro-batch: probe `batch` against the cell-partitioned index
     at `index_path`, write this epoch's pairs, swap in ONLY the touched
@@ -218,6 +233,10 @@ def apply_semdedup_batch(
     """
     spark = batch.sparkSession
     local = _local(index_path)
+    # refuse a FLAT index (written by the pre-partitioned version of
+    # this sink): bootstrapping over it would mix two layouts — migrate
+    # with semdedup_build_index + a partitioned write first
+    ensure_partitioned_layout(local, CELL_COL)
     # reconcile any per-cell crash point BEFORE reading: a crash between
     # the two renames leaves centroid_id=N only in centroid_id=N.old
     recover_buckets(local, prefix=f"{CELL_COL}=")
@@ -292,8 +311,16 @@ def apply_semdedup_batch(
     shutil.rmtree(tmp, ignore_errors=True)
     updated.write.mode("overwrite").partitionBy(CELL_COL).parquet(tmp)
     swap_partition_dirs(local, tmp, touched_cells, CELL_COL)
-    k_actual = len(centroids) if isinstance(centroids, list) else centroids.count()
-    _warn_if_under_partitioned(spark, index_path, k_actual)
+    # amortized: the growth check lists every cell partition (footer
+    # metadata only, but O(index files)) — running it every epoch would
+    # contradict the touched-cells-only cost contract, so it samples
+    # every growth_check_every epochs. Corpus growth is gradual; a WARN
+    # a few epochs late changes nothing about the remedy.
+    if growth_check_every > 0 and epoch_id % growth_check_every == 0:
+        k_actual = (
+            len(centroids) if isinstance(centroids, list) else centroids.count()
+        )
+        _warn_if_under_partitioned(spark, index_path, k_actual)
 
 
 def run_semdedup_stream(

@@ -452,3 +452,35 @@ def test_bucketed_scd_sink_recovers_bucket_crash(spark, tmp_path):
     hist = spark.read.parquet(path)
     assert hist.count() == n0 + 1  # recovered rows + the opened state
     assert not any(e.endswith(".old") for e in os.listdir(path))
+
+
+def test_bucketed_scd_sink_refuses_flat_history_and_bucket_change(spark, tmp_path):
+    """Review regressions (r8): pointing the bucketed sink at a flat
+    history must raise (not bootstrap a mixed layout), and changing
+    n_buckets across runs must raise (a re-hashed key would silently
+    miss its own history and open a duplicate current row)."""
+    import datetime as dt
+
+    from ds_caselaw_ingester_spark.streaming.scd_sink import (
+        apply_scd2_batch,
+        apply_scd2_batch_bucketed,
+    )
+
+    schema = _evt_schema()
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    b1 = spark.createDataFrame([("a", "ewhc", t0)], schema)
+    flat = str(tmp_path / "flat")
+    apply_scd2_batch(b1, flat, "uri", ["court"])
+    with pytest.raises(ValueError, match="FLAT"):
+        apply_scd2_batch_bucketed(b1, flat, "uri", ["court"], n_buckets=8)
+
+    buck = str(tmp_path / "buck")
+    apply_scd2_batch_bucketed(b1, buck, "uri", ["court"], n_buckets=8)
+    b2 = spark.createDataFrame(
+        [("a", "ewca", t0 + dt.timedelta(minutes=1))], schema
+    )
+    with pytest.raises(ValueError, match="bucket"):
+        apply_scd2_batch_bucketed(b2, buck, "uri", ["court"], n_buckets=16)
+    # same bucket count still applies cleanly
+    apply_scd2_batch_bucketed(b2, buck, "uri", ["court"], n_buckets=8)
+    assert spark.read.parquet(buck).count() == 2

@@ -309,5 +309,39 @@ def test_auto_bootstrap_trains_persists_and_warns_on_growth(
                 (F.col("vec_id") + 777000).alias("vec_id"), "v"
             ),
             idx, prs, "v", "vec_id", "auto", threshold=0.9, epoch_id=2,
+            growth_check_every=1,  # the check is amortized by default
         )
     assert any("grown" in r.message for r in caplog.records), caplog.records
+
+
+def test_flat_index_and_missing_quantizer_are_refused(
+    spark, corpus, quantizer, tmp_path
+):
+    """Review regressions (r8): (a) a FLAT index from the
+    pre-partitioned sink must be refused, not bootstrapped over into a
+    mixed layout; (b) cell partitions without the quantizer sidecar
+    must refuse 'auto' instead of training an incomparable fresh
+    quantizer."""
+    import ds_caselaw_ingester_spark.streaming.semdedup_sink as sink_mod
+    from ds_caselaw_ingester_spark.operators.semdedup import semdedup_build_index
+
+    emb, planted = corpus
+    # (a) flat layout
+    flat = str(tmp_path / "flat_index")
+    semdedup_build_index(emb, "v", "vec_id", quantizer).write.parquet(flat)
+    with pytest.raises(ValueError, match="FLAT"):
+        apply_semdedup_batch(
+            planted, flat, str(tmp_path / "p1"), "v", "vec_id", quantizer,
+            epoch_id=0,
+        )
+    # (b) partitioned index, sidecar lost
+    idx = str(tmp_path / "index")
+    apply_semdedup_batch(
+        emb, idx, str(tmp_path / "p2"), "v", "vec_id", "auto", epoch_id=0
+    )
+    os.remove(idx + sink_mod._QUANTIZER_SUFFIX)
+    with pytest.raises(ValueError, match="quantizer"):
+        apply_semdedup_batch(
+            planted, idx, str(tmp_path / "p2"), "v", "vec_id", "auto",
+            epoch_id=1,
+        )
