@@ -466,6 +466,66 @@ def kmeans_fit(
     return cents
 
 
+# Literal-path ceiling for ivf_assign's auto dispatch: at k=220 the
+# plan-literal fold assigns 180k vectors in ~91 s; at k=1000 it did not
+# finish in 25 minutes (the per-row array_sort of k structs plus the
+# interpreted per-centroid fold — BENCH_SF1.md r8). 256 keeps every
+# oracle-pinned config comfortably on the replayable path.
+IVF_LITERAL_MAX_K = 256
+
+
+def _ivf_assign_matmul(
+    df: DataFrame,
+    vec_col: str,
+    cents: "list",
+    nprobe: int,
+    round_digits: int,
+    keep_score: bool,
+) -> DataFrame:
+    """Arrow-batched assignment: one float64 BLAS matmul per batch
+    against a broadcast centroid matrix (k x dim doubles per executor),
+    stable argsort for the (score DESC, centroid_id ASC) tie-break.
+    See ivf_assign's docstring for when this path dispatches and the
+    determinism trade."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    cmat = np.array([c["cvec"] for c in cents], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cids = np.array([int(c["centroid_id"]) for c in cents], dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm, cids))
+
+    # fresh field list via + : StructType.add() mutates the list it was
+    # constructed around, which df.schema SHARES — the input frame would
+    # grow a phantom centroid_id column and mapInPandas' input-column
+    # expansion then fails resolution
+    extra = [T.StructField("centroid_id", T.LongType())]
+    if keep_score:
+        extra.append(T.StructField("centroid_cos", T.DoubleType()))
+    schema = T.StructType(df.schema.fields + extra)
+
+    def _assign(batches):
+        m, n, ids = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.sqrt((v * v).sum(axis=1))
+            s = np.round((v @ m.T) / (vn[:, None] * n[None, :]), round_digits)
+            # stable argsort on -s: equal scores keep column order =
+            # centroid_id ascending — the literal path's exact tie-break
+            order = np.argsort(-s, axis=1, kind="stable")[:, :nprobe]
+            rows = np.arange(len(v))
+            for p in range(order.shape[1]):
+                out = pdf.copy()
+                out["centroid_id"] = ids[order[:, p]]
+                if keep_score:
+                    out["centroid_cos"] = s[rows, order[:, p]]
+                yield out
+
+    return df.mapInPandas(_assign, schema)
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str,
@@ -474,9 +534,26 @@ def ivf_assign(
     nprobe: int = 1,
     round_digits: int = 4,
     keep_score: bool = False,
+    method: str = "auto",
 ) -> DataFrame:
     """Assign each vector to its `nprobe` nearest centroids (by cosine,
     rounded, centroid_id tie-break).
+
+    method: "literal" embeds the centroid matrix in the plan and folds
+    per row (the oracle-replayable path — registered queries pin it via
+    their small k); "matmul" ships the matrix once per executor and
+    scores each Arrow batch with one BLAS matmul; "auto" picks literal
+    for k <= IVF_LITERAL_MAX_K and matmul past it. The literal fold's
+    cost is interpreted per-centroid work PLUS an array_sort of k
+    structs per row — measured unusable at k=1000 over 196k vectors
+    (did not finish in 25 min where k=220 took 91 s; BENCH_SF1.md r8),
+    while the sizing rule k = n/1000 keeps growing with the corpus, so
+    large-k callers (auto-sized SemDeDup, big IVF indexes) need the
+    matmul path. Same semantics: rounded cosine, centroid_id ascending
+    tie-break (stable argsort over the ascending-id column order). Not
+    DuckDB-replayable — BLAS sums in hardware order, not the fold's
+    ascending-dim order; rounding makes a divergence astronomically
+    rare but the oracle-pinned configs stay on "literal".
 
     The centroid table is the IVF *coarse quantizer* — small by
     construction (k-means k, not data size) — so it is collected once and
@@ -507,6 +584,14 @@ def ivf_assign(
         )
     n_c = len(cents)
     dim = len(cents[0]["cvec"])
+    if method not in ("auto", "literal", "matmul"):
+        raise ValueError(f"method must be auto|literal|matmul, got {method!r}")
+    if method == "auto":
+        method = "literal" if n_c <= IVF_LITERAL_MAX_K else "matmul"
+    if method == "matmul":
+        return _ivf_assign_matmul(
+            df, vec_col, cents, nprobe, round_digits, keep_score
+        )
     # THREE literal nodes total (flattened centroid matrix, norms, ids) and
     # ONE fold lambda shared by all centroids — instead of n_c unrolled
     # copies of a dim-wide expression, which made plan construction and

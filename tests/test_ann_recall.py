@@ -125,3 +125,49 @@ def test_lit_double_array_nonfinite_elements(spark):
     assert got[0] == 1.5 and math.isnan(got[1])
     assert got[2] == float("inf") and got[3] == float("-inf")
     assert got[4] == 0.0 and math.copysign(1.0, got[4]) == -1.0
+
+
+def test_ivf_assign_matmul_equals_literal_path(spark):
+    """The Arrow-matmul assignment (the large-k path the literal
+    plan-fold cannot reach — BENCH_SF1.md r8) must agree with the
+    literal path assignment-for-assignment at a k both can run:
+    same centroid_id (incl. the ascending-id tie-break) and the same
+    rounded cosine."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = kmeans_fit(
+        emb.where(F.col("vec_id") % 3 == 0), "v", "vec_id", k=8, max_iter=2
+    )
+    lit = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_cos"])
+        for r in ivf_assign(
+            emb, "v", "vec_id", cents, keep_score=True, method="literal"
+        ).collect()
+    }
+    mm = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_cos"])
+        for r in ivf_assign(
+            emb, "v", "vec_id", cents, keep_score=True, method="matmul"
+        ).collect()
+    }
+    assert lit == mm and len(lit) == emb.count()
+    # nprobe > 1: same (id, centroid) multiset
+    lit2 = {
+        (r["vec_id"], r["centroid_id"])
+        for r in ivf_assign(emb, "v", "vec_id", cents, nprobe=2,
+                            method="literal").collect()
+    }
+    mm2 = {
+        (r["vec_id"], r["centroid_id"])
+        for r in ivf_assign(emb, "v", "vec_id", cents, nprobe=2,
+                            method="matmul").collect()
+    }
+    assert lit2 == mm2
