@@ -79,37 +79,50 @@ def bm25_topk(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
     )
     tok = tokens(F.col("_text"))
+    # Document lengths as a materialized SLIM frame (two longs per doc):
+    # one tokenize pass serves BOTH the corpus-stats row and the scoring
+    # join's length lookup. This replaces the original design that rode
+    # `dl` through the explode's groupBy key — there, CollapseProject
+    # inlined size(tokens(text)) PAST the Generate and the regex
+    # tokenizer re-ran per TOKEN row, not per document: measured 32.3 s
+    # for the tf build at sf10 (500k docs) vs 7.9 s for this
+    # explode-only + join-back shape (BENCH_SF1.md r8). The checkpoint
+    # is 16 bytes/doc — ~16 GB per billion documents, spread across
+    # executor storage (MEMORY_AND_DISK).
+    dl = base.select("doc_id", F.size(tok).alias("dl")).localCheckpoint(
+        eager=True
+    )
     # Stage 3a: ONE corpus-stats row (exact integer sums, then a single
     # double division — deterministic). Aggregated over ALL documents,
     # matching ones or not.
-    stats = base.select(F.size(tok).alias("dl")).agg(
+    stats = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
     )
     # Stage 1+2: explode -> prune to query terms in the same codegen
-    # pass. The document length rides along as a per-row long computed
-    # BEFORE the explode, so the per-doc score assembly later needs no
-    # corpus-sized join back to a lengths table — `dl` is functionally
-    # dependent on doc_id and lands in the groupBy key for free.
-    # localCheckpoint: tf has TWO consumers (the df_t broadcast build
-    # and the probe side of the scoring join) — left lazy, the
-    # corpus-sized tokenize+explode subtree runs once per consumer.
-    # The materialized frame is tiny: one row per (matching doc, query
-    # term). With the separate stats row, the corpus tokenizes exactly
-    # twice total (stats needs docs with NO matching terms, which the
-    # pruned explode no longer carries).
+    # pass; nothing off-query shuffles. localCheckpoint: tf has TWO
+    # consumers (the df_t broadcast build and the probe side of the
+    # scoring join) — left lazy, the corpus-sized tokenize+explode
+    # subtree runs once per consumer. The materialized frame is tiny:
+    # one row per (matching doc, query term).
     tf = (
-        base.select(
-            "doc_id", F.size(tok).alias("dl"), F.explode(tok).alias("token")
-        )
+        base.select("doc_id", F.explode(tok).alias("token"))
         .where(F.col("token").isin(terms))
-        .groupBy("doc_id", "dl", "token")
+        .groupBy("doc_id", "token")
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=True)
     )
     # Stage 3b: document frequency per query term (≤ |terms| rows).
     df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
 
-    scored = tf.join(F.broadcast(df_t), "token").join(F.broadcast(stats))
+    # dl ⋈ tf is deliberately hint-free: tf is match-bounded, so AQE
+    # broadcasts it for any selective query and the corpus-sized dl
+    # frame never shuffles; a pathological stop-word query degrades to
+    # a shuffle join of two slim long columns, not an explode blowup.
+    scored = (
+        dl.join(tf, "doc_id")
+        .join(F.broadcast(df_t), "token")
+        .join(F.broadcast(stats))
+    )
     # Expression order mirrors the DuckDB oracle token-for-token so the
     # IEEE double sequence is identical on both sides.
     avgdl = F.col("total_dl") / F.col("n_docs")
