@@ -246,6 +246,10 @@ def ensure_partitioned_layout(
             )
         return
     tmp = sidecar + ".tmp"
+    # the sink root may not exist yet — the first bucketed write is
+    # what usually creates it, and this guard runs before that write
+    parent = os.path.dirname(os.path.abspath(sidecar))
+    os.makedirs(parent, exist_ok=True)
     with open(tmp, "w") as f:
         json.dump({"col": col, "n_buckets": n_buckets}, f)
     os.replace(tmp, sidecar)

@@ -24,3 +24,14 @@ def test_incremental_dedup_demo_runs_end_to_end(spark, sf_dir, capsys):
     for tag in ("1. day-0", "2. cell index", "3. day-1", "4. lexical"):
         assert tag in out, out
     assert result["incremental_pairs"] > 0  # planted re-encodes must pair
+
+
+def test_streaming_dedup_sink_demo_runs_end_to_end(spark, sf_dir, capsys, tmp_path):
+    import examples.streaming_dedup_sink as demo
+
+    result = demo.main(spark, "/root/testdata/sf0.001", str(tmp_path))
+    out = capsys.readouterr().out
+    for tag in ("1. bootstrap quantizer", "2. index", "3. pair log"):
+        assert tag in out, out
+    assert result["cross"] > 0  # day-1 re-encodes pair against day-0
+    assert result["cells"] > 1

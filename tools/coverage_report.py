@@ -68,6 +68,10 @@ def main() -> int:
             "  incremental semdedup    tests/test_semdedup.py + test_streaming_semdedup.py",
             "  compaction (op)         tests/test_compaction.py (crash-safe, writer-detecting)",
             "  corpus report (op)      tests/test_report.py (two-pass health metrics)",
+            "  doc_fingerprint         tests/test_oracle_parity.py (slot -> hybrid_search r8)",
+            "  bloom decontam (op)     tests/test_decontam.py (confirmed == exact; FPR measured)",
+            "  matmul ivf_assign (op)  tests/test_ann_recall.py (== literal path, large-k route)",
+            "  occupancy guard (op)    tests/test_sizing.py (pre-join skew WARN)",
         ):
             print(line)
         print()
