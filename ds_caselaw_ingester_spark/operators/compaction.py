@@ -212,16 +212,25 @@ def ensure_partitioned_layout(
        reader can load. Raise with the migration instruction instead.
     2. **Changed bucket count** (hash-bucketed layouts only): a key
        hashed with n_buckets=32 looks up a bucket written under 64 and
-       silently misses its own history. The first call pins n_buckets
-       in a sidecar (`local + ".layout.json"`, atomic rename); later
-       calls verify and raise on mismatch. Pass n_buckets=None for
-       layouts whose partition values are data-derived (SemDeDup cells)
-       rather than a modulus.
+       silently misses its own history. n_buckets is pinned in a
+       sidecar (`local + ".layout.json"`, atomic rename); later calls
+       verify and raise on mismatch. A table WITHOUT a sidecar (built
+       before this guard) adopts one only after its existing partition
+       VALUES validate against the modulus — a value >= n_buckets
+       proves the table was hashed under a larger count (the 64→32
+       legacy case; 32→64 is undetectable from values alone and pins
+       on first contact, which is the best plain parquet offers). The
+       sidecar is never written for a table that does not exist yet, so
+       an aborted first batch cannot pin a count nothing was written
+       under. Pass n_buckets=None for layouts whose partition values
+       are data-derived (SemDeDup cells) rather than a modulus.
     """
     import json
 
+    partitions = []
     if os.path.isdir(local):
-        flat = [e for e in os.listdir(local) if e.endswith(".parquet")]
+        entries = os.listdir(local)
+        flat = [e for e in entries if e.endswith(".parquet")]
         if flat:
             raise ValueError(
                 f"{local} holds root-level parquet files ({flat[0]}, ...) — "
@@ -230,6 +239,7 @@ def ensure_partitioned_layout(
                 "or point the sink at a fresh path; proceeding would "
                 "bootstrap over the existing data and mix two layouts."
             )
+        partitions = [e for e in entries if e.startswith(f"{col}=")]
     if n_buckets is None:
         return
     sidecar = local + ".layout.json"
@@ -245,11 +255,42 @@ def ensure_partitioned_layout(
                 "the new bucket count instead."
             )
         return
+    if not partitions:
+        # no table yet: nothing to pin — the WRITER pins the sidecar
+        # after its first successful swap (pin_partitioned_layout), so
+        # an aborted first batch cannot bless a count nothing was
+        # written under
+        return
+    # sidecar-less existing table (pre-guard legacy): validate the
+    # on-disk partition values against the modulus before adopting it
+    bad = [
+        p for p in partitions
+        if not p[len(col) + 1 :].lstrip("-").isdigit()
+        or not (0 <= int(p[len(col) + 1 :]) < n_buckets)
+    ]
+    if bad:
+        raise ValueError(
+            f"{local} holds partition {bad[0]} which is outside "
+            f"[0, {n_buckets}) — the table was bucketed under a "
+            f"different modulus than this run's {col}={n_buckets}; "
+            "rebuild it under the new bucket count instead."
+        )
     tmp = sidecar + ".tmp"
-    # the sink root may not exist yet — the first bucketed write is
-    # what usually creates it, and this guard runs before that write
-    parent = os.path.dirname(os.path.abspath(sidecar))
-    os.makedirs(parent, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump({"col": col, "n_buckets": n_buckets}, f)
+    os.replace(tmp, sidecar)
+
+
+def pin_partitioned_layout(local: str, col: str, n_buckets: int) -> None:
+    """Record the bucket modulus a table was ACTUALLY written under —
+    called by the bucketed sinks right after a successful swap (never
+    before: pinning pre-write would bless a count for a table an
+    aborted batch never created). Idempotent; atomic rename."""
+    import json
+
+    sidecar = local + ".layout.json"
+    tmp = sidecar + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(sidecar)), exist_ok=True)
     with open(tmp, "w") as f:
         json.dump({"col": col, "n_buckets": n_buckets}, f)
     os.replace(tmp, sidecar)

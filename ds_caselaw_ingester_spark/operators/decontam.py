@@ -43,6 +43,37 @@ def benchmark_ngrams(
     )
 
 
+def _doc_grams(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """One (id, gram) row per n-gram OCCURRENCE of each document —
+    the corpus-side frame both decontamination variants probe. Shared
+    so the exact and bloom paths can never drift apart on the
+    short-document rule or the gram construction (their equivalence is
+    a pinned contract, tests/test_decontam.py)."""
+    tok = tokens(F.col(text_col))
+    grams = F.when(F.size(tok) >= n, word_ngrams(tok, n)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return docs.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def _verdict(docs: DataFrame, hits: DataFrame, id_col: str) -> DataFrame:
+    """(id, n_contaminated_grams, is_contaminated) for EVERY document —
+    the left-join + zero-fill tail shared by both variants."""
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("n_contaminated_grams"), F.lit(0).cast("long")
+            ).alias("n_contaminated_grams"),
+            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -63,29 +94,13 @@ def decontaminate(
     bench = F.broadcast(
         benchmark_ngrams(benchmark, bench_text_col or text_col, n)
     )
-    tok = tokens(F.col(text_col))
-    grams = F.when(F.size(tok) >= n, word_ngrams(tok, n)).otherwise(
-        F.array().cast("array<string>")
-    )
-    doc_grams = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
     hits = (
-        doc_grams.join(bench, "gram")
+        _doc_grams(docs, id_col, text_col, n)
+        .join(bench, "gram")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_contaminated_grams"))
     )
-    return (
-        docs.select(id_col)
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(
-                F.col("n_contaminated_grams"), F.lit(0).cast("long")
-            ).alias("n_contaminated_grams"),
-            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0).alias(
-                "is_contaminated"
-            ),
-        )
-    )
+    return _verdict(docs, hits, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -108,46 +123,76 @@ def _gram_hash_cols(gram):
     )
 
 
+def bloom_bits_build(h1, h2, m: int, j: int):
+    """Set the j double-hash positions of every (h1, h2) pair in a fresh
+    m-bit bitmap (numpy uint8 array). h1/h2: SIGNED int64 arrays — they
+    are reinterpreted as uint64 (a direct uint64 conversion of negative
+    Python ints raises OverflowError under NumPy >= 2.0). The ONE
+    bit-path implementation: bloom_build, the probe UDF, and the
+    property tests all call this pair, so build and probe can never
+    drift (tests/test_round8_property.py)."""
+    import numpy as np
+
+    a = np.asarray(h1, dtype=np.int64).astype(np.uint64)
+    b = np.asarray(h2, dtype=np.int64).astype(np.uint64)
+    bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for i in range(j):
+        # uint64 wraparound is fine: both sides compute the identical
+        # sequence, which is all a Bloom position needs
+        idx = (a + np.uint64(i) * b) % np.uint64(m)
+        np.bitwise_or.at(bitmap, (idx >> np.uint64(3)).astype(np.int64),
+                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
+    return bitmap
+
+
+def bloom_bits_probe(bitmap, h1, h2, m: int, j: int):
+    """Boolean array: all j positions set for each (h1, h2) pair.
+    Signed-int64 inputs, same reinterpretation as bloom_bits_build."""
+    import numpy as np
+
+    bm = np.asarray(bitmap, dtype=np.uint8)
+    a = np.asarray(h1, dtype=np.int64).astype(np.uint64)
+    b = np.asarray(h2, dtype=np.int64).astype(np.uint64)
+    hit = np.ones(len(a), dtype=bool)
+    for i in range(j):
+        idx = (a + np.uint64(i) * b) % np.uint64(m)
+        hit &= (bm[(idx >> np.uint64(3)).astype(np.int64)]
+                >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
+    return hit
+
+
 def bloom_build(
     benchmark: DataFrame,
     text_col: str,
     n: int = 8,
     bits_per_element: int = 10,
+    _grams: "DataFrame | None" = None,
 ) -> "tuple[bytes, int, int]":
     """(bitmap, m_bits, n_hashes) over the benchmark's distinct n-grams.
 
     10 bits/element with k = round(ln2 * 10) = 7 hashes gives ~1% false
-    positives — the standard sizing. The collect is BENCHMARK-sized
-    (two longs per distinct gram, not the gram strings): eval suites
-    are MBs against a 100 TB corpus, and the resulting bitmap is
+    positives — the standard sizing. The transfer is BENCHMARK-sized
+    and Arrow-batched (two int64 columns, 16 bytes per distinct gram —
+    never the gram strings, never driver-side Row objects): eval suites
+    are MBs-GBs against a 100 TB corpus, and the resulting bitmap is
     ~1.25 bytes/gram — an order of magnitude under the per-executor
-    hash-table a broadcast join would build from the gram strings."""
+    hash-table a broadcast join would build from the gram strings.
+
+    _grams: a precomputed benchmark_ngrams frame (decontaminate_bloom
+    passes its checkpointed one so the benchmark tokenizes once)."""
     import math
 
-    import numpy as np
-
-    hashes = (
-        benchmark_ngrams(benchmark, text_col, n)
-        .select(*_gram_hash_cols(F.col("gram")))
-        .collect()
+    grams = _grams if _grams is not None else benchmark_ngrams(
+        benchmark, text_col, n
     )
-    n_grams = max(1, len(hashes))
+    hashed = grams.select(*_gram_hash_cols(F.col("gram")))
+    tbl = hashed.toArrow()  # Arrow columns -> numpy, no Row objects
+    h1 = tbl.column("_h1").to_numpy(zero_copy_only=False)
+    h2 = tbl.column("_h2").to_numpy(zero_copy_only=False)
+    n_grams = max(1, len(h1))
     m = max(64, n_grams * bits_per_element)
     j = max(1, round(math.log(2) * bits_per_element))
-    # int64 first, then reinterpret as uint64: xxhash64 is signed and
-    # ~half the values are negative — a direct uint64 array raises
-    # OverflowError under NumPy >= 2.0 (the probe side already does
-    # to_numpy(int64).astype(uint64); the two sides must stay identical)
-    h1 = np.array([r["_h1"] for r in hashes], dtype=np.int64).astype(np.uint64)
-    h2 = np.array([r["_h2"] for r in hashes], dtype=np.int64).astype(np.uint64)
-    bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
-    for i in range(j):
-        # uint64 wraparound is fine: both sides compute the identical
-        # sequence, which is all a Bloom position needs
-        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
-        np.bitwise_or.at(bitmap, (idx >> np.uint64(3)).astype(np.int64),
-                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
-    return bitmap.tobytes(), m, j
+    return bloom_bits_build(h1, h2, m, j).tobytes(), m, j
 
 
 def decontaminate_bloom(
@@ -178,58 +223,49 @@ def decontaminate_bloom(
 
     Scale shape: the bitmap broadcasts once per executor
     (sc.broadcast); the corpus never shuffles un-filtered rows; the
-    confirming join's probe side is survivor-sized.
+    confirming join's probe side is survivor-sized. With confirm=True
+    the benchmark gram frame is localCheckpointed so the benchmark
+    tokenize + distinct runs ONCE, feeding both the bitmap build and
+    the confirming join (distinct-gram-sized executor storage,
+    MEMORY_AND_DISK).
     """
-    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     spark = docs.sparkSession
+    bench_grams = benchmark_ngrams(benchmark, bench_text_col or text_col, n)
+    if confirm:
+        bench_grams = bench_grams.localCheckpoint(eager=True)
     bitmap_bytes, m, j = bloom_build(
-        benchmark, bench_text_col or text_col, n, bits_per_element
+        benchmark, bench_text_col or text_col, n, bits_per_element,
+        _grams=bench_grams,
     )
     bc = spark.sparkContext.broadcast(bitmap_bytes)
 
     @pandas_udf("boolean")
     def _might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        bm = np.frombuffer(bc.value, dtype=np.uint8)
-        a = h1.to_numpy(dtype=np.int64).astype(np.uint64)
-        b = h2.to_numpy(dtype=np.int64).astype(np.uint64)
-        hit = np.ones(len(a), dtype=bool)
-        for i in range(j):
-            idx = (a + np.uint64(i) * b) % np.uint64(m)
-            hit &= (bm[(idx >> np.uint64(3)).astype(np.int64)]
-                    >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
-        return pd.Series(hit)
+        import numpy as np
 
-    tok = tokens(F.col(text_col))
-    grams = F.when(F.size(tok) >= n, word_ngrams(tok, n)).otherwise(
-        F.array().cast("array<string>")
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        return pd.Series(
+            bloom_bits_probe(
+                bm, h1.to_numpy(dtype=np.int64), h2.to_numpy(dtype=np.int64),
+                m, j,
+            )
+        )
+
+    survivors = (
+        _doc_grams(docs, id_col, text_col, n)
+        .select(id_col, "gram", *_gram_hash_cols(F.col("gram")))
+        .where(_might_contain(F.col("_h1"), F.col("_h2")))
     )
-    doc_grams = docs.select(F.col(id_col), F.explode(grams).alias("gram"))
-    survivors = doc_grams.select(
-        id_col, "gram", *_gram_hash_cols(F.col("gram"))
-    ).where(_might_contain(F.col("_h1"), F.col("_h2")))
     if confirm:
         # deliberately hint-free: if the gram set were broadcastable we
         # would not need the bloom — the confirming join shuffles
         # benchmark grams + survivors on `gram` (both bounded: benchmark
         # size and contamination volume), never the unfiltered corpus.
         # AQE still broadcasts it when it is actually small.
-        bench = benchmark_ngrams(benchmark, bench_text_col or text_col, n)
-        survivors = survivors.join(bench, "gram")
+        survivors = survivors.join(bench_grams, "gram")
     hits = survivors.groupBy(id_col).agg(
         F.count("*").alias("n_contaminated_grams")
     )
-    return (
-        docs.select(id_col)
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(
-                F.col("n_contaminated_grams"), F.lit(0).cast("long")
-            ).alias("n_contaminated_grams"),
-            (F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) > 0).alias(
-                "is_contaminated"
-            ),
-        )
-    )
+    return _verdict(docs, hits, id_col)

@@ -490,6 +490,12 @@ def _ivf_assign_matmul(
     import numpy as np
     from pyspark.sql import types as T
 
+    # sort by centroid_id FIRST: the tie-break below relies on column
+    # order being id-ascending (stable argsort keeps LIST order on
+    # equal rounded scores — an unsorted caller list would make the
+    # matmul and literal paths assign ties differently). The literal
+    # path is order-independent (its struct sort compares id VALUES).
+    cents = sorted(cents, key=lambda c: int(c["centroid_id"]))
     cmat = np.array([c["cvec"] for c in cents], dtype=np.float64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     cids = np.array([int(c["centroid_id"]) for c in cents], dtype=np.int64)
@@ -498,11 +504,17 @@ def _ivf_assign_matmul(
     # fresh field list via + : StructType.add() mutates the list it was
     # constructed around, which df.schema SHARES — the input frame would
     # grow a phantom centroid_id column and mapInPandas' input-column
-    # expansion then fails resolution
+    # expansion then fails resolution. Pre-existing centroid_id /
+    # centroid_cos columns are REPLACED (the literal path's withColumn
+    # semantics — e.g. re-quantizing a stored index frame), so they are
+    # dropped from the base before the fresh fields are appended.
+    out_names = ["centroid_id"] + (["centroid_cos"] if keep_score else [])
+    base_fields = [f for f in df.schema.fields if f.name not in out_names]
     extra = [T.StructField("centroid_id", T.LongType())]
     if keep_score:
         extra.append(T.StructField("centroid_cos", T.DoubleType()))
-    schema = T.StructType(df.schema.fields + extra)
+    schema = T.StructType(base_fields + extra)
+    col_order = [f.name for f in schema.fields]
 
     def _assign(batches):
         m, n, ids = bc.value
@@ -521,7 +533,7 @@ def _ivf_assign_matmul(
                 out["centroid_id"] = ids[order[:, p]]
                 if keep_score:
                     out["centroid_cos"] = s[rows, order[:, p]]
-                yield out
+                yield out[col_order]
 
     return df.mapInPandas(_assign, schema)
 

@@ -152,6 +152,7 @@ def upsert_parquet_table_bucketed(
     from ds_caselaw_ingester_spark.operators.compaction import (
         ensure_partitioned_layout,
         partition_file_snapshot,
+        pin_partitioned_layout,
         recover_buckets,
         swap_partition_dirs,
     )
@@ -201,3 +202,6 @@ def upsert_parquet_table_bucketed(
             "or use a transactional table format)."
         )
     swap_partition_dirs(local, tmp, touched, "kb")
+    # record the modulus the table now verifiably holds (after the
+    # swap, never before — see pin_partitioned_layout)
+    pin_partitioned_layout(local, "kb", n_buckets)

@@ -142,6 +142,7 @@ def apply_scd2_batch_bucketed(
 
     from ds_caselaw_ingester_spark.operators.compaction import (
         ensure_partitioned_layout,
+        pin_partitioned_layout,
         recover_buckets,
         swap_partition_dirs,
     )
@@ -193,6 +194,7 @@ def apply_scd2_batch_bucketed(
         if history is not None:
             history.unpersist()
     swap_partition_dirs(local, tmp, touched, "kb")
+    pin_partitioned_layout(local, "kb", n_buckets)
 
 
 def run_scd2_stream(

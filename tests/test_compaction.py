@@ -200,3 +200,42 @@ def test_swap_partition_dirs_removes_emptied_partition(tmp_path):
     # idempotent recovery afterwards is a no-op
     recover_buckets(local)
     assert sorted(os.listdir(local)) == ["kb=0", "kb=2"]
+
+
+def test_layout_guard_validates_legacy_tables_and_pins_after_write(tmp_path):
+    """Review regressions (r8, second pass): a sidecar-less legacy table
+    must validate its on-disk partition VALUES before adoption (kb=40
+    under n_buckets=32 proves a larger legacy modulus — raise), and the
+    sidecar is pinned by the WRITER after a successful swap, so an
+    aborted first batch pins nothing."""
+    import json
+    import os
+
+    import pytest
+
+    from ds_caselaw_ingester_spark.operators.compaction import (
+        ensure_partitioned_layout,
+        pin_partitioned_layout,
+    )
+
+    # legacy table hashed under 64: kb=40 exists
+    legacy = str(tmp_path / "legacy")
+    for b in (3, 40):
+        d = os.path.join(legacy, f"kb={b}")
+        os.makedirs(d)
+        open(os.path.join(d, "x.parquet"), "w").write("x")
+    with pytest.raises(ValueError, match="outside"):
+        ensure_partitioned_layout(legacy, "kb", 32)
+    # under the true modulus the table adopts a sidecar
+    ensure_partitioned_layout(legacy, "kb", 64)
+    meta = json.load(open(legacy + ".layout.json"))
+    assert meta == {"col": "kb", "n_buckets": 64}
+
+    # empty path: ensure pins NOTHING (aborted first batch), the writer
+    # pins after the swap, and a later modulus change raises
+    fresh = str(tmp_path / "fresh")
+    ensure_partitioned_layout(fresh, "kb", 8)
+    assert not os.path.exists(fresh + ".layout.json")
+    pin_partitioned_layout(fresh, "kb", 8)
+    with pytest.raises(ValueError, match="bucket"):
+        ensure_partitioned_layout(fresh, "kb", 16)

@@ -1,6 +1,7 @@
 """Property tests for the round-8 machinery: the Bloom filter never
 false-negatives any member under ANY (benchmark, probe) pair and stays
-consistent between its numpy build and probe bit-paths (the per-query
+consistent between its numpy build and probe bit-paths — exercised via
+the PRODUCTION bloom_bits_build/bloom_bits_probe pair (the per-query
 RRF composition law is pinned deterministically in test_search.py); the
 touched-partition swap state machine preserves exactly the intended
 post-state from any crash point recover_buckets can see; the occupancy
@@ -20,26 +21,22 @@ from hypothesis import strategies as st
 # ---------------------------------------------------------------------------
 
 
+from ds_caselaw_ingester_spark.operators.decontam import (  # noqa: E402
+    bloom_bits_build,
+    bloom_bits_probe,
+)
+
+
 def _build(h1s, h2s, m, j):
-    h1 = np.array(h1s, dtype=np.int64).astype(np.uint64)
-    h2 = np.array(h2s, dtype=np.int64).astype(np.uint64)
-    bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
-    for i in range(j):
-        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
-        np.bitwise_or.at(bitmap, (idx >> np.uint64(3)).astype(np.int64),
-                         np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))
-    return bitmap
+    # the PRODUCTION bit-path (bloom_build and the probe UDF call the
+    # same two functions) — a regression there fails here
+    return bloom_bits_build(np.array(h1s, dtype=np.int64),
+                            np.array(h2s, dtype=np.int64), m, j)
 
 
 def _probe(bitmap, h1s, h2s, m, j):
-    a = np.array(h1s, dtype=np.int64).astype(np.uint64)
-    b = np.array(h2s, dtype=np.int64).astype(np.uint64)
-    hit = np.ones(len(a), dtype=bool)
-    for i in range(j):
-        idx = (a + np.uint64(i) * b) % np.uint64(m)
-        hit &= (bitmap[(idx >> np.uint64(3)).astype(np.int64)]
-                >> (idx & np.uint64(7)).astype(np.uint8)) & 1 > 0
-    return hit
+    return bloom_bits_probe(bitmap, np.array(h1s, dtype=np.int64),
+                            np.array(h2s, dtype=np.int64), m, j)
 
 
 i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
