@@ -23,6 +23,17 @@ against documents from earlier triggers. Composition:
   that matched). A pair colliding in several bands is emitted per band
   — downstream dedups ids exactly like the batch pipeline dedups before
   scoring (one distinct on bounded pair rows, never on vectors).
+
+Sizing note (why this sink has no "auto" bootstrap like the SemDeDup
+sink's quantizer): its knobs are RECALL parameters, not occupancy
+parameters. num_seeds/rows_per_band set the LSH S-curve
+(plan_lsh_bands picks them from a similarity threshold) and are
+corpus-size-independent; the state/occupancy control is `max_bucket`,
+which caps EVERY bucket regardless of corpus growth — a stream that
+grows 10x degrades gracefully (hot buckets stop admitting members, the
+exact behavior the batch df-cap has) instead of cliffing. The default
+64 is LSH_TARGET_OCCUPANCY, the same constant the batch auto-sizing
+targets.
 """
 
 from __future__ import annotations
