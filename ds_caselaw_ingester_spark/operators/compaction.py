@@ -368,3 +368,50 @@ def compact_parquet_dir(
     shutil.rmtree(old, ignore_errors=True)
     after, _ = dir_stats(local)
     return before, after
+
+
+def migrate_to_partitioned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    n_buckets: "int | None" = None,
+    key: "str | None" = None,
+) -> int:
+    """One-time migration of a FLAT parquet table into the `col=`
+    partitioned layout the bucketed sinks require (the operation
+    ensure_partitioned_layout's refusal points at). Returns the row
+    count migrated.
+
+    - Modulus layouts (kb): pass `key` and `n_buckets` — the partition
+      value is computed as pmod(xxhash64(key), n_buckets), the same
+      expression the sinks use, and the sidecar is pinned afterwards.
+    - Data-derived layouts (SemDeDup's centroid_id): the column must
+      already exist in the flat table; pass n_buckets=None.
+
+    Crash-safe via the standard swap: the rewrite fully materializes in
+    `path + ".tmp"`, then whole-dir renames with recover_swap
+    reconciliation — a crash leaves either the flat original or the
+    migrated table, never neither. Single-writer: quiesce the sink
+    first (this is a maintenance operation, like compaction)."""
+    local = path[len("file:") :] if path.startswith("file:") else path
+    tmp, old = local + ".tmp", local + ".old"
+    recover_swap(local, tmp, old, exclusive=False)
+    df = spark.read.parquet(path)
+    if n_buckets is not None:
+        if key is None:
+            raise ValueError("modulus migration needs `key` with n_buckets")
+        df = df.withColumn(
+            col, F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+        )
+    elif col not in df.columns:
+        raise ValueError(
+            f"{path} has no `{col}` column; data-derived migration needs "
+            "it (e.g. rebuild a SemDeDup index with semdedup_build_index)"
+        )
+    n = df.count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").partitionBy(col).parquet(tmp)
+    commit_swap(local, tmp, old)
+    if n_buckets is not None:
+        pin_partitioned_layout(local, col, n_buckets)
+    return n

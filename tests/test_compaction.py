@@ -239,3 +239,53 @@ def test_layout_guard_validates_legacy_tables_and_pins_after_write(tmp_path):
     pin_partitioned_layout(fresh, "kb", 8)
     with pytest.raises(ValueError, match="bucket"):
         ensure_partitioned_layout(fresh, "kb", 16)
+
+
+def test_migrate_flat_to_partitioned_feeds_the_bucketed_sinks(spark, tmp_path):
+    """The migration the layout guard's refusal demands: a flat table
+    rewritten under kb= partitions (modulus path) must then accept
+    bucketed upserts; a flat SemDeDup index with its centroid_id column
+    (data-derived path) must then accept the cell-partitioned sink."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.compaction import (
+        migrate_to_partitioned,
+    )
+    from ds_caselaw_ingester_spark.operators.upsert import (
+        upsert_parquet_table_bucketed,
+    )
+
+    flat = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(f"doc-{i}", f"title {i}") for i in range(30)], "uri string, title string"
+    ).write.parquet(flat)
+    n = migrate_to_partitioned(spark, flat, "kb", n_buckets=8, key="uri")
+    assert n == 30
+    import os
+
+    assert not any(e.endswith(".parquet") for e in os.listdir(flat))
+    upd = spark.createDataFrame([("doc-3", "updated")], "uri string, title string")
+    upsert_parquet_table_bucketed(upd, flat, key="uri", n_buckets=8)
+    got = spark.read.parquet(flat)
+    assert got.count() == 30
+    assert got.where("uri = 'doc-3'").collect()[0]["title"] == "updated"
+
+    # data-derived path: a flat semdedup index migrates on its own column
+    from ds_caselaw_ingester_spark.operators.semdedup import semdedup_build_index
+    from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
+    from ds_caselaw_ingester_spark.streaming.semdedup_sink import (
+        apply_semdedup_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = kmeans_fit(emb.limit(60), "v", "vec_id", k=4, max_iter=1)
+    flat_idx = str(tmp_path / "index")
+    semdedup_build_index(emb, "v", "vec_id", cents).write.parquet(flat_idx)
+    migrate_to_partitioned(spark, flat_idx, "centroid_id")
+    inc = emb.limit(5).select((F.col("vec_id") + 900000).alias("vec_id"), "v")
+    apply_semdedup_batch(
+        inc, flat_idx, str(tmp_path / "pairs"), "v", "vec_id", cents, epoch_id=0
+    )
+    assert spark.read.parquet(flat_idx).count() == emb.count() + 5
