@@ -50,6 +50,8 @@ def curate_corpus(
     embeddings: DataFrame | None = None,
     semdedup_threshold: float = 0.95,
     semdedup_k: int = 16,
+    lm_logp: "dict[str, float] | None" = None,
+    max_ppl: float = 1e6,
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens) for the curated
     corpus: scrubbed text, quality-gated, optionally decontaminated
@@ -71,7 +73,14 @@ def curate_corpus(
     Lloyd rounds, deterministic init) — the stages compose, they don't
     share hidden state. Runs after lexical dedup on purpose: lexical
     pairs are cheaper per candidate, so the embedding stage sees an
-    already-shrunk corpus."""
+    already-shrunk corpus.
+
+    lm_logp: optional trained unigram-LM vocab (unigram_fit output);
+    documents whose perplexity under it exceeds `max_ppl` are dropped
+    at the quality gate - the CCNet-style LM filter
+    (operators/unigram_lm.py unigram_perplexity), composed after the
+    cheap structural gates so the Viterbi pass sees only structurally
+    plausible survivors."""
     if benchmark is not None:
         from ds_caselaw_ingester_spark.operators.decontam import decontaminate
 
@@ -89,6 +98,18 @@ def curate_corpus(
         (F.size(tok) >= min_tokens)
         & (alpha_ratio(F.col(text_col)) >= min_alpha_ratio)
     )
+    if lm_logp is not None:
+        from ds_caselaw_ingester_spark.operators.unigram_lm import (
+            unigram_perplexity,
+        )
+
+        ppl = unigram_perplexity(gated, id_col, text_col, lm_logp)
+        gated = gated.join(
+            ppl.where(
+                F.col("ppl").isNotNull() & (F.col("ppl") <= F.lit(max_ppl))
+            ).select(id_col),
+            id_col,
+        )
     pairs = lsh_candidate_pairs(
         lsh_bands(
             minhash_signatures(doc_shingles(gated, id_col, text_col), id_col),

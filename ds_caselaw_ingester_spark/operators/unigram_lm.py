@@ -182,3 +182,90 @@ def unigram_segment(
 
     schema = f"{id_col} {dict(tok.dtypes)[id_col]}, token string, pieces array<string>"
     return tok.mapInPandas(seg, schema)
+
+
+def unigram_perplexity(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    logp: "dict[str, float]",
+    max_piece_len: int = 6,
+    oov_logp: "float | None" = None,
+) -> DataFrame:
+    """Per-document perplexity under a trained unigram LM — the
+    CCNet/Gopher-style quality signal (Wenzek et al. 2020 score corpora
+    with a KenLM; a unigram piece model is the same filter with this
+    repo's own trained vocab): documents whose pieces the model finds
+    improbable (gibberish, boilerplate soup, wrong language) score high
+    and get filtered or down-weighted.
+
+    Returns one row per input document:
+    (id, n_tokens, n_pieces, total_logprob, ppl) where total_logprob is
+    the sum of Viterbi-best piece log-probs (micro-rounded per token
+    and summed as integers — the repo's order-stable float convention,
+    so the value is identical under any shuffle order) and
+    ppl = exp(-total_logprob / n_pieces). Documents with no tokens get
+    n_tokens = 0 and NULL ppl (nothing to score — callers decide).
+
+    oov_logp: log-prob for pieces outside the vocab (unseen characters
+    fall back to raw chars in viterbi_segment); defaults to the model's
+    floor (min log-prob), the weakest in-model belief.
+
+    Scale shape: one Arrow-batched pass over the exploded tokens (the
+    vocab rides the closure exactly like unigram_segment), one
+    groupBy(id) of three integer partial aggregates, and a left join
+    back to the doc spine — the corpus never shuffles text.
+    """
+    from ds_caselaw_ingester_spark.operators.textstats import tokens
+
+    model = dict(logp)
+    floor = float(oov_logp) if oov_logp is not None else min(model.values())
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_lp, out_np = [], []
+            for t in pdf["token"]:
+                pieces = viterbi_segment(t, model, max_piece_len)
+                lp = sum(model.get(p, floor) for p in pieces)
+                # micro-round per TOKEN: integer partials make the
+                # per-doc sum shuffle-order-stable (bm25's convention)
+                out_lp.append(int(round(lp * 1e6)))
+                out_np.append(len(pieces))
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col].reset_index(drop=True),
+                    "lp_micro": out_lp,
+                    "n_pieces": out_np,
+                }
+            )
+
+    id_type = dict(tok.dtypes)[id_col]
+    scored = tok.mapInPandas(
+        score, f"_id {id_type}, lp_micro long, n_pieces long"
+    )
+    agg = scored.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("n_pieces").alias("n_pieces"),
+        (F.sum("lp_micro") / F.lit(1e6)).alias("total_logprob"),
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce(F.col("n_pieces"), F.lit(0).cast("long")).alias("n_pieces"),
+            F.coalesce(F.col("total_logprob"), F.lit(0.0)).alias("total_logprob"),
+            F.when(
+                F.col("n_pieces") > 0,
+                F.round(
+                    F.exp(-F.col("total_logprob") / F.col("n_pieces")), 4
+                ),
+            ).alias("ppl"),
+        )
+    )

@@ -121,3 +121,45 @@ def test_pipeline_semantic_stage_collapses_paraphrases(spark):
     # 13 (no embedding) both survive
     assert len(ids_sem & {10, 11}) == 1
     assert {12, 13} <= ids_sem
+
+
+def test_curation_lm_perplexity_gate_drops_gibberish(spark):
+    """The optional LM gate: with a unigram model trained on the
+    corpus's own clean text, a long-but-gibberish document (which the
+    structural gates pass — enough tokens, alphabetic) is dropped while
+    natural documents survive and chunk as before."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.curation import curate_corpus
+    from ds_caselaw_ingester_spark.operators.unigram_lm import (
+        unigram_fit,
+        unigram_perplexity,
+    )
+
+    clean = [
+        "the court held the appeal was dismissed with costs today",
+        "the appeal court dismissed the second appeal with costs",
+        "costs were held over while the court heard the appeal",
+    ]
+    gibberish = "zxqv kjwp qqzz vvkk zzzz xqxq wqwq zzxx qvqv kkjj"
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(clean)] + [(50, gibberish)],
+        "doc_id long, text string",
+    )
+    wf = (
+        spark.createDataFrame([(w,) for t in clean for w in t.split()], "word string")
+        .groupBy("word").agg(F.count("*").alias("freq"))
+    )
+    logp = unigram_fit(wf, num_iters=2, max_piece_len=4, max_vocab=200)
+    # threshold between the natural band and the gibberish score
+    ppl = {r["doc_id"]: r["ppl"] for r in unigram_perplexity(
+        docs, "doc_id", "text", logp, max_piece_len=6
+    ).collect()}
+    cut = (max(ppl[i] for i in range(len(clean))) + ppl[50]) / 2
+    out = curate_corpus(
+        docs, min_tokens=5, min_alpha_ratio=0.5, chunk_tokens=8, overlap=0,
+        lm_logp=logp, max_ppl=cut,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert 50 not in kept
+    assert kept >= {0, 1, 2}

@@ -105,3 +105,72 @@ def test_em_compresses_vs_characters(spark, wf):
         1 for w in top_words if len(viterbi_segment(w, model, MAX_LEN)) < len(w)
     )
     assert shorter >= 0.8 * len(top_words), (shorter, len(top_words))
+
+
+def test_unigram_perplexity_replay_and_discrimination(spark):
+    """unigram_perplexity: (a) replay-exact vs a pure-Python
+    reimplementation (Viterbi + micro-rounded sums — the same
+    engine-portability rule every scorer follows); (b) the signal
+    works — a gibberish document scores strictly higher perplexity
+    than in-distribution text under a model trained on that text;
+    (c) empty/NULL docs keep their row with n_tokens=0 and NULL ppl."""
+    import math
+
+    from ds_caselaw_ingester_spark.operators.unigram_lm import (
+        unigram_fit,
+        unigram_perplexity,
+        viterbi_segment,
+    )
+
+    base = [
+        "the court held the appeal was dismissed with costs",
+        "the appeal court dismissed the appeal and the costs order",
+        "costs were held over while the court dismissed the appeal",
+    ]
+    rows = [(i, t) for i, t in enumerate(base)] + [
+        (97, "zxqv kjwp qqzz vvkk zzzz xqxq"),  # gibberish
+        (98, ""),
+        (99, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = (
+        spark.createDataFrame(
+            [(w,) for t in base for w in t.split()], "word string"
+        )
+        .groupBy("word")
+        .agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("freq"))
+    )
+    logp = unigram_fit(wf, num_iters=2, max_piece_len=4, max_vocab=200)
+    got = {r["doc_id"]: r for r in unigram_perplexity(
+        docs, "doc_id", "text", logp, max_piece_len=4
+    ).collect()}
+
+    # (a) replay
+    floor = min(logp.values())
+    for i, t in enumerate(base):
+        total_micro, n_pieces, n_tok = 0, 0, 0
+        for w in t.split():
+            pieces = viterbi_segment(w, logp, 4)
+            lp = sum(logp.get(p, floor) for p in pieces)
+            total_micro += int(round(lp * 1e6))
+            n_pieces += len(pieces)
+            n_tok += 1
+        want_total = total_micro / 1e6
+        want_ppl = float(
+            __import__("decimal").Decimal(
+                repr(math.exp(-want_total / n_pieces))
+            ).quantize(__import__("decimal").Decimal("0.0001"),
+                       rounding=__import__("decimal").ROUND_HALF_UP)
+        )
+        r = got[i]
+        assert r["n_tokens"] == n_tok and r["n_pieces"] == n_pieces
+        assert abs(r["total_logprob"] - want_total) < 1e-9
+        assert abs(r["ppl"] - want_ppl) < 5e-4, (r["ppl"], want_ppl)
+
+    # (b) discrimination
+    nat_max = max(got[i]["ppl"] for i in range(len(base)))
+    assert got[97]["ppl"] > nat_max
+
+    # (c) empty and NULL docs keep their rows
+    for d in (98, 99):
+        assert got[d]["n_tokens"] == 0 and got[d]["ppl"] is None

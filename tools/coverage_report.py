@@ -72,6 +72,8 @@ def main() -> int:
             "  bloom decontam (op)     tests/test_decontam.py (confirmed == exact; FPR measured)",
             "  matmul ivf_assign (op)  tests/test_ann_recall.py (== literal path, large-k route)",
             "  occupancy guard (op)    tests/test_sizing.py (pre-join skew WARN)",
+            "  unigram perplexity (op) tests/test_unigram_lm.py (replay-exact LM filter)",
+            "  layout migration (op)   tests/test_compaction.py (flat -> partitioned)",
         ):
             print(line)
         print()
