@@ -217,9 +217,16 @@ def decontaminate_bloom(
     `decontaminate`'s — the bloom is purely a scan-side prefilter that
     keeps the shuffle bounded by contamination volume even when the
     corpus is dirty and the benchmark huge. confirm=False skips the
-    join and accepts the documented ~1% per-gram false-positive rate
-    (never false negatives: every truly contaminated gram passes its
-    own bits).
+    join and accepts the ~1% PER-GRAM false-positive rate (never false
+    negatives: every truly contaminated gram passes its own bits).
+    CAUTION — the per-gram rate COMPOUNDS per document: a clean
+    800-gram document is 800 independent ~1% trials, so its chance of
+    a false is_contaminated flag approaches 1 (measured at sf1: 23,942
+    flagged vs the true 10,860 — BENCH_SF1.md r8). confirm=False is
+    for gram-level prefiltering or count-tolerant weighting, NEVER for
+    doc-level drop decisions on long documents; either keep the
+    confirming join or size bits_per_element for the DOCUMENT-level
+    target (~10 + log2(avg_grams_per_doc) extra bits).
 
     Scale shape: the bitmap broadcasts once per executor
     (sc.broadcast); the corpus never shuffles un-filtered rows; the
