@@ -290,3 +290,142 @@ def rrf_fuse(
     return topk.select(
         id_col, "rrf_score", F.row_number().over(w).alias("rank")
     )
+
+
+def bm25_topk_queries(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    q_id_col: str = "q_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k PER QUERY from a queries TABLE — the multi-query form
+    of bm25_topk, emitting the (q_id, doc_id, rank) shape the per-query
+    ANN operators emit and rrf_fuse(query_col=...) fuses.
+
+    queries: (q_id_col, terms_col array<string>). Duplicate terms
+    within a query are deduplicated (a repeated term must not
+    double-count its score — same rule as bm25_topk's distinct-terms
+    precondition, enforced here instead of raised).
+
+    One corpus pass serves every query: the token explode is pruned by
+    a broadcast join against the UNION of all queries' terms (the
+    multi-query analog of the isin prune — nothing off-query shuffles),
+    and tf / df / dl / the corpus-stats row are all query-independent,
+    so adding queries adds only the final broadcast join of the tiny
+    (q_id, token) frame and a per-query rank window over match-bounded
+    rows. Scores are micro-rounded per (doc, term) and summed as
+    integers (order-stable, engine-exact vs DuckDB).
+
+    Returns (q_id, doc_id, score, rank), rank 1..k per query by
+    (score DESC, doc_id ASC).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    qterms = (
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.explode(F.col(terms_col)).alias("token"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; read by the prune + the scoring join
+    )
+    all_terms = qterms.select("token").distinct()
+
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    tok = tokens(F.col("_text"))
+    # slim materialized lengths — one tokenize pass for stats + the
+    # scoring join-back (the Generate-sibling rule: see bm25_topk)
+    dl = base.select("doc_id", F.size(tok).alias("dl")).localCheckpoint(
+        eager=True
+    )
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl"))
+    tf = (
+        base.select("doc_id", F.explode(tok).alias("token"))
+        .join(F.broadcast(all_terms), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+
+    scored = (
+        dl.join(tf, "doc_id")
+        .join(F.broadcast(df_t), "token")
+        .join(F.broadcast(qterms), "token")
+        .join(F.broadcast(stats))
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    term_score = (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom
+    micro = F.round(term_score * F.lit(_MICRO), 0).cast("long")
+    per_doc = scored.groupBy("q_id", "doc_id").agg(
+        (F.sum(micro) / F.lit(_MICRO)).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_queries_oracle_sql(
+    k: int, k1: float = 1.2, b: float = 0.75, queries_cte: str = "queries"
+) -> str:
+    """DuckDB oracle for bm25_topk_queries: expects a CTE/view named
+    `queries_cte` with (q_id, token) rows (already exploded+distinct),
+    mirrors the Spark expressions token-for-token."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE string_split_regex(trim(text), '\\s+') END) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+alldl AS (SELECT doc_id, 0 AS dl FROM documents WHERE trim(text) = ''
+          UNION ALL SELECT doc_id, dl FROM dl),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM alldl),
+all_terms AS (SELECT DISTINCT token FROM {queries_cte}),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM tok WHERE token IN (SELECT token FROM all_terms)
+  GROUP BY doc_id, token
+),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+per_term AS (
+  SELECT q.q_id, tf.doc_id,
+         CAST(round(
+           (ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+            * (tf.tf * {k1 + 1.0!r}))
+           / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * (d.dl / (s.total_dl / s.n_docs))))
+           * {_MICRO!r}, 0) AS BIGINT) AS micro
+  FROM tf
+  JOIN dft USING (token)
+  JOIN alldl d USING (doc_id)
+  JOIN {queries_cte} q USING (token)
+  CROSS JOIN stats s
+)
+SELECT q_id, doc_id, score, rank FROM (
+  SELECT q_id, doc_id, sum(micro) / {_MICRO!r} AS score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY sum(micro) / {_MICRO!r} DESC, doc_id ASC) AS rank
+  FROM per_term
+  GROUP BY q_id, doc_id
+) WHERE rank <= {k}
+"""

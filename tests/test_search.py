@@ -135,3 +135,98 @@ def test_rrf_fuse_rejects_multiquery_frame_without_query_col(spark):
     )
     with pytest.raises(ValueError, match="query_col"):
         rrf_fuse([multi], k=5)
+
+
+def test_bm25_topk_queries_matches_duckdb_oracle(spark, sf_dir):
+    """Multi-query BM25 against the DuckDB replay (same micro-rounded
+    integer-sum convention as the registered bm25_search): per-query
+    ranks hash-equal, duplicate terms within a query deduplicated."""
+    import duckdb
+
+    from ds_caselaw_ingester_spark.operators.search import (
+        bm25_queries_oracle_sql,
+        bm25_topk_queries,
+    )
+    from ds_caselaw_ingester_spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        [
+            (1, ["spark", "window"]),
+            (2, ["merge", "merge", "window"]),  # dup term: must not double-count
+            (3, ["zzz-no-such-token"]),
+        ],
+        "q_id int, terms array<string>",
+    )
+    got = sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk_queries(
+            docs, "doc_id", "text", queries, k=7
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW queries AS SELECT * FROM (VALUES "
+        "(1, 'spark'), (1, 'window'), (2, 'merge'), (2, 'window'), "
+        "(3, 'zzz-no-such-token')) t(q_id, token)"
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        bm25_queries_oracle_sql(7)
+    ).fetchall())
+    assert got == want and got
+    # q_id 3 matches nothing; 1 and 2 both produced ranked lists
+    qids = {q for q, *_ in got}
+    assert qids == {1, 2}
+
+
+def test_per_query_hybrid_composes_bm25_multi_and_dense(spark, sf_dir):
+    """The full per-query hybrid stack: multi-query BM25 + per-query
+    dense cosine shortlists fused with rrf_fuse(query_col=...) — one
+    fused top-k PER query, each equal to fusing that query's slices
+    alone."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.search import (
+        bm25_topk_queries,
+        rrf_fuse,
+    )
+    from ds_caselaw_ingester_spark.operators.similarity import cosine_topk
+    from ds_caselaw_ingester_spark.sources.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = spark.createDataFrame(
+        [(1, ["spark", "window"]), (2, ["merge", "table"])],
+        "q_id int, terms array<string>",
+    )
+    lex = bm25_topk_queries(docs, "doc_id", "text", queries, k=5).select(
+        "q_id", "doc_id", "rank"
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id").isin([1, 2])).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    dense = cosine_topk(q, c, k=5).select(
+        "q_id", F.col("c_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([lex, dense], k=5, query_col="q_id")
+    rows = fused.collect()
+    assert {r["q_id"] for r in rows} == {1, 2}
+    for qid in (1, 2):
+        per = rrf_fuse(
+            [lex.where(F.col("q_id") == qid).drop("q_id"),
+             dense.where(F.col("q_id") == qid).drop("q_id")],
+            k=5,
+        )
+        want = {(r["doc_id"], r["rank"], r["rrf_score"]) for r in per.collect()}
+        gotq = {
+            (r["doc_id"], r["rank"], r["rrf_score"])
+            for r in rows if r["q_id"] == qid
+        }
+        assert gotq == want and gotq

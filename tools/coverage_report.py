@@ -74,6 +74,7 @@ def main() -> int:
             "  occupancy guard (op)    tests/test_sizing.py (pre-join skew WARN)",
             "  unigram perplexity (op) tests/test_unigram_lm.py (replay-exact LM filter)",
             "  layout migration (op)   tests/test_compaction.py (flat -> partitioned)",
+            "  multi-query bm25 (op)   tests/test_search.py (DuckDB-gated per-query ranks)",
         ):
             print(line)
         print()
