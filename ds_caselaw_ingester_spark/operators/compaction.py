@@ -227,6 +227,19 @@ def ensure_partitioned_layout(
     """
     import json
 
+    # a half-finished migration must be completed (rerun
+    # migrate_to_partitioned — its recover_swap reconciles every crash
+    # point) before any sink touches the path: proceeding could
+    # bootstrap a near-empty table beside the full migrated copy
+    leftover = [
+        s for s in (".migrate-tmp", ".migrate-old") if os.path.exists(local + s)
+    ]
+    if leftover:
+        raise RuntimeError(
+            f"{local}{leftover[0]} exists — a migration of this table "
+            "crashed mid-swap; rerun migrate_to_partitioned to complete "
+            "it before starting the sink."
+        )
     partitions = []
     if os.path.isdir(local):
         entries = os.listdir(local)
@@ -388,14 +401,23 @@ def migrate_to_partitioned(
     - Data-derived layouts (SemDeDup's centroid_id): the column must
       already exist in the flat table; pass n_buckets=None.
 
-    Crash-safe via the standard swap: the rewrite fully materializes in
-    `path + ".tmp"`, then whole-dir renames with recover_swap
-    reconciliation — a crash leaves either the flat original or the
-    migrated table, never neither. Single-writer: quiesce the sink
-    first (this is a maintenance operation, like compaction)."""
+    Crash-safe via the standard swap, under migration-OWNED suffixes
+    (`.migrate-tmp` / `.migrate-old`, NOT the sinks' `.tmp`/`.old`): a
+    sink started against a half-migrated path must never mistake the
+    migration's artifacts for its own — the sinks rmtree their `.tmp`
+    unconditionally, which with shared names would delete the only
+    migrated copy after a mid-commit crash. ensure_partitioned_layout
+    additionally refuses to run a sink while migration artifacts
+    exist. recover_swap runs exclusive=True: `local` is only ever
+    (re)created by this migration's own completed rename (the caller
+    quiesces the sink — this is a maintenance operation, like
+    compaction), so local+backup both present means the backup is
+    stale, and every crash point reconciles on the next run. The
+    migrated row count is read from the rewrite's parquet footers —
+    the source is scanned exactly once."""
     local = path[len("file:") :] if path.startswith("file:") else path
-    tmp, old = local + ".tmp", local + ".old"
-    recover_swap(local, tmp, old, exclusive=False)
+    tmp, old = local + ".migrate-tmp", local + ".migrate-old"
+    recover_swap(local, tmp, old, exclusive=True)
     df = spark.read.parquet(path)
     if n_buckets is not None:
         if key is None:
@@ -408,9 +430,9 @@ def migrate_to_partitioned(
             f"{path} has no `{col}` column; data-derived migration needs "
             "it (e.g. rebuild a SemDeDup index with semdedup_build_index)"
         )
-    n = df.count()
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").partitionBy(col).parquet(tmp)
+    n = spark.read.parquet(tmp).count()  # footer metadata, no data scan
     commit_swap(local, tmp, old)
     if n_buckets is not None:
         pin_partitioned_layout(local, col, n_buckets)

@@ -52,6 +52,7 @@ def curate_corpus(
     semdedup_k: int = 16,
     lm_logp: "dict[str, float] | None" = None,
     max_ppl: float = 1e6,
+    lm_max_piece_len: int = 6,
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens) for the curated
     corpus: scrubbed text, quality-gated, optionally decontaminated
@@ -80,7 +81,12 @@ def curate_corpus(
     at the quality gate - the CCNet-style LM filter
     (operators/unigram_lm.py unigram_perplexity), composed after the
     cheap structural gates so the Viterbi pass sees only structurally
-    plausible survivors."""
+    plausible survivors. lm_max_piece_len MUST match the value the
+    model was trained and the cutoff calibrated with (a narrower
+    window than training systematically inflates scores near the
+    threshold). Documents the LM cannot score (no tokens -> NULL ppl)
+    are KEPT - the gate's only documented drop condition is
+    ppl > max_ppl; structural gates own the empty-doc decision."""
     if benchmark is not None:
         from ds_caselaw_ingester_spark.operators.decontam import decontaminate
 
@@ -103,13 +109,20 @@ def curate_corpus(
             unigram_perplexity,
         )
 
-        ppl = unigram_perplexity(gated, id_col, text_col, lm_logp)
-        gated = gated.join(
-            ppl.where(
-                F.col("ppl").isNotNull() & (F.col("ppl") <= F.lit(max_ppl))
-            ).select(id_col),
-            id_col,
+        ppl = unigram_perplexity(
+            gated, id_col, text_col, lm_logp, max_piece_len=lm_max_piece_len
         )
+        # keep NULL-ppl (unscored) docs: the only drop condition is
+        # ppl > max_ppl. localCheckpoint the id shortlist so the
+        # per-token Viterbi pass runs ONCE - `gated` has three
+        # downstream consumers (shingles, the spine, keepers) and an
+        # unmaterialized gate would replay the scoring per consumer.
+        keep_ids = (
+            ppl.where(F.col("ppl").isNull() | (F.col("ppl") <= F.lit(max_ppl)))
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+        gated = gated.join(keep_ids, id_col)
     pairs = lsh_candidate_pairs(
         lsh_bands(
             minhash_signatures(doc_shingles(gated, id_col, text_col), id_col),

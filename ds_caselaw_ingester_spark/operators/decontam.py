@@ -226,7 +226,10 @@ def decontaminate_bloom(
     for gram-level prefiltering or count-tolerant weighting, NEVER for
     doc-level drop decisions on long documents; either keep the
     confirming join or size bits_per_element for the DOCUMENT-level
-    target (~10 + log2(avg_grams_per_doc) extra bits).
+    target: optimal-bloom FPR ≈ 0.6185^bits, so holding the DOC-level
+    rate needs ~1.44·log2(avg_grams_per_doc) extra bits on top of the
+    per-gram sizing (~10 + 1.44·log2(800) ≈ 24 bits for 800-gram docs
+    at a ~1% doc-level target).
 
     Scale shape: the bitmap broadcasts once per executor
     (sc.broadcast); the corpus never shuffles un-filtered rows; the

@@ -45,6 +45,67 @@ from ds_caselaw_ingester_spark.operators.textstats import tokens
 _MICRO = 1000000.0
 
 
+def _bm25_corpus_frames(docs, id_col, text_col, term_prune):
+    """(dl, stats, tf, df_t) — the query-independent corpus side shared
+    by the single- and multi-query BM25 forms (ONE implementation: the
+    determinism contract requires the two forms' expressions to stay
+    token-for-token identical with the DuckDB oracles, so there is
+    exactly one copy to keep in sync).
+
+    NULL-text rows are excluded from the CORPUS, not just from
+    matching: size(tokens(NULL)) is NULL, so without the filter
+    count(*) would include such a doc in n_docs while sum(dl) skipped
+    it — idf/avgdl must see one consistent corpus (the oracle excludes
+    NULL text from both).
+
+    dl is a materialized SLIM frame (two longs per doc): one tokenize
+    pass serves both the corpus-stats row and the scoring join-back.
+    This replaces the original design that rode `dl` through the
+    explode's groupBy key — there, CollapseProject inlined
+    size(tokens(text)) PAST the Generate and the regex tokenizer re-ran
+    per TOKEN row: measured 32.3 s of a 33.8 s query at sf10 vs 7.9 s
+    for this shape (BENCH_SF1.md r8). The checkpoint is 16 bytes/doc.
+
+    term_prune: maps the exploded (doc_id, token) frame to its pruned
+    form — isin(terms) for the single-query form, a broadcast join
+    against the union of all queries' terms for the multi-query form.
+    tf is localCheckpointed: it has two consumers (the df_t build and
+    the scoring join) and is match-bounded."""
+    base = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    tok = tokens(F.col("_text"))
+    dl = base.select("doc_id", F.size(tok).alias("dl")).localCheckpoint(
+        eager=True
+    )
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl"))
+    tf = (
+        term_prune(base.select("doc_id", F.explode(tok).alias("token")))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    return dl, stats, tf, df_t
+
+
+def _bm25_micro_score(k1: float, b: float):
+    """The per-(doc, term) micro-rounded BIGINT score expression —
+    expression order mirrors the DuckDB oracle token-for-token so the
+    IEEE double sequence is identical on both sides; integer partials
+    make the per-doc sum shuffle-order-stable."""
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
+    )
+    term_score = (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom
+    return F.round(term_score * F.lit(_MICRO), 0).cast("long")
+
+
 def bm25_topk(
     docs: DataFrame,
     id_col: str,
@@ -69,51 +130,10 @@ def bm25_topk(
     if len(set(terms)) != len(terms):
         raise ValueError("terms must be distinct")
 
-    # NULL-text rows are excluded from the CORPUS, not just from
-    # matching: size(tokens(NULL)) is NULL, so without the filter
-    # count(*) would include such a doc in n_docs while sum(dl) skipped
-    # it — n_docs and total_dl disagreeing on the doc set, and both
-    # diverging from the DuckDB oracle (which excludes NULL text from
-    # both). idf/avgdl must see one consistent corpus.
-    base = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    dl, stats, tf, df_t = _bm25_corpus_frames(
+        docs, id_col, text_col,
+        lambda exploded: exploded.where(F.col("token").isin(terms)),
     )
-    tok = tokens(F.col("_text"))
-    # Document lengths as a materialized SLIM frame (two longs per doc):
-    # one tokenize pass serves BOTH the corpus-stats row and the scoring
-    # join's length lookup. This replaces the original design that rode
-    # `dl` through the explode's groupBy key — there, CollapseProject
-    # inlined size(tokens(text)) PAST the Generate and the regex
-    # tokenizer re-ran per TOKEN row, not per document: measured 32.3 s
-    # for the tf build at sf10 (500k docs) vs 7.9 s for this
-    # explode-only + join-back shape (BENCH_SF1.md r8). The checkpoint
-    # is 16 bytes/doc — ~16 GB per billion documents, spread across
-    # executor storage (MEMORY_AND_DISK).
-    dl = base.select("doc_id", F.size(tok).alias("dl")).localCheckpoint(
-        eager=True
-    )
-    # Stage 3a: ONE corpus-stats row (exact integer sums, then a single
-    # double division — deterministic). Aggregated over ALL documents,
-    # matching ones or not.
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
-    )
-    # Stage 1+2: explode -> prune to query terms in the same codegen
-    # pass; nothing off-query shuffles. localCheckpoint: tf has TWO
-    # consumers (the df_t broadcast build and the probe side of the
-    # scoring join) — left lazy, the corpus-sized tokenize+explode
-    # subtree runs once per consumer. The materialized frame is tiny:
-    # one row per (matching doc, query term).
-    tf = (
-        base.select("doc_id", F.explode(tok).alias("token"))
-        .where(F.col("token").isin(terms))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
-    )
-    # Stage 3b: document frequency per query term (≤ |terms| rows).
-    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
-
     # dl ⋈ tf is deliberately hint-free: tf is match-bounded, so AQE
     # broadcasts it for any selective query and the corpus-sized dl
     # frame never shuffles; a pathological stop-word query degrades to
@@ -123,18 +143,7 @@ def bm25_topk(
         .join(F.broadcast(df_t), "token")
         .join(F.broadcast(stats))
     )
-    # Expression order mirrors the DuckDB oracle token-for-token so the
-    # IEEE double sequence is identical on both sides.
-    avgdl = F.col("total_dl") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
-    )
-    term_score = (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom
-    micro = F.round(term_score * F.lit(_MICRO), 0).cast("long")
-
+    micro = _bm25_micro_score(k1, b)
     per_doc = scored.groupBy("doc_id").agg(
         (F.sum(micro) / F.lit(_MICRO)).alias("score")
     )
@@ -149,14 +158,12 @@ def bm25_topk(
     )
 
 
-def bm25_oracle_sql(
-    terms: list[str], k: int, k1: float = 1.2, b: float = 0.75
-) -> str:
-    """DuckDB oracle mirroring `bm25_topk` expression-for-expression
-    (micro-rounded per-term scores summed as BIGINT)."""
-    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
-    return f"""
-WITH tok AS (
+def _bm25_base_ctes_sql(tf_pred: str) -> str:
+    """The query-independent CTE block (tok/dl/alldl/stats/tf/dft)
+    shared by both BM25 oracles — one copy, mirroring
+    _bm25_corpus_frames expression-for-expression. tf_pred: the SQL
+    predicate pruning tokens to query terms."""
+    return f"""tok AS (
   SELECT doc_id,
          unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                      ELSE string_split_regex(trim(text), '\\s+') END) AS token
@@ -168,17 +175,35 @@ alldl AS (SELECT doc_id, 0 AS dl FROM documents WHERE trim(text) = ''
 stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM alldl),
 tf AS (
   SELECT doc_id, token, count(*) AS tf
-  FROM tok WHERE token IN ({quoted})
+  FROM tok WHERE {tf_pred}
   GROUP BY doc_id, token
 ),
-dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token)"""
+
+
+def _bm25_micro_sql(k1: float, b: float) -> str:
+    """The per-(doc, term) micro BIGINT expression both oracles sum —
+    one copy, mirroring _bm25_micro_score token-for-token."""
+    return (
+        "CAST(round("
+        "(ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))"
+        f" * (tf.tf * {k1 + 1.0!r}))"
+        f" / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r}"
+        " * (d.dl / (s.total_dl / s.n_docs))))"
+        f" * {_MICRO!r}, 0) AS BIGINT)"
+    )
+
+
+def bm25_oracle_sql(
+    terms: list[str], k: int, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB oracle mirroring `bm25_topk` expression-for-expression
+    (micro-rounded per-term scores summed as BIGINT)."""
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+WITH {_bm25_base_ctes_sql(f"token IN ({quoted})")},
 per_term AS (
-  SELECT tf.doc_id,
-         CAST(round(
-           (ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
-            * (tf.tf * {k1 + 1.0!r}))
-           / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * (d.dl / (s.total_dl / s.n_docs))))
-           * {_MICRO!r}, 0) AS BIGINT) AS micro
+  SELECT tf.doc_id, {_bm25_micro_sql(k1, b)} AS micro
   FROM tf
   JOIN dft USING (token)
   JOIN alldl d USING (doc_id)
@@ -336,41 +361,17 @@ def bm25_topk_queries(
     )
     all_terms = qterms.select("token").distinct()
 
-    base = docs.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    dl, stats, tf, df_t = _bm25_corpus_frames(
+        docs, id_col, text_col,
+        lambda exploded: exploded.join(F.broadcast(all_terms), "token"),
     )
-    tok = tokens(F.col("_text"))
-    # slim materialized lengths — one tokenize pass for stats + the
-    # scoring join-back (the Generate-sibling rule: see bm25_topk)
-    dl = base.select("doc_id", F.size(tok).alias("dl")).localCheckpoint(
-        eager=True
-    )
-    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl"))
-    tf = (
-        base.select("doc_id", F.explode(tok).alias("token"))
-        .join(F.broadcast(all_terms), "token")
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
-    )
-    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
-
     scored = (
         dl.join(tf, "doc_id")
         .join(F.broadcast(df_t), "token")
         .join(F.broadcast(qterms), "token")
         .join(F.broadcast(stats))
     )
-    avgdl = F.col("total_dl") / F.col("n_docs")
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl)
-    )
-    term_score = (idf * (F.col("tf") * F.lit(k1 + 1.0))) / denom
-    micro = F.round(term_score * F.lit(_MICRO), 0).cast("long")
+    micro = _bm25_micro_score(k1, b)
     per_doc = scored.groupBy("q_id", "doc_id").agg(
         (F.sum(micro) / F.lit(_MICRO)).alias("score")
     )
@@ -389,32 +390,14 @@ def bm25_queries_oracle_sql(
 ) -> str:
     """DuckDB oracle for bm25_topk_queries: expects a CTE/view named
     `queries_cte` with (q_id, token) rows (already exploded+distinct),
-    mirrors the Spark expressions token-for-token."""
+    sharing the single-query oracle's CTE block and micro expression."""
+    base = _bm25_base_ctes_sql(
+        f"token IN (SELECT token FROM {queries_cte})"
+    )
     return f"""
-WITH tok AS (
-  SELECT doc_id,
-         unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                     ELSE string_split_regex(trim(text), '\\s+') END) AS token
-  FROM documents
-),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-alldl AS (SELECT doc_id, 0 AS dl FROM documents WHERE trim(text) = ''
-          UNION ALL SELECT doc_id, dl FROM dl),
-stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM alldl),
-all_terms AS (SELECT DISTINCT token FROM {queries_cte}),
-tf AS (
-  SELECT doc_id, token, count(*) AS tf
-  FROM tok WHERE token IN (SELECT token FROM all_terms)
-  GROUP BY doc_id, token
-),
-dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+WITH {base},
 per_term AS (
-  SELECT q.q_id, tf.doc_id,
-         CAST(round(
-           (ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
-            * (tf.tf * {k1 + 1.0!r}))
-           / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * (d.dl / (s.total_dl / s.n_docs))))
-           * {_MICRO!r}, 0) AS BIGINT) AS micro
+  SELECT q.q_id, tf.doc_id, {_bm25_micro_sql(k1, b)} AS micro
   FROM tf
   JOIN dft USING (token)
   JOIN alldl d USING (doc_id)
