@@ -1,0 +1,226 @@
+"""Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+Models: ... Gopher", Table A1) — the repetition-removal half of the
+quality pipeline that `text_profile`'s single dup_3gram_ratio only hints
+at.
+
+Per document:
+- duplicate line / paragraph fraction: occurrences AFTER the first of an
+  identical line (split on newline) or paragraph (split on blank line),
+  over the total element count;
+- duplicate line / paragraph CHARACTER fraction: same, weighted by the
+  element's character length;
+- top n-gram character fraction (n = 2, 3, 4 by default): characters
+  covered by all occurrences of the single most frequent word n-gram,
+  over the document's total token characters;
+- duplicate n-gram character fraction (n = 5, 10 by default): characters
+  of token positions covered by ANY word n-gram occurring at least
+  twice, over total token characters.
+
+Definition note (documented divergence): for duplicate n-grams, the
+published filters (e.g. the DataTrove/NeMo re-implementations of Gopher)
+scan the document left-to-right and skip n tokens after each duplicate
+hit, so their covered-character count depends on scan order. We instead
+use order-independent POSITIONAL COVERAGE — a token position is covered
+iff it lies inside any duplicated n-gram occurrence — which is a
+deterministic set property, replayable in ANSI SQL, and monotone in the
+same repetition signal. Thresholds calibrated for the greedy variant
+transfer approximately, not exactly.
+
+Scale design: everything is keyed by (doc_id[, element]) — no global
+shuffle, no driver state. The tagged-element explode multiplies the
+corpus by ~(tokens + lines + paragraphs + one gram array per top-n), the
+same token-explode scale class as the BM25 tokenizer scan; the groupBy
+runs with map-side partial aggregation on (doc_id, kind, elem). The
+duplicate-n-gram pass uses one window count per n partitioned by
+(doc_id, gram) — skew-bounded by the repetition within a single
+document. Reference parity: the reference ingester has no corpus-quality
+stage at all (it ingests one tarball per Lambda invoke); these signals
+are part of the training-data-pipeline surface SURVEY.md §2.9 adds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.textstats import tokens, word_ngrams
+
+__all__ = ["repetition_profile"]
+
+_ELEM_STRUCT = "struct<kind:string,elem:string,clen:bigint>"
+
+
+def _tagged(kind: str, arr: Column, clen_minus: int = 0) -> Column:
+    """Array of (kind, elem, clen) structs; clen subtracts the joining
+    spaces for word n-grams so character accounting never counts the
+    separator we inserted ourselves."""
+    return F.transform(
+        arr,
+        lambda x: F.struct(
+            F.lit(kind).alias("kind"),
+            x.alias("elem"),
+            (F.length(x) - F.lit(clen_minus)).cast("bigint").alias("clen"),
+        ),
+    )
+
+
+def _lines(text: Column) -> Column:
+    return F.filter(F.split(text, "\n"), lambda x: x != "")
+
+
+def _paras(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, "\n{2,}"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def _frac(num: Column, den: Column, digits: int) -> Column:
+    return F.when(den > 0, F.round(num.cast("double") / den, digits)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def repetition_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (5, 10),
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document Gopher repetition profile. Returns one row per input
+    document (empty documents get all-zero signals):
+
+    (id_col, n_lines, dup_line_frac, dup_line_char_frac,
+     n_paras, dup_para_frac, dup_para_char_frac,
+     top_{n}gram_char_frac ... for n in top_ns,
+     dup_{n}gram_char_frac ... for n in dup_ns)
+    """
+    if any(n < 2 for n in (*top_ns, *dup_ns)):
+        raise ValueError("repetition n-grams need n >= 2")
+    if len(set(top_ns)) != len(top_ns) or len(set(dup_ns)) != len(dup_ns):
+        raise ValueError("duplicate n in top_ns/dup_ns")
+
+    d = docs.select(F.col(id_col), F.col(text_col).alias("_text"))
+    tok = tokens(F.col("_text"))
+
+    # --- pass A: one tagged explode covers tokens, lines, paragraphs and
+    # every top-n gram size; (cnt - 1)-weighted sums give the duplicate
+    # fractions, a struct-min gives the deterministic top gram (highest
+    # count, then lexicographically smallest).
+    parts = [
+        _tagged("tok", tok),
+        _tagged("line", _lines(F.col("_text"))),
+        _tagged("para", _paras(F.col("_text"))),
+    ]
+    for n in top_ns:
+        parts.append(_tagged(f"g{n}", word_ngrams(tok, n), clen_minus=n - 1))
+    elems = d.select(
+        id_col, F.explode(F.concat(*parts).cast(f"array<{_ELEM_STRUCT}>")).alias("e")
+    ).select(id_col, "e.kind", "e.elem", "e.clen")
+
+    grouped = elems.groupBy(id_col, "kind", "elem").agg(
+        F.count("*").alias("cnt"), F.max("clen").alias("clen")
+    )
+    per_kind = grouped.groupBy(id_col, "kind").agg(
+        F.sum("cnt").alias("n_elems"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.col("clen")).alias("chars"),
+        F.sum((F.col("cnt") - 1) * F.col("clen")).alias("dup_chars"),
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("neg_cnt"),
+                F.col("elem").alias("elem"),
+                F.col("clen").alias("clen"),
+            )
+        ).alias("top"),
+    )
+
+    def _kind(kind: str, col: str) -> Column:
+        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+
+    aggs = [
+        F.coalesce(_kind("tok", "chars"), F.lit(0)).alias("_tok_chars"),
+        F.coalesce(_kind("line", "n_elems"), F.lit(0)).cast("int").alias("n_lines"),
+        F.coalesce(_kind("line", "n_distinct"), F.lit(0)).alias("_line_dist"),
+        F.coalesce(_kind("line", "chars"), F.lit(0)).alias("_line_chars"),
+        F.coalesce(_kind("line", "dup_chars"), F.lit(0)).alias("_line_dup_chars"),
+        F.coalesce(_kind("para", "n_elems"), F.lit(0)).cast("int").alias("n_paras"),
+        F.coalesce(_kind("para", "n_distinct"), F.lit(0)).alias("_para_dist"),
+        F.coalesce(_kind("para", "chars"), F.lit(0)).alias("_para_chars"),
+        F.coalesce(_kind("para", "dup_chars"), F.lit(0)).alias("_para_dup_chars"),
+    ]
+    for n in top_ns:
+        aggs.append(
+            F.coalesce(
+                (-_kind(f"g{n}", "top.neg_cnt")) * _kind(f"g{n}", "top.clen"),
+                F.lit(0),
+            ).alias(f"_top{n}_chars")
+        )
+    prof = per_kind.groupBy(id_col).agg(*aggs)
+
+    out_cols = [
+        F.col(id_col),
+        F.col("n_lines"),
+        _frac(F.col("n_lines") - F.col("_line_dist"), F.col("n_lines"), round_digits)
+        .alias("dup_line_frac"),
+        _frac(F.col("_line_dup_chars"), F.col("_line_chars"), round_digits)
+        .alias("dup_line_char_frac"),
+        F.col("n_paras"),
+        _frac(F.col("n_paras") - F.col("_para_dist"), F.col("n_paras"), round_digits)
+        .alias("dup_para_frac"),
+        _frac(F.col("_para_dup_chars"), F.col("_para_chars"), round_digits)
+        .alias("dup_para_char_frac"),
+    ]
+    for n in top_ns:
+        out_cols.append(
+            _frac(F.col(f"_top{n}_chars"), F.col("_tok_chars"), round_digits)
+            .alias(f"top_{n}gram_char_frac")
+        )
+
+    # --- pass B: duplicate-n-gram positional coverage. One window count
+    # per n over (doc, gram); covered token positions -> distinct ->
+    # char-weighted by a join against the token-position frame.
+    tokpos = d.select(
+        id_col, F.posexplode(tok).alias("_pos", "_tok")
+    ).select(id_col, "_pos", F.length("_tok").cast("bigint").alias("_tlen"))
+    cov_frames = []
+    for n in dup_ns:
+        grampos = d.select(
+            id_col, F.posexplode(word_ngrams(tok, n)).alias("_gpos", "_gram")
+        )
+        w = Window.partitionBy(id_col, "_gram")
+        covered = (
+            grampos.withColumn("_cnt", F.count("*").over(w))
+            .filter(F.col("_cnt") >= 2)
+            .select(
+                id_col,
+                F.explode(
+                    F.sequence(F.col("_gpos"), F.col("_gpos") + F.lit(n - 1))
+                ).alias("_pos"),
+            )
+            .distinct()
+        )
+        cov_frames.append(
+            covered.join(tokpos, [id_col, "_pos"])
+            .groupBy(id_col)
+            .agg(F.sum("_tlen").alias(f"_cov{n}_chars"))
+        )
+
+    base = docs.select(F.col(id_col)).join(prof, id_col, "left")
+    for n, cf in zip(dup_ns, cov_frames):
+        base = base.join(cf, id_col, "left")
+        out_cols.append(
+            _frac(
+                F.coalesce(F.col(f"_cov{n}_chars"), F.lit(0)),
+                F.col("_tok_chars"),
+                round_digits,
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    # left-join keeps empty documents; their kind rows never existed, so
+    # coalesce the counts (fracs already 0.0 through the zero denominators)
+    base = base.na.fill({"n_lines": 0, "n_paras": 0, "_tok_chars": 0})
+    return base.select(*out_cols)

@@ -385,15 +385,13 @@ LIMIT 100
 """
 
 
-@register(
-    "top_orders_global",
-    TOPK_ORACLE,
-    doc="Global top-100 by price: Spark plans orderBy().limit(k) as "
-    "TakeOrderedAndProject — per-partition top-k then a single driver "
-    "merge of n_partitions × k rows, never a full sort shuffle. "
-    "Deterministic via the (price DESC, orderkey ASC) total order.",
-    survey_ops=("ext:sort-limit",),
-)
+# NOT @register-ed since round 8: the slot went to repetition_profile
+# under the driver's 50-row cap. The TakeOrderedAndProject shape stays
+# registry-covered by every per-query top-k tail (bm25_search,
+# pq_adc_topk, hybrid_search) and this query keeps its identical DuckDB
+# oracle gate in pytest
+# (tests/test_oracle_parity.py::test_unregistered_top_orders_matches_oracle)
+# plus its plan-shape assertion (test_plan_shapes.py).
 def q_top_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
     o = table(spark, sf_dir, "orders")

@@ -713,3 +713,171 @@ WHERE epoch < CAST(floor(rate) AS BIGINT)
    OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)), 1, 13))::BIGINT
       / 16.0^13 < rate - floor(rate)
 """
+
+
+# ---------------------------------------------------------------------------
+# repetition_profile — Gopher repetition-removal signals (Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+def _rep_grams_sql(n: int) -> str:
+    return (
+        f"CASE WHEN len(tok) >= {n} THEN "
+        f"list_transform(generate_series(1, len(tok) - {n - 1}), "
+        f"i -> array_to_string(list_slice(tok, i, i + {n - 1}), ' ')) "
+        "ELSE []::VARCHAR[] END"
+    )
+
+
+def _rep_cov_sql(n: int) -> str:
+    """Duplicate-n-gram positional-coverage CTEs for one n."""
+    return f"""
+gpos{n} AS (
+  SELECT doc_id, s.i AS gpos, g[s.i] AS gram
+  FROM (SELECT doc_id, {_rep_grams_sql(n)} AS g FROM base),
+       unnest(generate_series(1, len(g))) AS s(i)
+),
+cov{n} AS (
+  SELECT DISTINCT doc_id, u.p
+  FROM (SELECT doc_id, gpos,
+               count(*) OVER (PARTITION BY doc_id, gram) AS cnt
+        FROM gpos{n}),
+       unnest(generate_series(gpos, gpos + {n - 1})) AS u(p)
+  WHERE cnt >= 2
+),
+covc{n} AS (
+  SELECT c.doc_id, sum(t.tlen) AS cov
+  FROM cov{n} c JOIN tokpos t ON c.doc_id = t.doc_id AND c.p = t.pos
+  GROUP BY c.doc_id
+)"""
+
+
+REPETITION_PROFILE_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS tok
+  FROM documents
+),
+elems AS (
+  SELECT doc_id, 'tok' AS kind, u.elem AS elem,
+         CAST(length(u.elem) AS BIGINT) AS clen
+  FROM base, unnest(tok) AS u(elem)
+  UNION ALL
+  SELECT doc_id, 'line', u.elem, CAST(length(u.elem) AS BIGINT)
+  FROM base,
+       unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS u(elem)
+  UNION ALL
+  SELECT doc_id, 'para', u.elem, CAST(length(u.elem) AS BIGINT)
+  FROM base,
+       unnest(list_filter(list_transform(string_split_regex(text, '\\n{{2,}}'),
+                                         x -> trim(x)),
+                          x -> x <> '')) AS u(elem)
+  UNION ALL
+  SELECT doc_id, 'g2', u.elem, CAST(length(u.elem) - 1 AS BIGINT)
+  FROM base, unnest({_rep_grams_sql(2)}) AS u(elem)
+  UNION ALL
+  SELECT doc_id, 'g3', u.elem, CAST(length(u.elem) - 2 AS BIGINT)
+  FROM base, unnest({_rep_grams_sql(3)}) AS u(elem)
+  UNION ALL
+  SELECT doc_id, 'g4', u.elem, CAST(length(u.elem) - 3 AS BIGINT)
+  FROM base, unnest({_rep_grams_sql(4)}) AS u(elem)
+),
+grouped AS (
+  SELECT doc_id, kind, elem, count(*) AS cnt, max(clen) AS clen
+  FROM elems GROUP BY doc_id, kind, elem
+),
+per_kind AS (
+  SELECT doc_id, kind, sum(cnt) AS n_elems, count(*) AS n_distinct,
+         sum(cnt * clen) AS chars, sum((cnt - 1) * clen) AS dup_chars
+  FROM grouped GROUP BY doc_id, kind
+),
+top_gram AS (
+  SELECT doc_id, kind, cnt * clen AS top_chars
+  FROM (SELECT doc_id, kind, cnt, clen, elem,
+               row_number() OVER (PARTITION BY doc_id, kind
+                                  ORDER BY cnt DESC, elem ASC) AS rn
+        FROM grouped WHERE kind IN ('g2', 'g3', 'g4'))
+  WHERE rn = 1
+),
+prof AS (
+  SELECT b.doc_id,
+         coalesce(max(CASE WHEN pk.kind = 'tok' THEN pk.chars END), 0) AS tok_chars,
+         coalesce(max(CASE WHEN pk.kind = 'line' THEN pk.n_elems END), 0) AS n_lines,
+         coalesce(max(CASE WHEN pk.kind = 'line' THEN pk.n_distinct END), 0) AS line_dist,
+         coalesce(max(CASE WHEN pk.kind = 'line' THEN pk.chars END), 0) AS line_chars,
+         coalesce(max(CASE WHEN pk.kind = 'line' THEN pk.dup_chars END), 0) AS line_dup_chars,
+         coalesce(max(CASE WHEN pk.kind = 'para' THEN pk.n_elems END), 0) AS n_paras,
+         coalesce(max(CASE WHEN pk.kind = 'para' THEN pk.n_distinct END), 0) AS para_dist,
+         coalesce(max(CASE WHEN pk.kind = 'para' THEN pk.chars END), 0) AS para_chars,
+         coalesce(max(CASE WHEN pk.kind = 'para' THEN pk.dup_chars END), 0) AS para_dup_chars
+  FROM base b LEFT JOIN per_kind pk USING (doc_id)
+  GROUP BY b.doc_id
+),
+tops AS (
+  SELECT b.doc_id,
+         coalesce(max(CASE WHEN t.kind = 'g2' THEN t.top_chars END), 0) AS top2_chars,
+         coalesce(max(CASE WHEN t.kind = 'g3' THEN t.top_chars END), 0) AS top3_chars,
+         coalesce(max(CASE WHEN t.kind = 'g4' THEN t.top_chars END), 0) AS top4_chars
+  FROM base b LEFT JOIN top_gram t USING (doc_id)
+  GROUP BY b.doc_id
+),
+tokpos AS (
+  SELECT doc_id, s.i AS pos, CAST(length(tok[s.i]) AS BIGINT) AS tlen
+  FROM base, unnest(generate_series(1, len(tok))) AS s(i)
+),{_rep_cov_sql(5)},{_rep_cov_sql(10)}
+SELECT p.doc_id,
+       CAST(p.n_lines AS INTEGER) AS n_lines,
+       CASE WHEN p.n_lines > 0
+            THEN round(CAST(p.n_lines - p.line_dist AS DOUBLE) / p.n_lines, 4)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN p.line_chars > 0
+            THEN round(CAST(p.line_dup_chars AS DOUBLE) / p.line_chars, 4)
+            ELSE 0.0 END AS dup_line_char_frac,
+       CAST(p.n_paras AS INTEGER) AS n_paras,
+       CASE WHEN p.n_paras > 0
+            THEN round(CAST(p.n_paras - p.para_dist AS DOUBLE) / p.n_paras, 4)
+            ELSE 0.0 END AS dup_para_frac,
+       CASE WHEN p.para_chars > 0
+            THEN round(CAST(p.para_dup_chars AS DOUBLE) / p.para_chars, 4)
+            ELSE 0.0 END AS dup_para_char_frac,
+       CASE WHEN p.tok_chars > 0
+            THEN round(CAST(t.top2_chars AS DOUBLE) / p.tok_chars, 4)
+            ELSE 0.0 END AS top_2gram_char_frac,
+       CASE WHEN p.tok_chars > 0
+            THEN round(CAST(t.top3_chars AS DOUBLE) / p.tok_chars, 4)
+            ELSE 0.0 END AS top_3gram_char_frac,
+       CASE WHEN p.tok_chars > 0
+            THEN round(CAST(t.top4_chars AS DOUBLE) / p.tok_chars, 4)
+            ELSE 0.0 END AS top_4gram_char_frac,
+       CASE WHEN p.tok_chars > 0
+            THEN round(CAST(coalesce(c5.cov, 0) AS DOUBLE) / p.tok_chars, 4)
+            ELSE 0.0 END AS dup_5gram_char_frac,
+       CASE WHEN p.tok_chars > 0
+            THEN round(CAST(coalesce(c10.cov, 0) AS DOUBLE) / p.tok_chars, 4)
+            ELSE 0.0 END AS dup_10gram_char_frac
+FROM prof p
+JOIN tops t USING (doc_id)
+LEFT JOIN covc5 c5 USING (doc_id)
+LEFT JOIN covc10 c10 USING (doc_id)
+"""
+
+
+@register(
+    "repetition_profile",
+    REPETITION_PROFILE_ORACLE,
+    doc="Gopher repetition-removal signals per document (Rae et al. "
+    "2021 Table A1): duplicate line/paragraph fractions (count- and "
+    "character-weighted), top 2/3/4-gram character fraction, duplicate "
+    "5/10-gram positional character coverage. One tagged explode + one "
+    "(doc,kind,elem) groupBy for the count family; one (doc,gram) "
+    "window per coverage n. Every shuffle key carries doc_id, so skew "
+    "is bounded by repetition inside a single document.",
+    survey_ops=("ext:repetition-profile", "ext:quality-score"),
+)
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    from ds_caselaw_ingester_spark.operators.repetition import repetition_profile
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    return repetition_profile(d)

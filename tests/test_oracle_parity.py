@@ -69,6 +69,24 @@ def test_unregistered_tar_listing_matches_oracle(spark, sf_dir):
     assert res.spark_rows > 0
 
 
+def test_unregistered_top_orders_matches_oracle(spark, sf_dir):
+    """top_orders_global gave up its registry slot to repetition_profile
+    (round 8); the TakeOrderedAndProject shape stays registered via every
+    per-query top-k tail (bm25_search, pq_adc_topk, hybrid_search), and
+    this identical DuckDB gate plus the plan-shape test keep the global
+    sort-limit path from silently rotting."""
+    from ds_caselaw_ingester_spark.plans.queries_relational import (
+        TOPK_ORACLE,
+        q_top_orders_global,
+    )
+
+    res = check_query(
+        spark, sf_dir, "top_orders_global", q_top_orders_global, TOPK_ORACLE
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
 def test_unregistered_cosine_topk_matches_oracle(spark, sf_dir):
     """cosine_topk gave up its registry slot to bm25_search (round 7);
     the exact scoring + rank tail stays registered via the LSH/IVF ANN

@@ -54,8 +54,14 @@ def test_existence_guard_is_broadcast(spark, sf_dir):
 
 def test_top_orders_global_avoids_full_sort(spark, sf_dir):
     """orderBy().limit(k) must plan as TakeOrderedAndProject (per-partition
-    top-k + single merge), never a full sort shuffle of the orders table."""
-    plan = _physical_plan(all_specs()["top_orders_global"].fn(spark, sf_dir))
+    top-k + single merge), never a full sort shuffle of the orders table.
+    (Query rotated out of the registry in round 8 — slot went to
+    repetition_profile — but the plan shape stays pinned here.)"""
+    from ds_caselaw_ingester_spark.plans.queries_relational import (
+        q_top_orders_global,
+    )
+
+    plan = _physical_plan(q_top_orders_global(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
 

@@ -50,6 +50,7 @@ def main() -> int:
             "  token_frequencies/vocab tests/test_vocab.py",
             "  edit_distance_join      tests/test_fuzzy_join.py (SymSpell variant)",
             "  cosine_topk             tests/test_oracle_parity.py (slot -> bm25_search r7)",
+            "  top_orders_global       tests/test_oracle_parity.py (slot -> repetition_profile r8)",
             "  repeated_spans          tests/test_oracle_parity.py (positional passage dedup)",
             "  zorder layout (op)      tests/test_layout.py (footer-stat pruning measured)",
             "  corpus_mixture          tests/test_oracle_parity.py + test_mixture.py",
