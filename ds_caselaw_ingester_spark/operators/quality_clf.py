@@ -1,0 +1,254 @@
+"""fastText-style linear quality classifier (Joulin et al. 2016,
+"Bag of Tricks for Efficient Text Classification"; the quality-filter
+role follows GPT-3/CCNet: score documents against a trusted corpus and
+keep high scorers). No implementation was consulted — the training loop
+below is the standard full-batch logistic-regression decomposition
+re-derived for DataFrame aggregation.
+
+Model: binary logistic regression over HASHED bag-of-words features
+(unigrams + bigrams, the hashing trick) — w ∈ R^dim plus a bias.
+Feature value = term count / total terms in the document (fastText's
+mean-of-embeddings normalization collapsed to scalar features).
+
+Why full-batch gradient descent, not SGD: fastText's async SGD is
+order-dependent by construction; a full-batch gradient is ONE
+aggregation per iteration whose result is order-independent up to fp
+summation noise, which the kmeans_fit rounding convention (round the
+aggregated double far above 1e-15 noise, far below data scale) makes
+engine-portable and replay-exact — the same contract every other
+iterative trainer in this repo pins (BPE, unigram-LM, Lloyd's).
+
+Scale shape per iteration:
+- the feature frame (doc_id, idx, x) is built ONCE and cached: one
+  explode of unigrams+bigrams, one (doc_id, idx) groupBy;
+- margins: broadcast-join the dim-bounded weight table, one
+  groupBy(doc_id) sum — never a corpus-sized shuffle of text;
+- gradient: one groupBy(idx) sum over (p - y) * x, at most dim rows
+  cross to the driver per iteration (dim defaults to 2^15; the corpus
+  never does).
+
+Hashing uses md5 (13 hex digits -> 52-bit int, mod dim) — the repo's
+engine-portable hash convention; xxhash64 would be faster JVM-side but
+has no hashlib replay for the oracle tests.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.textstats import tokens, word_ngrams
+
+__all__ = [
+    "QualityModel",
+    "hashed_terms",
+    "train_quality_classifier",
+    "score_quality",
+    "py_hash_idx",
+]
+
+_HEX_DIGITS = 13  # 52 bits: exact in a double AND in a BIGINT
+
+
+def _hash_idx(term: Column, dim: int) -> Column:
+    """md5(term) -> first 13 hex digits -> bigint -> mod dim. Stays on
+    the JVM (md5 + conv are codegen'd); replayable in Python via
+    py_hash_idx and in DuckDB via ('0x' || substr(md5(t),1,13))::BIGINT."""
+    return (
+        F.conv(F.substring(F.md5(term), 1, _HEX_DIGITS), 16, 10).cast("bigint")
+        % F.lit(dim)
+    ).cast("int")
+
+
+def py_hash_idx(term: str, dim: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:_HEX_DIGITS], 16) % dim
+
+
+@dataclass(frozen=True)
+class QualityModel:
+    dim: int
+    bias: float
+    weights: dict[int, float]  # sparse: unobserved features stay 0.0
+
+
+def hashed_terms(docs: DataFrame, id_col: str, text_col: str, dim: int) -> DataFrame:
+    """(id, idx, x) sparse feature triples: hashed unigram+bigram counts
+    normalized by the document's total term count. Documents with no
+    tokens produce no rows (their margin is the bias alone)."""
+    tok = tokens(F.col(text_col))
+    terms = F.concat(tok, word_ngrams(tok, 2))
+    exploded = docs.select(
+        F.col(id_col), F.explode(terms).alias("_term"), F.size(terms).alias("_nt")
+    )
+    return (
+        exploded.groupBy(id_col, _hash_idx(F.col("_term"), dim).alias("idx"))
+        .agg(F.count("*").alias("_cnt"), F.max("_nt").alias("_nt"))
+        .select(
+            id_col,
+            "idx",
+            (F.col("_cnt").cast("double") / F.col("_nt")).alias("x"),
+        )
+    )
+
+
+def _margins(
+    feats: DataFrame, id_col: str, weights: dict[int, float], bias: float, dim: int,
+    spark,
+) -> DataFrame:
+    """(id, margin) with margin rounded to 6 digits — the one
+    order-dependent double sum in the forward pass."""
+    if weights:
+        w_df = spark.createDataFrame(
+            [(int(i), float(w)) for i, w in sorted(weights.items())],
+            "idx int, w double",
+        )
+        scored = feats.join(F.broadcast(w_df), "idx", "left").select(
+            id_col, (F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))).alias("xw")
+        )
+    else:
+        scored = feats.select(id_col, F.lit(0.0).alias("xw"))
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("xw") + F.lit(bias), 6).alias("margin")
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    dim: int = 1 << 15,
+    iters: int = 20,
+    lr: float = 2.0,
+) -> QualityModel:
+    """Full-batch logistic GD. label_col must be 0/1. Returns the sparse
+    model; every aggregated double is rounded (margin 6, gradient 9,
+    weight 8 digits) so an independent replay with the same rounding —
+    numpy, DuckDB — reproduces the weights bit-for-bit."""
+    spark = docs.sparkSession
+    labels = docs.select(id_col, F.col(label_col).cast("double").alias("_y"))
+    n = labels.count()
+    if n == 0:
+        raise ValueError("empty training frame")
+    feats = hashed_terms(docs, id_col, text_col, dim).persist()
+    feats.count()  # materialize once; every iteration re-reads this frame
+
+    weights: dict[int, float] = {}
+    bias = 0.0
+    for _ in range(iters):
+        m = _margins(feats, id_col, weights, bias, dim, spark)
+        resid = labels.join(m, id_col, "left").select(
+            id_col,
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-F.coalesce(F.col("margin"), F.lit(bias))))
+                - F.col("_y")
+            ).alias("_r"),
+        )
+        g_rows = (
+            feats.join(resid, id_col)
+            .groupBy("idx")
+            .agg(F.round(F.sum(F.col("x") * F.col("_r")) / n, 9).alias("g"))
+            .collect()
+        )
+        g_bias = resid.agg(F.round(F.avg("_r"), 9).alias("g")).collect()[0]["g"]
+        for r in g_rows:
+            w = weights.get(r["idx"], 0.0) - lr * r["g"]
+            weights[r["idx"]] = _round_half_up(w, 8)
+        bias = _round_half_up(bias - lr * float(g_bias), 8)
+    feats.unpersist()
+    return QualityModel(dim=dim, bias=bias, weights=dict(weights))
+
+
+def score_quality(
+    docs: DataFrame,
+    model: QualityModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, quality_p): sigmoid of the broadcast-joined margin. One
+    explode + two doc-keyed aggregations; the model table is dim-bounded
+    and broadcast."""
+    spark = docs.sparkSession
+    feats = hashed_terms(docs, id_col, text_col, model.dim)
+    m = _margins(feats, id_col, model.weights, model.bias, model.dim, spark)
+    return (
+        docs.select(id_col)
+        .join(m, id_col, "left")
+        .select(
+            id_col,
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-F.coalesce(F.col("margin"), F.lit(model.bias)))
+                ),
+                round_digits,
+            ).alias("quality_p"),
+        )
+    )
+
+
+def _round_half_up(x: float, n: int) -> float:
+    """Spark's ROUND on doubles: HALF_UP over the shortest-repr decimal.
+    Python's round() is HALF_EVEN — replays MUST use this instead."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP)
+    )
+
+
+def py_replay_train(
+    rows: list[tuple[int, str, int]],
+    dim: int = 1 << 15,
+    iters: int = 20,
+    lr: float = 2.0,
+) -> QualityModel:
+    """Pure-Python replay of train_quality_classifier for the
+    replay-exact tests: same tokenization, same hash, same rounding
+    schedule, sequential sums. rows = (id, text, label)."""
+    import re
+
+    feats: dict[int, dict[int, float]] = {}
+    ys: dict[int, float] = {}
+    for did, text, y in rows:
+        ys[did] = float(y)
+        toks = re.split(r"\s+", text.strip()) if text.strip() else []
+        terms = toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        cnt: dict[int, int] = {}
+        for t in terms:
+            idx = py_hash_idx(t, dim)
+            cnt[idx] = cnt.get(idx, 0) + 1
+        if terms:
+            feats[did] = {i: c / len(terms) for i, c in cnt.items()}
+        else:
+            feats[did] = {}
+    n = len(rows)
+    weights: dict[int, float] = {}
+    bias = 0.0
+    for _ in range(iters):
+        resid: dict[int, float] = {}
+        for did, fx in feats.items():
+            margin = _round_half_up(
+                math.fsum(x * weights.get(i, 0.0) for i, x in sorted(fx.items()))
+                + bias,
+                6,
+            ) if fx else bias
+            resid[did] = 1.0 / (1.0 + math.exp(-margin)) - ys[did]
+        grad: dict[int, float] = {}
+        for did, fx in feats.items():
+            for i, x in fx.items():
+                grad[i] = grad.get(i, 0.0) + x * resid[did]
+        for i, g in grad.items():
+            weights[i] = _round_half_up(
+                weights.get(i, 0.0) - lr * _round_half_up(g / n, 9), 8
+            )
+        g_bias = _round_half_up(math.fsum(resid.values()) / n, 9)
+        bias = _round_half_up(bias - lr * g_bias, 8)
+    return QualityModel(dim=dim, bias=bias, weights=weights)
