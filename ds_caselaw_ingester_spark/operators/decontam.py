@@ -279,3 +279,134 @@ def decontaminate_bloom(
         F.count("*").alias("n_contaminated_grams")
     )
     return _verdict(docs, hits, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination — embedding-cosine overlap with a benchmark
+# ---------------------------------------------------------------------------
+
+def semantic_decontam(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    round_digits: int = 6,
+    method: str = "auto",
+) -> DataFrame:
+    """Flag corpus rows whose embedding is near-identical to any
+    benchmark embedding (paraphrase-level contamination that the n-gram
+    checks above cannot see — the semantic complement of
+    ``decontaminate``, same role as the SemDeDup-style eval-overlap
+    filters).
+
+    Returns (id_col, nearest_bench_id, max_cos, contaminated): the
+    best-matching benchmark row (rounded-cosine max, bench-id-ascending
+    tie-break — the repo's deterministic argmax convention), and
+    contaminated = max_cos >= threshold.
+
+    Scale: the benchmark side is small by construction (eval suites),
+    the corpus is not. Both paths stream the corpus exactly once with
+    NO corpus shuffle wider than a groupBy on id:
+
+    - ``pairs`` (<= ~256 bench rows): broadcast nested-loop join +
+      one (id)-keyed min(struct) aggregation — all JVM expressions,
+      DuckDB-replayable (the oracle gate in tests/test_decontam.py).
+    - ``matmul``: one float64 BLAS matmul per Arrow batch against the
+      broadcast benchmark matrix (the _ivf_assign_matmul dispatch
+      lesson: plan-literal folds die past a few hundred vectors, BLAS
+      does 1000x1M in seconds). Tie-break replayed with a stable
+      argsort over the same rounded scores.
+
+    Zero-norm embeddings produce NaN cosines (IEEE, no ANSI error);
+    NaN >= threshold is false, so they are never flagged.
+    """
+    if method not in ("auto", "pairs", "matmul"):
+        raise ValueError(f"unknown method {method!r}")
+    b = bench.select(
+        F.col(bench_id_col).alias("_bid"), F.col(bench_vec_col).alias("_bvec")
+    )
+    if method == "auto":
+        method = "pairs" if b.limit(257).count() <= 256 else "matmul"
+
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    if method == "pairs":
+        from ds_caselaw_ingester_spark.operators.similarity import (
+            dot_product,
+            l2_norm,
+        )
+
+        bn = b.withColumn("_bnorm", l2_norm(F.col("_bvec")))
+        cn = c.withColumn("_cnorm", l2_norm(F.col("_cvec")))
+        scored = cn.join(F.broadcast(bn)).select(
+            id_col,
+            "_bid",
+            F.round(
+                dot_product(F.col("_cvec"), F.col("_bvec"))
+                / (F.col("_cnorm") * F.col("_bnorm")),
+                round_digits,
+            ).alias("_cos"),
+        )
+        best = (
+            scored.groupBy(id_col)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_cos")).alias("neg"), F.col("_bid").alias("bid")
+                    )
+                ).alias("_t")
+            )
+            .select(
+                id_col,
+                F.col("_t.bid").alias("nearest_bench_id"),
+                (-F.col("_t.neg")).alias("max_cos"),
+            )
+        )
+    else:
+        import numpy as np
+        from pyspark.sql import types as T
+
+        rows = b.collect()
+        if not rows:
+            raise ValueError("empty benchmark set")
+        rows = sorted(rows, key=lambda r: r["_bid"])
+        bmat = np.array([list(r["_bvec"]) for r in rows], dtype=np.float64)
+        bnorm = np.sqrt((bmat * bmat).sum(axis=1))
+        bids = np.array([int(r["_bid"]) for r in rows], dtype=np.int64)
+        bc = corpus.sparkSession.sparkContext.broadcast((bmat, bnorm, bids))
+        id_field = [f for f in c.schema.fields if f.name == id_col]
+        schema = T.StructType(
+            id_field
+            + [
+                T.StructField("nearest_bench_id", T.LongType()),
+                T.StructField("max_cos", T.DoubleType()),
+            ]
+        )
+
+        def _score(batches):
+            m, n, ids = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.stack(pdf["_cvec"].to_numpy()).astype(np.float64)
+                vn = np.sqrt((v * v).sum(axis=1))
+                s = np.round((v @ m.T) / (vn[:, None] * n[None, :]), round_digits)
+                # stable argmax on -s: ties keep column order, which is
+                # bench-id ascending (rows sorted above) — the pairs
+                # path's struct-min tie-break exactly
+                top = np.argsort(-s, axis=1, kind="stable")[:, 0]
+                out = pdf[[id_col]].copy()
+                out["nearest_bench_id"] = ids[top]
+                out["max_cos"] = s[np.arange(len(v)), top]
+                yield out
+
+        best = c.mapInPandas(_score, schema)
+
+    return best.select(
+        id_col,
+        "nearest_bench_id",
+        "max_cos",
+        (F.col("max_cos") >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -130,3 +130,80 @@ def test_bloom_unconfirmed_has_no_false_negatives_and_bounded_fp(spark):
     clean_gram_occurrences = total_gram_occurrences - sum(exact.values())
     fpr = extra / max(1, clean_gram_occurrences)
     assert fpr <= 0.05, (extra, clean_gram_occurrences, fpr)
+
+
+# ---------------------------------------------------------------------------
+# semantic_decontam
+# ---------------------------------------------------------------------------
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_semantic_decontam_matches_duckdb_oracle(spark, sf_dir):
+    """Pairs path vs a DuckDB cross-join replay: same list_dot_product
+    fold, same rounded-cosine struct argmax, same threshold."""
+    from ds_caselaw_ingester_spark.operators.decontam import semantic_decontam
+
+    emb = _emb(spark, sf_dir)
+    bench = emb.where(F.col("vec_id") < 6)
+    got = {
+        r["vec_id"]: (r["nearest_bench_id"], r["max_cos"], r["contaminated"])
+        for r in semantic_decontam(
+            emb, bench, threshold=0.9, method="pairs"
+        ).collect()
+    }
+    sql = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS cv
+           FROM read_parquet('{sf_dir}/embeddings.parquet')),
+b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS bv
+      FROM read_parquet('{sf_dir}/embeddings.parquet') WHERE vec_id < 6),
+scored AS (
+  SELECT c.vec_id, b.bid,
+         round(list_dot_product(c.cv, b.bv)
+               / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(b.bv, b.bv))),
+               6) AS cos
+  FROM c CROSS JOIN b
+),
+best AS (
+  SELECT vec_id, bid, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, bid, cos, cos >= 0.9 FROM best WHERE rn = 1
+"""
+    want = {r[0]: (r[1], r[2], r[3]) for r in duckdb.sql(sql).fetchall()}
+    assert got == want
+    # the benchmark members themselves are exact self-matches
+    assert all(got[i][2] for i in range(6))
+
+
+def test_semantic_decontam_matmul_equals_pairs(spark, sf_dir):
+    """The BLAS scale path must reproduce the JVM pairs path row-for-row
+    (same rounding, same tie-break)."""
+    from ds_caselaw_ingester_spark.operators.decontam import semantic_decontam
+
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") < 120)
+    bench = _emb(spark, sf_dir).where(F.col("vec_id").isin([3, 17, 44, 90]))
+    a = semantic_decontam(emb, bench, threshold=0.8, method="pairs")
+    b = semantic_decontam(emb, bench, threshold=0.8, method="matmul")
+    ra = {r["vec_id"]: tuple(r)[1:] for r in a.collect()}
+    rb = {r["vec_id"]: tuple(r)[1:] for r in b.collect()}
+    assert ra == rb
+
+
+def test_semantic_decontam_validation_and_auto(spark, sf_dir):
+    import pytest as _pytest
+
+    from ds_caselaw_ingester_spark.operators.decontam import semantic_decontam
+
+    emb = _emb(spark, sf_dir).limit(10)
+    with _pytest.raises(ValueError):
+        semantic_decontam(emb, emb, method="bogus")
+    with _pytest.raises(ValueError):
+        semantic_decontam(emb, emb.where(F.lit(False)), method="matmul")
+    # auto on a small bench picks the pairs plan (broadcast join visible)
+    plan = semantic_decontam(
+        emb, emb.limit(3), method="auto"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
