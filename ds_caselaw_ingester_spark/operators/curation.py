@@ -53,6 +53,11 @@ def curate_corpus(
     lm_logp: "dict[str, float] | None" = None,
     max_ppl: float = 1e6,
     lm_max_piece_len: int = 6,
+    repetition_caps: "dict[str, float] | None" = None,
+    quality_model=None,
+    min_quality_p: float = 0.5,
+    benchmark_embeddings: DataFrame | None = None,
+    semantic_decontam_threshold: float = 0.95,
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens) for the curated
     corpus: scrubbed text, quality-gated, optionally decontaminated
@@ -86,7 +91,28 @@ def curate_corpus(
     window than training systematically inflates scores near the
     threshold). Documents the LM cannot score (no tokens -> NULL ppl)
     are KEPT - the gate's only documented drop condition is
-    ppl > max_ppl; structural gates own the empty-doc decision."""
+    ppl > max_ppl; structural gates own the empty-doc decision.
+
+    repetition_caps: optional {repetition_profile column -> max value}
+    (e.g. {"dup_line_frac": 0.3, "top_2gram_char_frac": 0.2} — the
+    Gopher Table A1 filter thresholds); documents exceeding ANY cap are
+    dropped after the structural gate.
+
+    quality_model: optional trained QualityModel
+    (operators/quality_clf.py); documents scoring below min_quality_p
+    are dropped — the GPT-3-style learned quality filter, composed
+    after the cheap structural gates like the LM gate.
+
+    benchmark_embeddings: optional (id_col-compatible id, embedding)
+    frame of BENCHMARK vectors; requires `embeddings` for the corpus
+    side. Documents whose embedding clears
+    `semantic_decontam_threshold` cosine against any benchmark vector
+    are DROPPED alongside the n-gram decontamination pass — the
+    paraphrase-level overlap the exact-gram check cannot see.
+    Documents with no embedding row cannot be judged and survive,
+    matching the SemDeDup stage's documented convention."""
+    if benchmark_embeddings is not None and embeddings is None:
+        raise ValueError("benchmark_embeddings requires the corpus `embeddings` frame")
     if benchmark is not None:
         from ds_caselaw_ingester_spark.operators.decontam import decontaminate
 
@@ -96,6 +122,25 @@ def curate_corpus(
         docs = docs.join(
             verdict.where(~F.col("is_contaminated")).select(id_col), id_col
         )
+    if benchmark_embeddings is not None:
+        from ds_caselaw_ingester_spark.operators.decontam import semantic_decontam
+
+        sem_flags = semantic_decontam(
+            docs.select(id_col).join(embeddings, id_col).select(
+                id_col, F.col("embedding").alias("_v")
+            ),
+            benchmark_embeddings,
+            threshold=semantic_decontam_threshold,
+            id_col=id_col,
+            vec_col="_v",
+            bench_id_col=benchmark_embeddings.columns[0],
+            bench_vec_col="embedding",
+        )
+        docs = docs.join(
+            sem_flags.where(F.col("contaminated")).select(id_col),
+            id_col,
+            "left_anti",
+        )
     scrubbed = docs.select(
         F.col(id_col), scrub_text(F.col(text_col)).alias(text_col)
     )
@@ -104,6 +149,28 @@ def curate_corpus(
         (F.size(tok) >= min_tokens)
         & (alpha_ratio(F.col(text_col)) >= min_alpha_ratio)
     )
+    if repetition_caps:
+        from ds_caselaw_ingester_spark.operators.repetition import (
+            repetition_profile,
+        )
+
+        prof = repetition_profile(gated, id_col, text_col)
+        unknown = set(repetition_caps) - set(prof.columns)
+        if unknown:
+            raise ValueError(f"unknown repetition_caps columns: {sorted(unknown)}")
+        cond = None
+        for col, cap in sorted(repetition_caps.items()):
+            c = F.col(col) <= F.lit(float(cap))
+            cond = c if cond is None else (cond & c)
+        gated = gated.join(prof.where(cond).select(id_col), id_col)
+    if quality_model is not None:
+        from ds_caselaw_ingester_spark.operators.quality_clf import score_quality
+
+        qp = score_quality(gated, quality_model, id_col, text_col)
+        gated = gated.join(
+            qp.where(F.col("quality_p") >= F.lit(min_quality_p)).select(id_col),
+            id_col,
+        )
     if lm_logp is not None:
         from ds_caselaw_ingester_spark.operators.unigram_lm import (
             unigram_perplexity,

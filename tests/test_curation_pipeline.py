@@ -163,3 +163,95 @@ def test_curation_lm_perplexity_gate_drops_gibberish(spark):
     kept = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
     assert 50 not in kept
     assert kept >= {0, 1, 2}
+
+
+def test_curation_repetition_caps_gate(spark):
+    docs = _corpus(spark)
+    # doc 6: extreme 2-gram repetition, passes structural gates
+    rep = (6, "spam ham " * 30)
+    docs = docs.union(spark.createDataFrame([rep], "doc_id long, text string"))
+    base_ids = {
+        r.doc_id
+        for r in curate_corpus(
+            docs, min_tokens=8, min_alpha_ratio=0.5, chunk_tokens=16, overlap=4
+        ).collect()
+    }
+    assert 6 in base_ids
+    capped_ids = {
+        r.doc_id
+        for r in curate_corpus(
+            docs, min_tokens=8, min_alpha_ratio=0.5, chunk_tokens=16, overlap=4,
+            repetition_caps={"top_2gram_char_frac": 0.2},
+        ).collect()
+    }
+    assert 6 not in capped_ids
+    assert 3 in capped_ids  # normal prose survives the cap
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, repetition_caps={"bogus_column": 0.1})
+
+
+def test_curation_quality_model_gate(spark):
+    from ds_caselaw_ingester_spark.operators.quality_clf import (
+        train_quality_classifier,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quarterly report shows measured growth in every region", 1),
+            (2, "careful analysis of the data reveals a consistent trend", 1),
+            (3, "click click buy now buy now cheap cheap cheap free free", 0),
+            (4, "winner winner free free free click here now now cheap", 0),
+        ],
+        "doc_id long, text string, label int",
+    )
+    model = train_quality_classifier(train, dim=1 << 12, iters=15, lr=2.0)
+    docs = spark.createDataFrame(
+        [
+            (10, "the quarterly report reveals consistent measured growth "
+                 "with careful analysis of the trend in every region"),
+            (11, "free cheap click now winner free cheap click now buy "
+                 "cheap free now click winner buy now free cheap click"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in curate_corpus(
+            docs, min_tokens=8, min_alpha_ratio=0.5, chunk_tokens=16, overlap=4,
+            quality_model=model, min_quality_p=0.5,
+        ).collect()
+    }
+    assert 10 in kept and 11 not in kept
+
+
+def test_curation_semantic_decontam_gate(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    # benchmark vector nearly parallel to doc 1's embedding
+    bench = spark.createDataFrame(
+        [(100, [0.99, 0.01, 0.0])], "bid long, embedding array<double>"
+    )
+    kept = {
+        r.doc_id
+        for r in curate_corpus(
+            docs, min_tokens=8, min_alpha_ratio=0.5, chunk_tokens=16, overlap=4,
+            embeddings=emb, benchmark_embeddings=bench,
+            semantic_decontam_threshold=0.95,
+        ).collect()
+    }
+    assert kept == {2}
+    with _pytest.raises(ValueError):
+        curate_corpus(docs, benchmark_embeddings=bench)  # no embeddings frame
