@@ -83,8 +83,13 @@ def hashed_terms(docs: DataFrame, id_col: str, text_col: str, dim: int) -> DataF
     tokens produce no rows (their margin is the bias alone)."""
     tok = tokens(F.col(text_col))
     terms = F.concat(tok, word_ngrams(tok, 2))
-    exploded = docs.select(
-        F.col(id_col), F.explode(terms).alias("_term"), F.size(terms).alias("_nt")
+    # two-step select: a sibling expression of a generator is planned
+    # POST-Generate, so `size(terms)` inline with the explode would
+    # re-run the tokenizer once per exploded TERM row (the bm25
+    # Generate-sibling lesson). Materializing the array first keeps the
+    # tokenizer per-document; size() on the carried attribute is O(1).
+    exploded = docs.select(F.col(id_col), terms.alias("_terms")).select(
+        id_col, F.explode("_terms").alias("_term"), F.size("_terms").alias("_nt")
     )
     return (
         exploded.groupBy(id_col, _hash_idx(F.col("_term"), dim).alias("idx"))
