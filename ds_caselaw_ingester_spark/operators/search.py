@@ -165,8 +165,7 @@ def _bm25_base_ctes_sql(tf_pred: str) -> str:
     predicate pruning tokens to query terms."""
     return f"""tok AS (
   SELECT doc_id,
-         unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                     ELSE string_split_regex(trim(text), '\\s+') END) AS token
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
   FROM documents
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),

@@ -28,9 +28,17 @@ def content_hash(text: Column) -> Column:
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization; empty text -> empty array."""
-    t = F.trim(text)
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, "\\s+"))
+    """Whitespace tokenization; empty text -> empty array.
+
+    Split first, then drop empty strings — NOT trim-then-split: Spark's
+    trim() strips SPACES only, so a document starting with a newline or
+    tab used to produce a phantom empty first token (found by the
+    repetition property test: '\\na' tokenized as ['', 'a'], handing
+    every token-derived signal an off-by-one and the n-gram family a
+    ' a' gram). The filter form needs no empty-text guard either.
+    Oracle parity: list_filter(string_split_regex(text, '\\s+'),
+    x -> x <> '') in DuckDB; plain str.split() in Python replays."""
+    return F.filter(F.split(text, "\\s+"), lambda x: x != "")
 
 
 def token_count(text: Column) -> Column:

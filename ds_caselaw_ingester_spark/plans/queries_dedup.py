@@ -33,8 +33,8 @@ corpus AS (
   UNION ALL
   SELECT doc_id + 1000000000 AS doc_id,
          array_to_string(
-           list_slice(string_split_regex(trim(text), '\\s+'), 1,
-                      len(string_split_regex(trim(text), '\\s+')) - 1), ' ') AS text
+           list_slice(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1,
+                      len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) - 1), ' ') AS text
   FROM documents WHERE doc_id % 10 = 0
 )
 """
@@ -59,7 +59,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_ORACLE = f"""
 WITH {CORPUS_SQL},
 toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM corpus
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tok FROM corpus
 ),
 grams AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(tok, i, i + 2), ' ') AS gram
@@ -141,7 +141,7 @@ MAX_DOC_FREQ = 50
 JACCARD_ORACLE = f"""
 WITH {CORPUS_SQL},
 toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM corpus
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tok FROM corpus
 ),
 grams AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(tok, i, i + 2), ' ') AS gram
@@ -208,7 +208,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {CORPUS_SQL},
 toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM corpus
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tok FROM corpus
 ),
 grams AS (
   SELECT DISTINCT doc_id, array_to_string(list_slice(tok, i, i + 2), ' ') AS gram
@@ -283,7 +283,7 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_ORACLE = f"""
 WITH {CORPUS_SQL},
 tok AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token FROM corpus
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token FROM corpus
 ),
 hashed AS (SELECT doc_id, md5(token) AS th FROM tok)
 SELECT doc_id,
@@ -320,8 +320,7 @@ REPEATED_SPANS_ORACLE = f"""
 WITH {{corpus}},
 tok AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
   FROM corpus
 ),
 pos AS (
@@ -369,8 +368,7 @@ DUPLICATE_SPANS_ORACLE = f"""
 WITH {{corpus}},
 tok AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
   FROM corpus
 ),
 pos AS (
@@ -429,8 +427,7 @@ STRIP_SPANS_ORACLE = f"""
 WITH {{corpus}},
 tok AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
   FROM corpus
 ),
 pos AS (

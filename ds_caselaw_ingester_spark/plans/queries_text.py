@@ -83,8 +83,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_PROFILE_ORACLE = """
 WITH feats AS (
   SELECT doc_id, n_chars,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS tok,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tok,
          CAST(len(list_filter(tok, x -> x = 'the')) AS BIGINT) AS cnt_the,
          CAST(len(list_filter(tok, x -> x = 'data')) AS BIGINT) AS cnt_data,
          CAST(len(list_filter(tok, x -> x = 'query')) AS BIGINT) AS cnt_query,
@@ -240,7 +239,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FINGERPRINT_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tok FROM documents
 ),
 grams AS (
   SELECT DISTINCT doc_id,
@@ -357,13 +356,13 @@ WITH corpus AS (SELECT doc_id, text FROM documents),
 bench AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
 bgrams AS (
   SELECT DISTINCT array_to_string(list_slice(tok, i, i + {_DECONTAM_N - 1}), ' ') AS gram
-  FROM (SELECT string_split_regex(trim(text), '\\s+') AS tok FROM bench),
+  FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tok FROM bench),
        unnest(generate_series(1, len(tok) - {_DECONTAM_N - 1})) AS t(i)
   WHERE len(tok) >= {_DECONTAM_N}
 ),
 dgrams AS (
   SELECT doc_id, array_to_string(list_slice(tok, i, i + {_DECONTAM_N - 1}), ' ') AS gram
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM corpus),
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tok FROM corpus),
        unnest(generate_series(1, len(tok) - {_DECONTAM_N - 1})) AS t(i)
   WHERE len(tok) >= {_DECONTAM_N}
 ),
@@ -414,8 +413,7 @@ _CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
 DOC_CHUNKS_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS tok
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tok
   FROM documents
 )
 SELECT doc_id,
@@ -754,8 +752,7 @@ covc{n} AS (
 REPETITION_PROFILE_ORACLE = f"""
 WITH base AS (
   SELECT doc_id, text,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS tok
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tok
   FROM documents
 ),
 elems AS (

@@ -30,8 +30,7 @@ def test_chunks_match_duckdb_oracle(spark):
             """
             WITH toks AS (
               SELECT doc_id,
-                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                          ELSE string_split_regex(trim(text), '\\s+') END AS tok
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tok
               FROM documents
             )
             SELECT doc_id,

@@ -89,8 +89,7 @@ def test_score_matches_duckdb_oracle(spark, sf_dir):
     sql = f"""
 WITH base AS (
   SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(text), '\\s+') END AS tok
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tok
   FROM read_parquet('{sf_dir}/documents.parquet')
 ),
 terms AS (

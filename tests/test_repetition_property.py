@@ -1,0 +1,113 @@
+"""Property test: repetition_profile agrees with an independent
+pure-Python model of the documented definitions on arbitrary small
+corpora (token soup with repeated phrases, newlines, blank lines)."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ds_caselaw_ingester_spark.operators.repetition import repetition_profile
+
+WORDS = ["a", "bb", "ccc", "spam", "x"]
+
+
+def _r4(x: float) -> float:
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _dup_stats(elems: list[str]) -> tuple[float, float]:
+    n = len(elems)
+    if n == 0:
+        return 0.0, 0.0
+    seen: set[str] = set()
+    dups = dup_chars = 0
+    for e in elems:
+        if e in seen:
+            dups += 1
+            dup_chars += len(e)
+        else:
+            seen.add(e)
+    chars = sum(len(e) for e in elems)
+    return _r4(dups / n), (_r4(dup_chars / chars) if chars else 0.0)
+
+
+def _py_profile(text: str) -> dict:
+    toks = text.split() if text.split() else []
+    tok_chars = sum(len(t) for t in toks)
+    lines = [x for x in text.split("\n") if x != ""]
+    # strip SPACES only: Spark's trim() (and DuckDB's) is space-only, so
+    # a lone leading/trailing newline stays part of the paragraph text
+    paras = [
+        p for p in (s.strip(" ") for s in __import__("re").split(r"\n{2,}", text))
+        if p != ""
+    ]
+    out: dict = {}
+    out["n_lines"] = len(lines)
+    out["dup_line_frac"], out["dup_line_char_frac"] = _dup_stats(lines)
+    out["n_paras"] = len(paras)
+    out["dup_para_frac"], out["dup_para_char_frac"] = _dup_stats(paras)
+    for n in (2, 3, 4):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if grams and tok_chars:
+            best = min(
+                ((-grams.count(g), g) for g in set(grams)),
+            )
+            top_chars = -best[0] * (len(best[1]) - (n - 1))
+            out[f"top_{n}gram_char_frac"] = _r4(top_chars / tok_chars)
+        else:
+            out[f"top_{n}gram_char_frac"] = 0.0
+    for n in (5, 10):
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        from collections import Counter
+
+        cnt = Counter(grams)
+        covered: set[int] = set()
+        for i, g in enumerate(grams):
+            if cnt[g] >= 2:
+                covered.update(range(i, i + n))
+        cov_chars = sum(len(toks[i]) for i in covered)
+        out[f"dup_{n}gram_char_frac"] = (
+            _r4(cov_chars / tok_chars) if tok_chars else 0.0
+        )
+    return out
+
+
+@st.composite
+def _doc(draw):
+    # token soup with deliberate phrase repetition so duplicate n-grams
+    # actually occur; join with spaces, newlines, and blank lines
+    chunks = draw(
+        st.lists(
+            st.one_of(
+                st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(
+                    " ".join
+                ),
+                st.just(""),  # blank line -> paragraph break material
+            ),
+            min_size=0,
+            max_size=6,
+        )
+    )
+    phrase = " ".join(draw(st.lists(st.sampled_from(WORDS), min_size=5, max_size=6)))
+    if draw(st.booleans()):
+        chunks = chunks + [phrase, phrase]
+    return "\n".join(chunks)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_doc(), min_size=1, max_size=5))
+def test_profile_matches_python_model(spark, docs):
+    frame = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_profile(frame).collect()}
+    assert set(got) == set(range(len(docs)))
+    for i, text in enumerate(docs):
+        want = _py_profile(text)
+        have = {k: v for k, v in got[i].items() if k != "doc_id"}
+        assert have == want, f"doc {i}: {text!r}\n{have}\nvs\n{want}"

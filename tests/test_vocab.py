@@ -27,7 +27,7 @@ def test_token_frequencies_match_duckdb(spark):
         for row in con.execute(
             """
             WITH tok AS (
-              SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+              SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
               FROM documents WHERE trim(text) <> ''
             )
             SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
