@@ -296,19 +296,23 @@ def test_span_detect_and_cut_match_python_model(spark, texts, n):
         ts = t.split()
         for i in range(len(ts) - n + 1):
             cnt[" ".join(ts[i : i + n])] += 1
+    covered = {}
+    for d, s, e, _ in got:
+        covered.setdefault(d, set()).update(range(s, e + 1))
     for d, t in stripped.items():
         orig = texts[d].split()
         kept_ts = t.split()
-        # surviving tokens appear in original order; walk both to map
-        # each surviving window back: if it was an original window
-        # (contiguous in the source), its corpus count must be 1
-        j = 0
-        pos_map = []
-        for tok in kept_ts:
-            while orig[j] != tok:
-                j += 1
-            pos_map.append(j)
-            j += 1
+        # kept positions come from the span coverage — GROUND TRUTH, not
+        # a greedy subsequence walk: with a 3-letter alphabet the kept
+        # sequence embeds into the original many ways, and the leftmost
+        # embedding can map a cross-gap pair onto covered-but-equal
+        # tokens that WERE contiguous, spuriously failing the check
+        # (found on 'a b c c a a b c c b', n=2: kept = positions 5,10
+        # but greedy mapped them to 1,2)
+        pos_map = [
+            i for i in range(1, len(orig) + 1) if i not in covered.get(d, set())
+        ]
+        assert [orig[i - 1] for i in pos_map] == kept_ts
         for i in range(len(kept_ts) - n + 1):
             if pos_map[i + n - 1] - pos_map[i] == n - 1:  # contiguous
                 assert cnt[" ".join(kept_ts[i : i + n])] == 1
