@@ -150,11 +150,34 @@ def curate_corpus(
         & (alpha_ratio(F.col(text_col)) >= min_alpha_ratio)
     )
     if repetition_caps:
+        import re
+
         from ds_caselaw_ingester_spark.operators.repetition import (
             repetition_profile,
         )
 
-        prof = repetition_profile(gated, id_col, text_col)
+        # compute ONLY the gram sizes a cap actually references: the
+        # dup-n positional-coverage machinery is two window shuffles +
+        # a sequence explode PER n — running the default (5, 10) for a
+        # caller capping only dup_line_frac multiplied the corpus scan
+        # for signals that were immediately discarded
+        top_ns = tuple(
+            sorted(
+                int(m.group(1))
+                for c in repetition_caps
+                if (m := re.fullmatch(r"top_(\d+)gram_char_frac", c))
+            )
+        )
+        dup_ns = tuple(
+            sorted(
+                int(m.group(1))
+                for c in repetition_caps
+                if (m := re.fullmatch(r"dup_(\d+)gram_char_frac", c))
+            )
+        )
+        prof = repetition_profile(
+            gated, id_col, text_col, top_ns=top_ns, dup_ns=dup_ns
+        )
         unknown = set(repetition_caps) - set(prof.columns)
         if unknown:
             raise ValueError(f"unknown repetition_caps columns: {sorted(unknown)}")

@@ -320,8 +320,14 @@ def semantic_decontam(
       does 1000x1M in seconds). Tie-break replayed with a stable
       argsort over the same rounded scores.
 
-    Zero-norm embeddings produce NaN cosines (IEEE, no ANSI error);
-    NaN >= threshold is false, so they are never flagged.
+    Zero-norm embeddings: cosine is undefined, and the naive division
+    is WORSE than undefined here — Spark 4's default ANSI mode raises
+    DIVIDE_BY_ZERO (killing the whole run on one bad vector), and had
+    it produced NaN instead, Spark orders NaN above every double so
+    NaN >= threshold is TRUE and the doc would be falsely flagged.
+    The contract is therefore explicit: pairs with either norm zero are
+    skipped; a corpus doc with no defined cosine at all comes back as
+    (NULL, NULL, contaminated=false) via the spine join.
     """
     if method not in ("auto", "pairs", "matmul"):
         raise ValueError(f"unknown method {method!r}")
@@ -343,14 +349,20 @@ def semantic_decontam(
         scored = cn.join(F.broadcast(bn)).select(
             id_col,
             "_bid",
-            F.round(
-                dot_product(F.col("_cvec"), F.col("_bvec"))
-                / (F.col("_cnorm") * F.col("_bnorm")),
-                round_digits,
+            # zero-norm guard: undefined pairs yield NULL and are
+            # dropped below, never an ANSI DIVIDE_BY_ZERO or a NaN
+            F.when(
+                (F.col("_cnorm") > 0) & (F.col("_bnorm") > 0),
+                F.round(
+                    dot_product(F.col("_cvec"), F.col("_bvec"))
+                    / (F.col("_cnorm") * F.col("_bnorm")),
+                    round_digits,
+                ),
             ).alias("_cos"),
         )
         best = (
-            scored.groupBy(id_col)
+            scored.where(F.col("_cos").isNotNull())
+            .groupBy(id_col)
             .agg(
                 F.min(
                     F.struct(
@@ -374,39 +386,78 @@ def semantic_decontam(
         rows = sorted(rows, key=lambda r: r["_bid"])
         bmat = np.array([list(r["_bvec"]) for r in rows], dtype=np.float64)
         bnorm = np.sqrt((bmat * bmat).sum(axis=1))
-        bids = np.array([int(r["_bid"]) for r in rows], dtype=np.int64)
+        # bench ids keep their NATIVE type (string ids crashed the old
+        # int() coercion the moment auto tipped past 256 bench rows)
+        bids = [r["_bid"] for r in rows]
         bc = corpus.sparkSession.sparkContext.broadcast((bmat, bnorm, bids))
         id_field = [f for f in c.schema.fields if f.name == id_col]
+        bid_type = b.schema["_bid"].dataType
         schema = T.StructType(
             id_field
             + [
-                T.StructField("nearest_bench_id", T.LongType()),
+                T.StructField("nearest_bench_id", bid_type),
                 T.StructField("max_cos", T.DoubleType()),
             ]
         )
 
         def _score(batches):
+            import pandas as pd
+
             m, n, ids = bc.value
+            live = n > 0  # zero-norm bench columns can never win
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 v = np.stack(pdf["_cvec"].to_numpy()).astype(np.float64)
                 vn = np.sqrt((v * v).sum(axis=1))
-                s = np.round((v @ m.T) / (vn[:, None] * n[None, :]), round_digits)
+                denom = vn[:, None] * n[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = np.round(np.where(denom > 0, (v @ m.T) / denom, -np.inf),
+                                 round_digits)
                 # stable argmax on -s: ties keep column order, which is
                 # bench-id ascending (rows sorted above) — the pairs
                 # path's struct-min tie-break exactly
                 top = np.argsort(-s, axis=1, kind="stable")[:, 0]
+                defined = (vn > 0) & live.any()
                 out = pdf[[id_col]].copy()
-                out["nearest_bench_id"] = ids[top]
-                out["max_cos"] = s[np.arange(len(v)), top]
+                out["nearest_bench_id"] = pd.array(
+                    [ids[t] if ok else None for t, ok in zip(top, defined)],
+                    dtype="object",
+                )
+                # nullable Float64, NOT np.nan in a float64 column: NaN
+                # survives Arrow as NaN, and Spark orders NaN above
+                # every double — the >= threshold flag would fire
+                out["max_cos"] = pd.array(
+                    [
+                        float(s[i, t]) if ok else None
+                        for i, (t, ok) in enumerate(zip(top, defined))
+                    ],
+                    dtype="Float64",
+                )
                 yield out
 
+        # matmul already emits one row per corpus doc — no spine join
         best = c.mapInPandas(_score, schema)
+        return best.select(
+            id_col,
+            "nearest_bench_id",
+            "max_cos",
+            F.coalesce(
+                F.col("max_cos") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
 
-    return best.select(
-        id_col,
-        "nearest_bench_id",
-        "max_cos",
-        (F.col("max_cos") >= F.lit(threshold)).alias("contaminated"),
+    # pairs path dropped undefined cosines above; the spine join brings
+    # back docs with no defined cosine at all — unflagged, NULL-scored
+    return (
+        corpus.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            "nearest_bench_id",
+            "max_cos",
+            F.coalesce(
+                F.col("max_cos") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
     )

@@ -108,8 +108,11 @@ def dsir_logratios(
     ratio ONCE per bucket — not per doc-bucket pair — is what makes the
     per-doc dot product an exact integer sum, shuffle-order-stable.
     """
-    tb = bucket_totals(target_feats)
-    rb = bucket_totals(raw_feats)
+    # localCheckpoint the two ≤B-row totals: each is read twice below
+    # (scalar sum + ratio join), and without it each read re-aggregates
+    # its corpus-sized featurize input from scratch
+    tb = bucket_totals(target_feats).localCheckpoint()
+    rb = bucket_totals(raw_feats).localCheckpoint()
     ct = tb.agg(F.sum("n")).collect()[0][0] or 0
     cq = rb.agg(F.sum("n")).collect()[0][0] or 0
     denom_t = float(ct) + alpha * num_buckets
@@ -206,32 +209,42 @@ def dsir_select(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    raw_feats = hashed_ngram_counts(docs, id_col, text_col, num_buckets)
-    tgt_feats = hashed_ngram_counts(
-        target_docs, id_col, text_col, num_buckets
-    )
-    ratios, floor_micro = dsir_logratios(
-        tgt_feats, raw_feats, num_buckets, alpha
-    )
-    weights = dsir_logweights(raw_feats, ratios, floor_micro, id_col)
-    scored = (
-        docs.select(id_col)
-        .join(weights, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
-            (
-                F.coalesce(F.col("logw"), F.lit(0.0))
-                + gumbel_noise(F.col(id_col))
-            ).alias("_score"),
+    # persist: the featurized corpus feeds BOTH the q̂ fit and the
+    # scoring dot product — without the cache the corpus-sized
+    # tokenize/explode/groupBy runs twice
+    raw_feats = hashed_ngram_counts(docs, id_col, text_col, num_buckets).persist()
+    try:
+        tgt_feats = hashed_ngram_counts(
+            target_docs, id_col, text_col, num_buckets
         )
-    )
-    return (
-        scored.orderBy(F.desc("_score"), F.asc(id_col))
-        .limit(k)
-        .select(
-            id_col,
-            F.round("logw", 4).alias("logw"),
-            F.round("_score", 4).alias("score"),
+        ratios, floor_micro = dsir_logratios(
+            tgt_feats, raw_feats, num_buckets, alpha
         )
-    )
+        weights = dsir_logweights(raw_feats, ratios, floor_micro, id_col)
+        scored = (
+            docs.select(id_col)
+            .join(weights, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
+                (
+                    F.coalesce(F.col("logw"), F.lit(0.0))
+                    + gumbel_noise(F.col(id_col))
+                ).alias("_score"),
+            )
+        )
+        # eager k-row checkpoint: materialize the selection NOW so the
+        # cache can be released before returning (the result is k rows —
+        # checkpointing it costs nothing at any scale)
+        return (
+            scored.orderBy(F.desc("_score"), F.asc(id_col))
+            .limit(k)
+            .select(
+                id_col,
+                F.round("logw", 4).alias("logw"),
+                F.round("_score", 4).alias("score"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        raw_feats.unpersist()

@@ -103,13 +103,12 @@ def hashed_terms(docs: DataFrame, id_col: str, text_col: str, dim: int) -> DataF
 
 
 def _margins(
-    feats: DataFrame, id_col: str, weights: dict[int, float], bias: float, dim: int,
-    spark,
+    feats: DataFrame, id_col: str, weights: dict[int, float], bias: float
 ) -> DataFrame:
     """(id, margin) with margin rounded to 6 digits — the one
     order-dependent double sum in the forward pass."""
     if weights:
-        w_df = spark.createDataFrame(
+        w_df = feats.sparkSession.createDataFrame(
             [(int(i), float(w)) for i, w in sorted(weights.items())],
             "idx int, w double",
         )
@@ -136,7 +135,6 @@ def train_quality_classifier(
     model; every aggregated double is rounded (margin 6, gradient 9,
     weight 8 digits) so an independent replay with the same rounding —
     numpy, DuckDB — reproduces the weights bit-for-bit."""
-    spark = docs.sparkSession
     labels = docs.select(id_col, F.col(label_col).cast("double").alias("_y"))
     n = labels.count()
     if n == 0:
@@ -147,7 +145,7 @@ def train_quality_classifier(
     weights: dict[int, float] = {}
     bias = 0.0
     for _ in range(iters):
-        m = _margins(feats, id_col, weights, bias, dim, spark)
+        m = _margins(feats, id_col, weights, bias)
         resid = labels.join(m, id_col, "left").select(
             id_col,
             (
@@ -181,9 +179,8 @@ def score_quality(
     """(id, quality_p): sigmoid of the broadcast-joined margin. One
     explode + two doc-keyed aggregations; the model table is dim-bounded
     and broadcast."""
-    spark = docs.sparkSession
     feats = hashed_terms(docs, id_col, text_col, model.dim)
-    m = _margins(feats, id_col, model.weights, model.bias, model.dim, spark)
+    m = _margins(feats, id_col, model.weights, model.bias)
     return (
         docs.select(id_col)
         .join(m, id_col, "left")
@@ -218,13 +215,16 @@ def py_replay_train(
     """Pure-Python replay of train_quality_classifier for the
     replay-exact tests: same tokenization, same hash, same rounding
     schedule, sequential sums. rows = (id, text, label)."""
-    import re
+    from ds_caselaw_ingester_spark.operators.textstats import py_tokens
 
     feats: dict[int, dict[int, float]] = {}
     ys: dict[int, float] = {}
     for did, text, y in rows:
         ys[did] = float(y)
-        toks = re.split(r"\s+", text.strip()) if text.strip() else []
+        # py_tokens, NOT re \s/str.split(): Python's whitespace classes
+        # are Unicode-aware, the JVM's \s is ASCII-only — a U+00A0 in a
+        # training doc silently broke the replay-exact guarantee
+        toks = py_tokens(text)
         terms = toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
         cnt: dict[int, int] = {}
         for t in terms:

@@ -37,8 +37,23 @@ def tokens(text: Column) -> Column:
     every token-derived signal an off-by-one and the n-gram family a
     ' a' gram). The filter form needs no empty-text guard either.
     Oracle parity: list_filter(string_split_regex(text, '\\s+'),
-    x -> x <> '') in DuckDB; plain str.split() in Python replays."""
+    x -> x <> '') in DuckDB; `py_tokens` below in Python replays —
+    NOT str.split()/re \\s, which are Unicode-aware where Java's \\s
+    is the ASCII class [ \\t\\n\\x0B\\f\\r] (a U+00A0 NBSP stays part
+    of its token here but would split in naive Python). Known engine
+    boundary: RE2 (DuckDB) \\s omits \\x0B — a vertical tab splits in
+    Spark but not in DuckDB; no corpus this repo ships contains one."""
     return F.filter(F.split(text, "\\s+"), lambda x: x != "")
+
+
+def py_tokens(text: str) -> "list[str]":
+    """Pure-Python replay of `tokens` — split on Java's ASCII \\s class
+    and drop empties. Every replay-exact test/model must use THIS, not
+    str.split() (Unicode-aware: splits U+00A0/U+2028/... that the JVM
+    keeps inside a token)."""
+    import re
+
+    return [t for t in re.split(r"[ \t\n\x0b\f\r]+", text) if t]
 
 
 def token_count(text: Column) -> Column:

@@ -207,3 +207,41 @@ def test_semantic_decontam_validation_and_auto(spark, sf_dir):
         emb, emb.limit(3), method="auto"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semantic_decontam_zero_norm_and_string_ids(spark):
+    """The review-found crashes: a zero-norm embedding must not abort
+    the run (ANSI DIVIDE_BY_ZERO) or flag contaminated (Spark orders
+    NaN above every double, so NaN >= threshold was TRUE); string bench
+    ids must survive the matmul path (the old int() coercion crashed
+    the moment auto tipped past 256 bench rows)."""
+    from ds_caselaw_ingester_spark.operators.decontam import semantic_decontam
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.8, 0.6])],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [("bA", [1.0, 0.0]), ("bZ", [0.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    for method in ("pairs", "matmul"):
+        got = {
+            r["vec_id"]: (r["nearest_bench_id"], r["max_cos"], r["contaminated"])
+            for r in semantic_decontam(
+                corpus, bench, threshold=0.95, method=method
+            ).collect()
+        }
+        assert got[1] == ("bA", 1.0, True), method
+        # zero-norm doc: NULL-scored, NEVER flagged
+        assert got[2] == (None, None, False), method
+        assert got[3] == ("bA", 0.8, False), method
+
+    # an all-zero benchmark defines no cosine for anyone
+    zb = bench.where("vec_id = 'bZ'")
+    for method in ("pairs", "matmul"):
+        rows = semantic_decontam(corpus, zb, threshold=0.5, method=method).collect()
+        assert {r["vec_id"] for r in rows} == {1, 2, 3}, method
+        assert all(
+            r["max_cos"] is None and not r["contaminated"] for r in rows
+        ), method

@@ -18,7 +18,7 @@ from ds_caselaw_ingester_spark.operators.dsir import (
     hashed_ngram_counts,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE as SF_DIR
 K = 50
 
 # target = every 37th doc: a "looks like this" seed set drawn from the

@@ -15,7 +15,7 @@ from ds_caselaw_ingester_spark.operators.ngram_lm import (
     bigram_perplexity,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE as SF_DIR
 LAM, ALPHA = 0.75, 1.0
 
 ORACLE = f"""

@@ -119,3 +119,24 @@ FROM base b LEFT JOIN margin m USING (doc_id)
 """
     want = dict(duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_replay_exact_on_unicode_whitespace(spark):
+    """U+00A0 (NBSP) is whitespace to Python's str.split()/re \\s but
+    NOT to the JVM's ASCII \\s — the replay must tokenize with
+    py_tokens (the ASCII class) or its features diverge from Spark's
+    on exactly this input (review-found)."""
+    rows = [
+        (0, "clean prose stays one token", 1),
+        (1, "spam spam spam buy now", 0),
+        (2, "a b line separator too", 1),
+    ]
+    from ds_caselaw_ingester_spark.operators.textstats import py_tokens
+
+    # sanity: the fixture really is JVM-vs-Python-divergent input
+    assert any(len(t.split()) != len(py_tokens(t)) for _, t, _ in rows)
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    model = train_quality_classifier(docs, dim=1 << 10, iters=4, lr=2.0)
+    replay = py_replay_train(rows, dim=1 << 10, iters=4, lr=2.0)
+    assert model.bias == replay.bias
+    assert model.weights == replay.weights
