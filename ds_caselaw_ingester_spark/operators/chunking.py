@@ -11,7 +11,7 @@ dedup / quality passes as one projection pipeline over the same scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ds_caselaw_ingester_spark.operators.textstats import tokens
@@ -37,18 +37,27 @@ def chunk_documents(
             f"overlap must be in [0, chunk_tokens), got {overlap}"
         )
     stride = chunk_tokens - overlap
-    tok = tokens(F.col(text_col))
-    n = F.size(tok)
-    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
-        F.array().cast("array<int>")
-    )
-    chunks = F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.alias("chunk_index"),
-            F.array_join(F.slice(tok, s, chunk_tokens), " ").alias("chunk_text"),
-            F.size(F.slice(tok, s, chunk_tokens)).alias("n_chunk_tokens"),
-        ),
+
+    # let-bind the token array (the word_ngrams interpreter lesson):
+    # `slice(tok, ...)` appears twice inside the per-chunk lambda, and
+    # higher-order lambdas re-evaluate a non-attribute argument tree per
+    # element — the tokenizer would run 2×(chunks per doc) times
+    def _chunks(t: Column) -> Column:
+        n = F.size(t)
+        starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_index"),
+                F.array_join(F.slice(t, s, chunk_tokens), " ").alias("chunk_text"),
+                F.size(F.slice(t, s, chunk_tokens)).alias("n_chunk_tokens"),
+            ),
+        )
+
+    chunks = F.element_at(
+        F.transform(F.array(tokens(F.col(text_col))), _chunks), 1
     )
     return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
         id_col,

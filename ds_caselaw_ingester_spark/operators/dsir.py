@@ -71,10 +71,13 @@ def hashed_ngram_counts(
     `num_buckets`. One explode + one (id, bucket) groupBy; documents
     with no tokens contribute no rows (score 0 downstream, matching
     the paper — an empty doc carries no evidence either way)."""
-    toks = tokens(F.col(text_col))
-    feats = F.concat(toks, word_ngrams(toks, 2))
+    # tokenize to an ATTRIBUTE first: the concat and the n-gram builder
+    # then share one tokenizer evaluation per doc (word_ngrams is also
+    # internally let-bound — see its docstring for the interpreter trap)
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    feats = F.concat(F.col("_toks"), word_ngrams(F.col("_toks"), 2))
     return (
-        docs.select(F.col(id_col), F.explode(feats).alias("_feat"))
+        toked.select(F.col(id_col), F.explode(feats).alias("_feat"))
         .select(F.col(id_col), _bucket(F.col("_feat"), num_buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("cnt"))

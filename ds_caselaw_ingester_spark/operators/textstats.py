@@ -92,8 +92,24 @@ def word_ngrams(toks: Column, n: int) -> Column:
     n tokens -> empty array. The guard lives HERE, not at call sites:
     sequence(1, size-(n-1)) is DESCENDING for short docs and
     slice(toks, 0, n) throws under ANSI mode — one short document
-    aborted any unguarded caller's whole job (verified)."""
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    aborted any unguarded caller's whole job (verified).
+
+    LET-BINDING, the load-bearing part: higher-order functions evaluate
+    interpreted with NO subexpression elimination, so `slice(toks, i, n)`
+    inside the per-index lambda re-evaluates the whole `toks` expression
+    tree PER ELEMENT — when callers pass `tokens(text)` (a regex split)
+    rather than an attribute, that's an O(L²) re-tokenization per doc
+    (measured 6.0 s vs 1.2 s over sf1, and it made dsir_select 438 s at
+    sf10). Wrapping toks in a one-element array and transforming over it
+    binds the EVALUATED VALUE to the lambda argument once per row; the
+    inner lambdas then reference the bound value, O(1) per element. The
+    fix lives here so every call site — present and future — is safe
+    regardless of what expression it passes."""
+
+    def _grams(t: Column) -> Column:
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+
+    return F.element_at(F.transform(F.array(toks), _grams), 1)
