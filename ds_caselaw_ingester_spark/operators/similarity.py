@@ -617,7 +617,12 @@ def ivf_assign(
         _lit_long_array(cids),
     )
     vec = F.col(vec_col)
-    vnorm = l2_norm(vec)
+    # hoist the query norm to a COLUMN: _entry evaluates per centroid,
+    # and an l2_norm expression inside it would re-run the O(dim) fold
+    # n_c times per row (the word_ngrams lambda lesson) — as an
+    # attribute it is computed once per row
+    df = df.withColumn("_vnorm", l2_norm(vec))
+    vnorm = F.col("_vnorm")
 
     def _entry(c: Column) -> Column:
         # same ascending-dimension fold order (and therefore bit-identical
@@ -639,7 +644,7 @@ def ivf_assign(
     out = picked.withColumn("centroid_id", F.col("_pick")["centroid_id"])
     if keep_score:
         out = out.withColumn("centroid_cos", -F.col("_pick")["neg_score"])
-    return out.drop("_pick")
+    return out.drop("_pick", "_vnorm")
 
 
 def ivf_topk(
