@@ -58,6 +58,9 @@ def curate_corpus(
     min_quality_p: float = 0.5,
     benchmark_embeddings: DataFrame | None = None,
     semantic_decontam_threshold: float = 0.95,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int = 0,
+    dsir_buckets: int = 10_000,
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens) for the curated
     corpus: scrubbed text, quality-gated, optionally decontaminated
@@ -110,7 +113,17 @@ def curate_corpus(
     are DROPPED alongside the n-gram decontamination pass — the
     paraphrase-level overlap the exact-gram check cannot see.
     Documents with no embedding row cannot be judged and survive,
-    matching the SemDeDup stage's documented convention."""
+    matching the SemDeDup stage's documented convention.
+
+    dsir_target + dsir_keep: optional FINAL selection — after every
+    gate and both dedup stages, keep the `dsir_keep` surviving
+    documents whose hashed-n-gram profile best matches `dsir_target`
+    (operators/dsir.py, Xie 2023 importance resampling with
+    hash-derived Gumbel noise, so the selection stays a pure function
+    of the data). Runs LAST on purpose: selection quotas should spend
+    on unique, clean documents, not on duplicates the next stage would
+    have removed. dsir_keep larger than the survivor count keeps
+    everything (Gumbel top-k over n ≤ k rows is the identity)."""
     if benchmark_embeddings is not None and embeddings is None:
         raise ValueError("benchmark_embeddings requires the corpus `embeddings` frame")
     if benchmark is not None:
@@ -254,6 +267,24 @@ def curate_corpus(
             keepers = keepers.join(
                 sem.where(F.col("is_duplicate")).select(id_col), id_col, "left_anti"
             )
+    if (dsir_target is not None) != (dsir_keep > 0):
+        raise ValueError(
+            "dsir_target and dsir_keep > 0 must be passed together "
+            "(a target without a quota, or a quota without a target, "
+            "would silently select nothing)"
+        )
+    if dsir_target is not None:
+        from ds_caselaw_ingester_spark.operators.dsir import dsir_select
+
+        picked = dsir_select(
+            keepers,
+            dsir_target.select(F.col(id_col), F.col(text_col)),
+            dsir_keep,
+            id_col=id_col,
+            text_col=text_col,
+            num_buckets=dsir_buckets,
+        )
+        keepers = keepers.join(picked.select(id_col), id_col)
     return chunk_documents(
         keepers, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     )

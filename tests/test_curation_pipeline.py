@@ -255,3 +255,53 @@ def test_curation_semantic_decontam_gate(spark):
     assert kept == {2}
     with _pytest.raises(ValueError):
         curate_corpus(docs, benchmark_embeddings=bench)  # no embeddings frame
+
+
+def test_curation_dsir_final_selection(spark):
+    """The DSIR stage runs LAST: its quota is spent on gated, deduped
+    survivors, and the kept set is the target-likeness Gumbel top-k
+    over exactly those survivors (pinned against dsir_select run on
+    the pipeline's own survivor set)."""
+    from ds_caselaw_ingester_spark.operators.curation import curate_corpus
+    from ds_caselaw_ingester_spark.operators.dsir import dsir_select
+
+    filler = "one common filler sentence with enough tokens to pass gates"
+    rows = [
+        (1, "the quarterly market report shows steady revenue growth " + filler),
+        (2, "market analysts expect revenue to grow again this quarter " + filler),
+        (3, "a folk tale about a clever fox and a patient heron " + filler),
+        (4, "recipe steps for slow cooked stew with root vegetables " + filler),
+        (5, "tiny"),  # structurally gated out — must never consume quota
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "quarterly revenue growth report for market analysts")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs, min_tokens=8, chunk_tokens=64, overlap=0,
+        dsir_target=target, dsir_keep=2,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    assert len(kept) == 2 and 5 not in kept
+
+    # pin against dsir_select over the actual survivor set (1-4 here:
+    # no dedup collapses, only the structural gate fires)
+    survivors = docs.where("doc_id != 5")
+    want = {r["doc_id"] for r in dsir_select(survivors, target, 2).collect()}
+    assert kept == want
+    # and the finance docs are what target-likeness picks
+    assert kept == {1, 2}
+
+    # quota >= survivors keeps everything; mismatched args refuse
+    out_all = curate_corpus(
+        docs, min_tokens=8, chunk_tokens=64, overlap=0,
+        dsir_target=target, dsir_keep=100,
+    )
+    assert {r["doc_id"] for r in out_all.select("doc_id").distinct().collect()} == {1, 2, 3, 4}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="together"):
+        curate_corpus(docs, dsir_target=target, dsir_keep=0)
+    with _pytest.raises(ValueError, match="together"):
+        curate_corpus(docs, dsir_keep=3)
