@@ -61,7 +61,7 @@ def corpus_diff(
     )
 
 
-def _token_counts(docs: DataFrame, text_col: str) -> DataFrame:
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(token, n) — the unigram sufficient statistics, one scan."""
     return (
         docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
@@ -84,8 +84,8 @@ def vocab_shift(
     appeared/vanished tokens finite (they are exactly the interesting
     rows). Totals are two collected scalars; everything else is the
     vocab-sized full-outer join."""
-    oc = _token_counts(old, text_col)
-    nc = _token_counts(new, text_col)
+    oc = token_counts(old, text_col)
+    nc = token_counts(new, text_col)
     joined = (
         oc.withColumnRenamed("n", "n_old")
         .join(nc.withColumnRenamed("n", "n_new"), "token", "full")
@@ -128,8 +128,19 @@ def js_divergence(
 
     Per-token contributions are nano-rounded integers summed in any
     order — the scalar replays bit-for-bit in Python/DuckDB."""
-    oc = _token_counts(old, text_col)
-    nc = _token_counts(new, text_col)
+    return js_divergence_counts(
+        token_counts(old, text_col), token_counts(new, text_col), round_digits
+    )
+
+
+def js_divergence_counts(
+    oc: DataFrame, nc: DataFrame, round_digits: int = 6
+) -> float:
+    """JSD from two already-aggregated (token, n) count tables — the
+    core js_divergence delegates to, exposed for callers that MAINTAIN
+    counts instead of re-scanning a corpus (the streaming drift monitor
+    updates a running table per micro-batch and compares it to a fixed
+    reference without ever re-reading the stream's history)."""
     joined = (
         oc.withColumnRenamed("n", "n_old")
         .join(nc.withColumnRenamed("n", "n_new"), "token", "full")
