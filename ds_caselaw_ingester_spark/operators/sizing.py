@@ -108,7 +108,9 @@ def duplication_scaled_df_cap(typical_df: int, rare_df_cap: int = RARE_DF_CAP) -
     return rare_df_cap * max(1, int(typical_df))
 
 
-def gram_df_stats(shingles: DataFrame, id_col: str) -> dict:
+def gram_df_stats(
+    shingles: DataFrame, id_col: str, gram_fraction: float = 1.0
+) -> dict:
     """ONE aggregation pass over the vocabulary-sized gram table:
     {"n_grams", "median_df", "max_df"}, where median_df is the
     INCIDENCE-WEIGHTED median document-frequency — the df of the
@@ -131,16 +133,38 @@ def gram_df_stats(shingles: DataFrame, id_col: str) -> dict:
     to one row per DISTINCT df value (a tiny table) and finishes
     driver-side. The returned "histogram" [(df, n_grams_at_df), ...]
     lets consumers (hot_gram_drop_stats, the auto df-cap resolver)
-    derive their counts WITHOUT re-running the vocabulary shuffle."""
+    derive their counts WITHOUT re-running the vocabulary shuffle.
+
+    gram_fraction < 1 makes the pre-pass a GRAM-HASH SAMPLE: keep only
+    grams whose md5 falls in the first `gram_fraction` of the hash
+    space (operators/sampling.py convention — deterministic, so reruns
+    and engines agree), then scale the histogram counts back by
+    1/gram_fraction. Sampling BY GRAM keeps each surviving gram's df
+    EXACT (every occurrence of a kept gram is kept), so the weighted
+    median is the median of an unbiased vocabulary subsample — the
+    right statistic at 100 TB where the full vocabulary shuffle is the
+    pre-pass's entire cost. Scaled counts are estimates; max_df is the
+    sample's max (a lower bound). The default stays exact."""
+    if not 0.0 < gram_fraction <= 1.0:
+        raise ValueError(f"gram_fraction must be in (0, 1], got {gram_fraction}")
+    src = shingles
+    if gram_fraction < 1.0:
+        from ds_caselaw_ingester_spark.operators.sampling import hash_fraction
+
+        src = shingles.where(hash_fraction(F.col("gram")) < gram_fraction)
+    scale = 1.0 / gram_fraction
     per_df = (
-        shingles.groupBy("gram")
+        src.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
         .groupBy("df")
         .agg(F.count("*").alias("n_grams_at_df"))
         .orderBy("df")
         .collect()
     )
-    hist = [(int(r["df"]), int(r["n_grams_at_df"])) for r in per_df]
+    hist = [
+        (int(r["df"]), int(round(int(r["n_grams_at_df"]) * scale)))
+        for r in per_df
+    ]
     n_grams = sum(n for _, n in hist)
     total_mass = sum(df * n for df, n in hist)
     median_df, cum = 1, 0

@@ -111,3 +111,34 @@ def test_profile_matches_python_model(spark, docs):
         want = _py_profile(text)
         have = {k: v for k, v in got[i].items() if k != "doc_id"}
         assert have == want, f"doc {i}: {text!r}\n{have}\nvs\n{want}"
+
+
+def test_py_tokens_matches_spark_tokens_on_hostile_whitespace(spark):
+    """py_tokens is the documented Python replay of tokens() — pin the
+    equivalence on exactly the inputs where naive Python diverges:
+    ASCII controls (\\x0b IS Java whitespace), NBSP and LINE SEPARATOR
+    (Unicode whitespace to Python's str.split but NOT to the JVM's
+    ASCII \\s — they must stay inside tokens on both sides here)."""
+    from ds_caselaw_ingester_spark.operators.textstats import py_tokens, tokens
+    from pyspark.sql import functions as F
+
+    texts = [
+        "",
+        " ",
+        "\n\t a \x0b b \f\r",
+        "a b c",          # NBSP glues a and b into one token
+        "x y z w",   # LINE/PARAGRAPH SEPARATOR likewise
+        " ",              # a lone NBSP IS a (one-char) token
+        "  left pad",
+        "right pad  ",
+        "multi   internal\t\tgaps",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", tokens(F.col("text")).alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_tokens(t), repr(t)

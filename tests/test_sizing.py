@@ -399,3 +399,25 @@ def test_lsh_candidate_pairs_guard_fires_on_hot_band(spark, caplog):
     with caplog.at_level(logging.WARNING, logger=sizing_mod.__name__):
         lsh_candidate_pairs(bands, "doc_id", guard_occupancy=True)
     assert any("skewed" in r.message for r in caplog.records)
+
+
+def test_gram_df_stats_sampled_matches_exact_median(spark):
+    """gram_fraction sampling keeps each surviving gram's df EXACT, so
+    the weighted median from the sample matches the full pass on a
+    duplicated corpus (the df distribution is tight there — exactly the
+    regime auto-sizing must get right); counts scale back ~1/f."""
+    import pytest as _pytest
+
+    shingles = doc_shingles(_dup_corpus(spark, 25), "doc_id", "text", n=3)
+    full = gram_df_stats(shingles, "doc_id")
+    half = gram_df_stats(shingles, "doc_id", gram_fraction=0.5)
+    assert half["median_df"] == full["median_df"] == 25
+    # the scaled vocabulary estimate lands in the right ballpark
+    assert 0.5 * full["n_grams"] <= half["n_grams"] <= 2.0 * full["n_grams"]
+    # deterministic: the hash-gated sample is a pure function of data
+    again = gram_df_stats(shingles, "doc_id", gram_fraction=0.5)
+    assert again == half
+    with _pytest.raises(ValueError, match="gram_fraction"):
+        gram_df_stats(shingles, "doc_id", gram_fraction=0.0)
+    with _pytest.raises(ValueError, match="gram_fraction"):
+        gram_df_stats(shingles, "doc_id", gram_fraction=1.5)
