@@ -276,6 +276,13 @@ def curate_corpus(
     if dsir_target is not None:
         from ds_caselaw_ingester_spark.operators.dsir import dsir_select
 
+        if embeddings is None:
+            # the semdedup branch already truncated the lexical-dedup
+            # lineage; without it, the three consumers below (the DSIR
+            # featurize, its spine join, and the final chunk scan) would
+            # each replay shingle -> minhash -> banding -> CC — the same
+            # ~4x hazard documented above (review-found)
+            keepers = keepers.localCheckpoint(eager=True)
         picked = dsir_select(
             keepers,
             dsir_target.select(F.col(id_col), F.col(text_col)),

@@ -408,8 +408,27 @@ def semantic_decontam(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                v = np.stack(pdf["_cvec"].to_numpy()).astype(np.float64)
+                # NULL embeddings: np.stack would crash on None — treat
+                # them exactly like zero-norm (no defined cosine), the
+                # pairs path's behavior for the same row
+                null_mask = pdf["_cvec"].isna().to_numpy()
+                if null_mask.all():
+                    out = pdf[[id_col]].copy()
+                    out["nearest_bench_id"] = pd.array(
+                        [None] * len(pdf), dtype="object"
+                    )
+                    out["max_cos"] = pd.array([None] * len(pdf), dtype="Float64")
+                    yield out
+                    continue
+                filled = pdf["_cvec"].copy()
+                dim = len(next(x for x in filled if x is not None))
+                filled[null_mask] = pd.Series(
+                    [[0.0] * dim] * int(null_mask.sum()),
+                    index=filled.index[null_mask],
+                )
+                v = np.stack(filled.to_numpy()).astype(np.float64)
                 vn = np.sqrt((v * v).sum(axis=1))
+                vn = np.where(null_mask, 0.0, vn)  # null == undefined
                 denom = vn[:, None] * n[None, :]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     s = np.round(np.where(denom > 0, (v @ m.T) / denom, -np.inf),

@@ -44,21 +44,15 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ds_caselaw_ingester_spark.operators.sampling import (
+    hash_bucket,
+    hash_fraction_open,
+)
 from ds_caselaw_ingester_spark.operators.textstats import tokens, word_ngrams
 
 _MICRO = 1_000_000
-_HASH_SPACE = float(16**13)  # 2^52 — see operators/sampling.py
 
 DSIR_BUCKETS = 10_000  # the paper's feature dimension
-
-
-def _bucket(feat: Column, num_buckets: int) -> Column:
-    """Hashed-feature bucket id in [0, num_buckets): first 13 hex
-    digits of md5 (fits a signed 64-bit exactly), mod B. DuckDB:
-    ('0x' || substr(md5(feat), 1, 13))::BIGINT % B."""
-    return F.conv(F.substring(F.md5(feat), 1, 13), 16, 10).cast("long") % F.lit(
-        num_buckets
-    )
 
 
 def hashed_ngram_counts(
@@ -78,7 +72,7 @@ def hashed_ngram_counts(
     feats = F.concat(F.col("_toks"), word_ngrams(F.col("_toks"), 2))
     return (
         toked.select(F.col(id_col), F.explode(feats).alias("_feat"))
-        .select(F.col(id_col), _bucket(F.col("_feat"), num_buckets).alias("bucket"))
+        .select(F.col(id_col), hash_bucket(F.col("_feat"), num_buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -179,12 +173,10 @@ def dsir_logweights(
 
 def gumbel_noise(key: Column) -> Column:
     """Deterministic standard-Gumbel draw from a content hash:
-    g = −ln(−ln(u)) with u = (h + 0.5) / 2^52, h the first 13 hex
-    digits of md5(key) — u ∈ (0, 1) strictly, so both logs are finite.
-    Replays in DuckDB/Python digit-for-digit."""
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast("double")
-    u = (h + F.lit(0.5)) / F.lit(_HASH_SPACE)
-    return -F.log(-F.log(u))
+    g = −ln(−ln(u)) with u = hash_fraction_open(key) ∈ (0, 1) strictly,
+    so both logs are finite. Replays in DuckDB/Python digit-for-digit
+    (the shared 13-hex-md5 convention in operators/sampling.py)."""
+    return -F.log(-F.log(hash_fraction_open(key)))
 
 
 def dsir_select(
@@ -239,14 +231,17 @@ def dsir_select(
         # eager k-row checkpoint: materialize the selection NOW so the
         # cache can be released before returning (the result is k rows —
         # checkpointing it costs nothing at any scale)
+        # rank on the ROUNDED score: DuckDB's ORDER BY binds the
+        # round(...,4) output alias, so ranking the raw double here
+        # would tie-break 4-dp-equal scores differently across engines
         return (
-            scored.orderBy(F.desc("_score"), F.asc(id_col))
-            .limit(k)
-            .select(
+            scored.select(
                 id_col,
                 F.round("logw", 4).alias("logw"),
                 F.round("_score", 4).alias("score"),
             )
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k)
             .localCheckpoint()
         )
     finally:

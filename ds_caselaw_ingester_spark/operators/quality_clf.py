@@ -51,23 +51,21 @@ __all__ = [
     "py_hash_idx",
 ]
 
-_HEX_DIGITS = 13  # 52 bits: exact in a double AND in a BIGINT
-
-
 def _hash_idx(term: Column, dim: int) -> Column:
-    """md5(term) -> first 13 hex digits -> bigint -> mod dim. Stays on
-    the JVM (md5 + conv are codegen'd); replayable in Python via
-    py_hash_idx and in DuckDB via ('0x' || substr(md5(t),1,13))::BIGINT."""
-    return (
-        F.conv(F.substring(F.md5(term), 1, _HEX_DIGITS), 16, 10).cast("bigint")
-        % F.lit(dim)
-    ).cast("int")
+    """md5(term) -> first 13 hex digits -> bigint -> mod dim, via the
+    SHARED sampling.hash_bucket convention (one definition of the
+    13-hex-md5 hash across quality_clf/dsir/sampling, so the replay
+    formula cannot silently fork). DuckDB:
+    ('0x' || substr(md5(t), 1, 13))::BIGINT % dim."""
+    from ds_caselaw_ingester_spark.operators.sampling import hash_bucket
+
+    return hash_bucket(term, dim).cast("int")
 
 
 def py_hash_idx(term: str, dim: int) -> int:
-    import hashlib
+    from ds_caselaw_ingester_spark.operators.sampling import py_hash_bucket
 
-    return int(hashlib.md5(term.encode()).hexdigest()[:_HEX_DIGITS], 16) % dim
+    return py_hash_bucket(term, dim)
 
 
 @dataclass(frozen=True)

@@ -39,6 +39,34 @@ def hash_fraction(key: Column) -> Column:
     )
 
 
+def hash_fraction_open(key: Column) -> Column:
+    """Uniform value in the OPEN interval (0, 1): (h + 0.5) / 2^52.
+    Use where a downstream log/log-log must stay finite (e.g. Gumbel
+    noise, −ln(−ln u)) — hash_fraction can return exactly 0.
+    DuckDB: (('0x' || substr(md5(key), 1, 13))::BIGINT + 0.5) / 16.0^13."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast("double")
+    return (h + F.lit(0.5)) / F.lit(_HASH_SPACE)
+
+
+def hash_bucket(key: Column, num_buckets: int) -> Column:
+    """Deterministic bucket id in [0, num_buckets): the SHARED
+    13-hex-md5 convention (52 bits — exact in a double AND a BIGINT)
+    behind the feature hashers (quality_clf, dsir). One definition so a
+    change to the hash width cannot silently fork replay formulas.
+    DuckDB: ('0x' || substr(md5(key), 1, 13))::BIGINT % B;
+    Python: py_hash_bucket below."""
+    return F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint") % F.lit(
+        num_buckets
+    )
+
+
+def py_hash_bucket(key: str, num_buckets: int) -> int:
+    """Pure-Python replay of hash_bucket."""
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:13], 16) % num_buckets
+
+
 def hash_sample(df: DataFrame, key_col: str, p: float) -> DataFrame:
     """Keep each row with probability p, decided by the row's key hash —
     deterministic across reruns, partitionings, and engines."""

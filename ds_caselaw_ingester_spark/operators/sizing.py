@@ -165,6 +165,14 @@ def gram_df_stats(
         (int(r["df"]), int(round(int(r["n_grams_at_df"]) * scale)))
         for r in per_df
     ]
+    if not hist and gram_fraction < 1.0 and shingles.take(1):
+        # no silent caps: a sample that caught NOTHING on a non-empty
+        # gram table would hand downstream auto-sizing fabricated
+        # statistics (median_df=1, n_grams=0)
+        raise ValueError(
+            f"gram_df_stats: gram_fraction={gram_fraction} sampled no grams "
+            "from a non-empty table; increase gram_fraction"
+        )
     n_grams = sum(n for _, n in hist)
     total_mass = sum(df * n for df, n in hist)
     median_df, cum = 1, 0

@@ -46,14 +46,28 @@ def corpus_diff(
     """(id, status, old_hash, new_hash) with status in
     {'added', 'removed', 'changed', 'unchanged'}. Hashes are md5 of the
     raw text (byte-identity, not semantic identity — near-dup detection
-    is the dedup family's job)."""
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("old_hash"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("new_hash"))
+    is the dedup family's job).
+
+    Presence comes from explicit per-side markers, NOT hash nullity: a
+    document with NULL text hashes to NULL, and classifying on the hash
+    would report it 'added' no matter which snapshot it is in
+    (review-found). Two NULL-text rows compare as unchanged (null-safe
+    equality) — both snapshots agree the content is absent."""
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("old_hash"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("new_hash"),
+        F.lit(True).alias("_in_new"),
+    )
     return o.join(n, id_col, "full").select(
         id_col,
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("status"),
         "old_hash",
@@ -99,6 +113,8 @@ def vocab_shift(
     tot = joined.agg(
         F.sum("n_old").alias("no"), F.sum("n_new").alias("nn"), F.count("*").alias("v")
     ).collect()[0]
+    if not tot["v"]:
+        raise ValueError("vocab_shift needs at least one token across the corpora")
     d_old = float(tot["no"]) + alpha * float(tot["v"])
     d_new = float(tot["nn"]) + alpha * float(tot["v"])
     return joined.select(

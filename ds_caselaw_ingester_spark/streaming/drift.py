@@ -14,10 +14,11 @@ many billions of documents streamed through. O(vocab) write
 amplification per epoch is the floor for any count merge; partitioning
 it would only add files. The crash-safety contract is the shared one:
 recover_swap before reading, tmp-dir write, rename commit
-(operators/compaction.py), checkpointed offsets make redelivered
-batches converge because the merge is idempotent per epoch directory
-swap — a re-applied batch after a crash BEFORE commit_swap re-reads the
-unchanged table and recomputes the same merge.
+(operators/compaction.py). Redelivery: a crash BEFORE commit_swap
+leaves the table unchanged, so the replay recomputes the same merge; a
+crash AFTER commit but before the offset checkpoint is the case the
+`_applied_epoch` sidecar exists for (see apply_drift_batch — count
+merges are NOT idempotent, so redelivered epochs must be detected).
 
 The reference side is a fixed (token, n) parquet written once by
 `write_reference`; scoring joins two vocab-sized tables
@@ -141,15 +142,30 @@ def run_drift_monitor(
     cumulative JSD vs the reference is computed; scores cross
     `warn_threshold` -> WARN log. on_score(epoch_id, jsd) receives
     every computed score (dashboards, tests)."""
+    import os
+
+    if score_every <= 0:
+        raise ValueError(f"score_every must be positive, got {score_every}")
+    counts_local = (
+        counts_path[len("file:") :]
+        if counts_path.startswith("file:")
+        else counts_path
+    )
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         apply_drift_batch(batch, counts_path, text_col, epoch_id=epoch_id)
         if epoch_id % score_every == score_every - 1:
-            try:
-                jsd = drift_score(batch.sparkSession, counts_path, reference_path)
-            except Exception as exc:  # table empty until first non-empty batch
-                logger.info("drift_monitor: no score at epoch %s (%s)", epoch_id, exc)
+            # existence check, NOT a blanket except: the only benign
+            # no-score state is "no non-empty batch has built the table
+            # yet" — a bad reference_path or a corrupt table must
+            # propagate and fail the query, or the monitor would run
+            # green forever while the one thing it watches goes dark
+            if not os.path.isdir(counts_local):
+                logger.info(
+                    "drift_monitor: no counts table yet at epoch %s", epoch_id
+                )
                 return
+            jsd = drift_score(batch.sparkSession, counts_path, reference_path)
             if jsd >= warn_threshold:
                 logger.warning(
                     "drift_monitor: JSD vs reference = %.6f >= %.3f at epoch %s",

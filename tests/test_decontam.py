@@ -245,3 +245,33 @@ def test_semantic_decontam_zero_norm_and_string_ids(spark):
         assert all(
             r["max_cos"] is None and not r["contaminated"] for r in rows
         ), method
+
+
+def test_semantic_decontam_null_embedding_both_paths(spark):
+    """A NULL embedding row must come back (NULL, NULL, false) on BOTH
+    paths — the matmul path used to crash in np.stack (review-found),
+    diverging from pairs the moment auto crossed 256 bench rows."""
+    from ds_caselaw_ingester_spark.operators.decontam import semantic_decontam
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    for method in ("pairs", "matmul"):
+        got = {
+            r["vec_id"]: (r["nearest_bench_id"], r["max_cos"], r["contaminated"])
+            for r in semantic_decontam(
+                corpus, bench, threshold=0.9, method=method
+            ).collect()
+        }
+        assert got[2] == (None, None, False), method
+        assert got[1] == (9, 1.0, True), method
+    # all-null batch edge on the matmul path
+    all_null = spark.createDataFrame(
+        [(7, None)], "vec_id long, embedding array<double>"
+    )
+    rows = semantic_decontam(all_null, bench, threshold=0.5, method="matmul").collect()
+    assert [tuple(r) for r in rows] == [(7, None, None, False)]

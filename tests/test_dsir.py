@@ -155,9 +155,12 @@ def _py_dsir(raw: "dict[int, str]", tgt: "list[str]", k: int, num_buckets: int):
         logw = sum(c * r_micro[b] for b, c in rfeats[i].items()) / 1e6
         h = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
         u = (h + 0.5) / 4503599627370496.0
-        scored.append((i, logw, logw - math.log(-math.log(u))))
+        scored.append((i, round(logw, 4), round(logw - math.log(-math.log(u)), 4)))
+    # rank on the ROUNDED score — the engine and the DuckDB oracle
+    # (whose ORDER BY binds the round() alias) both do, so 4-dp ties
+    # break by id identically in all three implementations
     scored.sort(key=lambda r: (-r[2], r[0]))
-    return [(i, round(l, 4), round(s, 4)) for i, l, s in scored[:k]]
+    return scored[:k]
 
 
 def test_dsir_matches_pure_python_replay(spark):

@@ -139,3 +139,34 @@ def test_jsd_bounds_and_empty(spark):
     empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty"):
         js_divergence(a, empty)
+
+
+def test_corpus_diff_null_text_presence(spark):
+    """Presence must come from join-side markers, not hash nullity: a
+    NULL-text doc present only in OLD is 'removed' (the hash-nullity
+    form reported it 'added'); NULL -> real text is 'changed'; NULL on
+    both sides is 'unchanged' (both snapshots agree content is absent)."""
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "now real"), (3, "real"), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "removed",
+        2: "changed",
+        3: "unchanged",
+        4: "unchanged",
+        5: "added",
+    }
+
+
+def test_vocab_shift_empty_corpora_refuse(spark):
+    import pytest as _pytest
+
+    e = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="at least one token"):
+        vocab_shift(e, e)
