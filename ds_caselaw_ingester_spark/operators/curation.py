@@ -61,6 +61,7 @@ def curate_corpus(
     dsir_target: DataFrame | None = None,
     dsir_keep: int = 0,
     dsir_buckets: int = 10_000,
+    boilerplate_min_df: "int | None" = None,
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens) for the curated
     corpus: scrubbed text, quality-gated, optionally decontaminated
@@ -115,6 +116,13 @@ def curate_corpus(
     Documents with no embedding row cannot be judged and survive,
     matching the SemDeDup stage's documented convention.
 
+    boilerplate_min_df: optional paragraph-level boilerplate cut
+    (operators/dedup.py common_paragraphs + strip_common_paragraphs)
+    applied right after scrubbing, BEFORE the structural gates — so a
+    document that is mostly cookie-banner/footer is judged on its real
+    content (and dropped if nothing real remains), and the lexical
+    dedup downstream never clusters documents on shared boilerplate.
+
     dsir_target + dsir_keep: optional FINAL selection — after every
     gate and both dedup stages, keep the `dsir_keep` surviving
     documents whose hashed-n-gram profile best matches `dsir_target`
@@ -157,6 +165,18 @@ def curate_corpus(
     scrubbed = docs.select(
         F.col(id_col), scrub_text(F.col(text_col)).alias(text_col)
     )
+    if boilerplate_min_df is not None:
+        from ds_caselaw_ingester_spark.operators.dedup import (
+            common_paragraphs,
+            strip_common_paragraphs,
+        )
+
+        census = common_paragraphs(
+            scrubbed, id_col, text_col, min_doc_freq=boilerplate_min_df
+        )
+        scrubbed = strip_common_paragraphs(
+            scrubbed, id_col, text_col, census
+        ).select(F.col("doc_id").alias(id_col), F.col("text").alias(text_col))
     tok = tokens(F.col(text_col))
     gated = scrubbed.where(
         (F.size(tok) >= min_tokens)

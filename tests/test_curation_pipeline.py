@@ -305,3 +305,32 @@ def test_curation_dsir_final_selection(spark):
         curate_corpus(docs, dsir_target=target, dsir_keep=0)
     with _pytest.raises(ValueError, match="together"):
         curate_corpus(docs, dsir_keep=3)
+
+
+def test_curation_boilerplate_stage(spark):
+    """boilerplate_min_df strips cross-document paragraphs BEFORE the
+    structural gate: a doc that is banner+footer only dies at the gate
+    (nothing real remains), a doc with real content survives WITHOUT
+    the boilerplate tokens, and lexical dedup no longer sees the shared
+    paragraphs."""
+    from ds_caselaw_ingester_spark.operators.curation import curate_corpus
+
+    banner = "this site uses cookies and trackers everywhere"
+    real1 = "genuinely unique prose about alpha beta gamma delta topics"
+    real2 = "completely different words regarding epsilon zeta eta theta"
+    rows = [
+        (1, f"{banner}\n\n{real1}"),
+        (2, f"{banner}\n\n{real2}"),
+        (3, banner),  # boilerplate-only: must die at the gate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(
+        docs, min_tokens=5, chunk_tokens=64, overlap=0, boilerplate_min_df=2
+    ).collect()
+    kept = {r["doc_id"] for r in out}
+    assert kept == {1, 2}
+    texts = {r["doc_id"]: r["chunk_text"] for r in out}
+    assert texts[1] == real1 and texts[2] == real2
+    # without the stage, doc 3 passes the gate on banner tokens alone
+    base = curate_corpus(docs, min_tokens=5, chunk_tokens=64, overlap=0)
+    assert {r["doc_id"] for r in base.collect()} == {1, 2, 3}
