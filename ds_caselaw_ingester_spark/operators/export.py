@@ -72,3 +72,88 @@ def export_shuffled(
     shuffled_shards(df, id_col, num_shards).write.mode("overwrite").partitionBy(
         "_shard"
     ).parquet(out_dir)
+
+
+def shard_manifest(spark, out_dir: str) -> "list[dict]":
+    """Per-shard audit rows for an `export_shuffled` directory:
+    [{shard, rows, min_key, max_key, checksum}] ordered by shard.
+
+    checksum is the bit-XOR of each row's 52-bit shuffle-key prefix
+    (('0x' || substr(key, 1, 13))::BIGINT in DuckDB — the repo's
+    13-hex convention): order-independent, overflow-free, and cheap to
+    recompute on any engine, so a consumer can verify a shard it
+    downloaded without trusting the producer's row order."""
+    df = spark.read.parquet(out_dir)
+    rows = (
+        df.groupBy("_shard")
+        .agg(
+            F.count("*").alias("rows"),
+            F.min("_shuffle_key").alias("min_key"),
+            F.max("_shuffle_key").alias("max_key"),
+            F.bit_xor(
+                F.conv(F.substring("_shuffle_key", 1, 13), 16, 10).cast("long")
+            ).alias("checksum"),
+        )
+        .orderBy("_shard")
+        .collect()
+    )
+    return [
+        {
+            "shard": int(r["_shard"]),
+            "rows": int(r["rows"]),
+            "min_key": r["min_key"],
+            "max_key": r["max_key"],
+            "checksum": int(r["checksum"]),
+        }
+        for r in rows
+    ]
+
+
+def write_manifest(spark, out_dir: str) -> dict:
+    """Compute and persist `_manifest.json` beside the shards (the
+    underscore prefix keeps parquet readers away from it). Returns the
+    manifest dict: {num_shards, total_rows, shards: [...]}."""
+    import json
+    import os
+
+    shards = shard_manifest(spark, out_dir)
+    manifest = {
+        "num_shards": len(shards),
+        "total_rows": sum(s["rows"] for s in shards),
+        "shards": shards,
+    }
+    local = out_dir[len("file:") :] if out_dir.startswith("file:") else out_dir
+    tmp = os.path.join(local, "_manifest.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(local, "_manifest.json"))
+    return manifest
+
+
+def verify_export(spark, out_dir: str) -> dict:
+    """Recompute the per-shard stats and compare against the stored
+    `_manifest.json` — the consumer-side integrity check (bit rot, a
+    partially re-written shard, a truncated copy all change rows or the
+    key-XOR). Raises ValueError naming every mismatching shard; returns
+    the verified manifest on success."""
+    import json
+    import os
+
+    local = out_dir[len("file:") :] if out_dir.startswith("file:") else out_dir
+    path = os.path.join(local, "_manifest.json")
+    if not os.path.exists(path):
+        raise ValueError(f"no _manifest.json under {out_dir}")
+    with open(path) as fh:
+        manifest = json.load(fh)
+    want = {s["shard"]: s for s in manifest["shards"]}
+    got = {s["shard"]: s for s in shard_manifest(spark, out_dir)}
+    bad = sorted(
+        shard
+        for shard in set(want) | set(got)
+        if want.get(shard) != got.get(shard)
+    )
+    if bad:
+        raise ValueError(
+            f"export verification failed for shard(s) {bad} under {out_dir}"
+        )
+    return manifest
