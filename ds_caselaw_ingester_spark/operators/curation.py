@@ -174,9 +174,16 @@ def curate_corpus(
         census = common_paragraphs(
             scrubbed, id_col, text_col, min_doc_freq=boilerplate_min_df
         )
-        scrubbed = strip_common_paragraphs(
-            scrubbed, id_col, text_col, census
-        ).select(F.col("doc_id").alias(id_col), F.col("text").alias(text_col))
+        # checkpoint the stripped frame: it feeds EVERY downstream
+        # consumer (the gates, shingling, the spine joins, chunking),
+        # and without truncation each action replays the census
+        # aggregation and the strip explode+join — the same lineage
+        # hazard this file documents at the semdedup and DSIR stages
+        scrubbed = (
+            strip_common_paragraphs(scrubbed, id_col, text_col, census)
+            .select(F.col("doc_id").alias(id_col), F.col("text").alias(text_col))
+            .localCheckpoint(eager=True)
+        )
     tok = tokens(F.col(text_col))
     gated = scrubbed.where(
         (F.size(tok) >= min_tokens)

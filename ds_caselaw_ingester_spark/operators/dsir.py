@@ -33,7 +33,9 @@ Determinism/parity conventions (the repo's): md5-derived bucket ids
 and Gumbel uniforms (`('0x' || substr(md5(x), 1, 13))::BIGINT` replays
 in DuckDB); the per-bucket log-ratio is micro-rounded to an integer
 once, per-doc scores are exact BIGINT dot products summed in any
-order; doubles are rounded (4 dp) only at the output boundary.
+order; the top-k RANKS on the 4-dp-rounded score (ties break by id) so
+Spark, Python, and DuckDB — whose ORDER BY binds the round() output
+alias — select identical sets at rounding boundaries.
 DuckDB oracle + pure-Python replay in tests/test_dsir.py.
 """
 

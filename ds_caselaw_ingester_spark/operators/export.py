@@ -76,14 +76,22 @@ def export_shuffled(
 
 def shard_manifest(spark, out_dir: str) -> "list[dict]":
     """Per-shard audit rows for an `export_shuffled` directory:
-    [{shard, rows, min_key, max_key, checksum}] ordered by shard.
+    [{shard, rows, min_key, max_key, checksum, content_checksum}]
+    ordered by shard.
 
     checksum is the bit-XOR of each row's 52-bit shuffle-key prefix
     (('0x' || substr(key, 1, 13))::BIGINT in DuckDB — the repo's
-    13-hex convention): order-independent, overflow-free, and cheap to
-    recompute on any engine, so a consumer can verify a shard it
-    downloaded without trusting the producer's row order."""
+    13-hex convention): order-independent, overflow-free, and
+    recomputable on any engine. It detects row loss/duplication and
+    key tampering — but NOT a payload rewrite that preserves the keys,
+    which is why content_checksum exists: the same XOR over
+    md5(to_json(struct(all columns, name-sorted))), covering every
+    byte of every row. content_checksum is Spark-replayable (producer
+    and verify_export both compute it here); JSON rendering differs
+    across engines, so only the key checksum is claimed engine-
+    portable."""
     df = spark.read.parquet(out_dir)
+    payload = F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)]))
     rows = (
         df.groupBy("_shard")
         .agg(
@@ -93,6 +101,9 @@ def shard_manifest(spark, out_dir: str) -> "list[dict]":
             F.bit_xor(
                 F.conv(F.substring("_shuffle_key", 1, 13), 16, 10).cast("long")
             ).alias("checksum"),
+            F.bit_xor(
+                F.conv(F.substring(F.md5(payload), 1, 13), 16, 10).cast("long")
+            ).alias("content_checksum"),
         )
         .orderBy("_shard")
         .collect()
@@ -104,6 +115,7 @@ def shard_manifest(spark, out_dir: str) -> "list[dict]":
             "min_key": r["min_key"],
             "max_key": r["max_key"],
             "checksum": int(r["checksum"]),
+            "content_checksum": int(r["content_checksum"]),
         }
         for r in rows
     ]
@@ -132,9 +144,10 @@ def write_manifest(spark, out_dir: str) -> dict:
 
 def verify_export(spark, out_dir: str) -> dict:
     """Recompute the per-shard stats and compare against the stored
-    `_manifest.json` — the consumer-side integrity check (bit rot, a
-    partially re-written shard, a truncated copy all change rows or the
-    key-XOR). Raises ValueError naming every mismatching shard; returns
+    `_manifest.json` — the consumer-side integrity check (a truncated
+    copy changes rows/key-XOR; bit rot or a payload rewrite that
+    preserves the keys changes content_checksum). Raises ValueError
+    naming every mismatching shard; returns
     the verified manifest on success."""
     import json
     import os

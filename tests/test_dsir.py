@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 import duckdb
 import pytest
@@ -125,6 +126,14 @@ def _py_feats(text: str, num_buckets: int) -> "dict[int, int]":
     return out
 
 
+def _r4(x: float) -> float:
+    """Spark ROUND replay: shortest-repr decimal HALF_UP — NOT Python
+    round(), whose banker's/binary behavior diverges on .5 boundaries
+    (the repo's documented replay convention; rounding now DETERMINES
+    top-k membership, so the boundary cases are load-bearing)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
 def _py_dsir(raw: "dict[int, str]", tgt: "list[str]", k: int, num_buckets: int):
     rfeats = {i: _py_feats(t, num_buckets) for i, t in raw.items()}
     q: dict[int, int] = {}
@@ -155,7 +164,7 @@ def _py_dsir(raw: "dict[int, str]", tgt: "list[str]", k: int, num_buckets: int):
         logw = sum(c * r_micro[b] for b, c in rfeats[i].items()) / 1e6
         h = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
         u = (h + 0.5) / 4503599627370496.0
-        scored.append((i, round(logw, 4), round(logw - math.log(-math.log(u)), 4)))
+        scored.append((i, _r4(logw), _r4(logw - math.log(-math.log(u)))))
     # rank on the ROUNDED score — the engine and the DuckDB oracle
     # (whose ORDER BY binds the round() alias) both do, so 4-dp ties
     # break by id identically in all three implementations

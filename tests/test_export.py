@@ -146,3 +146,27 @@ def test_manifest_roundtrip_and_tamper_detection(spark, tmp_path):
     ).parquet(f"{out}/_shard=0")
     with _pytest.raises(ValueError, match=r"shard\(s\) \[0\]"):
         verify_export(spark, out)
+
+    # payload-only tamper: keys, counts, min/max all preserved — only
+    # content_checksum can catch it (review-found gap)
+    out2 = str(tmp_path / "shards2")
+    export_shuffled(docs, "doc_id", out2, num_shards=2)
+    write_manifest(spark, out2)
+    shard1 = spark.read.parquet(f"{out2}/_shard=1")
+    from pyspark.sql import functions as F
+
+    tampered = shard1.withColumn(
+        "text",
+        F.when(
+            F.col("_shuffle_key")
+            == shard1.orderBy("_shuffle_key").limit(1).collect()[0]["_shuffle_key"],
+            F.lit("silently different payload"),
+        ).otherwise(F.col("text")),
+    ).collect()
+    for f in glob.glob(f"{out2}/_shard=1/*.parquet"):
+        os.remove(f)
+    spark.createDataFrame(tampered, shard1.schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(f"{out2}/_shard=1")
+    with _pytest.raises(ValueError, match=r"shard\(s\) \[1\]"):
+        verify_export(spark, out2)
