@@ -170,3 +170,34 @@ def test_vocab_shift_empty_corpora_refuse(spark):
     e = spark.createDataFrame([(1, "")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="at least one token"):
         vocab_shift(e, e)
+
+
+def test_jsd_property_arbitrary_corpora(spark):
+    """Hypothesis: on arbitrary small corpora (shared vocab, repeats,
+    whitespace noise) the engine JSD equals the pure-Python replay
+    bit-for-bit, stays in [0, 1], and is symmetric."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+    corpus = st.lists(
+        st.lists(words, min_size=1, max_size=6).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(corpus, corpus)
+    def _check(old_texts, new_texts):
+        old = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(old_texts)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(new_texts)], "doc_id long, text string"
+        )
+        got = js_divergence(old, new)
+        assert got == py_js_divergence(old_texts, new_texts)
+        assert 0.0 <= got <= 1.0
+        assert js_divergence(new, old) == got
+
+    _check()
