@@ -207,7 +207,10 @@ def resolve_num_planes(num_planes: "int | str", candidates: DataFrame) -> int:
 
 
 def resolve_max_doc_freq(
-    max_doc_freq: "int | str | None", shingles: DataFrame, id_col: str
+    max_doc_freq: "int | str | None",
+    shingles: DataFrame,
+    id_col: str,
+    gram_fraction: float = 1.0,
 ) -> "tuple[int | None, dict | None]":
     """Resolve ``max_doc_freq="auto"`` from the gram-df distribution
     (one vocabulary-sized aggregation). Returns (cap, stats) — stats is
@@ -225,7 +228,7 @@ def resolve_max_doc_freq(
         raise ValueError(
             f"max_doc_freq must be an int, None, or 'auto'; got {max_doc_freq!r}"
         )
-    stats = gram_df_stats(shingles, id_col)
+    stats = gram_df_stats(shingles, id_col, gram_fraction=gram_fraction)
     cap = duplication_scaled_df_cap(stats["median_df"])
     log.info(
         "jaccard df-cap auto-sizing: %d grams, median df=%d, max df=%d "
