@@ -37,6 +37,27 @@ from ds_caselaw_ingester_spark.operators.scrub import scrub_text
 from ds_caselaw_ingester_spark.operators.textstats import alpha_ratio, tokens
 
 
+def _scrub(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(F.col(id_col), scrub_text(F.col(text_col)).alias(text_col))
+
+
+def _structural_gate(
+    scrubbed: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    min_alpha_ratio: float,
+) -> DataFrame:
+    """The core structural gate — ONE definition shared by the batch
+    composite and the incremental path, so their keep decisions cannot
+    drift (the incremental equivalence contract depends on it)."""
+    tok = tokens(F.col(text_col))
+    return scrubbed.where(
+        (F.size(tok) >= min_tokens)
+        & (alpha_ratio(F.col(text_col)) >= min_alpha_ratio)
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -162,9 +183,7 @@ def curate_corpus(
             id_col,
             "left_anti",
         )
-    scrubbed = docs.select(
-        F.col(id_col), scrub_text(F.col(text_col)).alias(text_col)
-    )
+    scrubbed = _scrub(docs, id_col, text_col)
     if boilerplate_min_df is not None:
         from ds_caselaw_ingester_spark.operators.dedup import (
             common_paragraphs,
@@ -184,10 +203,8 @@ def curate_corpus(
             .select(F.col("doc_id").alias(id_col), F.col("text").alias(text_col))
             .localCheckpoint(eager=True)
         )
-    tok = tokens(F.col(text_col))
-    gated = scrubbed.where(
-        (F.size(tok) >= min_tokens)
-        & (alpha_ratio(F.col(text_col)) >= min_alpha_ratio)
+    gated = _structural_gate(
+        scrubbed, id_col, text_col, min_tokens, min_alpha_ratio
     )
     if repetition_caps:
         import re
@@ -322,3 +339,121 @@ def curate_corpus(
     return chunk_documents(
         keepers, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     )
+
+
+def curation_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """(id, band, band_key) for the scrubbed+gated corpus — the
+    persisted state `curate_increment` probes (write it bucketed on
+    band_key so the probe join is co-located; incremental_lsh_pairs'
+    docstring covers the layout). Must be built with the SAME gate
+    parameters the increments will use: the equivalence contract
+    compares keep decisions, and a doc gated differently on the two
+    paths trivially diverges."""
+    gated = _structural_gate(
+        _scrub(docs, id_col, text_col), id_col, text_col, min_tokens, min_alpha_ratio
+    )
+    return lsh_bands(
+        minhash_signatures(doc_shingles(gated, id_col, text_col), id_col), id_col
+    )
+
+
+def curate_increment(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    min_alpha_ratio: float = 0.5,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> "tuple[DataFrame, DataFrame]":
+    """Daily-increment curation: gate + near-dup-dedup ONLY the new
+    documents against the maintained band index, never recomputing the
+    base corpus. Returns (chunks, updated_index) — chunks for the new
+    KEEPERS only; persist updated_index for tomorrow.
+
+    Cost tracks the increment: the new docs scrub/gate/shingle
+    map-side, the probe equi-joins their band keys against the index,
+    and the connected components run over new-new pairs only.
+
+    MONOTONE-ID PRECONDITION (checked, two column-pruned aggregates):
+    every new id must exceed every indexed id. The full-recompute
+    canonical is the MINIMUM id of a near-dup family; monotone ids make
+    that minimum always land in the base, so incremental keep decisions
+    match the recompute exactly. Without it, a new doc with a smaller
+    id would steal canonicality from an already-kept base doc and the
+    two paths would disagree.
+
+    Keep rule: connected components run over the new-new pairs; any
+    component ONE of whose members also pairs with an indexed doc is
+    dropped WHOLE (the recompute would connect the entire component
+    into that base family, whose canonical is in the base), and the
+    surviving components keep their min id. The index accumulates ALL
+    gated new docs — kept and dropped — because tomorrow's increment
+    may near-dup a doc that today's keep-one dropped, and the recompute
+    would still connect them transitively.
+
+    EQUIVALENCE CONTRACT (pinned in tests/test_curation_pipeline.py):
+    increment keepers == full-recompute keepers ∩ new ids, EXACTLY and
+    unconditionally under the monotone precondition — a new doc's full
+    component contains a base id iff its new-new component is tainted,
+    and a smaller (base) id then owns the canonical either way. BASE
+    decisions, by contrast, are APPEND-ONLY: a "bridge" increment doc
+    that connects two previously separate base families would make a
+    recompute retract the larger family's already-kept canonical; the
+    incremental path never retracts published keepers — deliberately,
+    because yesterday's corpus has already been shipped/trained on.
+    That is the one documented divergence from recompute semantics."""
+    from ds_caselaw_ingester_spark.operators.dedup import incremental_lsh_pairs
+
+    gated = _structural_gate(
+        _scrub(new_docs, id_col, text_col),
+        id_col,
+        text_col,
+        min_tokens,
+        min_alpha_ratio,
+    ).localCheckpoint(eager=True)  # consumed by bands, CC spine, and chunking
+    bounds = band_index.agg(F.max(id_col).alias("mx")).collect()[0]
+    new_min = gated.agg(F.min(id_col).alias("mn")).collect()[0]["mn"]
+    if bounds["mx"] is not None and new_min is not None and new_min <= bounds["mx"]:
+        raise ValueError(
+            f"curate_increment needs monotone ids: new min {new_min} <= "
+            f"indexed max {bounds['mx']} (the recompute-equivalence "
+            "contract assumes family minima stay in the base)"
+        )
+    new_bands = lsh_bands(
+        minhash_signatures(doc_shingles(gated, id_col, text_col), id_col), id_col
+    ).localCheckpoint(eager=True)  # probed AND unioned into the new index
+    pairs, updated_index = incremental_lsh_pairs(band_index, new_bands, id_col)
+    pairs = pairs.localCheckpoint(eager=True)  # split two ways below
+    # ids <= indexed max are base docs (monotone precondition above)
+    base_hit = (
+        pairs.where(F.col("doc_a") <= F.lit(bounds["mx"] if bounds["mx"] is not None else -1))
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    new_new = pairs.where(
+        F.col("doc_a") > F.lit(bounds["mx"] if bounds["mx"] is not None else -1)
+    )
+    assignment = canonical_assignment(gated, new_new, id_col=id_col)
+    tainted = (
+        assignment.join(base_hit, id_col)
+        .select(F.col("component").alias("_tc"))
+        .distinct()
+    )
+    keep_ids = (
+        assignment.where(~F.col("is_duplicate"))
+        .join(tainted, assignment["component"] == F.col("_tc"), "left_anti")
+        .select(id_col)
+    )
+    keepers = gated.join(keep_ids, id_col)
+    chunks = chunk_documents(
+        keepers, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
+    )
+    return chunks, updated_index

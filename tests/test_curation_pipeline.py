@@ -334,3 +334,63 @@ def test_curation_boilerplate_stage(spark):
     # without the stage, doc 3 passes the gate on banner tokens alone
     base = curate_corpus(docs, min_tokens=5, chunk_tokens=64, overlap=0)
     assert {r["doc_id"] for r in base.collect()} == {1, 2, 3}
+
+
+def test_curate_increment_equals_recompute_on_new_ids(spark):
+    """The incremental contract: increment keepers == full-recompute
+    keepers ∩ new ids, with base decisions untouched. The corpus plants
+    every interesting shape: a new near-dup of a KEPT base doc, a new
+    near-dup of a DROPPED base doc, a fresh new-new family, and unique
+    new docs. Plus the monotone-id refusal and the empty-index
+    bootstrap."""
+    import pytest as _pytest
+
+    from ds_caselaw_ingester_spark.operators.curation import (
+        curate_corpus,
+        curate_increment,
+        curation_band_index,
+    )
+
+    fam_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 2
+    fam_b = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen ") * 2
+    base = {
+        1: fam_a,                       # family A canonical
+        2: fam_a + "tail variant x",    # family A dropped member
+        3: fam_b,                       # family B canonical
+        4: "a unique base document with plenty of perfectly normal words here",
+    }
+    new = {
+        11: fam_a + "another tail y",   # near-dups the DROPPED member's family
+        12: fam_b + "small change z",   # near-dups a KEPT base doc
+        13: "an entirely new family of words repeated in two fresh documents now",
+        14: "an entirely new family of words repeated in two fresh documents also",
+        15: "a singleton brand new document with its own vocabulary entirely",
+    }
+    bd = spark.createDataFrame(list(base.items()), "doc_id long, text string")
+    nd = spark.createDataFrame(list(new.items()), "doc_id long, text string")
+    kw = dict(min_tokens=5, chunk_tokens=64, overlap=0)
+
+    full = {r["doc_id"] for r in curate_corpus(bd.union(nd), **kw).select("doc_id").distinct().collect()}
+    base_keep = {r["doc_id"] for r in curate_corpus(bd, **kw).select("doc_id").distinct().collect()}
+
+    index = curation_band_index(bd, min_tokens=5)
+    chunks, updated = curate_increment(nd, index, min_tokens=5, chunk_tokens=64, overlap=0)
+    incr_keep = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+
+    assert incr_keep == {i for i in full if i > 10}
+    assert base_keep == {i for i in full if i <= 10}  # no bridges planted
+    # the updated index carries every gated doc, kept AND dropped
+    assert {r["doc_id"] for r in updated.select("doc_id").distinct().collect()} == set(base) | set(new)
+
+    # monotone refusal: an id at-or-below the indexed max
+    stale = spark.createDataFrame([(3, "whatever text this is")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="monotone"):
+        curate_increment(stale, index, min_tokens=1)
+
+    # empty-index bootstrap == plain curation of the increment
+    empty_index = curation_band_index(bd.where("doc_id < 0"), min_tokens=5)
+    boot_chunks, boot_index = curate_increment(nd, empty_index, min_tokens=5, chunk_tokens=64, overlap=0)
+    want_boot = {r["doc_id"] for r in curate_corpus(nd, **kw).select("doc_id").distinct().collect()}
+    assert {r["doc_id"] for r in boot_chunks.select("doc_id").distinct().collect()} == want_boot
