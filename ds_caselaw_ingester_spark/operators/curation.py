@@ -432,15 +432,19 @@ def curate_increment(
     ).localCheckpoint(eager=True)  # probed AND unioned into the new index
     pairs, updated_index = incremental_lsh_pairs(band_index, new_bands, id_col)
     pairs = pairs.localCheckpoint(eager=True)  # split two ways below
-    # ids <= indexed max are base docs (monotone precondition above)
-    base_hit = (
-        pairs.where(F.col("doc_a") <= F.lit(bounds["mx"] if bounds["mx"] is not None else -1))
-        .select(F.col("doc_b").alias(id_col))
-        .distinct()
-    )
-    new_new = pairs.where(
-        F.col("doc_a") > F.lit(bounds["mx"] if bounds["mx"] is not None else -1)
-    )
+    # ids <= indexed max are base docs (monotone precondition above);
+    # an EMPTY index has no max and therefore no base side at all — an
+    # explicit branch, not a numeric sentinel (ids may be negative)
+    if bounds["mx"] is None:
+        base_hit = pairs.select(F.col("doc_b").alias(id_col)).limit(0)
+        new_new = pairs
+    else:
+        base_hit = (
+            pairs.where(F.col("doc_a") <= F.lit(bounds["mx"]))
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
+        )
+        new_new = pairs.where(F.col("doc_a") > F.lit(bounds["mx"]))
     assignment = canonical_assignment(gated, new_new, id_col=id_col)
     tainted = (
         assignment.join(base_hit, id_col)
