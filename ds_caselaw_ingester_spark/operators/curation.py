@@ -270,13 +270,7 @@ def curate_corpus(
             .localCheckpoint(eager=True)
         )
         gated = gated.join(keep_ids, id_col)
-    pairs = lsh_candidate_pairs(
-        lsh_bands(
-            minhash_signatures(doc_shingles(gated, id_col, text_col), id_col),
-            id_col,
-        ),
-        id_col,
-    )
+    pairs = lsh_candidate_pairs(_bands(gated, id_col, text_col), id_col)
     assignment = canonical_assignment(gated, pairs, id_col=id_col)
     keepers = gated.join(
         assignment.where(~F.col("is_duplicate")).select(id_col), id_col
@@ -341,6 +335,15 @@ def curate_corpus(
     )
 
 
+def _bands(gated: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """shingle → minhash → LSH bands, ONE definition: the persisted
+    index and every probe must band identically or the equi-join
+    silently finds nothing (same drift rationale as _structural_gate)."""
+    return lsh_bands(
+        minhash_signatures(doc_shingles(gated, id_col, text_col), id_col), id_col
+    )
+
+
 def curation_band_index(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -354,13 +357,16 @@ def curation_band_index(
     docstring covers the layout). Must be built with the SAME gate
     parameters the increments will use: the equivalence contract
     compares keep decisions, and a doc gated differently on the two
-    paths trivially diverges."""
+    paths trivially diverges.
+
+    PERSIST/WRITE this frame before chaining into curate_increment:
+    the increment consumes it multiple times (max-id aggregate + the
+    probe join), and an unmaterialized frame replays the base corpus's
+    scrub/gate/shingle lineage per consumer."""
     gated = _structural_gate(
         _scrub(docs, id_col, text_col), id_col, text_col, min_tokens, min_alpha_ratio
     )
-    return lsh_bands(
-        minhash_signatures(doc_shingles(gated, id_col, text_col), id_col), id_col
-    )
+    return _bands(gated, id_col, text_col)
 
 
 def curate_increment(
@@ -375,8 +381,16 @@ def curate_increment(
 ) -> "tuple[DataFrame, DataFrame]":
     """Daily-increment curation: gate + near-dup-dedup ONLY the new
     documents against the maintained band index, never recomputing the
-    base corpus. Returns (chunks, updated_index) — chunks for the new
-    KEEPERS only; persist updated_index for tomorrow.
+    base corpus. Returns (chunks, index_delta) — chunks for the new
+    KEEPERS only; APPEND index_delta (the new docs' band rows) to the
+    persisted index for tomorrow. A delta, deliberately NOT the full
+    union: returning base ∪ new invites `.write.mode("overwrite")`
+    onto the index's own path — which Spark either refuses or corrupts
+    mid-scan (the plan still reads it) — and rewrites O(corpus) per
+    day where an append writes O(increment). The ids are disjoint by
+    the checked precondition, so base ∪ delta IS the exact updated
+    index; use the bucketed-append layout (operators/bucketing.py) for
+    a co-located probe join.
 
     Cost tracks the increment: the new docs scrub/gate/shingle
     map-side, the probe equi-joins their band keys against the index,
@@ -394,10 +408,13 @@ def curate_increment(
     component ONE of whose members also pairs with an indexed doc is
     dropped WHOLE (the recompute would connect the entire component
     into that base family, whose canonical is in the base), and the
-    surviving components keep their min id. The index accumulates ALL
-    gated new docs — kept and dropped — because tomorrow's increment
-    may near-dup a doc that today's keep-one dropped, and the recompute
-    would still connect them transitively.
+    surviving components keep their min id. The index delta carries
+    gated new docs kept AND dropped — tomorrow's increment may
+    near-dup a doc that today's keep-one dropped, and the recompute
+    would still connect them transitively. (Gated docs with fewer than
+    3 tokens produce no shingles and hence no index rows — harmless,
+    since a shingle-less doc can never pair on either path, but note
+    the max-id check therefore sees only shingled ids.)
 
     EQUIVALENCE CONTRACT (pinned in tests/test_curation_pipeline.py):
     increment keepers == full-recompute keepers ∩ new ids, EXACTLY and
@@ -410,8 +427,6 @@ def curate_increment(
     incremental path never retracts published keepers — deliberately,
     because yesterday's corpus has already been shipped/trained on.
     That is the one documented divergence from recompute semantics."""
-    from ds_caselaw_ingester_spark.operators.dedup import incremental_lsh_pairs
-
     gated = _structural_gate(
         _scrub(new_docs, id_col, text_col),
         id_col,
@@ -427,11 +442,24 @@ def curate_increment(
             f"indexed max {bounds['mx']} (the recompute-equivalence "
             "contract assumes family minima stay in the base)"
         )
-    new_bands = lsh_bands(
-        minhash_signatures(doc_shingles(gated, id_col, text_col), id_col), id_col
-    ).localCheckpoint(eager=True)  # probed AND unioned into the new index
-    pairs, updated_index = incremental_lsh_pairs(band_index, new_bands, id_col)
-    pairs = pairs.localCheckpoint(eager=True)  # split two ways below
+    # probed twice (cross + the returned delta) — checkpoint once
+    new_bands = _bands(gated, id_col, text_col).localCheckpoint(eager=True)
+    # probe the index DIRECTLY: incremental_lsh_pairs' replace anti-join
+    # exists for re-ingested ids, which the monotone check just ruled
+    # out — paying an O(index) anti-join for a provable no-op is the
+    # whole-index-rewrite pattern this API is built to avoid
+    old = band_index.select(F.col(id_col).alias("_old_id"), "band", "band_key")
+    nv = new_bands.select(F.col(id_col).alias("_new_id"), "band", "band_key")
+    cross = (
+        nv.join(old, ["band", "band_key"])
+        .select(
+            F.least(F.col("_old_id"), F.col("_new_id")).alias("doc_a"),
+            F.greatest(F.col("_old_id"), F.col("_new_id")).alias("doc_b"),
+        )
+    )
+    pairs = (
+        cross.unionAll(lsh_candidate_pairs(new_bands, id_col)).distinct()
+    ).localCheckpoint(eager=True)  # split two ways below
     # ids <= indexed max are base docs (monotone precondition above);
     # an EMPTY index has no max and therefore no base side at all — an
     # explicit branch, not a numeric sentinel (ids may be negative)
@@ -460,4 +488,4 @@ def curate_increment(
     chunks = chunk_documents(
         keepers, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     )
-    return chunks, updated_index
+    return chunks, new_bands

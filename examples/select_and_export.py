@@ -43,7 +43,9 @@ def main() -> None:
         overlap=8,
         boilerplate_min_df=2,
         dsir_target=target,
-        dsir_keep=10_000,
+        # below the survivor count on every sf the demo runs at, so the
+        # selection stage actually binds instead of passing everything
+        dsir_keep=100,
     )
     # shard key = (doc, chunk) so chunks of one doc scatter — adjacent
     # training rows must not correlate

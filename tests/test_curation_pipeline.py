@@ -375,14 +375,22 @@ def test_curate_increment_equals_recompute_on_new_ids(spark):
     full = {r["doc_id"] for r in curate_corpus(bd.union(nd), **kw).select("doc_id").distinct().collect()}
     base_keep = {r["doc_id"] for r in curate_corpus(bd, **kw).select("doc_id").distinct().collect()}
 
-    index = curation_band_index(bd, min_tokens=5)
-    chunks, updated = curate_increment(nd, index, min_tokens=5, chunk_tokens=64, overlap=0)
+    index = curation_band_index(bd, min_tokens=5).localCheckpoint()
+    chunks, delta = curate_increment(nd, index, min_tokens=5, chunk_tokens=64, overlap=0)
     incr_keep = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
 
     assert incr_keep == {i for i in full if i > 10}
     assert base_keep == {i for i in full if i <= 10}  # no bridges planted
-    # the updated index carries every gated doc, kept AND dropped
-    assert {r["doc_id"] for r in updated.select("doc_id").distinct().collect()} == set(base) | set(new)
+    # the delta carries every gated NEW doc, kept AND dropped — append
+    # it to the index and day two dedups against base ∪ day-one
+    assert {r["doc_id"] for r in delta.select("doc_id").distinct().collect()} == set(new)
+    day2 = spark.createDataFrame(
+        [(21, new[13] + " t"), (22, "wholly novel words never seen in any prior day at all")],
+        "doc_id long, text string",
+    )
+    c2, _ = curate_increment(day2, index.unionAll(delta), min_tokens=5, chunk_tokens=64, overlap=0)
+    # 21 near-dups day-one's kept doc 13 -> dropped; 22 is fresh -> kept
+    assert {r["doc_id"] for r in c2.select("doc_id").distinct().collect()} == {22}
 
     # monotone refusal: an id at-or-below the indexed max
     stale = spark.createDataFrame([(3, "whatever text this is")], "doc_id long, text string")
@@ -391,6 +399,6 @@ def test_curate_increment_equals_recompute_on_new_ids(spark):
 
     # empty-index bootstrap == plain curation of the increment
     empty_index = curation_band_index(bd.where("doc_id < 0"), min_tokens=5)
-    boot_chunks, boot_index = curate_increment(nd, empty_index, min_tokens=5, chunk_tokens=64, overlap=0)
+    boot_chunks, _ = curate_increment(nd, empty_index, min_tokens=5, chunk_tokens=64, overlap=0)
     want_boot = {r["doc_id"] for r in curate_corpus(nd, **kw).select("doc_id").distinct().collect()}
     assert {r["doc_id"] for r in boot_chunks.select("doc_id").distinct().collect()} == want_boot
