@@ -36,6 +36,9 @@ from ds_caselaw_ingester_spark.operators.dedup import (
 from ds_caselaw_ingester_spark.operators.scrub import scrub_text
 from ds_caselaw_ingester_spark.operators.textstats import alpha_ratio, tokens
 
+SEQ_COL = "_seq"
+_UNSET = object()  # distinguishes "not passed" from an explicit None
+
 
 def _scrub(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(F.col(id_col), scrub_text(F.col(text_col)).alias(text_col))
@@ -56,6 +59,32 @@ def _structural_gate(
         (F.size(tok) >= min_tokens)
         & (alpha_ratio(F.col(text_col)) >= min_alpha_ratio)
     )
+
+
+def gate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    min_alpha_ratio: float = 0.5,
+) -> DataFrame:
+    """scrub + structural gate, the shared front half of every curation
+    path (batch composite, incremental API, streaming sink) — ONE
+    definition so keep decisions cannot drift across them."""
+    return _structural_gate(
+        _scrub(docs, id_col, text_col), id_col, text_col, min_tokens, min_alpha_ratio
+    )
+
+
+def band_documents(gated: DataFrame, key_col: str, text_col: str) -> DataFrame:
+    """(key, band, band_key) for already-gated documents — the shared
+    banding pipeline (see _bands), exported for the streaming sink."""
+    return _bands(gated, key_col, text_col)
+
+
+def assign_ingest_seq(gated: DataFrame, id_col: str, start: int) -> DataFrame:
+    """Public alias of _assign_seq for the streaming sink."""
+    return _assign_seq(gated, id_col, start)
 
 
 def curate_corpus(
@@ -378,6 +407,7 @@ def curate_increment(
     min_alpha_ratio: float = 0.5,
     chunk_tokens: int = 128,
     overlap: int = 16,
+    indexed_max=_UNSET,
 ) -> "tuple[DataFrame, DataFrame]":
     """Daily-increment curation: gate + near-dup-dedup ONLY the new
     documents against the maintained band index, never recomputing the
@@ -395,6 +425,14 @@ def curate_increment(
     Cost tracks the increment: the new docs scrub/gate/shingle
     map-side, the probe equi-joins their band keys against the index,
     and the connected components run over new-new pairs only.
+
+    indexed_max: the indexed corpus's max id, when the caller already
+    maintains it as metadata (the streaming sink's per-epoch sidecar
+    does) — skips this function's O(index) column-pruned max aggregate,
+    which on a bucket-PRUNED index view would in any case understate
+    the true max and weaken the monotone check. Pass the TRUE max over
+    the whole index, or None for an empty index; omit to compute it
+    from `band_index` itself.
 
     MONOTONE-ID PRECONDITION (checked, two column-pruned aggregates):
     every new id must exceed every indexed id. The full-recompute
@@ -434,22 +472,63 @@ def curate_increment(
         min_tokens,
         min_alpha_ratio,
     ).localCheckpoint(eager=True)  # consumed by bands, CC spine, and chunking
-    bounds = band_index.agg(F.max(id_col).alias("mx")).collect()[0]
+    if indexed_max is _UNSET:
+        mx = band_index.agg(F.max(id_col).alias("mx")).collect()[0]["mx"]
+    else:
+        mx = indexed_max
     new_min = gated.agg(F.min(id_col).alias("mn")).collect()[0]["mn"]
-    if bounds["mx"] is not None and new_min is not None and new_min <= bounds["mx"]:
+    if mx is not None and new_min is not None and new_min <= mx:
         raise ValueError(
             f"curate_increment needs monotone ids: new min {new_min} <= "
-            f"indexed max {bounds['mx']} (the recompute-equivalence "
-            "contract assumes family minima stay in the base)"
+            f"indexed max {mx} (the recompute-equivalence "
+            "contract assumes family minima stay in the base). For "
+            "uuid-or-otherwise-unordered id spaces use "
+            "curate_increment_seq, which orders on a surrogate ingest "
+            "sequence instead."
         )
     # probed twice (cross + the returned delta) — checkpoint once
     new_bands = _bands(gated, id_col, text_col).localCheckpoint(eager=True)
-    # probe the index DIRECTLY: incremental_lsh_pairs' replace anti-join
-    # exists for re-ingested ids, which the monotone check just ruled
-    # out — paying an O(index) anti-join for a provable no-op is the
-    # whole-index-rewrite pattern this API is built to avoid
-    old = band_index.select(F.col(id_col).alias("_old_id"), "band", "band_key")
-    nv = new_bands.select(F.col(id_col).alias("_new_id"), "band", "band_key")
+    chunks = _increment_core(
+        gated,
+        new_bands,
+        band_index,
+        mx,
+        key=id_col,
+        id_col=id_col,
+        text_col=text_col,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
+    )
+    return chunks, new_bands
+
+
+def _increment_core(
+    gated: DataFrame,
+    new_bands: DataFrame,
+    band_index: DataFrame,
+    mx,
+    key: str,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int,
+) -> DataFrame:
+    """The increment keep decision, shared by the monotone-id and
+    surrogate-seq paths: probe the index on (band, band_key), split
+    pairs into base-touching vs new-new on the base's max KEY, run
+    connected components over new-new, drop tainted components whole,
+    chunk the keepers. `key` is the canonical-ordering column (the id
+    itself on the monotone path, the ingest sequence on the seq path);
+    all frames must carry it, and every base key must be < every new
+    key (the callers' respective preconditions).
+
+    The index is probed DIRECTLY: incremental_lsh_pairs' replace
+    anti-join exists for re-ingested ids, which the callers'
+    preconditions rule out — paying an O(index) anti-join for a
+    provable no-op is the whole-index-rewrite pattern this API is
+    built to avoid."""
+    old = band_index.select(F.col(key).alias("_old_id"), "band", "band_key")
+    nv = new_bands.select(F.col(key).alias("_new_id"), "band", "band_key")
     cross = (
         nv.join(old, ["band", "band_key"])
         .select(
@@ -458,34 +537,146 @@ def curate_increment(
         )
     )
     pairs = (
-        cross.unionAll(lsh_candidate_pairs(new_bands, id_col)).distinct()
+        cross.unionAll(
+            lsh_candidate_pairs(new_bands.select(key, "band", "band_key"), key)
+        ).distinct()
     ).localCheckpoint(eager=True)  # split two ways below
-    # ids <= indexed max are base docs (monotone precondition above);
-    # an EMPTY index has no max and therefore no base side at all — an
-    # explicit branch, not a numeric sentinel (ids may be negative)
-    if bounds["mx"] is None:
-        base_hit = pairs.select(F.col("doc_b").alias(id_col)).limit(0)
+    # keys <= indexed max are base docs (callers' precondition); an
+    # EMPTY index has no max and therefore no base side at all — an
+    # explicit branch, not a numeric sentinel (keys may be negative)
+    if mx is None:
+        base_hit = pairs.select(F.col("doc_b").alias(key)).limit(0)
         new_new = pairs
     else:
         base_hit = (
-            pairs.where(F.col("doc_a") <= F.lit(bounds["mx"]))
-            .select(F.col("doc_b").alias(id_col))
+            pairs.where(F.col("doc_a") <= F.lit(mx))
+            .select(F.col("doc_b").alias(key))
             .distinct()
         )
-        new_new = pairs.where(F.col("doc_a") > F.lit(bounds["mx"]))
-    assignment = canonical_assignment(gated, new_new, id_col=id_col)
+        new_new = pairs.where(F.col("doc_a") > F.lit(mx))
+    assignment = canonical_assignment(gated, new_new, id_col=key)
     tainted = (
-        assignment.join(base_hit, id_col)
+        assignment.join(base_hit, key)
         .select(F.col("component").alias("_tc"))
         .distinct()
     )
-    keep_ids = (
+    keep_keys = (
         assignment.where(~F.col("is_duplicate"))
         .join(tainted, assignment["component"] == F.col("_tc"), "left_anti")
-        .select(id_col)
+        .select(key)
     )
-    keepers = gated.join(keep_ids, id_col)
-    chunks = chunk_documents(
+    keepers = gated.join(keep_keys, key)
+    return chunk_documents(
         keepers, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
+    )
+
+
+def _assign_seq(gated: DataFrame, id_col: str, start: int) -> DataFrame:
+    """Deterministic surrogate ingest sequence for one increment:
+    row_number over the increment ordered by id, offset by the base's
+    max seq + 1. One GLOBAL sort of the INCREMENT only (a no-partition
+    window) — the increment is micro-batch/daily-sized by this API's
+    contract, and the base never sorts; at 100 TB the increment is the
+    small side by definition. Within-increment order is an arbitrary
+    deterministic choice (any total order yields a valid canonical
+    rule); id order makes it engine-replayable."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(id_col))
+    return gated.withColumn(
+        SEQ_COL, (F.lit(start) - 1 + F.row_number().over(w)).cast("long")
+    )
+
+
+def curation_band_index_seq(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    min_alpha_ratio: float = 0.5,
+    start: int = 0,
+) -> DataFrame:
+    """(id, _seq, band, band_key) — curation_band_index for corpora
+    whose ids carry no ingest order (the reference's own fallback URIs
+    are `d-<uuid>`, ingester.py:538): a surrogate ingest sequence
+    `_seq` is assigned (id order within this build, offset by `start`)
+    and the incremental canonical rule runs on it. PERSIST before
+    chaining into curate_increment_seq, same as the plain variant."""
+    gated = _structural_gate(
+        _scrub(docs, id_col, text_col), id_col, text_col, min_tokens, min_alpha_ratio
+    )
+    gated = _assign_seq(gated, id_col, start)
+    return _bands(gated, SEQ_COL, text_col).join(
+        gated.select(id_col, SEQ_COL), SEQ_COL
+    ).select(id_col, SEQ_COL, "band", "band_key")
+
+
+def curate_increment_seq(
+    new_docs: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    min_alpha_ratio: float = 0.5,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    base_max_seq=_UNSET,
+) -> "tuple[DataFrame, DataFrame]":
+    """curate_increment for ARBITRARY id types — uuid-keyed corpora
+    included — by ordering on a surrogate ingest sequence instead of
+    the id (lifts r8's checked monotone-id precondition).
+
+    band_index must carry (id_col, _seq, band, band_key) — built by
+    curation_band_index_seq, or accumulated from this function's own
+    returned deltas. New docs receive `_seq` values strictly above the
+    base's max (computed here, or passed via `base_max_seq` when the
+    caller maintains it as metadata — the streaming sink does, so no
+    O(index) aggregate runs per micro-batch). Canonical minima are
+    then in the base BY CONSTRUCTION: the monotone precondition holds
+    on _seq for every id type, no check needed.
+
+    EQUIVALENCE CONTRACT (pinned in tests/test_curation_sink.py):
+    increment keepers == full-recompute keepers ∩ new ids, where the
+    recompute's canonical rule is ARRIVAL order (min _seq) rather than
+    min id — i.e. curate_corpus over the same documents keyed by their
+    _seq. Same base-decisions-are-append-only divergence as
+    curate_increment.
+
+    Re-sent ids: an id already in the index is NOT an error here (the
+    seq is the key, not the id). A re-sent identical document shares
+    its earlier self's bands, pairs with it, and is dropped as a
+    near-dup of the base — arrival-time re-ingest semantics. Ids
+    should still be unique WITHIN one increment.
+
+    Returns (chunks, index_delta); the delta carries
+    (id, _seq, band, band_key) — append it like the plain variant's."""
+    gated = _structural_gate(
+        _scrub(new_docs, id_col, text_col),
+        id_col,
+        text_col,
+        min_tokens,
+        min_alpha_ratio,
+    )
+    if base_max_seq is _UNSET:
+        base_max_seq = band_index.agg(F.max(SEQ_COL).alias("mx")).collect()[0]["mx"]
+    start = 0 if base_max_seq is None else int(base_max_seq) + 1
+    # consumed by bands, the CC spine, and chunking
+    gated = _assign_seq(gated, id_col, start).localCheckpoint(eager=True)
+    new_bands = (
+        _bands(gated, SEQ_COL, text_col)
+        .join(gated.select(id_col, SEQ_COL), SEQ_COL)
+        .select(id_col, SEQ_COL, "band", "band_key")
+        .localCheckpoint(eager=True)  # probed twice (cross + the delta)
+    )
+    chunks = _increment_core(
+        gated,
+        new_bands,
+        band_index,
+        base_max_seq,
+        key=SEQ_COL,
+        id_col=id_col,
+        text_col=text_col,
+        chunk_tokens=chunk_tokens,
+        overlap=overlap,
     )
     return chunks, new_bands

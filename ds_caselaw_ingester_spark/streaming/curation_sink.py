@@ -1,47 +1,70 @@
 """Streaming corpus curation: run the incremental curation pipeline
-(operators/curation.py curate_increment) per micro-batch, maintaining
-the LSH band index as an EPOCH-PARTITIONED append-only log.
+(operators/curation.py) per micro-batch, maintaining the LSH band
+index as an EPOCH- and BUCKET-partitioned append-only log.
 
 The batch composite (curate_corpus) recomputes the whole corpus; the
-incremental API (curate_increment) curates a daily increment against a
-maintained index but leaves persistence to the caller. This sink closes
-the loop for a document STREAM: each micro-batch is gated, near-dup-
-deduplicated against everything already indexed, chunked, and its band
-rows appended — so a training corpus grows continuously with duplicate
-decisions made at arrival time, never via a corpus-sized recompute.
+incremental API (curate_increment / curate_increment_seq) curates a
+daily increment against a maintained index but leaves persistence to
+the caller. This sink closes the loop for a document STREAM: each
+micro-batch is gated, near-dup-deduplicated against everything already
+indexed, chunked, and its band rows appended — so a training corpus
+grows continuously with duplicate decisions made at arrival time,
+never via a corpus-sized recompute.
 
-Layout — both outputs are keyed by the micro-batch epoch:
+Layout — both outputs are keyed by the micro-batch epoch; the index is
+additionally hash-bucketed on band_key so the per-epoch probe read is
+bounded by the increment, not the index:
 
-    <index_path>/epoch=<n>/   band rows (id, band, band_key) of ALL
-                              gated docs in epoch n (kept AND dropped —
-                              curate_increment's delta contract: a
-                              later doc may near-dup one that keep-one
-                              dropped, and a recompute would still
-                              connect them transitively)
+    <index_path>/epoch=<n>/bucket=<b>/
+                              band rows (id, [_seq,] band, band_key) of
+                              ALL gated docs in epoch n (kept AND
+                              dropped — the delta contract: a later doc
+                              may near-dup one that keep-one dropped,
+                              and a recompute would still connect them
+                              transitively), bucketed by
+                              pmod(xxhash64(band_key), n_buckets)
     <chunks_path>/epoch=<n>/  curated chunks of epoch n's KEEPERS
+    <index_path>.layout.json  pins n_buckets + the key mode (seq/id) —
+                              changing either silently orphans history,
+                              so mismatches raise
+    <index_path>.seqmeta.json per-epoch max key (the ingest sequence in
+                              seq mode, the id in monotone mode) — the
+                              base-max the next epoch needs, so NO
+                              per-batch aggregate ever scans the index
 
 Why epoch partitioning does all the crash/replay work here (no rename
 swap, unlike the SemDeDup/SCD sinks): those sinks maintain MUTABLE
 state (replace semantics, history rewrites) so a batch must atomically
 supersede rows in place. This index is APPEND-ONLY by construction —
-curate_increment's monotone-id precondition guarantees an id is
-indexed at most once — so the only replay hazard is double-append, and
-epoch keying removes it: a replayed batch overwrites ITS OWN epoch
-directory with identical (deterministic) content, and its probe reads
-only `epoch < epoch_id` partitions, which is exactly the pre-batch
-index whether or not the crashed attempt got as far as writing
-epoch=<n>. Every crash point therefore converges without a recovery
-scan. The epoch filter is partition-pruned (directory names, no data
-read), and the probe itself is the band-key equi-join whose increment
-side is micro-batch-sized — AQE broadcasts it, so the index is never
-shuffled per epoch.
+an id is indexed at most once per epoch, and the canonical-ordering
+key (seq or monotone id) only grows — so the only replay hazard is
+double-append, and epoch keying removes it: a replayed batch
+overwrites ITS OWN epoch directory with identical (deterministic)
+content, and its probe reads only `epoch < epoch_id` partitions, which
+is exactly the pre-batch index whether or not the crashed attempt got
+as far as writing epoch=<n>. Seq assignment replays identically too:
+the base max comes from the sidecar's entries for epochs STRICTLY
+BELOW the replayed epoch, never from the crashed attempt's own entry.
+Every crash point therefore converges without a recovery scan.
 
-Write amplification per epoch: O(increment) — the two epoch
-directories. The index READ is O(index) bytes in the worst case but
-column-pruned to three narrow columns, and at rest the log compacts
-offline (compact_index_epochs below) to bound file counts; compaction
-folds epochs < N into one directory whose epoch value stays < N, so
-in-flight probes and future epochs see the identical row set.
+Cost per epoch — both sides bounded by the increment:
+- WRITE: O(increment) — the two epoch directories.
+- READ: the probe filters `epoch < epoch_id AND bucket IN touched`,
+  where `touched` is the increment's own bucket set (≤ n_buckets, ≤
+  its band-row count). Both filters bind to directory names, so only
+  the touched buckets' bytes are read — a micro-batch touching b
+  buckets reads b/n_buckets of the index in expectation instead of
+  O(index) (the r8 weak item). Matching rows can only live in touched
+  buckets because the bucket is a pure function of band_key.
+
+At rest the log compacts offline (compact_index_epochs below) to bound
+file counts; compaction folds older epochs into the newest FOLDED
+epoch's directory, so its epoch value stays strictly below every epoch
+a live or replayed batch can write, and probes filtering
+`epoch < current` see the identical row set before and after.
+Compaction requires a QUIESCED stream (no concurrent probe calls) —
+same single-writer contract as operators/compaction.py; a probe racing
+the swap could observe the mid-rename window.
 
 Reference analogy: the reference ingests documents one SQS message at
 a time against an always-up-to-date store (ingester.py:459-483,
@@ -51,6 +74,7 @@ curation composite, with the band index playing the store's role.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -62,49 +86,205 @@ from ds_caselaw_ingester_spark.operators.compaction import (
     swap_partition_dirs,
 )
 from ds_caselaw_ingester_spark.operators.curation import (
-    curate_increment,
-    curation_band_index,
+    SEQ_COL,
+    _increment_core,
+    assign_ingest_seq,
+    band_documents,
+    gate_documents,
 )
 
 EPOCH_COL = "epoch"
+BUCKET_COL = "bucket"
+DEFAULT_BUCKETS = 64
 
 
 def _local(path: str) -> str:
     return path[len("file:") :] if path.startswith("file:") else path
 
 
+def _bucket_expr(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("band_key")), F.lit(n_buckets)).cast("int")
+
+
+def _epoch_values(local: str) -> "list[int]":
+    """Integer epoch values present as `epoch=<n>` directories, sorted.
+    Non-integer suffixes (a crashed swap's healed leftovers, stray
+    files) are ignored rather than poisoning the int filter."""
+    if not os.path.isdir(local):
+        return []
+    out = []
+    for e in os.listdir(local):
+        if not e.startswith(f"{EPOCH_COL}="):
+            continue
+        v = e.split("=", 1)[1]
+        if v.lstrip("-").isdigit():
+            out.append(int(v))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------- sidecars
+
+
+def _layout_path(local: str) -> str:
+    return local + ".layout.json"
+
+
+def _meta_path(local: str) -> str:
+    return local + ".seqmeta.json"
+
+
+def _write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _read_json(path: str) -> "dict | None":
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _check_layout(local: str, n_buckets: int, key_mode: str) -> None:
+    """Refuse silent-corruption paths before touching the index (the
+    ensure_partitioned_layout doctrine, specialized to the two-level
+    epoch/bucket layout):
+
+    - pinned layout disagrees on n_buckets → a probe hashed under B
+      buckets silently misses history written under B' — raise;
+    - pinned layout disagrees on key mode → a seq-keyed index probed
+      in monotone-id mode (or vice versa) compares incomparable keys —
+      raise;
+    - epoch dirs exist but are FLAT (no bucket= subdirs — an r8-era
+      index) → raise with the migration pointer; proceeding would mix
+      two layouts under one root.
+
+    A bucketed index with no layout sidecar (crash between the first
+    delta write and the pin) is accepted and pinned after this batch —
+    the same first-contact window the sibling bucketed sinks document.
+    """
+    meta = _read_json(_layout_path(local))
+    if meta is not None:
+        if meta.get("n_buckets") != n_buckets or meta.get("key_mode") != key_mode:
+            raise ValueError(
+                f"{local} was laid out with n_buckets="
+                f"{meta.get('n_buckets')}, key_mode={meta.get('key_mode')!r} "
+                f"but this run uses n_buckets={n_buckets}, "
+                f"key_mode={key_mode!r}; changing either orphans the "
+                "index's history — rebuild (or migrate) the index instead."
+            )
+        return
+    for e in _epoch_values(local):
+        d = os.path.join(local, f"{EPOCH_COL}={e}")
+        has_files = any(f.endswith(".parquet") for f in os.listdir(d))
+        has_buckets = any(x.startswith(f"{BUCKET_COL}=") for x in os.listdir(d))
+        if has_files and not has_buckets:
+            raise ValueError(
+                f"{d} holds flat parquet files, not a {BUCKET_COL}= "
+                "layout — a pre-bucketing index. Run "
+                "migrate_index_to_bucketed(spark, index_path, n_buckets) "
+                "once (quiesced stream), then restart."
+            )
+
+
+def _pin_layout(local: str, n_buckets: int, key_mode: str) -> None:
+    _write_json(
+        _layout_path(local),
+        {"col": BUCKET_COL, "n_buckets": n_buckets, "key_mode": key_mode},
+    )
+
+
+def _read_epoch_meta(local: str) -> dict:
+    m = _read_json(_meta_path(local))
+    return m if m is not None else {"epochs": {}}
+
+
+def _base_max(meta: dict, epoch_id: int):
+    """Max canonical key over committed epochs STRICTLY BELOW epoch_id
+    (a replayed epoch must never see its own crashed attempt's entry).
+    None when nothing below is indexed or every earlier epoch gated
+    out to zero rows."""
+    vals = [
+        v
+        for e, v in meta.get("epochs", {}).items()
+        if int(e) < epoch_id and v is not None
+    ]
+    return max(vals) if vals else None
+
+
+def rebuild_index_meta(spark, index_path: str, key_col: str) -> dict:
+    """Recover the .seqmeta.json sidecar from the index itself (one
+    column-pruned scan): per-epoch max of `key_col` (SEQ_COL for a
+    seq-keyed index, the id column for a monotone one). For disaster
+    recovery / migration only — the hot path never scans."""
+    local = _local(index_path)
+    meta = {"epochs": {}}
+    if _epoch_values(local):
+        rows = (
+            spark.read.option("basePath", index_path)
+            .parquet(index_path)
+            .groupBy(EPOCH_COL)
+            .agg(F.max(key_col).alias("mx"))
+            .collect()
+        )
+        meta["epochs"] = {str(r[EPOCH_COL]): r["mx"] for r in rows}
+    _write_json(_meta_path(local), meta)
+    return meta
+
+
+# ---------------------------------------------------------------- probe
+
+
 def _prior_index(
-    batch: DataFrame,
+    spark,
     index_path: str,
     epoch_id: int,
-    id_col: str,
-    text_col: str,
+    touched_buckets: "list[int]",
+    empty_like: DataFrame,
 ) -> DataFrame:
-    """The band index as of BEFORE this epoch: union of epoch=<k> for
-    k < epoch_id. Partition-pruned — the filter binds to the directory
-    name, never reading later (or this epoch's own half-written crashed)
-    partitions. Returns an empty, correctly-typed frame when nothing is
-    indexed yet (first epoch), derived from the banding pipeline over
-    the batch's OWN (emptied) frame so the id type cannot drift from
-    what curate_increment probes."""
+    """The band index as of BEFORE this epoch, PRUNED to the
+    increment's touched buckets: epoch < epoch_id AND bucket IN
+    touched. Both predicates bind to directory names — later epochs,
+    this epoch's own half-written crashed partition, and every
+    untouched bucket are never opened. Only epochs STRICTLY BELOW this
+    one count as "index exists" (mirroring the probe's own filter): a
+    crash during the very first delta write leaves epoch=<epoch_id>/
+    holding only the committer's _temporary dir, and counting it would
+    send the replay into spark.read.parquet over a path with zero data
+    files ("Unable to infer schema") and wedge the stream instead of
+    converging (ADVICE r8)."""
     local = _local(index_path)
-    # heal a crashed compaction swap before partition discovery: an
-    # `epoch=<t>.old` leftover would otherwise surface as a bogus
-    # partition VALUE ('<t>.old') and break the int epoch filter
-    recover_buckets(local, prefix=f"{EPOCH_COL}=")
-    has_any = os.path.isdir(local) and any(
-        e.startswith(f"{EPOCH_COL}=") for e in os.listdir(local)
+    if not touched_buckets or not any(
+        e < epoch_id for e in _epoch_values(local)
+    ):
+        return empty_like
+    # explicit schema (the delta's own, plus the two partition columns):
+    # no footer-based inference at planning — the planner LISTS file
+    # names but opens zero files outside the pruned partitions
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(empty_like.schema.fields)
+        + [
+            StructField(EPOCH_COL, IntegerType()),
+            StructField(BUCKET_COL, IntegerType()),
+        ]
     )
-    if not has_any:
-        return curation_band_index(
-            batch.select(id_col, text_col).limit(0), id_col, text_col
-        )
     return (
-        batch.sparkSession.read.option("basePath", index_path)
+        spark.read.schema(schema)
+        .option("basePath", index_path)
         .parquet(index_path)
-        .where(F.col(EPOCH_COL) < F.lit(epoch_id))
-        .drop(EPOCH_COL)
+        .where(
+            (F.col(EPOCH_COL) < F.lit(epoch_id))
+            & (F.col(BUCKET_COL).isin([int(b) for b in touched_buckets]))
+        )
+        .drop(EPOCH_COL, BUCKET_COL)
     )
+
+
+# ---------------------------------------------------------------- batch
 
 
 def apply_curation_batch(
@@ -118,99 +298,240 @@ def apply_curation_batch(
     chunk_tokens: int = 128,
     overlap: int = 16,
     epoch_id: int = 0,
+    n_buckets: int = DEFAULT_BUCKETS,
+    use_seq: bool = True,
 ) -> None:
     """One micro-batch: curate `batch` against every earlier epoch's
-    band rows, overwrite this epoch's chunks and index-delta
-    directories. Empty batches are a no-op (no empty epoch dirs — a
-    rate-limited stream would otherwise litter the index with
-    thousands of zero-row partitions).
+    band rows (pruned to the batch's own touched buckets), overwrite
+    this epoch's chunks and index-delta directories, record the
+    epoch's max canonical key in the sidecar. Empty batches are a
+    no-op (no empty epoch dirs — a rate-limited stream would otherwise
+    litter the index with thousands of zero-row partitions).
 
-    Gate parameters MUST stay constant for the life of the stream —
-    the index holds band rows of docs gated under them, and
-    curate_increment's recompute-equivalence contract compares keep
-    decisions made under ONE gate (same rule as the SemDeDup sink's
-    fixed quantizer). Ids must be monotone across epochs (checked by
-    curate_increment; violations raise rather than silently diverging
-    from recompute semantics)."""
+    use_seq=True (default): ids may be ANY type in any order (the
+    reference's own fallback URIs are `d-<uuid>`, ingester.py:538) — a
+    surrogate ingest sequence is assigned per epoch, strictly above
+    every earlier epoch's, and the canonical rule runs on it.
+    use_seq=False is the monotone-id fast path (no per-increment sort):
+    every batch's min id must exceed every indexed id, checked here
+    against the sidecar's true max (never against the bucket-pruned
+    view, which would understate it).
+
+    Gate parameters and n_buckets MUST stay constant for the life of
+    the stream — the index holds band rows of docs gated and bucketed
+    under them (layout mismatches raise via the pinned sidecar; gate
+    drift is the same rule as the SemDeDup sink's fixed quantizer)."""
     if batch.isEmpty():
         return
-    index = _prior_index(batch, index_path, epoch_id, id_col, text_col)
-    chunks, delta = curate_increment(
-        batch,
-        index,
+    local = _local(index_path)
+    # heal a crashed compaction swap before partition discovery: an
+    # `epoch=<t>.old` leftover would otherwise surface as a bogus
+    # partition VALUE ('<t>.old') and break the int epoch filter
+    recover_buckets(local, prefix=f"{EPOCH_COL}=")
+    key_mode = "seq" if use_seq else "id"
+    _check_layout(local, n_buckets, key_mode)
+    meta = _read_epoch_meta(local)
+    if (
+        not meta["epochs"]
+        and any(e < epoch_id for e in _epoch_values(local))
+    ):
+        raise RuntimeError(
+            f"{_meta_path(local)} is missing but the index holds "
+            "committed epochs — without the per-epoch max the next "
+            "canonical key cannot be assigned safely. Rebuild it once "
+            "with rebuild_index_meta(spark, index_path, key_col)."
+        )
+    base_max = _base_max(meta, epoch_id)
+    gated = gate_documents(batch, id_col, text_col, min_tokens, min_alpha_ratio)
+    if use_seq:
+        start = 0 if base_max is None else int(base_max) + 1
+        gated = assign_ingest_seq(gated, id_col, start)
+        key = SEQ_COL
+    else:
+        key = id_col
+    gated = gated.localCheckpoint(eager=True)
+    if not use_seq:
+        new_min = gated.agg(F.min(id_col).alias("mn")).collect()[0]["mn"]
+        if base_max is not None and new_min is not None and new_min <= base_max:
+            raise ValueError(
+                f"monotone-id mode needs monotone ids: batch min "
+                f"{new_min} <= indexed max {base_max}; use the default "
+                "use_seq=True for unordered id spaces."
+            )
+    bands = band_documents(gated, key, text_col)
+    if use_seq:
+        bands = bands.join(gated.select(id_col, SEQ_COL), SEQ_COL).select(
+            id_col, SEQ_COL, "band", "band_key"
+        )
+    new_bands = bands.withColumn(BUCKET_COL, _bucket_expr(n_buckets)).localCheckpoint(
+        eager=True
+    )  # consumed by: touched-bucket collect, probe, pair gen, delta write
+    touched = sorted(
+        r[BUCKET_COL]
+        for r in new_bands.select(BUCKET_COL).distinct().collect()
+    )  # bounded by min(n_buckets, increment band rows)
+    prior = _prior_index(
+        batch.sparkSession,
+        index_path,
+        epoch_id,
+        touched,
+        new_bands.drop(BUCKET_COL).limit(0),
+    )
+    chunks = _increment_core(
+        gated,
+        new_bands.drop(BUCKET_COL),
+        prior,
+        base_max,
+        key=key,
         id_col=id_col,
         text_col=text_col,
-        min_tokens=min_tokens,
-        min_alpha_ratio=min_alpha_ratio,
         chunk_tokens=chunk_tokens,
         overlap=overlap,
     )
-    # chunks first, delta last: the delta directory's presence is what
-    # the NEXT epoch's probe consumes, so it lands only after the
-    # epoch's user-facing output is complete. Either crash order
-    # converges on replay (both writes are epoch-keyed overwrites of
-    # deterministic content); this ordering just keeps a half-finished
-    # epoch invisible to the index readers.
+    # chunks first, delta next, sidecar last: the delta directory's
+    # presence is what the NEXT epoch's probe consumes, and the sidecar
+    # entry is keyed to THIS epoch (a replay recomputes the identical
+    # value from entries < epoch_id, so any crash order converges);
+    # this ordering just keeps a half-finished epoch invisible to the
+    # index readers.
     chunks.write.mode("overwrite").parquet(
         os.path.join(chunks_path, f"{EPOCH_COL}={epoch_id}")
     )
-    delta.write.mode("overwrite").parquet(
+    new_bands.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
         os.path.join(index_path, f"{EPOCH_COL}={epoch_id}")
     )
+    mx_new = new_bands.agg(F.max(key).alias("mx")).collect()[0]["mx"]
+    meta["epochs"][str(epoch_id)] = mx_new
+    _write_json(_meta_path(local), meta)
+    _pin_layout(local, n_buckets, key_mode)
+
+
+# ---------------------------------------------------------------- maintenance
 
 
 def compact_index_epochs(spark, index_path: str, upto_epoch: int) -> int:
-    """Offline maintenance: fold every epoch < upto_epoch into ONE
-    directory, `epoch=<upto_epoch - 1>`. Row-set-preserving by
-    construction, and because the folded rows keep an epoch value
-    strictly below every future epoch id, any probe filtering
-    `epoch < current` sees the identical index before and after.
-    Returns the number of source epoch directories folded (0 = nothing
-    to do; a single already-compacted directory is left alone).
+    """Offline maintenance: fold epochs below upto_epoch into ONE
+    directory, `epoch=<max folded epoch>`, preserving the bucket
+    layout. Row-set-preserving by construction, and because the folded
+    rows keep an epoch value strictly below every future epoch id, any
+    probe filtering `epoch < current` sees the identical index before
+    and after. Returns the number of source epoch directories folded
+    (0 = nothing to do; a single already-compacted directory is left
+    alone).
+
+    upto_epoch is CLAMPED to the highest on-disk epoch, and the fold
+    target is max(folded sources) — an epoch id that already exists on
+    disk and is strictly below the newest directory. The newest epoch
+    directory is therefore never a fold target and never folded: it is
+    the one epoch a checkpointed foreachBatch can still (re)write. The
+    pre-fix failure (ADVICE r8, high): folding into upto_epoch-1 when
+    upto_epoch exceeded the highest committed epoch — e.g. the stream
+    crashed after writing epoch N's delta but before the checkpoint
+    commit, and maintenance ran with upto_epoch=N+1 — put the ENTIRE
+    folded index at epoch=N; the restart's replay of epoch N then saw
+    an empty prior index (its probe filters epoch < N) and its
+    mode-overwrite delta write silently destroyed the fold.
 
     Crash-safe via the shared touched-partition protocol
     (operators/compaction.py): the folded rows materialize into a tmp
     layout, swap_partition_dirs renames the target directory with an
-    `.old` fallback (recover_buckets at the next batch's _prior_index
-    heals any crash point inside the swap), and only then are the
+    `.old` fallback (recover_buckets at the next batch's start heals
+    any crash point inside the swap), and only then are the
     now-redundant source directories removed — a crash between
     removals leaves duplicate band ROWS (an id × band appearing in two
     epoch dirs), which the probe join tolerates (pair candidates are
-    distinct-ed downstream) and the next compaction run heals. Run it
-    from the maintenance cadence, not the hot path (it reads O(index)
-    like any compaction)."""
+    distinct-ed downstream) and the next compaction run heals. The
+    sidecar's folded entries merge into the target's (max-preserving,
+    so _base_max is unchanged for every future epoch). Run it from the
+    maintenance cadence with the stream QUIESCED, not the hot path (it
+    reads O(folded epochs) like any compaction)."""
     local = _local(index_path)
     if not os.path.isdir(local):
         return 0
     recover_buckets(local, prefix=f"{EPOCH_COL}=")
-    src = sorted(
-        int(e.split("=", 1)[1])
-        for e in os.listdir(local)
-        if e.startswith(f"{EPOCH_COL}=")
-        and e.split("=", 1)[1].lstrip("-").isdigit()
-        and int(e.split("=", 1)[1]) < upto_epoch
-    )
+    on_disk = _epoch_values(local)
+    if not on_disk:
+        return 0
+    # clamp: the newest on-disk epoch may be an uncommitted write a
+    # checkpointed replay will rewrite — never fold it, never target it
+    upto = min(upto_epoch, on_disk[-1])
+    src = [e for e in on_disk if e < upto]
     if len(src) <= 1:
         return 0
-    target = upto_epoch - 1
+    target = max(src)
     paths = [os.path.join(index_path, f"{EPOCH_COL}={e}") for e in src]
     # distinct: band rows are unique per (id, band) in a clean log, but
     # a crash after a previous swap-and-before-source-removal leaves
     # the folded rows in two dirs — without the distinct, re-compacting
     # would bake those duplicates into the new target forever
-    folded = spark.read.parquet(*paths).distinct()
+    folded = (
+        spark.read.option("basePath", index_path)
+        .parquet(*paths)
+        .drop(EPOCH_COL)
+        .distinct()
+    )
     tmp = local + ".compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    folded.write.mode("overwrite").parquet(
-        os.path.join("file:" + tmp, f"{EPOCH_COL}={target}")
-    )
+    writer = folded.write.mode("overwrite")
+    if BUCKET_COL in folded.columns:
+        writer = writer.partitionBy(BUCKET_COL)
+    writer.parquet(os.path.join("file:" + tmp, f"{EPOCH_COL}={target}"))
     swap_partition_dirs(local, tmp, [target], EPOCH_COL)
     for e in src:
         if e != target:
             shutil.rmtree(
                 os.path.join(local, f"{EPOCH_COL}={e}"), ignore_errors=True
             )
+    meta = _read_epoch_meta(local)
+    folded_vals = [
+        meta["epochs"].pop(str(e))
+        for e in src
+        if e != target and str(e) in meta["epochs"]
+    ]
+    vals = [v for v in folded_vals + [meta["epochs"].get(str(target))] if v is not None]
+    meta["epochs"][str(target)] = max(vals) if vals else None
+    _write_json(_meta_path(local), meta)
     return len(src)
+
+
+def migrate_index_to_bucketed(
+    spark,
+    index_path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    key_col: str = "doc_id",
+    key_mode: str = "id",
+) -> int:
+    """One-time migration of a pre-bucketing (flat-epoch) band index
+    into the epoch/bucket layout, plus the two sidecars. Quiesced
+    stream required. Idempotent: a crashed run's tmp is discarded and
+    every epoch re-derived (re-bucketing an already-bucketed epoch
+    recomputes the identical bucket values). Returns the number of
+    epoch directories migrated. `key_col` is the column the sidecar's
+    per-epoch max is computed over — the id column for an r8-era
+    monotone index (key_mode='id'), SEQ_COL for a seq-keyed one."""
+    local = _local(index_path)
+    recover_buckets(local, prefix=f"{EPOCH_COL}=")
+    epochs = _epoch_values(local)
+    if not epochs:
+        return 0
+    tmp = local + ".migrate-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    for e in epochs:
+        df = spark.read.parquet(os.path.join(index_path, f"{EPOCH_COL}={e}"))
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        df.withColumn(BUCKET_COL, _bucket_expr(n_buckets)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(
+            os.path.join("file:" + tmp, f"{EPOCH_COL}={e}")
+        )
+    swap_partition_dirs(local, tmp, epochs, EPOCH_COL)
+    _pin_layout(local, n_buckets, key_mode)
+    rebuild_index_meta(spark, index_path, key_col)
+    return len(epochs)
+
+
+# ---------------------------------------------------------------- stream
 
 
 def run_curation_stream(
@@ -224,6 +545,8 @@ def run_curation_stream(
     min_alpha_ratio: float = 0.5,
     chunk_tokens: int = 128,
     overlap: int = 16,
+    n_buckets: int = DEFAULT_BUCKETS,
+    use_seq: bool = True,
 ):
     """Materialize a document stream as a continuously-curated chunk
     log plus the maintained band index."""
@@ -240,6 +563,8 @@ def run_curation_stream(
             chunk_tokens=chunk_tokens,
             overlap=overlap,
             epoch_id=epoch_id,
+            n_buckets=n_buckets,
+            use_seq=use_seq,
         )
 
     return (

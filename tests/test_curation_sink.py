@@ -1,0 +1,347 @@
+"""Streaming curation sink: the epoch/bucket-partitioned band log's
+crash, replay, compaction, pruning, and layout invariants, plus the
+surrogate-seq path that lifts the monotone-id precondition (uuid-keyed
+corpora — the reference's own fallback URIs are `d-<uuid>`,
+ingester.py:538).
+
+Equivalence contract pinned here: streamed keep decisions ==
+arrival-order full recompute (curate_corpus over the same documents
+keyed by their ingest sequence), epoch by epoch."""
+
+from __future__ import annotations
+
+import os
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import few_shuffle_partitions as _few_shuffle_partitions
+from ds_caselaw_ingester_spark.operators.curation import (
+    SEQ_COL,
+    curate_corpus,
+    curate_increment,
+    curate_increment_seq,
+    curation_band_index_seq,
+)
+from ds_caselaw_ingester_spark.streaming.curation_sink import (
+    apply_curation_batch,
+    compact_index_epochs,
+    migrate_index_to_bucketed,
+    rebuild_index_meta,
+    run_curation_stream,
+)
+
+CHUNK_KW = dict(min_tokens=8, min_alpha_ratio=0.5, chunk_tokens=32, overlap=4)
+
+
+def _text(tag: str) -> str:
+    """12 distinct pure-alpha tokens namespaced by `tag` — passes the
+    structural gate, shares no shingles across tags."""
+    return " ".join(f"w{tag}{c * 3}" for c in string.ascii_lowercase[:12])
+
+
+# uuid-ish hex ids, deliberately NOT in arrival order: epoch-1 ids sort
+# below some epoch-0 ids, so the monotone-id path must refuse them
+EPOCH0 = [
+    ("d-7f3a", _text("basea")),
+    ("d-20c9", _text("baseb")),
+    ("d-e11d", _text("basec")),
+    ("d-91b4", _text("based")),
+]
+EPOCH1 = [
+    ("d-05aa", _text("basea")),  # dup of a base doc -> tainted, dropped
+    ("d-c777", _text("newp")),  # new-new pair: arrival order keeps d-44fe
+    ("d-44fe", _text("newp")),
+    ("d-ab01", _text("unique1")),
+    ("d-0001", "too short"),  # gated out, never indexed
+]
+EPOCH2 = [
+    ("d-33dd", _text("newp")),  # dups an epoch-1 DROPPED doc -> still dropped
+    ("d-ff02", _text("unique2")),
+]
+EXPECT_KEPT = {
+    0: {"d-7f3a", "d-20c9", "d-e11d", "d-91b4"},
+    1: {"d-44fe", "d-ab01"},
+    2: {"d-ff02"},
+}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _kept(spark, chunks_path, epoch):
+    d = os.path.join(chunks_path, f"epoch={epoch}")
+    return {r["doc_id"] for r in spark.read.parquet(d).select("doc_id").collect()}
+
+
+def _index_rows(spark, index_path):
+    return {
+        tuple(r)
+        for r in spark.read.option("basePath", index_path)
+        .parquet(index_path)
+        .drop("epoch", "bucket")
+        .collect()
+    }
+
+
+def _apply(spark, rows, idx, chk, epoch, **kw):
+    merged = {**CHUNK_KW, "n_buckets": 8, **kw}
+    apply_curation_batch(
+        _df(spark, rows), idx, chk, epoch_id=epoch, **merged
+    )
+
+
+def test_seq_epochs_match_arrival_order_recompute(spark, tmp_path):
+    """The headline contract: per-epoch streamed keepers equal the
+    full arrival-order recompute's keepers ∩ that epoch's ids — on a
+    uuid-keyed corpus the monotone-id path cannot accept at all."""
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    for e, rows in enumerate([EPOCH0, EPOCH1, EPOCH2]):
+        _apply(spark, rows, idx, chk, e)
+    for e in range(3):
+        assert _kept(spark, chk, e) == EXPECT_KEPT[e], f"epoch {e}"
+    # independent oracle: curate_corpus over the same docs keyed by
+    # their ingest sequence (epoch order, id order within an epoch)
+    arrival = []
+    for rows in [EPOCH0, EPOCH1, EPOCH2]:
+        arrival += [doc_id for doc_id, _ in sorted(rows)]
+    seq_of = {doc_id: i for i, doc_id in enumerate(arrival)}
+    texts = dict(EPOCH0 + EPOCH1 + EPOCH2)
+    seq_docs = spark.createDataFrame(
+        [(seq_of[d], texts[d]) for d in arrival], "doc_id long, text string"
+    )
+    recompute = curate_corpus(seq_docs, **CHUNK_KW)
+    kept_seqs = {r["doc_id"] for r in recompute.select("doc_id").distinct().collect()}
+    kept_ids = {d for d, s in seq_of.items() if s in kept_seqs}
+    assert kept_ids == EXPECT_KEPT[0] | EXPECT_KEPT[1] | EXPECT_KEPT[2]
+
+
+def test_streaming_end_to_end_uuid_ids(spark, tmp_path):
+    """run_curation_stream over a file source, three availableNow
+    passes = three epochs; same keep decisions as the batch contract."""
+    src = str(tmp_path / "src")
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")  # ONE checkpoint: epoch ids continue
+    with _few_shuffle_partitions(spark):
+        for e, rows in enumerate([EPOCH0, EPOCH1, EPOCH2]):
+            _df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+            stream = (
+                spark.readStream.schema("doc_id string, text string")
+                .option("maxFilesPerTrigger", 1000)
+                .parquet(src)
+            )
+            q = run_curation_stream(stream, idx, chk, ckpt, n_buckets=8, **CHUNK_KW)
+            q.awaitTermination(120)
+            q.stop()
+            assert _kept(spark, chk, e) == EXPECT_KEPT[e], f"epoch {e}"
+
+
+def test_replay_last_epoch_idempotent(spark, tmp_path):
+    """A checkpointed foreachBatch may re-run the last epoch after a
+    crash: re-applying the identical batch must reproduce byte-for-set
+    identical index rows, chunks, and sidecar."""
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    _apply(spark, EPOCH0, idx, chk, 0)
+    _apply(spark, EPOCH1, idx, chk, 1)
+    before_idx = _index_rows(spark, idx)
+    before_kept = _kept(spark, chk, 1)
+    with open(idx + ".seqmeta.json") as f:
+        before_meta = f.read()
+    _apply(spark, EPOCH1, idx, chk, 1)  # replay
+    assert _index_rows(spark, idx) == before_idx
+    assert _kept(spark, chk, 1) == before_kept
+    with open(idx + ".seqmeta.json") as f:
+        assert f.read() == before_meta
+
+
+def test_compaction_clamps_and_survives_replay(spark, tmp_path):
+    """ADVICE r8 (high) regression: compaction called with upto_epoch
+    beyond the highest on-disk epoch must never fold INTO an epoch id
+    the stream can still rewrite. Post-fix: the fold target stays
+    strictly below the newest directory, a replay of the newest epoch
+    leaves the folded index intact, and probe results are unchanged."""
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    for e, rows in enumerate([EPOCH0, EPOCH1, EPOCH2]):
+        _apply(spark, rows, idx, chk, e)
+    all_rows = _index_rows(spark, idx)
+    # the natural "fold everything" call a maintenance job would make
+    folded = compact_index_epochs(spark, idx, upto_epoch=99)
+    assert folded == 2  # epochs 0 and 1; epoch 2 (newest) never folded
+    assert sorted(
+        e for e in os.listdir(idx) if e.startswith("epoch=")
+    ) == ["epoch=1", "epoch=2"]
+    assert _index_rows(spark, idx) == all_rows
+    # crash-replay of the newest epoch after compaction: pre-fix this
+    # destroyed the folded index; post-fix it must converge
+    _apply(spark, EPOCH2, idx, chk, 2)
+    assert _index_rows(spark, idx) == all_rows
+    # and future epochs still probe the identical row set
+    extra = [("d-zz01", _text("basea"))]  # dups an epoch-0 base doc
+    _apply(spark, extra, idx, chk, 3)
+    assert _kept(spark, chk, 3) == set()
+    assert compact_index_epochs(spark, idx, upto_epoch=99) == 2  # 1,2 -> 2
+
+
+def test_crashed_first_delta_write_converges(spark, tmp_path):
+    """ADVICE r8 (medium) regression: a crash during the very first
+    delta write leaves epoch=0/ holding only the committer's
+    _temporary dir; the replay must fall through to the empty-index
+    branch instead of wedging on schema inference."""
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    os.makedirs(os.path.join(idx, "epoch=0", "_temporary", "0"))
+    _apply(spark, EPOCH0, idx, chk, 0)
+    assert _kept(spark, chk, 0) == EXPECT_KEPT[0]
+    _apply(spark, EPOCH1, idx, chk, 1)
+    assert _kept(spark, chk, 1) == EXPECT_KEPT[1]
+
+
+def test_probe_reads_only_touched_buckets(spark, tmp_path):
+    """The r8 weak item, behaviorally pinned: a poison (non-parquet)
+    file planted in an UNTOUCHED bucket of an earlier epoch is never
+    opened by the probe; the same poison in a TOUCHED bucket fails the
+    read — proving the prune is directory-level and the test is not
+    vacuous."""
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    _apply(spark, EPOCH0, idx, chk, 0)
+    # epoch 1 duplicates d-7f3a's text exactly -> its band keys (text-
+    # derived) equal that doc's, so its touched buckets are exactly the
+    # buckets holding d-7f3a's band rows
+    e0 = spark.read.parquet(os.path.join(idx, "epoch=0"))
+    # bucket is a partition column of the epoch dir read
+    touched = {
+        r["bucket"]
+        for r in e0.where(F.col("doc_id") == "d-7f3a").select("bucket").collect()
+    }
+    untouched = {
+        r["bucket"] for r in e0.select("bucket").distinct().collect()
+    } - touched
+    assert untouched, "corpus too small to leave an untouched bucket"
+    poison = os.path.join(
+        idx, "epoch=0", f"bucket={sorted(untouched)[0]}", "poison.parquet"
+    )
+    with open(poison, "w") as f:
+        f.write("this is not parquet")
+    dup = [("e-0001", _text("basea"))]
+    _apply(spark, dup, idx, chk, 1)  # must succeed: poison bucket pruned
+    assert _kept(spark, chk, 1) == set()  # dup of base -> dropped
+    os.remove(poison)
+    touched_poison = os.path.join(
+        idx, "epoch=0", f"bucket={sorted(touched)[0]}", "poison.parquet"
+    )
+    with open(touched_poison, "w") as f:
+        f.write("this is not parquet")
+    with pytest.raises(Exception):
+        _apply(spark, [("e-0002", _text("basea"))], idx, chk, 2)
+
+
+def test_monotone_id_fast_path(spark, tmp_path):
+    """use_seq=False: the r8 semantics — monotone ids work without the
+    per-increment sort, non-monotone ids raise (pointing at seq mode),
+    and the check runs against the sidecar's TRUE max, not the pruned
+    view."""
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    b0 = [(10, _text("ma")), (11, _text("mb")), (12, _text("mc"))]
+    b1 = [(20, _text("ma")), (21, _text("uniq9"))]  # 20 dups base 10
+    df0 = spark.createDataFrame(b0, "doc_id long, text string")
+    df1 = spark.createDataFrame(b1, "doc_id long, text string")
+    kw = {**CHUNK_KW, "n_buckets": 8, "use_seq": False}
+    apply_curation_batch(df0, idx, chk, epoch_id=0, **kw)
+    apply_curation_batch(df1, idx, chk, epoch_id=1, **kw)
+    assert _kept(spark, chk, 1) == {21}
+    bad = spark.createDataFrame([(5, _text("zz"))], "doc_id long, text string")
+    with pytest.raises(ValueError, match="monotone"):
+        apply_curation_batch(bad, idx, chk, epoch_id=2, **kw)
+
+
+def test_layout_guards(spark, tmp_path):
+    """Changing n_buckets or the key mode against a pinned layout
+    raises instead of silently missing history."""
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    _apply(spark, EPOCH0, idx, chk, 0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        _apply(spark, EPOCH1, idx, chk, 1, n_buckets=16)
+    with pytest.raises(ValueError, match="key_mode|n_buckets"):
+        df = spark.createDataFrame([(999, _text("mm"))], "doc_id long, text string")
+        apply_curation_batch(
+            df, idx, chk, epoch_id=1, use_seq=False, n_buckets=8, **CHUNK_KW
+        )
+
+
+def test_legacy_flat_index_refused_then_migrated(spark, tmp_path):
+    """An r8-era flat epoch log is refused with the migration pointer;
+    after migrate_index_to_bucketed the stream resumes against it and
+    still pairs new docs with the migrated base rows."""
+    from ds_caselaw_ingester_spark.operators.curation import curation_band_index
+
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    base = spark.createDataFrame(
+        [(10, _text("la")), (11, _text("lb"))], "doc_id long, text string"
+    )
+    curation_band_index(base, min_tokens=8, min_alpha_ratio=0.5).write.parquet(
+        os.path.join(idx, "epoch=0")
+    )
+    nxt = spark.createDataFrame([(20, _text("la"))], "doc_id long, text string")
+    kw = {**CHUNK_KW, "n_buckets": 8, "use_seq": False}
+    with pytest.raises(ValueError, match="migrate_index_to_bucketed"):
+        apply_curation_batch(nxt, idx, chk, epoch_id=1, **kw)
+    assert migrate_index_to_bucketed(spark, idx, n_buckets=8, key_col="doc_id") == 1
+    apply_curation_batch(nxt, idx, chk, epoch_id=1, **kw)
+    assert _kept(spark, chk, 1) == set()  # 20 dups migrated base 10
+
+
+def test_missing_sidecar_raises_then_rebuilds(spark, tmp_path):
+    """A lost seqmeta sidecar must fail loud (a silent None base-max
+    would restart the sequence at 0 and collide); rebuild_index_meta
+    recovers the exact per-epoch maxima from the index."""
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    _apply(spark, EPOCH0, idx, chk, 0)
+    _apply(spark, EPOCH1, idx, chk, 1)
+    with open(idx + ".seqmeta.json") as f:
+        original = f.read()
+    os.remove(idx + ".seqmeta.json")
+    with pytest.raises(RuntimeError, match="rebuild_index_meta"):
+        _apply(spark, EPOCH2, idx, chk, 2)
+    rebuilt = rebuild_index_meta(spark, idx, SEQ_COL)
+    import json
+
+    assert rebuilt == json.loads(original)
+    _apply(spark, EPOCH2, idx, chk, 2)
+    assert _kept(spark, chk, 2) == EXPECT_KEPT[2]
+
+
+def test_batch_api_seq_contract_on_uuid_corpus(spark, tmp_path):
+    """curate_increment_seq (the batch API): monotone variant refuses
+    the uuid corpus; the seq variant's keepers equal the arrival-order
+    recompute ∩ new ids, and its delta chains into a second increment."""
+    base = _df(spark, EPOCH0)
+    index = curation_band_index_seq(
+        base, min_tokens=8, min_alpha_ratio=0.5
+    ).localCheckpoint(eager=True)
+    inc = _df(spark, EPOCH1)
+    with pytest.raises(ValueError, match="monotone"):
+        from ds_caselaw_ingester_spark.operators.curation import curation_band_index
+
+        curate_increment(
+            inc,
+            curation_band_index(base, min_tokens=8, min_alpha_ratio=0.5),
+            min_tokens=8,
+            min_alpha_ratio=0.5,
+        )[0].collect()
+    chunks, delta = curate_increment_seq(
+        inc, index, chunk_tokens=32, overlap=4, min_tokens=8, min_alpha_ratio=0.5
+    )
+    assert {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()} == (
+        EXPECT_KEPT[1]
+    )
+    assert set(delta.columns) == {"doc_id", SEQ_COL, "band", "band_key"}
+    # chain: the union index serves the next increment
+    index2 = index.unionByName(delta).localCheckpoint(eager=True)
+    chunks2, _ = curate_increment_seq(
+        _df(spark, EPOCH2), index2, chunk_tokens=32, overlap=4,
+        min_tokens=8, min_alpha_ratio=0.5,
+    )
+    assert {r["doc_id"] for r in chunks2.select("doc_id").distinct().collect()} == (
+        EXPECT_KEPT[2]
+    )
