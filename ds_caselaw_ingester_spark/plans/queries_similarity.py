@@ -51,10 +51,11 @@ SELECT * FROM (
 
 # UNREGISTERED (round 7): gave up its registry slot to bm25_search
 # (queries_text.py) under the driver's 50-row cap. The exact rounded-
-# cosine scoring + rank tail stays registry-covered by ann_lsh_topk /
-# ann_ivf_trained_topk (same scoring expression over their candidate
-# sets), and this brute-force baseline keeps an identical pytest DuckDB
-# gate in tests/test_oracle_parity.py.
+# cosine scoring + rank tail stays registry-covered by
+# ann_ivf_trained_topk and hybrid_search_multi's dense shortlist (same
+# scoring expression over their candidate sets), and this brute-force
+# baseline keeps an identical pytest DuckDB gate in
+# tests/test_oracle_parity.py.
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_oracle_safe(spark)
     emb = table(spark, sf_dir, "embeddings")
@@ -118,18 +119,19 @@ SELECT * FROM (
 """
 
 
-@register(
-    "ann_lsh_topk",
-    ANN_LSH_ORACLE,
-    doc="Approximate top-10 via MULTI-TABLE LSH: 8 independent tables of "
-    "4 md5-derived hyperplanes each; a candidate is scored if it shares "
-    "any table's bucket with the query (miss probability q^8 per true "
-    "neighbor vs q for one table — measured recall@10 0.75 vs 0.01, "
-    "tests/test_ann_recall.py). Equi-join on (table, bucket) keys only; "
-    "never all-pairs.",
-    survey_ops=("ext:ann-lsh",),
-)
+# UNREGISTERED (round 9): gave up its registry slot to
+# hybrid_search_multi (queries_text.py) under the driver's 50-row cap.
+# The multi-table LSH bucketing shape stays registry-covered by
+# embedding_neardup (same hyperplane-bucket machinery) and the IVF/PQ
+# rows' bucketed-candidate joins; this query keeps an identical pytest
+# DuckDB gate in tests/test_oracle_parity.py plus its recall
+# measurement (tests/test_ann_recall.py).
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via MULTI-TABLE LSH: 8 independent tables of
+    4 md5-derived hyperplanes each; a candidate is scored if it shares
+    any table's bucket with the query (miss probability q^8 per true
+    neighbor vs q for one table — measured recall@10 0.75 vs 0.01).
+    Equi-join on (table, bucket) keys only; never all-pairs."""
     ensure_oracle_safe(spark)
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8).select(

@@ -656,6 +656,131 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# hybrid_search_multi — per-QUERY hybrid retrieval over a queries TABLE
+# ---------------------------------------------------------------------------
+# (Round 9 rotation: ann_lsh_topk gave up its registry slot — its
+# LSH-bucketing shape stays registry-covered by embedding_neardup's
+# hyperplane buckets and the IVF/PQ ANN rows' bucketed-candidate joins,
+# and it keeps an identical pytest DuckDB gate plus its recall
+# measurement — so the multi-query retrieval composition a production
+# stack actually runs (a queries TABLE through one corpus pass, fused
+# per query) gets a first-class driver correctness row.)
+
+_MQ_QUERIES = [  # (q_id, terms) — distinct in-vocabulary bags per query
+    (0, ["spark", "window", "merge"]),
+    (1, ["hash", "join", "scan"]),
+    (2, ["stream", "sort", "filter"]),
+]
+_MQ_SHORTLIST_K = 15
+_MQ_K = 10
+
+
+def hybrid_search_multi_oracle() -> str:
+    from ds_caselaw_ingester_spark.operators.search import (
+        bm25_queries_oracle_sql,
+    )
+
+    values = ", ".join(
+        f"({q}, '{t}')" for q, terms in _MQ_QUERIES for t in terms
+    )
+    bm25 = bm25_queries_oracle_sql(_MQ_SHORTLIST_K, queries_cte="mq")
+    return f"""
+WITH mq AS (
+  SELECT CAST(q_id AS BIGINT) AS q_id, token
+  FROM (VALUES {values}) AS t(q_id, token)
+),
+lex AS (SELECT q_id, doc_id, rank FROM ({bm25}) lx),
+qv AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {len(_MQ_QUERIES)}
+),
+cand AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv FROM embeddings),
+dense AS (
+  SELECT q_id, c_id AS doc_id, rank FROM (
+    SELECT q.q_id, c.c_id,
+           row_number() OVER (
+             PARTITION BY q.q_id
+             ORDER BY round(list_dot_product(q.qv, c.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))),
+               4) DESC, c.c_id ASC) AS rank
+    FROM cand c CROSS JOIN qv q WHERE q.q_id <> c.c_id
+  ) WHERE rank <= {_MQ_SHORTLIST_K}
+),
+unioned AS (
+  SELECT q_id, doc_id, rank FROM lex
+  UNION ALL SELECT q_id, doc_id, rank FROM dense
+),
+fused AS (
+  SELECT q_id, doc_id,
+         sum(CAST(round((1.0 / ({_RRF_K}.0 + rank)) * 1000000.0, 0) AS BIGINT))
+           / 1000000.0 AS rrf_score
+  FROM unioned GROUP BY q_id, doc_id
+)
+SELECT q_id, doc_id, rrf_score, rank FROM (
+  SELECT q_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+) WHERE rank <= {_MQ_K}
+"""
+
+
+@register(
+    "hybrid_search_multi",
+    hybrid_search_multi_oracle(),
+    doc="Per-query hybrid retrieval: a 3-row queries TABLE scored by "
+    "multi-query BM25 (ONE corpus pass serves every query — the token "
+    "explode prunes against the broadcast union of all queries' terms) "
+    "and per-query dense cosine top-k (query vectors broadcast), fused "
+    "per query with reciprocal-rank fusion (rrf_fuse query_col='q_id'). "
+    "Scale shape: adding queries adds only tiny broadcast rows and "
+    "per-query rank windows over match-bounded rows; the fusion moves "
+    "|queries| x k x 2 shortlist rows, never the corpus.",
+    survey_ops=("ext:search-hybrid-multi",),
+)
+def q_hybrid_search_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 + per-query dense shortlists → per-query RRF
+    top-10 (operators/search.py bm25_topk_queries + rrf_fuse with
+    query_col — the ADVICE-r7 per-query fusion dimension, now a driver
+    correctness row)."""
+    ensure_oracle_safe(spark)
+    from ds_caselaw_ingester_spark.operators.search import (
+        bm25_topk_queries,
+        rrf_fuse,
+    )
+    from ds_caselaw_ingester_spark.operators.similarity import cosine_topk
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    d = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    qdf = spark.createDataFrame(
+        _MQ_QUERIES, "q_id bigint, terms array<string>"
+    )
+    lex = bm25_topk_queries(
+        d, "doc_id", "text", qdf, k=_MQ_SHORTLIST_K
+    ).select("q_id", "doc_id", "rank")
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < len(_MQ_QUERIES)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = spread(
+        emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")),
+        "c_id",
+    )
+    dense = cosine_topk(q, c, k=_MQ_SHORTLIST_K, round_digits=4).select(
+        "q_id", F.col("c_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(
+        [lex, dense],
+        id_col="doc_id",
+        query_col="q_id",
+        k=_MQ_K,
+        rrf_k=_RRF_K,
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus_mixture — weighted multi-source blend with upsampling epochs
 # (UNREGISTERED: pytest-gated in tests/test_oracle_parity.py; the 50-row
 # driver registry is at its cap)

@@ -313,6 +313,25 @@ def test_unregistered_anti_join_matches_oracle(spark, sf_dir):
     assert res.spark_rows > 0
 
 
+def test_unregistered_ann_lsh_topk_matches_oracle(spark, sf_dir):
+    """ann_lsh_topk gave up its registry slot to hybrid_search_multi
+    (round 9); its multi-table LSH bucketing stays registry-covered by
+    embedding_neardup (same hyperplane-bucket machinery) and the IVF/PQ
+    candidate joins, and this identical DuckDB gate plus the recall
+    measurement (test_ann_recall.py) keep the LSH ANN path from
+    silently rotting."""
+    from ds_caselaw_ingester_spark.plans.queries_similarity import (
+        ANN_LSH_ORACLE,
+        q_ann_lsh_topk,
+    )
+
+    res = check_query(
+        spark, sf_dir, "ann_lsh_topk", q_ann_lsh_topk, ANN_LSH_ORACLE
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
 def test_unregistered_doc_fingerprint_matches_oracle(spark, sf_dir):
     """doc_fingerprint gave up its registry slot to hybrid_search
     (round 8); its md5-fingerprint shape is coverage-redundant with

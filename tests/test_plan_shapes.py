@@ -307,6 +307,24 @@ def test_ivf_assign_keep_score_stays_shuffle_free(spark, sf_dir):
     assert "centroid_cos" in out.columns
 
 
+def test_hybrid_search_multi_fuses_per_query(spark, sf_dir):
+    """The multi-query fusion must rank WITHIN each query (a window
+    partitioned by q_id — summing ranks across queries is the ADVICE-r7
+    misuse this row exists to pin against) and never fall back to a
+    non-broadcast cartesian: the only all-pairs step is the dense
+    scorer's 3-row broadcast query side."""
+    out = all_specs()["hybrid_search_multi"].fn(spark, sf_dir)
+    plan = _physical_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    # every rank window in the composition — both scorers' per-query
+    # top-k and the fusion's final ranking — partitions by the query id
+    specs = [
+        s for s in plan.split("\n") if "windowspecdefinition" in s
+    ]
+    assert specs and all("q_id" in s for s in specs), plan
+    assert {"q_id", "doc_id", "rrf_score", "rank"} == set(out.columns)
+
+
 def test_hybrid_search_fusion_is_shortlist_bounded(spark, sf_dir):
     """The RRF fusion must never touch corpus-sized data: both scorers
     end in a TakeOrderedAndProject top-k (per-partition heap, no global
