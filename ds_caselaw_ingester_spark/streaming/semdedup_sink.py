@@ -82,6 +82,13 @@ BOOTSTRAP_GROWTH = 10.0
 GROWTH_WARN_FACTOR = 4.0
 
 _QUANTIZER_SUFFIX = ".quantizer.json"
+# preferred location: INSIDE the index directory (underscore-prefixed,
+# so Spark's file listing ignores it). A retrain can then swap index
+# and quantizer with ONE directory rename — no window where the cells
+# on disk and the centroid set that built them disagree. The root-level
+# `<index>.quantizer.json` sidecar remains a read fallback for indexes
+# written before this change.
+_QUANTIZER_FILE = "_quantizer.json"
 
 
 def _local(path: str) -> str:
@@ -91,30 +98,35 @@ def _local(path: str) -> str:
 def _load_quantizer(local: str) -> "list | None":
     import json
 
-    p = local + _QUANTIZER_SUFFIX
-    if not os.path.exists(p):
-        return None
-    with open(p) as f:
-        return json.load(f)
+    for p in (os.path.join(local, _QUANTIZER_FILE), local + _QUANTIZER_SUFFIX):
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+    return None
+
+
+def _quantizer_json(cents: "list") -> str:
+    import json
+
+    return json.dumps(
+        [
+            {"centroid_id": int(c["centroid_id"]),
+             "cvec": [float(x) for x in c["cvec"]]}
+            for c in cents
+        ]
+    )
 
 
 def _save_quantizer(local: str, cents: "list") -> None:
-    """Atomic single-file persist (write tmp + os.replace): the
-    quantizer must survive a stream restart — retraining on a later
-    batch would silently make every indexed cell incomparable."""
-    import json
-
-    p = local + _QUANTIZER_SUFFIX
+    """Atomic single-file persist (write tmp + os.replace) into the
+    index directory: the quantizer must survive a stream restart —
+    retraining on a later batch would silently make every indexed cell
+    incomparable."""
+    os.makedirs(local, exist_ok=True)
+    p = os.path.join(local, _QUANTIZER_FILE)
     tmp = p + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(
-            [
-                {"centroid_id": int(c["centroid_id"]),
-                 "cvec": [float(x) for x in c["cvec"]]}
-                for c in cents
-            ],
-            f,
-        )
+        f.write(_quantizer_json(cents))
     os.replace(tmp, p)
 
 
@@ -149,9 +161,11 @@ def _resolve_centroids(
         # near-dups against the whole existing corpus silently missed.
         raise ValueError(
             f"{local} has {CELL_COL}= partitions but no quantizer at "
-            f"{local}{_QUANTIZER_SUFFIX}; cells are only comparable "
+            f"{local}/{_QUANTIZER_FILE} (or the legacy "
+            f"{local}{_QUANTIZER_SUFFIX}); cells are only comparable "
             "under the centroid set that built them — restore the "
-            "sidecar alongside the index, or rebuild the index."
+            "quantizer file alongside the index, or rebuild the index "
+            "(retrain_semdedup_index)."
         )
     if batch.isEmpty():
         return None
@@ -321,6 +335,74 @@ def apply_semdedup_batch(
             len(centroids) if isinstance(centroids, list) else centroids.count()
         )
         _warn_if_under_partitioned(spark, index_path, k_actual)
+
+
+def retrain_semdedup_index(
+    spark,
+    index_path: str,
+    vec_col: str,
+    id_col: str,
+    k: "int | None" = None,
+    max_iter: int = 3,
+) -> "list[dict]":
+    """The documented remedy for _warn_if_under_partitioned, end to
+    end: re-size the quantizer from the CURRENT corpus, rebuild the
+    cell index under it, and swap both in atomically. Offline
+    maintenance — QUIESCE the stream first (stop the query; restart it
+    afterwards with centroids='auto' and it loads the new quantizer).
+
+    The index stores each vector alongside its cell
+    (semdedup_build_index's (id, cell, vec) schema), so the rebuild
+    needs no access to the original stream: one read of the index's
+    vectors trains k-means (k from sizing.semdedup_num_clusters over
+    the actual count unless given), one map-side re-assignment writes
+    the new cell layout.
+
+    Atomicity: the new quantizer is written INSIDE the rebuilt tmp
+    directory before the whole-directory swap, so a single rename
+    carries index and centroid set together — there is no crash point
+    where stored cells and the quantizer that defines them disagree
+    (the failure the in-dir `_quantizer.json` location exists to
+    prevent; a root-level sidecar could not be swapped with the data).
+    Crash recovery reuses the standard swap protocol
+    (compaction.recover_swap, exclusive — single maintenance writer);
+    a stale legacy sidecar is removed after the swap so it can never
+    shadow a future missing in-dir file with pre-retrain centroids.
+
+    Returns the new centroid list."""
+    from ds_caselaw_ingester_spark.operators.compaction import (
+        commit_swap,
+        recover_swap,
+    )
+    from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
+    from ds_caselaw_ingester_spark.operators.sizing import (
+        semdedup_num_clusters,
+    )
+
+    local = _local(index_path)
+    tmp, old = local + ".retrain-tmp", local + ".retrain-old"
+    recover_swap(local, tmp, old, exclusive=True)
+    recover_buckets(local, prefix=f"{CELL_COL}=")
+    vecs = spark.read.parquet(index_path).select(id_col, vec_col)
+    n = vecs.count()
+    if n == 0:
+        raise ValueError(f"{index_path} holds no vectors; nothing to retrain")
+    if k is None:
+        k = semdedup_num_clusters(n)
+    k = max(1, min(k, n))
+    cents = kmeans_fit(
+        vecs, vec_col, id_col, k=k, max_iter=max_iter, round_centroids=6
+    )
+    rebuilt = semdedup_build_index(vecs, vec_col, id_col, cents)
+    shutil.rmtree(tmp, ignore_errors=True)
+    rebuilt.write.mode("overwrite").partitionBy(CELL_COL).parquet("file:" + tmp)
+    with open(os.path.join(tmp, _QUANTIZER_FILE), "w") as f:
+        f.write(_quantizer_json(cents))
+    commit_swap(local, tmp, old)
+    legacy = local + _QUANTIZER_SUFFIX
+    if os.path.exists(legacy):
+        os.remove(legacy)
+    return cents
 
 
 def run_semdedup_stream(

@@ -278,7 +278,7 @@ def test_auto_bootstrap_trains_persists_and_warns_on_growth(
     apply_semdedup_batch(
         first, idx, prs, "v", "vec_id", "auto", threshold=0.9, epoch_id=0
     )
-    qpath = idx + sink_mod._QUANTIZER_SUFFIX
+    qpath = os.path.join(idx, sink_mod._QUANTIZER_FILE)
     assert __import__("os").path.exists(qpath)
     cents = json.load(open(qpath))
     n0 = first.count()
@@ -339,9 +339,91 @@ def test_flat_index_and_missing_quantizer_are_refused(
     apply_semdedup_batch(
         emb, idx, str(tmp_path / "p2"), "v", "vec_id", "auto", epoch_id=0
     )
-    os.remove(idx + sink_mod._QUANTIZER_SUFFIX)
+    os.remove(os.path.join(idx, sink_mod._QUANTIZER_FILE))
     with pytest.raises(ValueError, match="quantizer"):
         apply_semdedup_batch(
             planted, idx, str(tmp_path / "p2"), "v", "vec_id", "auto",
             epoch_id=1,
         )
+
+
+def test_quantizer_retrain_loop_end_to_end(
+    spark, corpus, tmp_path, caplog, monkeypatch
+):
+    """The under-partitioning WARN's documented remedy, exercised end
+    to end (r8 verdict item): grow a stream past GROWTH_WARN_FACTOR,
+    retrain offline (retrain_semdedup_index — re-sized k-means over the
+    index's own vectors, atomic index+quantizer swap), restart the
+    stream with centroids='auto', and pin that the restarted stream's
+    pair decisions on the rebuilt index match the batch operator's
+    probe of the same increment against the same rebuilt index."""
+    import logging
+
+    import ds_caselaw_ingester_spark.operators.sizing as sizing_mod
+    import ds_caselaw_ingester_spark.streaming.semdedup_sink as sink_mod
+    from ds_caselaw_ingester_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+    )
+    from ds_caselaw_ingester_spark.streaming.semdedup_sink import (
+        retrain_semdedup_index,
+    )
+
+    emb, planted = corpus
+    idx = str(tmp_path / "index")
+    prs = str(tmp_path / "pairs")
+    # 1. bootstrap from a small first batch with NO growth margin — the
+    # stream then genuinely outgrows its quantizer when the rest lands
+    first = emb.where(F.col("vec_id") < 24)
+    apply_semdedup_batch(
+        first, idx, prs, "v", "vec_id", "auto", threshold=0.9, epoch_id=0,
+        bootstrap_growth=1.0, growth_check_every=0,
+    )
+    k0 = len(sink_mod._load_quantizer(idx))
+    # sizing stand-in: the real rule's 1000-vector target cell never
+    # trips at test scale — model the same shape at 1/100 scale
+    monkeypatch.setattr(
+        sizing_mod,
+        "semdedup_num_clusters",
+        lambda n, **kw: max(4, n // 10),
+    )
+    # 2. the corpus grows; the amortized growth check fires the WARN
+    rest = emb.where(F.col("vec_id") >= 24)
+    with caplog.at_level(logging.WARNING, logger=sink_mod.__name__):
+        apply_semdedup_batch(
+            rest, idx, prs, "v", "vec_id", "auto", threshold=0.9, epoch_id=1,
+            growth_check_every=1,
+        )
+    assert any("Retrain the quantizer" in r.message for r in caplog.records)
+    # 3. offline remedy (stream quiesced): retrain + rebuild + swap
+    cents_new = retrain_semdedup_index(spark, idx, "v", "vec_id")
+    assert len(cents_new) > k0  # actually re-sized
+    reloaded = sink_mod._load_quantizer(idx)
+    assert {c["centroid_id"] for c in reloaded} == {
+        c["centroid_id"] for c in cents_new
+    }
+    n_before = spark.read.parquet(idx).count()
+    assert n_before == first.count() + rest.count()  # rebuild lost nothing
+    # 4. expected decisions for the next increment: the batch operator
+    # probing the SAME rebuilt index under the new quantizer
+    rebuilt = spark.read.parquet(idx).withColumn(
+        "centroid_id", F.col("centroid_id").cast("long")
+    )
+    ref, _ = semantic_dedup_incremental(
+        rebuilt, planted, "v", "vec_id", cents_new, threshold=0.9
+    )
+    want = {(r["id_a"], r["id_b"]) for r in ref.collect()}
+    # 5. restart: 'auto' must load the retrained quantizer and emit
+    # exactly those pairs
+    apply_semdedup_batch(
+        planted, idx, prs, "v", "vec_id", "auto", threshold=0.9, epoch_id=2,
+        growth_check_every=0,
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(
+            os.path.join(prs, "epoch=2")
+        ).collect()
+    }
+    assert got == want and got
+    # planted near-dups pair with their bases across the retrain
+    assert any(b == a + 100000 for a, b in got)
