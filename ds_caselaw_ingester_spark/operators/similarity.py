@@ -268,6 +268,7 @@ def lsh_neardup_pairs(
     num_tables: int = 4,
     round_digits: int = 4,
     log_bucket_stats: bool = False,
+    guard_occupancy: "bool | None" = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed — the
     operator form of the registered `embedding_neardup` plan
@@ -295,11 +296,22 @@ def lsh_neardup_pairs(
     bucket_occupancy_stats). Auto-sizing picks planes from n before
     hashing; this validates what the hash actually did, since skewed
     embeddings can still pile into few buckets. Check it before
-    committing a multi-hour join."""
+    committing a multi-hour join.
+
+    guard_occupancy: None (default) enables the pre-join skew WARN
+    (sizing.occupancy_guard) exactly when sizing is AUTO — a production
+    caller trusting "auto" gets the only signal auto-sizing cannot give
+    (it bounds EXPECTED occupancy from n; skewed or duplicated
+    embeddings still pile into few buckets, and the in-bucket join is
+    quadratic in occupancy). Fixed plane counts — the pinned oracle/
+    bench configs — skip it unless explicitly requested; pass False to
+    silence it on a corpus known to be skewed."""
     import logging
 
     from ds_caselaw_ingester_spark.operators.sizing import resolve_num_planes
 
+    if guard_occupancy is None:
+        guard_occupancy = num_planes == "auto"
     base = vectors.select(F.col(id_col), F.col(vec_col).alias("_v"))
     num_planes = resolve_num_planes(num_planes, base)
     buckets = F.array(
@@ -321,21 +333,22 @@ def lsh_neardup_pairs(
     keys = base.select(id_col, F.explode(buckets).alias("bucket")).localCheckpoint(
         eager=True
     )
-    if log_bucket_stats:
+    if log_bucket_stats or guard_occupancy:
         from ds_caselaw_ingester_spark.operators.sizing import (
             bucket_occupancy_stats,
             occupancy_guard,
         )
 
         stats = bucket_occupancy_stats(keys)
-        logging.getLogger(__name__).info(
-            "lsh_neardup_pairs bucket stats: %d buckets, max occupancy %d, "
-            "mean %.1f, in-bucket candidate bound %d pairs",
-            stats["n_buckets"],
-            stats["max_occupancy"],
-            stats["mean_occupancy"],
-            stats["candidate_bound"],
-        )
+        if log_bucket_stats:
+            logging.getLogger(__name__).info(
+                "lsh_neardup_pairs bucket stats: %d buckets, max occupancy %d, "
+                "mean %.1f, in-bucket candidate bound %d pairs",
+                stats["n_buckets"],
+                stats["max_occupancy"],
+                stats["mean_occupancy"],
+                stats["candidate_bound"],
+            )
         # skew guard: auto-sized planes bound EXPECTED occupancy; this
         # WARNs when the hash actually piled up (sizing.occupancy_guard)
         occupancy_guard(stats, what="lsh_neardup_pairs")

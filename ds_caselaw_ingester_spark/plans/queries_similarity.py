@@ -481,9 +481,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 220k-vector scale picks 12 and avoids the 8-plane saturation
     # abort (BENCH_SF1.md sf10).
     # SPARK_GRAFT_OCCUPANCY_GUARD=1: measure what the hash actually did
-    # and WARN pre-join on skew (sizing.occupancy_guard) — auto-sized
-    # planes bound EXPECTED occupancy only. Off by default (bench/oracle
-    # path pays nothing).
+    # and WARN pre-join on skew (sizing.occupancy_guard). Off by default
+    # HERE because this row pins literal planes (bench/oracle path pays
+    # nothing); the production num_planes="auto" path runs the guard by
+    # default (lsh_neardup_pairs guard_occupancy=None semantics).
     from ds_caselaw_ingester_spark.session import env_flag
 
     pairs = lsh_neardup_pairs(

@@ -421,3 +421,32 @@ def test_gram_df_stats_sampled_matches_exact_median(spark):
         gram_df_stats(shingles, "doc_id", gram_fraction=0.0)
     with _pytest.raises(ValueError, match="gram_fraction"):
         gram_df_stats(shingles, "doc_id", gram_fraction=1.5)
+
+
+def test_lsh_neardup_auto_guard_warns_on_skewed_corpus(spark, caplog):
+    """r8 verdict item: production callers using num_planes='auto' get
+    the occupancy-skew WARN WITHOUT env plumbing. A corpus of (near-)
+    identical vectors defeats plane auto-sizing — every row hashes to
+    one bucket per table and the in-bucket join is quadratic — so the
+    guard must fire by default on the auto path, stay silent when
+    explicitly disabled, and stay off for pinned plane counts (the
+    oracle/bench configs)."""
+    import logging
+
+    from ds_caselaw_ingester_spark.operators.similarity import lsh_neardup_pairs
+
+    skewed = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0] ) for i in range(600)],
+        "vec_id long, v array<double>",
+    )
+    logger = "ds_caselaw_ingester_spark.operators.sizing"
+    with caplog.at_level(logging.WARNING, logger=logger):
+        lsh_neardup_pairs(skewed, "v", "vec_id", num_planes="auto").limit(1).collect()
+    assert any("skewed" in r.message for r in caplog.records), caplog.records
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger=logger):
+        lsh_neardup_pairs(
+            skewed, "v", "vec_id", num_planes="auto", guard_occupancy=False
+        ).limit(1).collect()
+        lsh_neardup_pairs(skewed, "v", "vec_id", num_planes=4).limit(1).collect()
+    assert not any("skewed" in r.message for r in caplog.records), caplog.records
