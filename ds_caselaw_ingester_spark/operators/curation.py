@@ -572,20 +572,55 @@ def _increment_core(
 
 
 def _assign_seq(gated: DataFrame, id_col: str, start: int) -> DataFrame:
-    """Deterministic surrogate ingest sequence for one increment:
-    row_number over the increment ordered by id, offset by the base's
-    max seq + 1. One GLOBAL sort of the INCREMENT only (a no-partition
-    window) — the increment is micro-batch/daily-sized by this API's
-    contract, and the base never sorts; at 100 TB the increment is the
-    small side by definition. Within-increment order is an arbitrary
-    deterministic choice (any total order yields a valid canonical
-    rule); id order makes it engine-replayable."""
+    """Deterministic surrogate ingest sequence for one increment: the
+    global rank of the id within the increment, offset by the base's
+    max seq + 1. Within-increment order is an arbitrary deterministic
+    choice (any total order yields a valid canonical rule); id order
+    makes it engine-replayable.
+
+    Computed WITHOUT the single-partition global window: the increment
+    range-partitions on id (disjoint, ordered ranges), per-partition
+    counts cross to the driver (one row per partition), and each row's
+    seq is its partition's cumulative offset plus its rank WITHIN the
+    partition. Range disjointness makes the composition equal the
+    global rank whatever boundaries the range sampler picks, so the
+    result is deterministic even though the partitioning isn't. Ids
+    must be unique within the increment (both callers' documented
+    precondition — a duplicated id would get two seqs)."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(id_col))
-    return gated.withColumn(
-        SEQ_COL, (F.lit(start) - 1 + F.row_number().over(w)).cast("long")
+    spark = gated.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = gated.repartitionByRange(p, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    # a localCheckpoint pins the (sampled, nondeterministic) partition
+    # boundaries so the count pass and the rank pass see the SAME
+    # layout — without it the two passes could re-sample differently
+    # and offsets would not match partitions (seqs still globally
+    # correct only if they agree)
+    ranged = ranged.localCheckpoint(eager=True)
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col(id_col))
+    return ranged.withColumn(
+        SEQ_COL,
+        (
+            F.lit(start)
+            - 1
+            + off[F.col("_pid")]
+            + F.row_number().over(w)
+        ).cast("long"),
+    ).drop("_pid")
 
 
 def curation_band_index_seq(

@@ -57,6 +57,25 @@ Cost per epoch — both sides bounded by the increment:
   O(index) (the r8 weak item). Matching rows can only live in touched
   buckets because the bucket is a pure function of band_key.
 
+n_buckets sizing (pinned at stream start by the layout sidecar): the
+expected probe read fraction is ~min(1, batch band rows / n_buckets),
+so pruning bites only when n_buckets EXCEEDS the per-epoch band-row
+count — size it for the BATCH CADENCE, not the corpus. At scale the
+useful frame is bucket ≈ block-sized: n_buckets ≈ projected index
+bytes / ~256 MB gives a probe read of ≈ (batch band rows) × 256 MB
+regardless of index size. Measured at sf10 (docs/SCALE.md round 9),
+~2M-row index: a 64-doc micro-batch at n_buckets=1024 touched 229
+buckets and read 22.8% of the index bytes where the flat log read
+100%; a 5,496-doc DAILY increment saturates 64 buckets (read fraction
+1.0 — the per-epoch WARN fires) and belongs on the batch
+`curate_increment*` API, not a micro-batch sink. Storage trade (same
+measurement): a moderate bucket count CLUSTERS band_key prefixes and
+compressed 2.9× smaller than the flat log (B=64, ~31k rows/bucket),
+while an oversized count fragments into under-filled files and cost
+2.4× the flat bytes (B=1024, ~2k rows/bucket) — at production index
+sizes the block-sized rule keeps buckets in the well-compressed
+regime; at toy sizes prefer fewer buckets.
+
 At rest the log compacts offline (compact_index_epochs below) to bound
 file counts; compaction folds older epochs into the newest FOLDED
 epoch's directory, so its epoch value stays strictly below every epoch
@@ -370,6 +389,24 @@ def apply_curation_batch(
         r[BUCKET_COL]
         for r in new_bands.select(BUCKET_COL).distinct().collect()
     )  # bounded by min(n_buckets, increment band rows)
+    if len(touched) >= n_buckets:
+        import logging
+
+        # pruning is a no-op this epoch: the batch's band keys cover
+        # every bucket, so the probe reads the whole index — the flat-
+        # log cost this layout exists to avoid. Expected read fraction
+        # ≈ batch band rows / n_buckets; see run_curation_stream's
+        # n_buckets sizing note. One epoch like this is noise; every
+        # epoch like this means n_buckets is sized for a smaller batch
+        # than the stream delivers.
+        logging.getLogger(__name__).warning(
+            "curation sink epoch %d touches all %d buckets (%d band "
+            "rows in the batch) — the probe read is unpruned. For "
+            "bounded reads use n_buckets >> per-epoch band rows "
+            "(rebuild via migrate_index_to_bucketed under a larger "
+            "count).",
+            epoch_id, n_buckets, len(touched),
+        )
     prior = _prior_index(
         batch.sparkSession,
         index_path,

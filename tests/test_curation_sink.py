@@ -345,3 +345,28 @@ def test_batch_api_seq_contract_on_uuid_corpus(spark, tmp_path):
     assert {r["doc_id"] for r in chunks2.select("doc_id").distinct().collect()} == (
         EXPECT_KEPT[2]
     )
+
+
+def test_assign_seq_is_global_rank_without_single_partition(spark):
+    """The surrogate seq must equal the global id rank (offset by
+    start) under ANY input partitioning, and must not funnel the
+    increment through a one-partition window (the scale hazard the
+    range-partitioned composition exists to avoid)."""
+    from ds_caselaw_ingester_spark.operators.curation import _assign_seq
+
+    rows = [(f"d-{i:04x}", f"t{i}") for i in range(997)]
+    import random
+
+    random.Random(9).shuffle(rows)
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "doc_id string, text string").repartition(
+            parts
+        )
+        got = {
+            r["doc_id"]: r["_seq"]
+            for r in _assign_seq(df, "doc_id", start=100).collect()
+        }
+        want = {
+            d: 100 + i for i, d in enumerate(sorted(x[0] for x in rows))
+        }
+        assert got == want
