@@ -1,0 +1,139 @@
+"""PCA operator: numpy-replay exactness, partitioning invariance, the
+map-side projection contract, and — the repo's rule for lossy
+transforms — a MEASURED recall number on the reduced vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ds_caselaw_ingester_spark.operators.pca import _SCALE, pca_fit, pca_project
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def _np_replay(x: np.ndarray, k: int, center: bool):
+    """Pure-numpy replica of pca_fit's exact pipeline: micro-rounded
+    int products, exact integer sums, eigh, sign fix, rounding."""
+    xi = np.rint(x * _SCALE).astype(object)  # object -> exact int math
+    scatter = np.zeros((DIM, DIM), dtype=object)
+    for row in xi:
+        scatter += np.outer(row, row)
+    s1 = xi.sum(axis=0)
+    n = len(x)
+    scatter_f = scatter.astype(np.float64) / (_SCALE * _SCALE)
+    s1_f = s1.astype(np.float64) / _SCALE
+    mean = s1_f / n
+    cov = (
+        (scatter_f - np.outer(mean, s1_f)) / (n - 1)
+        if center
+        else scatter_f / (n - 1)
+    )
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    return np.round(comps, 6)
+
+
+def test_fit_matches_numpy_replay_and_is_partitioning_invariant(spark, emb):
+    """The integer-accumulator design claim, tested directly: the
+    fitted components equal a pure-numpy replay bit-for-bit, and are
+    IDENTICAL under different partition counts (a float-sum fit would
+    drift with partitioning)."""
+    sample = emb.where(F.col("vec_id") < 400)
+    x = np.stack([r["v"] for r in sample.orderBy("vec_id").collect()])
+    for center in (False, True):
+        m1 = pca_fit(sample.repartition(1), "v", DIM, k=8, center=center)
+        m7 = pca_fit(sample.repartition(7), "v", DIM, k=8, center=center)
+        assert m1["components"] == m7["components"]
+        want = _np_replay(x, 8, center)
+        got = np.array(m1["components"])
+        assert got.shape == (8, DIM)
+        assert np.array_equal(got, want)
+
+
+def test_explained_variance_ordering_and_bounds(spark, emb):
+    m = pca_fit(emb, "v", DIM, k=16)
+    ev = m["explained"]
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    assert 0.0 < sum(ev) <= 1.0 + 1e-9
+    # top-16 of a 64-dim embedding table should capture real structure
+    assert sum(ev) > 0.3
+
+
+def test_projection_is_mapside_and_matches_matmul(spark, emb):
+    """pca_project must add the k-vector with NO exchange in the plan
+    (pure projection), and its values must equal the rounded numpy
+    matmul."""
+    m = pca_fit(emb, "v", DIM, k=8)
+    out = pca_project(emb, "v", m, out_col="p")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan, plan
+    rows = out.orderBy("vec_id").limit(50).collect()
+    comps = np.array(m["components"])
+    for r in rows:
+        want = np.round(np.array(r["v"]) @ comps.T, 6)
+        assert np.allclose(np.array(r["p"]), want, atol=1e-9)
+
+
+def test_pca_then_ann_recall(spark, emb):
+    """Only a recall measurement proves a lossy transform retrieves
+    (tests/test_ann_recall.py doctrine): top-10 cosine neighbors in the
+    16-dim PCA space vs exact top-10 in the raw 64-dim space. Random
+    16-dim coordinate truncation is the control floor."""
+    from ds_caselaw_ingester_spark.operators.similarity import cosine_topk
+
+    # the synthetic embeddings are near-ISOTROPIC (explained variance
+    # ≈ k/64 — measured 0.651 at k=32), the hardest case for PCA; real
+    # text embeddings are strongly anisotropic and reduce much harder.
+    # Even here the variance-ordered basis must beat coordinate
+    # truncation and hold a usable recall floor.
+    m = pca_fit(emb, "v", DIM, k=32)
+    proj = pca_project(emb, "v", m, out_col="p").localCheckpoint(eager=True)
+
+    def topk(df, col):
+        q = df.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col(col).alias("qv")
+        )
+        c = df.select(F.col("vec_id").alias("c_id"), F.col(col).alias("cv"))
+        got = cosine_topk(q, c, k=10, round_digits=6).collect()
+        out = {}
+        for r in got:
+            out.setdefault(r["q_id"], set()).add(r["c_id"])
+        return out
+
+    exact = topk(proj, "v")
+    reduced = topk(proj, "p")
+    trunc = topk(
+        proj.withColumn("t", F.slice(F.col("v"), 1, 32)), "t"
+    )
+    rec = np.mean([len(exact[q] & reduced[q]) / 10 for q in exact])
+    rec_trunc = np.mean([len(exact[q] & trunc[q]) / 10 for q in exact])
+    # variance-ordered 32 dims must beat arbitrary 32 dims and retrieve
+    # a usable fraction of the true neighborhood (measured 0.525 vs
+    # 0.275 truncation on this corpus)
+    assert rec >= 0.4, (rec, rec_trunc)
+    assert rec > rec_trunc, (rec, rec_trunc)
+
+
+def test_validation_errors(spark, emb):
+    with pytest.raises(ValueError, match="k must be"):
+        pca_fit(emb, "v", DIM, k=0)
+    with pytest.raises(ValueError, match=">= 2 vectors"):
+        pca_fit(emb.limit(1), "v", DIM, k=2)
