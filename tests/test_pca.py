@@ -137,3 +137,53 @@ def test_validation_errors(spark, emb):
         pca_fit(emb, "v", DIM, k=0)
     with pytest.raises(ValueError, match=">= 2 vectors"):
         pca_fit(emb.limit(1), "v", DIM, k=2)
+
+
+def test_pca_pq_composition_recall(spark, emb):
+    """The production payoff: PQ over PCA-reduced vectors. Same code
+    budget (m subspaces x k codewords), half the input dims — each PQ
+    subspace then quantizes a 4-dim slice of a VARIANCE-ORDERED basis
+    instead of an arbitrary one. Recall@10 vs the exact 64-dim ranking
+    must hold a usable floor, and the composition must beat PQ on
+    arbitrary 32-dim truncation under the identical budget (the control
+    that isolates the basis's contribution)."""
+    from ds_caselaw_ingester_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+    from ds_caselaw_ingester_spark.operators.similarity import cosine_topk
+
+    m8 = pca_fit(emb, "v", DIM, k=32)
+    proj = pca_project(emb, "v", m8, out_col="p").localCheckpoint(eager=True)
+    exact = {}
+    q = proj.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = proj.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    for r in cosine_topk(q, c, k=10, round_digits=6).collect():
+        exact.setdefault(r["q_id"], set()).add(r["c_id"])
+
+    def pq_recall(frame, col):
+        vecs = frame.select("vec_id", F.col(col).alias("x"))
+        book = pq_fit(vecs, "x", "vec_id", m=8, k=16)
+        enc = pq_encode(vecs, "x", "vec_id", book).select(
+            F.col("vec_id").alias("c_id"), "codes", "recon_norm"
+        )
+        qs = vecs.where(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("x").alias("qv")
+        )
+        got = {}
+        for r in pq_topk(qs, enc, book, k=10).collect():
+            got.setdefault(r["q_id"], set()).add(r["c_id"])
+        return np.mean([len(exact[qq] & got.get(qq, set())) / 10 for qq in exact])
+
+    rec_pca = pq_recall(proj, "p")
+    rec_trunc = pq_recall(
+        proj.withColumn("t", F.slice(F.col("v"), 1, 32)), "t"
+    )
+    # measured 0.275 vs 0.175 on the near-isotropic synthetic corpus
+    # (8x16 codes over 32 dims is a deliberately tight budget; the
+    # isolated claim is the basis ordering, pinned by the strict >)
+    assert rec_pca >= 0.2, (rec_pca, rec_trunc)
+    assert rec_pca > rec_trunc, (rec_pca, rec_trunc)
