@@ -8,8 +8,10 @@ Stages (each prints a one-line result):
 2. curation composite              (operators/curation.py:
    scrub -> quality gate -> lexical dedup -> SemDeDup -> chunk)
 3. deterministic shard export      (operators/export.py)
-4. PQ index build + save           (operators/pq.py)
-5. IVFADC search over the index    (coarse cells -> ADC -> rerank)
+4. PCA reduction                   (operators/pca.py: 64 -> 32 dims,
+   the pre-quantization transform — smaller codebooks, cheaper cells)
+5. PQ index build + save           (operators/pq.py, over PCA vectors)
+6. IVFADC search over the index    (coarse cells -> ADC -> rerank)
 """
 
 from __future__ import annotations
@@ -29,6 +31,10 @@ from ds_caselaw_ingester_spark.operators.pq import (  # noqa: E402
     pq_encode,
     pq_fit,
     save_index,
+)
+from ds_caselaw_ingester_spark.operators.pca import (  # noqa: E402
+    pca_fit,
+    pca_project,
 )
 from ds_caselaw_ingester_spark.operators.report import corpus_report  # noqa: E402
 from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit  # noqa: E402
@@ -69,30 +75,39 @@ def main() -> None:
         "chunk_id", f"{work}/shards", num_shards=4)
     print(f"[3 export] 4 deterministic shards under {work}/shards")
 
-    # 4. compressed vector index: PQ codes + trained coarse cells
-    train = spread(emb.where(F.col("vec_id") % 4 == 0), "vec_id")
+    # 4. PCA: fit once on the corpus, project map-side — every
+    # downstream stage (coarse cells, codebooks, ADC) runs on 32 dims
+    pca = pca_fit(emb, "v", 64, k=32)
+    emb_p = pca_project(emb, "v", pca, out_col="pv").select(
+        "vec_id", F.col("pv").alias("v")
+    ).localCheckpoint(eager=True)
+    print(f"[4 pca] 64 -> 32 dims, explained variance "
+          f"{sum(pca['explained']):.2f}")
+
+    # 5. compressed vector index: PQ codes + trained coarse cells
+    train = spread(emb_p.where(F.col("vec_id") % 4 == 0), "vec_id")
     cb = pq_fit(train, "v", "vec_id", m=16, k=16)
     coarse = kmeans_fit(train, "v", "vec_id", k=8, max_iter=3, tol=0.0,
                         round_centroids=6)
     encoded = pq_encode(
-        emb.select(F.col("vec_id").alias("c_id"), "v"), "v", "c_id", cb
+        emb_p.select(F.col("vec_id").alias("c_id"), "v"), "v", "c_id", cb
     )
     encoded.write.mode("overwrite").parquet(f"{work}/index/codes")
     save_index(f"{work}/index", cb, coarse_centroids=coarse)
-    print(f"[4 index] {encoded.count()} vectors at 16 bytes + norm under {work}/index")
+    print(f"[5 index] {encoded.count()} vectors at 16 bytes + norm under {work}/index")
 
-    # 5. search: coarse cells -> in-cell ADC -> exact rerank
-    queries = emb.where(F.col("vec_id") < 3).select(
+    # 6. search: project the query, coarse cells -> ADC -> exact rerank
+    queries = emb_p.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    cand = emb.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    cand = emb_p.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
     hits = ivfadc_topk(
         queries, spark.read.parquet(f"{work}/index/codes"), cand, coarse, cb,
         k=3, nprobe=5, shortlist=50,
     ).collect()
     for q in sorted({r["q_id"] for r in hits}):
         top = [f"{r['c_id']}({r['cosine']:.3f})" for r in hits if r["q_id"] == q]
-        print(f"[5 search] q{q}: {' '.join(top)}")
+        print(f"[6 search] q{q}: {' '.join(top)}")
 
 
 if __name__ == "__main__":
