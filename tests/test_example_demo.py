@@ -12,7 +12,14 @@ def test_demo_runs_end_to_end(spark, sf_dir, capsys):
 
     demo.main()
     out = capsys.readouterr().out
-    for tag in ("[1 report]", "[2 curate]", "[3 export]", "[4 index]", "[5 search]"):
+    for tag in (
+        "[1 report]",
+        "[2 curate]",
+        "[3 export]",
+        "[4 pca]",
+        "[5 index]",
+        "[6 search]",
+    ):
         assert tag in out, out
 
 
