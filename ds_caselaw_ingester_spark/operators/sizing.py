@@ -94,6 +94,35 @@ def semdedup_num_clusters(
     return max(min_k, min(max_k, math.ceil(n_vectors / target_cell_size)))
 
 
+# ~45 bytes/row measured for the (id, _seq, band, band_key) band log at
+# sf10 in the well-compressed regime (docs/SCALE.md round 9)
+CURATION_BAND_ROW_BYTES = 45
+CURATION_TARGET_BUCKET_BYTES = 256 << 20
+
+
+def curation_n_buckets(
+    projected_docs: int,
+    bands_per_doc: int = 4,
+    row_bytes: int = CURATION_BAND_ROW_BYTES,
+    target_bucket_bytes: int = CURATION_TARGET_BUCKET_BYTES,
+    min_b: int = 8,
+    max_b: int = 1 << 20,
+) -> int:
+    """n_buckets for the streaming curation sink's band log
+    (streaming/curation_sink.py), from the block-sized rule the sf10
+    measurement validated: bucket ≈ target_bucket_bytes so the probe
+    reads ≈ (batch band rows) × one bucket regardless of index size,
+    while buckets stay large enough to compress (the oversized-count
+    regime measured 2.4× the flat bytes; the block-sized one 2.9×
+    SMALLER). Size from the corpus the stream will GROW INTO — the
+    count is pinned at stream start by the layout sidecar and changing
+    it later means a rebuild (migrate_index_to_bucketed)."""
+    if projected_docs < 1:
+        return min_b
+    total = projected_docs * bands_per_doc * row_bytes
+    return max(min_b, min(max_b, math.ceil(total / target_bucket_bytes)))
+
+
 def duplication_scaled_df_cap(typical_df: int, rare_df_cap: int = RARE_DF_CAP) -> int:
     """Duplication-aware hot-gram cap: rare_df_cap × typical gram df.
 

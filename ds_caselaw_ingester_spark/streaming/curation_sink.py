@@ -62,8 +62,9 @@ expected probe read fraction is ~min(1, batch band rows / n_buckets),
 so pruning bites only when n_buckets EXCEEDS the per-epoch band-row
 count — size it for the BATCH CADENCE, not the corpus. At scale the
 useful frame is bucket ≈ block-sized: n_buckets ≈ projected index
-bytes / ~256 MB gives a probe read of ≈ (batch band rows) × 256 MB
-regardless of index size. Measured at sf10 (docs/SCALE.md round 9),
+bytes / ~256 MB (sizing.curation_n_buckets implements the rule) gives
+a probe read of ≈ (batch band rows) × 256 MB regardless of index
+size. Measured at sf10 (docs/SCALE.md round 9),
 ~2M-row index: a 64-doc micro-batch at n_buckets=1024 touched 229
 buckets and read 22.8% of the index bytes where the flat log read
 100%; a 5,496-doc DAILY increment saturates 64 buckets (read fraction

@@ -450,3 +450,28 @@ def test_lsh_neardup_auto_guard_warns_on_skewed_corpus(spark, caplog):
         ).limit(1).collect()
         lsh_neardup_pairs(skewed, "v", "vec_id", num_planes=4).limit(1).collect()
     assert not any("skewed" in r.message for r in caplog.records), caplog.records
+
+
+def test_curation_n_buckets_block_rule():
+    """The block-sized rule: buckets track projected index bytes, are
+    clamped sane, and a 100B-doc corpus gets a bucket count that keeps
+    both the probe read (batch keys x ~256 MB) and the file count
+    manageable."""
+    from ds_caselaw_ingester_spark.operators.sizing import (
+        CURATION_BAND_ROW_BYTES,
+        curation_n_buckets,
+    )
+
+    assert curation_n_buckets(0) == 8
+    assert curation_n_buckets(1000) == 8  # tiny corpora floor, compress well
+    b = curation_n_buckets(100_000_000_000)  # 100B docs
+    # 100B x 4 bands x row_bytes / 256MB, clamped to max
+    import math
+
+    want = min(
+        1 << 20,
+        math.ceil(100_000_000_000 * 4 * CURATION_BAND_ROW_BYTES / (256 << 20)),
+    )
+    assert b == want and 8 <= b <= 1 << 20
+    # monotone in corpus size
+    assert curation_n_buckets(10**7) <= curation_n_buckets(10**9)
