@@ -112,6 +112,9 @@ def curate_corpus(
     dsir_keep: int = 0,
     dsir_buckets: int = 10_000,
     boilerplate_min_df: "int | None" = None,
+    mixture_weights: "dict[str, float] | None" = None,
+    mixture_budget: int = 0,
+    source_col: str = "source",
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens) for the curated
     corpus: scrubbed text, quality-gated, optionally decontaminated
@@ -181,9 +184,32 @@ def curate_corpus(
     of the data). Runs LAST on purpose: selection quotas should spend
     on unique, clean documents, not on duplicates the next stage would
     have removed. dsir_keep larger than the survivor count keeps
-    everything (Gumbel top-k over n ≤ k rows is the identity)."""
+    everything (Gumbel top-k over n ≤ k rows is the identity).
+
+    mixture_weights + mixture_budget: optional multi-source BLEND after
+    everything above (operators/mixture.py mix_corpus) — the input
+    `docs` must carry `source_col`; the per-source char masses are
+    measured on the SURVIVORS' scrubbed text (a mixture planned on the
+    raw corpus would over-count the mass that dedup/gating removed),
+    sources are up/down-sampled to the char budget with deterministic
+    hash-gated epochs, and the output gains an `epoch` column (chunks
+    are computed ONCE per document and replicated per epoch by an
+    id-keyed join — never re-chunked). Runs after DSIR: selection
+    decides WHICH documents, mixture decides HOW OFTEN the trainer
+    sees them. Weights and a positive budget must be passed together,
+    like the DSIR pair."""
     if benchmark_embeddings is not None and embeddings is None:
         raise ValueError("benchmark_embeddings requires the corpus `embeddings` frame")
+    if (mixture_weights is not None) != (mixture_budget > 0):
+        raise ValueError(
+            "mixture_weights and mixture_budget > 0 must be passed "
+            "together (weights without a budget, or a budget without "
+            "weights, would silently blend nothing)"
+        )
+    if mixture_weights is not None and source_col not in docs.columns:
+        raise ValueError(
+            f"mixture needs a `{source_col}` column on the input docs"
+        )
     if benchmark is not None:
         from ds_caselaw_ingester_spark.operators.decontam import decontaminate
 
@@ -359,9 +385,25 @@ def curate_corpus(
             num_buckets=dsir_buckets,
         )
         keepers = keepers.join(picked.select(id_col), id_col)
-    return chunk_documents(
+    chunks = chunk_documents(
         keepers, id_col, text_col, chunk_tokens=chunk_tokens, overlap=overlap
     )
+    if mixture_weights is not None:
+        from ds_caselaw_ingester_spark.operators.mixture import mix_corpus
+
+        # char mass measured on the SURVIVORS' curated text; source
+        # re-attached from the original frame (the scrub projection
+        # dropped it). Chunks replicate per epoch via an id-keyed join
+        # — each document chunks exactly once however often the blend
+        # repeats it.
+        sized = keepers.select(
+            F.col(id_col), F.length(F.col(text_col)).alias("_n_chars")
+        ).join(docs.select(F.col(id_col), F.col(source_col)), id_col)
+        blended = mix_corpus(
+            sized, id_col, source_col, "_n_chars", mixture_weights, mixture_budget
+        )
+        chunks = chunks.join(blended.select(id_col, "epoch"), id_col)
+    return chunks
 
 
 def _bands(gated: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -402,3 +402,83 @@ def test_curate_increment_equals_recompute_on_new_ids(spark):
     boot_chunks, _ = curate_increment(nd, empty_index, min_tokens=5, chunk_tokens=64, overlap=0)
     want_boot = {r["doc_id"] for r in curate_corpus(nd, **kw).select("doc_id").distinct().collect()}
     assert {r["doc_id"] for r in boot_chunks.select("doc_id").distinct().collect()} == want_boot
+
+
+def test_mixture_stage_blends_after_dedup(spark):
+    """curate_corpus(mixture_weights=...) — the multi-source final
+    blend: runs on the SURVIVORS (a near-dup's epochs are never
+    spent), adds an `epoch` column, replicates every chunk identically
+    per kept epoch, and matches mix_corpus applied to the same
+    survivors exactly (the wiring contract). The pair/column guards
+    fail fast."""
+    import string
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.curation import curate_corpus
+    from ds_caselaw_ingester_spark.operators.mixture import mix_corpus
+
+    def text(tag):
+        return " ".join(f"m{tag}{c * 3}" for c in string.ascii_lowercase[:12])
+
+    rows = [
+        (1, "a", text("one")),
+        (2, "a", text("two")),
+        (3, "a", text("one")),   # near-dup of 1 -> dropped before blending
+        (4, "b", text("three")),
+        (5, "b", text("four")),
+        (6, "b", "too short"),   # gated out
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kw = dict(min_tokens=8, min_alpha_ratio=0.5, chunk_tokens=16, overlap=2)
+    weights, budget = {"a": 0.7, "b": 0.3}, 1200
+
+    plain = curate_corpus(docs, **kw)
+    assert "epoch" not in plain.columns
+    kept = {r["doc_id"] for r in plain.select("doc_id").distinct().collect()}
+    assert kept == {1, 2, 4, 5}
+
+    blended = curate_corpus(
+        docs, mixture_weights=weights, mixture_budget=budget, **kw
+    )
+    assert "epoch" in blended.columns
+    got = blended.collect()
+    assert {r["doc_id"] for r in got} <= kept  # dropped docs never blended
+    # exact wiring contract: epochs equal mix_corpus over the survivors'
+    # curated char masses
+    from ds_caselaw_ingester_spark.operators.curation import gate_documents
+
+    curated_text = gate_documents(docs, "doc_id", "text", 8, 0.5)
+    sized = curated_text.join(
+        plain.select("doc_id").distinct(), "doc_id"
+    ).select(
+        "doc_id", F.length("text").alias("_n_chars")
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    want = {
+        (r["doc_id"], r["epoch"])
+        for r in mix_corpus(
+            sized, "doc_id", "source", "_n_chars", weights, budget
+        ).collect()
+    }
+    assert {(r["doc_id"], r["epoch"]) for r in got} == want
+    # every kept epoch carries the full identical chunk set
+    per_doc_epoch = {}
+    for r in got:
+        per_doc_epoch.setdefault((r["doc_id"], r["epoch"]), set()).add(
+            (r["chunk_index"], r["chunk_text"])
+        )
+    by_doc = {}
+    for (d, _e), chunks in per_doc_epoch.items():
+        by_doc.setdefault(d, []).append(chunks)
+    assert all(len(set(map(frozenset, v))) == 1 for v in by_doc.values())
+
+    with _pytest.raises(ValueError, match="together"):
+        curate_corpus(docs, mixture_weights=weights, **kw)
+    with _pytest.raises(ValueError, match="source"):
+        curate_corpus(
+            docs.drop("source"),
+            mixture_weights=weights,
+            mixture_budget=budget,
+            **kw,
+        )
