@@ -132,3 +132,97 @@ def extract_asset_metadata(assets: DataFrame, id_col: str = "doc_id", bin_col: s
             )
 
     return assets.select(id_col, bin_col).mapInPandas(_extract, ASSET_META_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), False),
+        T.StructField("start_sample", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("start_ms", T.DoubleType(), False),
+        T.StructField("fake_rms", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_audio_real(data: bytes) -> dict:
+    """Where soundfile/ffmpeg PCM decode would go (no codec libs in
+    this container); see audio_windows' stub for the deterministic
+    fake."""
+    raise NotImplementedError("audio codecs not available in this environment")
+
+
+def audio_windows(
+    assets: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "content",
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+    window_ms: int = 1_000,
+    hop_ms: int = 500,
+) -> DataFrame:
+    """Fixed-duration (optionally overlapping) windowing over an opaque
+    audio column — the ASR/feature-extraction batch shape (whisper-style
+    chunking, wav2vec framing): one OUTPUT row per window with exact
+    sample/byte arithmetic, fanned out inside mapInPandas so the bytes
+    stay in executor-local Arrow batches.
+
+    The PCM 'decode' is stubbed (the window's 'RMS' is a deterministic
+    byte checksum of its first 64 bytes); a real decoder drops in at
+    the marked line without touching the Spark plan — the schema,
+    window arithmetic, batch fan-out, and partitioning are the real
+    thing, per the module's stub doctrine. Windows shorter than a full
+    `window_ms` at the tail are emitted (a real featurizer pads);
+    documents with no bytes yield no windows."""
+    if sample_rate <= 0 or bytes_per_sample <= 0:
+        raise ValueError("sample_rate and bytes_per_sample must be positive")
+    if window_ms <= 0 or not 0 < hop_ms <= window_ms:
+        raise ValueError(
+            f"need window_ms > 0 and 0 < hop_ms <= window_ms, got "
+            f"{window_ms}/{hop_ms}"
+        )
+    win = int(sample_rate * window_ms / 1000)
+    hop = int(sample_rate * hop_ms / 1000)
+    if hop < 1:
+        raise ValueError("hop_ms too small for sample_rate (0 samples)")
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(data) if data is not None else b""
+                total = len(b) // bytes_per_sample
+                i = 0
+                start = 0
+                while start < total:
+                    n = min(win, total - start)
+                    off = start * bytes_per_sample
+                    chunk = b[off : off + min(64, n * bytes_per_sample)]
+                    rms = (sum(chunk) % 32768) if chunk else None
+                    # ^ real PCM decode + feature call goes here
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            start,
+                            n,
+                            start * 1000.0 / sample_rate,
+                            rms,
+                        )
+                    )
+                    i += 1
+                    start += hop
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "window_idx",
+                    "start_sample",
+                    "n_samples",
+                    "start_ms",
+                    "fake_rms",
+                ],
+            )
+
+    return assets.select(id_col, bin_col).mapInPandas(_windows, AUDIO_WINDOW_SCHEMA)

@@ -649,6 +649,68 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# audio_windows — multimodal audio windowing fan-out (UNREGISTERED:
+# pytest-gated in tests/test_oracle_parity.py; the 50-row registry is at
+# its cap and the mapInPandas fan-out shape is registry-covered by
+# frame_sample — this adds the overlapping-window arithmetic an
+# ASR/featurizer chunker needs, over the same stand-in bytes)
+# ---------------------------------------------------------------------------
+
+_AW_RATE = 16_000
+_AW_BPS = 2
+_AW_WIN_MS = 4   # 64 samples
+_AW_HOP_MS = 2   # 32 samples — overlapping windows + tail exercise
+
+_AW_WIN = _AW_RATE * _AW_WIN_MS // 1000
+_AW_HOP = _AW_RATE * _AW_HOP_MS // 1000
+
+AUDIO_WINDOWS_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) // {_AW_BPS} AS total
+  FROM documents WHERE length(text) >= {_AW_BPS}
+),
+w AS (
+  SELECT doc_id, text, total, CAST(j AS INTEGER) AS window_idx,
+         CAST(j * {_AW_HOP} AS BIGINT) AS start_sample,
+         CAST(LEAST({_AW_WIN}, total - j * {_AW_HOP}) AS INTEGER) AS n_samples
+  FROM d, unnest(generate_series(0, CAST((total - 1) // {_AW_HOP} AS BIGINT))) AS t(j)
+  WHERE j * {_AW_HOP} < total
+)
+SELECT w.doc_id, w.window_idx, w.start_sample, w.n_samples,
+       w.start_sample * 1000.0 / {_AW_RATE} AS start_ms,
+       CAST(sum(ascii(substr(w.text,
+                CAST(w.start_sample * {_AW_BPS} + k.k + 1 AS INTEGER), 1)))
+            % 32768 AS INTEGER) AS fake_rms
+FROM w, unnest(generate_series(0,
+       CAST(LEAST(64, w.n_samples * {_AW_BPS}) - 1 AS BIGINT))) AS k(k)
+GROUP BY w.doc_id, w.window_idx, w.start_sample, w.n_samples
+"""
+
+
+def q_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-duration windows over an opaque 'audio' binary
+    (operators/multimodal.py audio_windows): exact sample/byte
+    arithmetic, one output row per window, Arrow-batched fan-out.
+    Documents' text bytes stand in for PCM, per the module's stub
+    doctrine."""
+    from ds_caselaw_ingester_spark.operators.multimodal import audio_windows
+
+    ensure_oracle_safe(spark)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    return audio_windows(
+        d,
+        "doc_id",
+        "content",
+        sample_rate=_AW_RATE,
+        bytes_per_sample=_AW_BPS,
+        window_ms=_AW_WIN_MS,
+        hop_ms=_AW_HOP_MS,
+    )
+
+
+# ---------------------------------------------------------------------------
 # pq_adc_topk — product quantization: trained codebooks, ADC top-k
 # ---------------------------------------------------------------------------
 # (Round 7 rotation: simhash_signatures gave up its registry slot — its

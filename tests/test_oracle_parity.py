@@ -313,6 +313,23 @@ def test_unregistered_anti_join_matches_oracle(spark, sf_dir):
     assert res.spark_rows > 0
 
 
+def test_unregistered_audio_windows_matches_oracle(spark, sf_dir):
+    """audio_windows is pytest-gated (registry at its 50-row cap; the
+    mapInPandas fan-out shape is registry-covered by frame_sample):
+    overlapping window sample/byte arithmetic and the stub RMS must
+    hash-match the DuckDB replay, including short tail windows."""
+    from ds_caselaw_ingester_spark.plans.queries_similarity import (
+        AUDIO_WINDOWS_ORACLE,
+        q_audio_windows,
+    )
+
+    res = check_query(
+        spark, sf_dir, "audio_windows", q_audio_windows, AUDIO_WINDOWS_ORACLE
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
 def test_unregistered_ann_lsh_topk_matches_oracle(spark, sf_dir):
     """ann_lsh_topk gave up its registry slot to hybrid_search_multi
     (round 9); its multi-table LSH bucketing stays registry-covered by
