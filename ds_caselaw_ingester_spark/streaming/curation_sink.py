@@ -167,7 +167,9 @@ def _read_json(path: str) -> "dict | None":
         return json.load(f)
 
 
-def _check_layout(local: str, n_buckets: int, key_mode: str) -> None:
+def _check_layout(
+    local: str, n_buckets: int, key_mode: str, gate: "dict | None" = None
+) -> None:
     """Refuse silent-corruption paths before touching the index (the
     ensure_partitioned_layout doctrine, specialized to the two-level
     epoch/bucket layout):
@@ -177,13 +179,22 @@ def _check_layout(local: str, n_buckets: int, key_mode: str) -> None:
     - pinned layout disagrees on key mode → a seq-keyed index probed
       in monotone-id mode (or vice versa) compares incomparable keys —
       raise;
+    - pinned layout disagrees on the GATE parameters → the index holds
+      band rows of docs gated under different thresholds, and the
+      recompute-equivalence contract compares keep decisions made
+      under ONE gate — a doc the old gate kept and the new one drops
+      (or vice versa) silently diverges from every recompute. The
+      docstring always said the params must stay constant; this makes
+      drift raise instead of diverge;
     - epoch dirs exist but are FLAT (no bucket= subdirs — an r8-era
       index) → raise with the migration pointer; proceeding would mix
       two layouts under one root.
 
     A bucketed index with no layout sidecar (crash between the first
-    delta write and the pin) is accepted and pinned after this batch —
-    the same first-contact window the sibling bucketed sinks document.
+    delta write and the pin) is accepted and pinned after this batch;
+    a sidecar from before gate pinning adopts the current gate on
+    first contact — both the same first-contact window the sibling
+    bucketed sinks document.
     """
     meta = _read_json(_layout_path(local))
     if meta is not None:
@@ -194,6 +205,14 @@ def _check_layout(local: str, n_buckets: int, key_mode: str) -> None:
                 f"but this run uses n_buckets={n_buckets}, "
                 f"key_mode={key_mode!r}; changing either orphans the "
                 "index's history — rebuild (or migrate) the index instead."
+            )
+        pinned_gate = meta.get("gate")
+        if gate is not None and pinned_gate is not None and pinned_gate != gate:
+            raise ValueError(
+                f"{local} was built under gate params {pinned_gate} but "
+                f"this run uses {gate}; the index's keep decisions are "
+                "only comparable under ONE gate — rebuild the index to "
+                "change thresholds."
             )
         return
     for e in _epoch_values(local):
@@ -209,11 +228,13 @@ def _check_layout(local: str, n_buckets: int, key_mode: str) -> None:
             )
 
 
-def _pin_layout(local: str, n_buckets: int, key_mode: str) -> None:
-    _write_json(
-        _layout_path(local),
-        {"col": BUCKET_COL, "n_buckets": n_buckets, "key_mode": key_mode},
-    )
+def _pin_layout(
+    local: str, n_buckets: int, key_mode: str, gate: "dict | None" = None
+) -> None:
+    payload = {"col": BUCKET_COL, "n_buckets": n_buckets, "key_mode": key_mode}
+    if gate is not None:
+        payload["gate"] = gate
+    _write_json(_layout_path(local), payload)
 
 
 def _read_epoch_meta(local: str) -> dict:
@@ -349,7 +370,8 @@ def apply_curation_batch(
     # partition VALUE ('<t>.old') and break the int epoch filter
     recover_buckets(local, prefix=f"{EPOCH_COL}=")
     key_mode = "seq" if use_seq else "id"
-    _check_layout(local, n_buckets, key_mode)
+    gate = {"min_tokens": int(min_tokens), "min_alpha_ratio": float(min_alpha_ratio)}
+    _check_layout(local, n_buckets, key_mode, gate)
     meta = _read_epoch_meta(local)
     if (
         not meta["epochs"]
@@ -441,7 +463,7 @@ def apply_curation_batch(
     mx_new = new_bands.agg(F.max(key).alias("mx")).collect()[0]["mx"]
     meta["epochs"][str(epoch_id)] = mx_new
     _write_json(_meta_path(local), meta)
-    _pin_layout(local, n_buckets, key_mode)
+    _pin_layout(local, n_buckets, key_mode, gate)
 
 
 # ---------------------------------------------------------------- maintenance

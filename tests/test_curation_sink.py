@@ -370,3 +370,17 @@ def test_assign_seq_is_global_rank_without_single_partition(spark):
             d: 100 + i for i, d in enumerate(sorted(x[0] for x in rows))
         }
         assert got == want
+
+
+def test_gate_param_drift_raises(spark, tmp_path):
+    """The gate params are pinned with the layout: a restarted stream
+    with different thresholds must raise (its keep decisions would
+    silently diverge from every recompute) rather than probe an index
+    gated under other rules."""
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    _apply(spark, EPOCH0, idx, chk, 0)
+    with pytest.raises(ValueError, match="gate"):
+        _apply(spark, EPOCH1, idx, chk, 1, min_tokens=5)
+    # unchanged params keep working
+    _apply(spark, EPOCH1, idx, chk, 1)
+    assert _kept(spark, chk, 1) == EXPECT_KEPT[1]
