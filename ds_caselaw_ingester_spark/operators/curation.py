@@ -87,6 +87,94 @@ def assign_ingest_seq(gated: DataFrame, id_col: str, start: int) -> DataFrame:
     return _assign_seq(gated, id_col, start)
 
 
+def apply_quality_gates(
+    gated: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    repetition_caps: "dict[str, float] | None" = None,
+    quality_model=None,
+    min_quality_p: float = 0.5,
+    lm_logp: "dict[str, float] | None" = None,
+    max_ppl: float = 1e6,
+    lm_max_piece_len: int = 6,
+) -> DataFrame:
+    """The per-document quality gates (Gopher repetition caps, learned
+    quality classifier, CCNet-style LM perplexity), ONE definition
+    shared by the batch composite, the incremental APIs, and the
+    streaming sink — each gate is a pure per-document function, so
+    applying it to an increment is trivially recompute-equivalent, and
+    sharing the definition keeps stream and nightly keep decisions
+    from drifting (the _structural_gate rule, extended). Gates compose
+    after the cheap structural gate and before banding: a doc any gate
+    drops is never indexed. Semantics per gate are documented on
+    curate_corpus (which forwards here)."""
+    if repetition_caps:
+        import re
+
+        from ds_caselaw_ingester_spark.operators.repetition import (
+            repetition_profile,
+        )
+
+        # compute ONLY the gram sizes a cap actually references: the
+        # dup-n positional-coverage machinery is two window shuffles +
+        # a sequence explode PER n — running the default (5, 10) for a
+        # caller capping only dup_line_frac multiplied the corpus scan
+        # for signals that were immediately discarded
+        top_ns = tuple(
+            sorted(
+                int(m.group(1))
+                for c in repetition_caps
+                if (m := re.fullmatch(r"top_(\d+)gram_char_frac", c))
+            )
+        )
+        dup_ns = tuple(
+            sorted(
+                int(m.group(1))
+                for c in repetition_caps
+                if (m := re.fullmatch(r"dup_(\d+)gram_char_frac", c))
+            )
+        )
+        prof = repetition_profile(
+            gated, id_col, text_col, top_ns=top_ns, dup_ns=dup_ns
+        )
+        unknown = set(repetition_caps) - set(prof.columns)
+        if unknown:
+            raise ValueError(f"unknown repetition_caps columns: {sorted(unknown)}")
+        cond = None
+        for col, cap in sorted(repetition_caps.items()):
+            c = F.col(col) <= F.lit(float(cap))
+            cond = c if cond is None else (cond & c)
+        gated = gated.join(prof.where(cond).select(id_col), id_col)
+    if quality_model is not None:
+        from ds_caselaw_ingester_spark.operators.quality_clf import score_quality
+
+        qp = score_quality(gated, quality_model, id_col, text_col)
+        gated = gated.join(
+            qp.where(F.col("quality_p") >= F.lit(min_quality_p)).select(id_col),
+            id_col,
+        )
+    if lm_logp is not None:
+        from ds_caselaw_ingester_spark.operators.unigram_lm import (
+            unigram_perplexity,
+        )
+
+        ppl = unigram_perplexity(
+            gated, id_col, text_col, lm_logp, max_piece_len=lm_max_piece_len
+        )
+        # keep NULL-ppl (unscored) docs: the only drop condition is
+        # ppl > max_ppl. localCheckpoint the id shortlist so the
+        # per-token Viterbi pass runs ONCE - `gated` has multiple
+        # downstream consumers (shingles, the spine, keepers) and an
+        # unmaterialized gate would replay the scoring per consumer.
+        keep_ids = (
+            ppl.where(F.col("ppl").isNull() | (F.col("ppl") <= F.lit(max_ppl)))
+            .select(id_col)
+            .localCheckpoint(eager=True)
+        )
+        gated = gated.join(keep_ids, id_col)
+    return gated
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -258,73 +346,17 @@ def curate_corpus(
             .select(F.col("doc_id").alias(id_col), F.col("text").alias(text_col))
             .localCheckpoint(eager=True)
         )
-    gated = _structural_gate(
-        scrubbed, id_col, text_col, min_tokens, min_alpha_ratio
+    gated = apply_quality_gates(
+        _structural_gate(scrubbed, id_col, text_col, min_tokens, min_alpha_ratio),
+        id_col,
+        text_col,
+        repetition_caps=repetition_caps,
+        quality_model=quality_model,
+        min_quality_p=min_quality_p,
+        lm_logp=lm_logp,
+        max_ppl=max_ppl,
+        lm_max_piece_len=lm_max_piece_len,
     )
-    if repetition_caps:
-        import re
-
-        from ds_caselaw_ingester_spark.operators.repetition import (
-            repetition_profile,
-        )
-
-        # compute ONLY the gram sizes a cap actually references: the
-        # dup-n positional-coverage machinery is two window shuffles +
-        # a sequence explode PER n — running the default (5, 10) for a
-        # caller capping only dup_line_frac multiplied the corpus scan
-        # for signals that were immediately discarded
-        top_ns = tuple(
-            sorted(
-                int(m.group(1))
-                for c in repetition_caps
-                if (m := re.fullmatch(r"top_(\d+)gram_char_frac", c))
-            )
-        )
-        dup_ns = tuple(
-            sorted(
-                int(m.group(1))
-                for c in repetition_caps
-                if (m := re.fullmatch(r"dup_(\d+)gram_char_frac", c))
-            )
-        )
-        prof = repetition_profile(
-            gated, id_col, text_col, top_ns=top_ns, dup_ns=dup_ns
-        )
-        unknown = set(repetition_caps) - set(prof.columns)
-        if unknown:
-            raise ValueError(f"unknown repetition_caps columns: {sorted(unknown)}")
-        cond = None
-        for col, cap in sorted(repetition_caps.items()):
-            c = F.col(col) <= F.lit(float(cap))
-            cond = c if cond is None else (cond & c)
-        gated = gated.join(prof.where(cond).select(id_col), id_col)
-    if quality_model is not None:
-        from ds_caselaw_ingester_spark.operators.quality_clf import score_quality
-
-        qp = score_quality(gated, quality_model, id_col, text_col)
-        gated = gated.join(
-            qp.where(F.col("quality_p") >= F.lit(min_quality_p)).select(id_col),
-            id_col,
-        )
-    if lm_logp is not None:
-        from ds_caselaw_ingester_spark.operators.unigram_lm import (
-            unigram_perplexity,
-        )
-
-        ppl = unigram_perplexity(
-            gated, id_col, text_col, lm_logp, max_piece_len=lm_max_piece_len
-        )
-        # keep NULL-ppl (unscored) docs: the only drop condition is
-        # ppl > max_ppl. localCheckpoint the id shortlist so the
-        # per-token Viterbi pass runs ONCE - `gated` has three
-        # downstream consumers (shingles, the spine, keepers) and an
-        # unmaterialized gate would replay the scoring per consumer.
-        keep_ids = (
-            ppl.where(F.col("ppl").isNull() | (F.col("ppl") <= F.lit(max_ppl)))
-            .select(id_col)
-            .localCheckpoint(eager=True)
-        )
-        gated = gated.join(keep_ids, id_col)
     pairs = lsh_candidate_pairs(_bands(gated, id_col, text_col), id_col)
     assignment = canonical_assignment(gated, pairs, id_col=id_col)
     keepers = gated.join(
@@ -450,6 +482,7 @@ def curate_increment(
     chunk_tokens: int = 128,
     overlap: int = 16,
     indexed_max=_UNSET,
+    **quality_gates,
 ) -> "tuple[DataFrame, DataFrame]":
     """Daily-increment curation: gate + near-dup-dedup ONLY the new
     documents against the maintained band index, never recomputing the
@@ -467,6 +500,15 @@ def curate_increment(
     Cost tracks the increment: the new docs scrub/gate/shingle
     map-side, the probe equi-joins their band keys against the index,
     and the connected components run over new-new pairs only.
+
+    **quality_gates: forwarded to apply_quality_gates (repetition_caps,
+    quality_model + min_quality_p, lm_logp + max_ppl +
+    lm_max_piece_len) — the per-document gates of the batch composite,
+    applied to the increment between the structural gate and banding.
+    Each is a pure per-document function, so incremental application
+    is recompute-equivalent BY CONSTRUCTION; pass the SAME gate config
+    the base index was built under (the streaming sink pins a
+    fingerprint of it; callers of this batch API own that discipline).
 
     indexed_max: the indexed corpus's max id, when the caller already
     maintains it as metadata (the streaming sink's per-epoch sidecar
@@ -507,12 +549,17 @@ def curate_increment(
     incremental path never retracts published keepers — deliberately,
     because yesterday's corpus has already been shipped/trained on.
     That is the one documented divergence from recompute semantics."""
-    gated = _structural_gate(
-        _scrub(new_docs, id_col, text_col),
+    gated = apply_quality_gates(
+        _structural_gate(
+            _scrub(new_docs, id_col, text_col),
+            id_col,
+            text_col,
+            min_tokens,
+            min_alpha_ratio,
+        ),
         id_col,
         text_col,
-        min_tokens,
-        min_alpha_ratio,
+        **quality_gates,
     ).localCheckpoint(eager=True)  # consumed by bands, CC spine, and chunking
     if indexed_max is _UNSET:
         mx = band_index.agg(F.max(id_col).alias("mx")).collect()[0]["mx"]
@@ -698,6 +745,7 @@ def curate_increment_seq(
     chunk_tokens: int = 128,
     overlap: int = 16,
     base_max_seq=_UNSET,
+    **quality_gates,
 ) -> "tuple[DataFrame, DataFrame]":
     """curate_increment for ARBITRARY id types — uuid-keyed corpora
     included — by ordering on a surrogate ingest sequence instead of
@@ -726,13 +774,21 @@ def curate_increment_seq(
     should still be unique WITHIN one increment.
 
     Returns (chunks, index_delta); the delta carries
-    (id, _seq, band, band_key) — append it like the plain variant's."""
-    gated = _structural_gate(
-        _scrub(new_docs, id_col, text_col),
+    (id, _seq, band, band_key) — append it like the plain variant's.
+    **quality_gates forwards to apply_quality_gates exactly as in
+    curate_increment; gates run BEFORE seq assignment, so the ingest
+    sequence ranks only fully-gated documents."""
+    gated = apply_quality_gates(
+        _structural_gate(
+            _scrub(new_docs, id_col, text_col),
+            id_col,
+            text_col,
+            min_tokens,
+            min_alpha_ratio,
+        ),
         id_col,
         text_col,
-        min_tokens,
-        min_alpha_ratio,
+        **quality_gates,
     )
     if base_max_seq is _UNSET:
         base_max_seq = band_index.agg(F.max(SEQ_COL).alias("mx")).collect()[0]["mx"]

@@ -108,10 +108,56 @@ from ds_caselaw_ingester_spark.operators.compaction import (
 from ds_caselaw_ingester_spark.operators.curation import (
     SEQ_COL,
     _increment_core,
+    apply_quality_gates,
     assign_ingest_seq,
     band_documents,
     gate_documents,
 )
+
+
+def _quality_fingerprint(qg: "dict | None") -> "str | None":
+    """Stable digest of a quality-gate configuration (repetition caps,
+    classifier weights, LM vocab + thresholds) for the layout sidecar:
+    the gates decide which documents enter the index, so like the
+    structural thresholds they must stay constant for the index's life
+    — but the classifier/LM state is far too large to pin verbatim, so
+    the sidecar pins this fingerprint and drift raises."""
+    if not qg:
+        return None
+    import hashlib
+    import json
+
+    canon: dict = {}
+    caps = qg.get("repetition_caps")
+    if caps:
+        canon["repetition_caps"] = sorted(
+            (k, float(v)) for k, v in caps.items()
+        )
+    qm = qg.get("quality_model")
+    if qm is not None:
+        canon["quality_model"] = hashlib.md5(
+            json.dumps(
+                [
+                    int(qm.dim),
+                    round(float(qm.bias), 12),
+                    sorted(
+                        (int(k), round(float(v), 12))
+                        for k, v in qm.weights.items()
+                    ),
+                ]
+            ).encode()
+        ).hexdigest()
+        canon["min_quality_p"] = float(qg.get("min_quality_p", 0.5))
+    lm = qg.get("lm_logp")
+    if lm is not None:
+        canon["lm_logp"] = hashlib.md5(
+            json.dumps(
+                sorted((k, round(float(v), 12)) for k, v in lm.items())
+            ).encode()
+        ).hexdigest()
+        canon["max_ppl"] = float(qg.get("max_ppl", 1e6))
+        canon["lm_max_piece_len"] = int(qg.get("lm_max_piece_len", 6))
+    return hashlib.md5(json.dumps(canon, sort_keys=True).encode()).hexdigest()
 
 EPOCH_COL = "epoch"
 BUCKET_COL = "bucket"
@@ -341,6 +387,7 @@ def apply_curation_batch(
     epoch_id: int = 0,
     n_buckets: int = DEFAULT_BUCKETS,
     use_seq: bool = True,
+    quality_gates: "dict | None" = None,
 ) -> None:
     """One micro-batch: curate `batch` against every earlier epoch's
     band rows (pruned to the batch's own touched buckets), overwrite
@@ -358,10 +405,21 @@ def apply_curation_batch(
     against the sidecar's true max (never against the bucket-pruned
     view, which would understate it).
 
-    Gate parameters and n_buckets MUST stay constant for the life of
-    the stream — the index holds band rows of docs gated and bucketed
-    under them (layout mismatches raise via the pinned sidecar; gate
-    drift is the same rule as the SemDeDup sink's fixed quantizer)."""
+    quality_gates: optional dict forwarded to
+    operators/curation.py apply_quality_gates (repetition_caps,
+    quality_model + min_quality_p, lm_logp + max_ppl +
+    lm_max_piece_len) — the batch composite's per-document gates,
+    applied between the structural gate and banding so the stream
+    curates to the SAME standard as the nightly recompute. Each gate
+    is a pure per-document function, so incremental application stays
+    recompute-equivalent.
+
+    Gate parameters (structural AND quality — the latter pinned as a
+    fingerprint, since classifier/LM state is too large to pin
+    verbatim) and n_buckets MUST stay constant for the life of the
+    stream — the index holds band rows of docs gated and bucketed
+    under them (mismatches raise via the pinned sidecar; the same rule
+    as the SemDeDup sink's fixed quantizer)."""
     if batch.isEmpty():
         return
     local = _local(index_path)
@@ -370,7 +428,11 @@ def apply_curation_batch(
     # partition VALUE ('<t>.old') and break the int epoch filter
     recover_buckets(local, prefix=f"{EPOCH_COL}=")
     key_mode = "seq" if use_seq else "id"
-    gate = {"min_tokens": int(min_tokens), "min_alpha_ratio": float(min_alpha_ratio)}
+    gate = {
+        "min_tokens": int(min_tokens),
+        "min_alpha_ratio": float(min_alpha_ratio),
+        "quality_fp": _quality_fingerprint(quality_gates),
+    }
     _check_layout(local, n_buckets, key_mode, gate)
     meta = _read_epoch_meta(local)
     if (
@@ -385,6 +447,8 @@ def apply_curation_batch(
         )
     base_max = _base_max(meta, epoch_id)
     gated = gate_documents(batch, id_col, text_col, min_tokens, min_alpha_ratio)
+    if quality_gates:
+        gated = apply_quality_gates(gated, id_col, text_col, **quality_gates)
     if use_seq:
         start = 0 if base_max is None else int(base_max) + 1
         gated = assign_ingest_seq(gated, id_col, start)
@@ -607,6 +671,7 @@ def run_curation_stream(
     overlap: int = 16,
     n_buckets: int = DEFAULT_BUCKETS,
     use_seq: bool = True,
+    quality_gates: "dict | None" = None,
 ):
     """Materialize a document stream as a continuously-curated chunk
     log plus the maintained band index."""
@@ -625,6 +690,7 @@ def run_curation_stream(
             epoch_id=epoch_id,
             n_buckets=n_buckets,
             use_seq=use_seq,
+            quality_gates=quality_gates,
         )
 
     return (

@@ -384,3 +384,43 @@ def test_gate_param_drift_raises(spark, tmp_path):
     # unchanged params keep working
     _apply(spark, EPOCH1, idx, chk, 1)
     assert _kept(spark, chk, 1) == EXPECT_KEPT[1]
+
+
+def test_quality_gates_in_stream_match_recompute(spark, tmp_path):
+    """The stream curates to the SAME standard as the nightly
+    composite: with Gopher repetition caps passed to the sink, a
+    repetitive doc is dropped at arrival exactly as the arrival-order
+    curate_corpus recompute drops it, and changing the gate config on
+    restart raises via the pinned fingerprint."""
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    caps = {"top_2gram_char_frac": 0.5}
+    repetitive = ("d-rep1", "spam ham " * 12)  # one bigram dominates
+    e0 = EPOCH0
+    e1 = [repetitive, ("d-ok99", _text("fresh"))]
+    qg = {"repetition_caps": caps}
+    for e, rows in enumerate([e0, e1]):
+        _apply(spark, rows, idx, chk, e, quality_gates=qg)
+    assert _kept(spark, chk, 1) == {"d-ok99"}
+    # the repetitive doc was gated, not deduped: it must not be indexed
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.option("basePath", idx).parquet(idx)
+        .select("doc_id").distinct().collect()
+    }
+    assert "d-rep1" not in idx_ids
+    # arrival-order recompute under the SAME caps agrees
+    arrival = [d for d, _ in sorted(e0)] + [d for d, _ in sorted(e1)]
+    texts = dict(e0 + e1)
+    seq_docs = spark.createDataFrame(
+        [(i, texts[d]) for i, d in enumerate(arrival)], "doc_id long, text string"
+    )
+    rec = curate_corpus(seq_docs, repetition_caps=caps, **CHUNK_KW)
+    kept_seqs = {r["doc_id"] for r in rec.select("doc_id").distinct().collect()}
+    kept_ids = {d for i, d in enumerate(arrival) if i in kept_seqs}
+    assert kept_ids == EXPECT_KEPT[0] | {"d-ok99"}
+    # gate-config drift (different caps, or caps removed) raises
+    with pytest.raises(ValueError, match="gate"):
+        _apply(spark, EPOCH2, idx, chk, 2,
+               quality_gates={"repetition_caps": {"top_2gram_char_frac": 0.9}})
+    with pytest.raises(ValueError, match="gate"):
+        _apply(spark, EPOCH2, idx, chk, 2)
