@@ -182,3 +182,61 @@ def canonical_assignment(
         id_col,
         F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
     ).withColumn("is_duplicate", F.col(id_col) != F.col("component"))
+
+
+def quality_keep_one(
+    docs: DataFrame,
+    pair_edges: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Keep-one-per-cluster where the keeper is the HIGHEST-quality
+    member, not the smallest id: (doc_id, component, keeper_id,
+    is_duplicate). A production dedup keeps the best copy of a
+    duplicated document (longest extraction, highest classifier score —
+    any `score_col` the caller computed), while canonical_assignment's
+    min-id rule keeps an arbitrary one; the components themselves are
+    identical, only the representative changes.
+
+    Deterministic selection: keeper = arg max score, ties broken by MIN
+    id — expressed as one min(struct(-score, id)) aggregation so the
+    shuffle carries map-side-combined partials (a row_number window over
+    the component would shuffle every raw row to rank it). NULL scores
+    are treated as -inf (a scored member always beats an unscored one;
+    an all-NULL component falls back to the min-id rule), so missing
+    quality rows degrade to canonical_assignment instead of poisoning
+    the struct ordering.
+
+    Cost on top of canonical_assignment: one extra groupBy on
+    `component` plus a keeper-lookup join — both keyed on the SAME
+    column the assignment join just produced, so at scale the exchange
+    is reused across the three operators rather than re-shuffled.
+    """
+    assigned = canonical_assignment(docs, pair_edges, id_col=id_col, id_a=id_a, id_b=id_b)
+    scored = assigned.join(docs.select(id_col, score_col), id_col, "left")
+    neg_inf = F.lit(float("-inf"))
+    keepers = (
+        scored.groupBy("component")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.coalesce(F.col(score_col).cast("double"), neg_inf)).alias(
+                        "_neg_score"
+                    ),
+                    F.col(id_col).alias("_id"),
+                )
+            ).alias("_best")
+        )
+        .select("component", F.col("_best._id").alias("keeper_id"))
+    )
+    return (
+        scored.join(keepers, "component")
+        .select(
+            id_col,
+            "component",
+            "keeper_id",
+            (F.col(id_col) != F.col("keeper_id")).alias("is_duplicate"),
+        )
+    )

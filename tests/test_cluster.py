@@ -108,3 +108,70 @@ def test_canonical_assignment_end_to_end(spark, sf_dir):
     for i in range(0, 100, 10):
         assert out[i + 1000000000].component == out[i].component
         assert out[i + 1000000000].is_duplicate
+
+
+def test_quality_keep_one_duckdb_replay(spark):
+    """quality_keep_one's selection rule (arg max score, ties -> min id,
+    NULL score loses to any scored member, all-NULL component -> min id)
+    replayed by DuckDB over the SAME components. Components come from
+    the already-tested connected_components; the oracle re-derives the
+    keeper per component with an explicit ORDER BY, so the
+    min(struct(-score, id)) encoding is pinned against the plain-SQL
+    statement of the rule."""
+    import duckdb
+
+    from ds_caselaw_ingester_spark.operators.cluster import quality_keep_one
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    docs = [
+        # component {1,2,3}: min id is LOW quality — keeper must be 2
+        (1, 0.1), (2, 0.9), (3, 0.5),
+        # component {10,11}: exact score tie — keeper = min id 10
+        (10, 0.7), (11, 0.7),
+        # component {20,21}: min id unscored — scored 21 wins
+        (20, None), (21, 0.2),
+        # component {30,31}: all NULL — falls back to min id 30
+        (30, None), (31, None),
+        # singleton, keeper of itself even when unscored
+        (40, None),
+    ]
+    docs_df = spark.createDataFrame(docs, "doc_id long, score double")
+    edges_df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: (r.component, r.keeper_id, r.is_duplicate)
+        for r in quality_keep_one(docs_df, edges_df).collect()
+    }
+
+    comp = _union_find_components(edges)
+    con = duckdb.connect()
+    con.execute("create table docs(doc_id bigint, score double)")
+    con.executemany("insert into docs values (?, ?)", docs)
+    con.execute("create table comp(doc_id bigint, component bigint)")
+    con.executemany(
+        "insert into comp values (?, ?)",
+        [(d, comp.get(d, d)) for d, _ in docs],
+    )
+    oracle = con.execute(
+        """
+        with ranked as (
+          select c.doc_id, c.component, d.score,
+                 row_number() over (
+                   partition by c.component
+                   order by coalesce(d.score, -1e308) desc, c.doc_id asc
+                 ) as rk
+          from comp c join docs d using (doc_id)
+        ),
+        keepers as (select component, doc_id as keeper_id from ranked where rk = 1)
+        select r.doc_id, r.component, k.keeper_id,
+               r.doc_id <> k.keeper_id as is_duplicate
+        from ranked r join keepers k using (component)
+        """
+    ).fetchall()
+    want = {r[0]: (r[1], r[2], r[3]) for r in oracle}
+    assert got == want
+    # spot-pin the cases the rule exists for
+    assert got[1] == (1, 2, True) and got[3] == (1, 2, True)
+    assert got[10] == (10, 10, False) and got[11] == (10, 10, True)
+    assert got[20] == (20, 21, True)
+    assert got[30] == (30, 30, False)
+    assert got[40] == (40, 40, False)
