@@ -203,6 +203,7 @@ def curate_corpus(
     mixture_weights: "dict[str, float] | None" = None,
     mixture_budget: int = 0,
     source_col: str = "source",
+    keeper_score_col: "str | None" = None,
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens) for the curated
     corpus: scrubbed text, quality-gated, optionally decontaminated
@@ -225,6 +226,14 @@ def curate_corpus(
     share hidden state. Runs after lexical dedup on purpose: lexical
     pairs are cheaper per candidate, so the embedding stage sees an
     already-shrunk corpus.
+
+    keeper_score_col: optional column ON THE INPUT docs frame; when
+    set, each lexical near-dup cluster keeps its highest-scoring
+    member (ties -> min id; unscored members lose to scored ones)
+    instead of the min-id canonical — keep the best copy, not an
+    arbitrary one. Batch-only: the incremental/streaming paths
+    deliberately reject this rule (see the inline note at the
+    assignment stage).
 
     lm_logp: optional trained unigram-LM vocab (unigram_fit output);
     documents whose perplexity under it exceeds `max_ppl` are dropped
@@ -358,7 +367,38 @@ def curate_corpus(
         lm_max_piece_len=lm_max_piece_len,
     )
     pairs = lsh_candidate_pairs(_bands(gated, id_col, text_col), id_col)
-    assignment = canonical_assignment(gated, pairs, id_col=id_col)
+    if keeper_score_col is not None:
+        # quality-aware keep-one: each near-dup component keeps its
+        # arg-max-score member (operators/cluster.py quality_keep_one)
+        # instead of the min id — the components are identical, only
+        # the representative changes. BATCH-ONLY by design: the
+        # incremental APIs (curate_increment*) and the streaming sink
+        # keep the canonical-min rule because their recompute-
+        # equivalence contract needs every component's keeper to stay
+        # in the base by construction — a min-key keeper can never be
+        # displaced by a later arrival under a monotone key, while a
+        # score-max keeper can (a better copy arriving tomorrow would
+        # have to retract today's keeper's chunks). Scores are read
+        # from the INPUT frame so gating cannot change them; gated
+        # docs missing a score degrade to the min-id rule per
+        # quality_keep_one's NULL contract.
+        if keeper_score_col not in docs.columns:
+            raise ValueError(
+                f"keeper_score_col {keeper_score_col!r} is not a column "
+                "of the input docs frame"
+            )
+        from ds_caselaw_ingester_spark.operators.cluster import quality_keep_one
+
+        assignment = quality_keep_one(
+            gated.select(id_col).join(
+                docs.select(id_col, keeper_score_col), id_col, "left"
+            ),
+            pairs,
+            id_col=id_col,
+            score_col=keeper_score_col,
+        )
+    else:
+        assignment = canonical_assignment(gated, pairs, id_col=id_col)
     keepers = gated.join(
         assignment.where(~F.col("is_duplicate")).select(id_col), id_col
     )

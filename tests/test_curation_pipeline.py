@@ -59,6 +59,32 @@ def test_pipeline_end_to_end(spark):
     assert [r.chunk_index for r in sorted(by_doc[1], key=lambda r: r.chunk_index)] == [0, 1, 2, 3]
 
 
+def test_pipeline_quality_keeper_overrides_min_id(spark):
+    """keeper_score_col flips the near-dup cluster {1,2}'s keeper to the
+    higher-scoring id 2; everything else (gates, PII, singleton docs)
+    is unchanged vs the default min-id run on the same corpus. A doc
+    without a score row still wins its singleton component (NULL
+    contract), and a score column missing from the input raises."""
+    import pytest
+
+    scored = _corpus(spark).withColumn(
+        "score",
+        F.when(F.col("doc_id") == 2, F.lit(0.9))
+        .when(F.col("doc_id") == 1, F.lit(0.1)),  # 3/4/5 unscored -> NULL
+    )
+    chunks = curate_corpus(
+        scored, min_tokens=8, min_alpha_ratio=0.5,
+        chunk_tokens=16, overlap=4, keeper_score_col="score",
+    ).collect()
+    kept = {r.doc_id for r in chunks}
+    assert 2 in kept and 1 not in kept  # arg-max score, not min id
+    assert 3 in kept                    # unscored singleton keeps itself
+    assert 4 not in kept and 5 not in kept  # gates unaffected
+
+    with pytest.raises(ValueError, match="keeper_score_col"):
+        curate_corpus(_corpus(spark), keeper_score_col="score")
+
+
 def test_pipeline_is_deterministic(spark):
     a = {(r.doc_id, r.chunk_index, r.chunk_text)
          for r in curate_corpus(_corpus(spark), chunk_tokens=16, overlap=4).collect()}
