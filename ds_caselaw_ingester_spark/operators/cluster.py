@@ -240,3 +240,60 @@ def quality_keep_one(
             (F.col(id_col) != F.col("keeper_id")).alias("is_duplicate"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pair_edges: DataFrame,
+    splits: "dict[str, float]",
+    id_col: str = "doc_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment that near-dup
+    leakage cannot cross: (doc_id, component, split). The split is a
+    pure function of the document's NEAR-DUP COMPONENT, not the
+    document — every member of a component draws the same
+    hash-fraction, so two near-duplicate documents land in the same
+    split by construction. Splitting per document (df.randomSplit, or
+    hash_sample on the id) puts one copy of a duplicated document in
+    train and another in validation, and the eval set silently scores
+    memorization; splitting AFTER dedup still leaks whenever the
+    dedup threshold is looser than "verbatim".
+
+    splits: ordered {name: fraction} summing to 1 (±1e-9); assignment
+    walks cumulative ranges over the fraction in INSERTION order, so
+    {"train": .9, "val": .1} puts fraction<0.9 in train. The fraction
+    is operators/sampling.py's 13-hex-md5 convention over
+    salt||component (the same replayable arithmetic DuckDB can run:
+    ('0x' || substr(md5(salt || component), 1, 13))::BIGINT / 16.0^13),
+    so reruns, repartitionings, and engines agree row for row; `salt`
+    re-draws the whole assignment without touching the data.
+
+    Scale: one connected-components run over the pair edges (the
+    unpaired bulk of the corpus never enters it — left join +
+    coalesce, same as canonical_assignment) and one map-side md5 per
+    row. No extra shuffle beyond the assignment join itself.
+    """
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if any(v < 0 for v in splits.values()):
+        raise ValueError("split fractions must be non-negative")
+    from ds_caselaw_ingester_spark.operators.sampling import hash_fraction
+
+    assigned = canonical_assignment(docs, pair_edges, id_col=id_col, id_a=id_a, id_b=id_b)
+    frac = hash_fraction(F.concat(F.lit(salt), F.col("component").cast("string")))
+    # cumulative-range CASE in insertion order; the last branch is the
+    # otherwise so float round-off at the top end cannot drop a row
+    names = list(splits)
+    expr = F.lit(names[-1])
+    hi = 0.0
+    conds = []
+    for name in names[:-1]:
+        hi += splits[name]
+        conds.append((name, hi))
+    for name, bound in reversed(conds):
+        expr = F.when(frac < F.lit(bound), F.lit(name)).otherwise(expr)
+    return assigned.select(id_col, "component", expr.alias("split"))

@@ -175,3 +175,71 @@ def test_quality_keep_one_duckdb_replay(spark):
     assert got[20] == (20, 21, True)
     assert got[30] == (30, 30, False)
     assert got[40] == (40, 40, False)
+
+
+def test_leakage_safe_split_duckdb_replay(spark):
+    """leakage_safe_split: every near-dup component is wholly inside one
+    split (the property the operator exists for), the per-row assignment
+    is replayed exactly by DuckDB's statement of the md5 arithmetic, the
+    realized fractions track the requested ones on a singleton-heavy
+    corpus, and a re-salt re-draws the assignment."""
+    import duckdb
+    import pytest
+
+    from ds_caselaw_ingester_spark.operators.cluster import leakage_safe_split
+
+    edges = [(i, i + 5000) for i in range(0, 400, 4)]  # 100 two-doc clusters
+    docs_df = spark.createDataFrame(
+        [(i,) for i in range(2000)] + [(i + 5000,) for i in range(0, 400, 4)],
+        "doc_id long",
+    )
+    edges_df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(docs_df, edges_df, splits, salt="s1").collect()
+    got = {r.doc_id: (r.component, r.split) for r in out}
+
+    # no component straddles a split
+    for a, b in edges:
+        assert got[a] == got[b]
+
+    # exact DuckDB replay of component -> fraction -> range walk
+    con = duckdb.connect()
+    con.execute("create table assign(doc_id bigint, component bigint)")
+    con.executemany(
+        "insert into assign values (?, ?)", [(d, c) for d, (c, _) in got.items()]
+    )
+    oracle = dict(
+        con.execute(
+            """
+            select doc_id,
+                   case when f < 0.8 then 'train'
+                        when f < 0.9 then 'val'
+                        else 'test' end
+            from (select doc_id,
+                         ('0x' || substr(md5('s1' || component), 1, 13))::BIGINT
+                           / 16.0 ** 13 as f
+                  from assign)
+            """
+        ).fetchall()
+    )
+    assert {d: s for d, (_, s) in got.items()} == oracle
+
+    # realized fractions near requested (2100 docs, binomial tolerance)
+    from collections import Counter
+
+    c = Counter(s for _, s in got.values())
+    n = len(got)
+    assert abs(c["train"] / n - 0.8) < 0.05
+    assert abs(c["val"] / n - 0.1) < 0.04
+    assert abs(c["test"] / n - 0.1) < 0.04
+
+    # re-salt re-draws; same salt is a fixpoint
+    out2 = {r.doc_id: r.split for r in
+            leakage_safe_split(docs_df, edges_df, splits, salt="s2").collect()}
+    assert any(out2[d] != s for d, (_, s) in got.items())
+    out1b = {r.doc_id: r.split for r in
+             leakage_safe_split(docs_df, edges_df, splits, salt="s1").collect()}
+    assert out1b == {d: s for d, (_, s) in got.items()}
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs_df, edges_df, {"train": 0.5, "val": 0.4})
