@@ -335,3 +335,22 @@ def test_hybrid_search_fusion_is_shortlist_bounded(spark, sf_dir):
     # k-row shortlists (rrf_fuse materializes them for the rank check)
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_quality_keep_one_keeper_agg_is_partial(spark):
+    """quality_keep_one's keeper selection must plan as a two-phase
+    HashAggregate over min(struct(-score, id)) — map-side partial
+    combine before the component exchange — and never as a row_number
+    window (which would shuffle every raw row to rank it)."""
+    from ds_caselaw_ingester_spark.operators.cluster import quality_keep_one
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)], "doc_id long, score double"
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 100, 2)], "doc_a long, doc_b long"
+    )
+    plan = _physical_plan(quality_keep_one(docs, edges))
+    assert "windowspecdefinition" not in plan, plan
+    # partial_min of the keeper struct appears in a map-side HashAggregate
+    assert "partial_min" in plan, plan
