@@ -1,7 +1,9 @@
 """End-to-end data selection + trainer handoff:
 
-    documents --curate (gates + dedup + DSIR target selection)-->
-    chunks --deterministic shuffled shards--> _manifest.json --verify
+    documents --leakage-safe split (near-dup components never straddle
+    train/val)--> train docs --curate (gates + dedup + DSIR target
+    selection)--> chunks --deterministic shuffled shards-->
+    _manifest.json --verify
 
 Run:
     python examples/select_and_export.py [sf_dir] [out_dir]
@@ -32,12 +34,35 @@ def main() -> None:
     spark = get_spark("select-and-export")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # hold out an eval split FIRST, keyed by near-dup COMPONENT so a
+    # duplicated document can never sit in train with its copy in val —
+    # the split an eval set scored for memorization would invalidate
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.cluster import leakage_safe_split
+    from ds_caselaw_ingester_spark.plans.registry import all_specs
+
+    pairs = (
+        all_specs()["minhash_lsh_pairs"]
+        .fn(spark, sf_dir)
+        .where(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    split = leakage_safe_split(
+        docs, pairs, {"train": 0.95, "val": 0.05}, salt="demo"
+    )
+    train_docs = docs.join(
+        split.where("split = 'train'").select("doc_id"), "doc_id"
+    )
+    n_val = split.where("split = 'val'").count()
+
     # target = "more like these": here a deterministic sample standing in
     # for a curated seed set / benchmark train split
-    target = docs.where("doc_id % 97 = 0")
+    target = train_docs.where("doc_id % 97 = 0")
 
     chunks = curate_corpus(
-        docs,
+        train_docs,
         min_tokens=8,
         chunk_tokens=64,
         overlap=8,
@@ -61,7 +86,8 @@ def main() -> None:
     verify_export(spark, out_dir)
     print(
         f"exported {manifest['total_rows']} chunks into "
-        f"{manifest['num_shards']} verified shards under {out_dir}"
+        f"{manifest['num_shards']} verified shards under {out_dir} "
+        f"({n_val} docs held out leakage-safe for eval)"
     )
 
 
