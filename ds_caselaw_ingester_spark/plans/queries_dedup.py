@@ -277,6 +277,97 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# neardup_quality_keepers — keep the BEST member per cluster (unregistered:
+# the cluster computation is registry-covered by neardup_clusters; the
+# keeper-rule variant keeps a full end-to-end oracle gate here and in
+# tests/test_oracle_parity.py so the composition cannot silently rot)
+# ---------------------------------------------------------------------------
+
+# Same pipeline as neardup_clusters up to the components, then the keeper
+# is the arg-max text length (ties -> min id; operators/cluster.py
+# quality_keep_one) instead of the min id — a real dedup keeps the best
+# copy, not an arbitrary one. Length ties occur organically (exact
+# duplicates), so the tie-break rule is exercised by the corpus itself.
+NEARDUP_QUALITY_KEEPERS_ORACLE = f"""
+WITH RECURSIVE {CORPUS_SQL},
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tok FROM corpus
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(tok, i, i + 2), ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(tok) - 2)) AS t(i)
+  WHERE len(tok) >= 3
+),
+seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 13))::BIGINT % 4294967291 AS ha,
+         ('0x' || substr(md5(gram), 14, 13))::BIGINT % 4294967291 AS hb
+  FROM grams
+),
+mh AS (
+  SELECT doc_id, seed, min((ha + seed * hb) % 4294967291) AS mh
+  FROM hashed CROSS JOIN seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, CAST(seed // 4 AS INTEGER)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT s.src, r.comp FROM sym s JOIN reach r ON r.node = s.dst
+),
+labels AS (SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node),
+scored AS (
+  SELECT l.doc_id, l.component, length(c.text) AS score
+  FROM labels l JOIN corpus c USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, component,
+         row_number() OVER (
+           PARTITION BY component ORDER BY score DESC, doc_id ASC
+         ) AS rk
+  FROM scored
+),
+keep AS (SELECT component, doc_id AS keeper_id FROM ranked WHERE rk = 1)
+SELECT s.doc_id, s.component, k.keeper_id,
+       s.doc_id <> k.keeper_id AS is_duplicate
+FROM scored s JOIN keep k USING (component)
+"""
+
+
+def q_neardup_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.cluster import quality_keep_one
+
+    ensure_oracle_safe(spark)
+    corpus = _corpus(spark, sf_dir)
+    shingles = doc_shingles(corpus, "doc_id", "text", n=3)
+    sigs = minhash_signatures(shingles, "doc_id", num_seeds=16)
+    bands = lsh_bands(sigs, "doc_id", rows_per_band=4)
+    pairs = lsh_candidate_pairs(bands, "doc_id")
+    return quality_keep_one(
+        corpus.select("doc_id", F.length("text").alias("score")),
+        pairs,
+        score_col="score",
+    )
+
+
+# ---------------------------------------------------------------------------
 # simhash_signatures — 16-bit SimHash per document
 # ---------------------------------------------------------------------------
 

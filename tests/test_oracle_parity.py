@@ -52,6 +52,25 @@ def test_unregistered_distinct_agg_matches_oracle(spark, sf_dir):
     assert res.spark_rows > 0
 
 
+def test_unregistered_quality_keepers_match_oracle(spark, sf_dir):
+    """neardup_quality_keepers is unregistered (the cluster computation
+    is registry-covered by neardup_clusters) but the best-copy keeper
+    rule composed end-to-end over the real pipeline keeps a full oracle
+    gate: same recursive-CTE components, keeper = arg max text length
+    with min-id ties (organic exact duplicates exercise the tie-break)."""
+    from ds_caselaw_ingester_spark.plans.queries_dedup import (
+        NEARDUP_QUALITY_KEEPERS_ORACLE,
+        q_neardup_quality_keepers,
+    )
+
+    res = check_query(
+        spark, sf_dir, "neardup_quality_keepers", q_neardup_quality_keepers,
+        NEARDUP_QUALITY_KEEPERS_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
 def test_unregistered_tar_listing_matches_oracle(spark, sf_dir):
     """tar_member_listing gave up its registry slot (S7/S8 are a strict
     subset of tar_pipeline's coverage) but keeps the same oracle gate
