@@ -424,3 +424,28 @@ def test_quality_gates_in_stream_match_recompute(spark, tmp_path):
                quality_gates={"repetition_caps": {"top_2gram_char_frac": 0.9}})
     with pytest.raises(ValueError, match="gate"):
         _apply(spark, EPOCH2, idx, chk, 2)
+
+
+def test_bucket_saturation_warns(spark, tmp_path, caplog):
+    """A micro-batch whose band keys touch EVERY bucket makes the probe
+    read unpruned — the documented n_buckets-undersized condition must
+    WARN (the operator keeps working; the log line is how an operator
+    discovers the sizing is wrong before the index grows)."""
+    import logging
+
+    import ds_caselaw_ingester_spark.streaming.curation_sink as sink_mod
+
+    idx = str(tmp_path / "idx")
+    chk = str(tmp_path / "chunks")
+    # n_buckets=1: any non-empty batch saturates; epoch 0 must warn
+    with caplog.at_level(logging.WARNING, logger=sink_mod.__name__):
+        _apply(spark, EPOCH0, idx, chk, 0, n_buckets=1)
+    assert any("touches all" in r.message for r in caplog.records), (
+        caplog.records
+    )
+    # and a comfortably-sized layout stays quiet
+    caplog.clear()
+    idx2 = str(tmp_path / "idx2")
+    with caplog.at_level(logging.WARNING, logger=sink_mod.__name__):
+        _apply(spark, EPOCH0, idx2, chk + "2", 0, n_buckets=4096)
+    assert not any("touches all" in r.message for r in caplog.records)
