@@ -275,6 +275,14 @@ def leakage_safe_split(
     unpaired bulk of the corpus never enters it — left join +
     coalesce, same as canonical_assignment) and one map-side md5 per
     row. No extra shuffle beyond the assignment join itself.
+
+    BATCH-ONLY on purpose: under a growing stream the assignment is
+    not stable — a document split to train today can join a component
+    containing a val document tomorrow (a new arrival bridges the
+    two), and its already-consumed split cannot be retracted. Splits
+    are a decision over a CLOSED corpus; take them from a snapshot
+    (operators/snapshot.py) after the dedup index stops moving, not
+    from inside a sink.
     """
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:

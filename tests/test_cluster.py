@@ -243,3 +243,54 @@ def test_leakage_safe_split_duckdb_replay(spark):
 
     with pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_split(docs_df, edges_df, {"train": 0.5, "val": 0.4})
+
+
+@pytest.mark.parametrize("seed", [3, 91])
+def test_keeper_and_split_match_python_model_on_random_graphs(spark, seed):
+    """quality_keep_one and leakage_safe_split against a pure-Python
+    model (union-find + the same arg-max/md5 rules) on a random graph
+    with random scores including NULLs and exact ties — the structured
+    DuckDB replays pin the rules on curated cases; this pins them on
+    adversarially messy ones."""
+    import hashlib
+    import random
+
+    from ds_caselaw_ingester_spark.operators.cluster import (
+        leakage_safe_split,
+        quality_keep_one,
+    )
+
+    rng = random.Random(seed)
+    n = 150
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    # coarse scores force ties; ~1/4 NULL
+    docs = [
+        (i, None if rng.random() < 0.25 else float(rng.randrange(4)))
+        for i in range(n)
+    ]
+    comp_of = _union_find_components(edges)
+    comp = {i: comp_of.get(i, i) for i in range(n)}
+    members: dict[int, list[int]] = {}
+    for i, c in comp.items():
+        members.setdefault(c, []).append(i)
+    score = dict(docs)
+    want_keeper = {
+        c: min(ms, key=lambda i: (-(score[i] if score[i] is not None else float("-inf")), i))
+        for c, ms in members.items()
+    }
+
+    docs_df = spark.createDataFrame(docs, "doc_id long, score double")
+    edges_df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r for r in quality_keep_one(docs_df, edges_df).collect()}
+    for i in range(n):
+        assert got[i].component == comp[i]
+        assert got[i].keeper_id == want_keeper[comp[i]], (i, got[i])
+        assert got[i].is_duplicate == (i != want_keeper[comp[i]])
+
+    splits = {"train": 0.7, "val": 0.3}
+    out = {r.doc_id: r.split for r in
+           leakage_safe_split(docs_df, edges_df, splits, salt="z").collect()}
+    for i in range(n):
+        frac = int(hashlib.md5(f"z{comp[i]}".encode()).hexdigest()[:13], 16) / 16.0**13
+        assert out[i] == ("train" if frac < 0.7 else "val"), (i, comp[i], frac)
