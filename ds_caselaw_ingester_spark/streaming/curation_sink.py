@@ -423,6 +423,13 @@ def apply_curation_batch(
     if batch.isEmpty():
         return
     local = _local(index_path)
+    if os.path.exists(local + ".rebuilding"):
+        raise RuntimeError(
+            f"{local} has an unfinished rebuild (the .rebuilding marker "
+            "exists) — the index may hold a partial row set gated under "
+            "mixed parameters. Re-run rebuild_curation_index to "
+            "converge, then restart the stream."
+        )
     # heal a crashed compaction swap before partition discovery: an
     # `epoch=<t>.old` leftover would otherwise surface as a bogus
     # partition VALUE ('<t>.old') and break the int epoch filter
@@ -616,6 +623,101 @@ def compact_index_epochs(spark, index_path: str, upto_epoch: int) -> int:
     meta["epochs"][str(target)] = max(vals) if vals else None
     _write_json(_meta_path(local), meta)
     return len(src)
+
+
+def rebuild_curation_index(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 8,
+    min_alpha_ratio: float = 0.5,
+    n_buckets: int = DEFAULT_BUCKETS,
+    use_seq: bool = True,
+    quality_gates: "dict | None" = None,
+) -> int:
+    """Offline rebuild of the band index from the full corpus — the
+    documented remedy when _check_layout raises (gate-parameter or
+    quality-fingerprint drift, n_buckets resize): the index holds band
+    rows of docs gated under ONE parameter set, so changing any of
+    them means re-gating the corpus, not patching the log. The
+    curation-sink analog of retrain_semdedup_index (the same
+    quiesce → rebuild → restart loop the SemDeDup sink closes for its
+    quantizer). Returns the number of band rows in the rebuilt index.
+
+    The rebuilt rows land in ONE epoch directory, `epoch=-1` — an id
+    STRICTLY below every epoch a checkpointed foreachBatch can ever
+    write (batch ids start at 0), so the restarted stream may use a
+    FRESH checkpoint (its epoch 0 probes `epoch < 0` and sees exactly
+    the rebuild) or the old one (epoch N+1 probes see the rebuild
+    plus any post-rebuild epochs); neither can collide with or
+    overwrite the rebuilt partition, by the same never-rewritable
+    argument the compaction clamp makes. Seq mode restarts the
+    canonical order: `_seq` is assigned in id order from 0 and the
+    sidecar pins epoch -1's max, so the next batch continues strictly
+    above — the equivalence contract restarts from this rebuild as
+    its new base (arrival history is not reconstructible from a
+    corpus snapshot, and pretending otherwise would fabricate an
+    order; callers who must preserve arrival order keep the old index
+    and don't change gates).
+
+    Crash behavior: a `.rebuilding` marker is written before anything
+    is touched and removed only after the new sidecars land;
+    apply_curation_batch refuses to run while the marker exists, so
+    EVERY crash point inside the rebuild is loud (restart the rebuild
+    to converge) — never an empty index silently adopted as fresh, and
+    never a mix of rows gated under two parameter sets (the old epochs
+    are dropped before the swapped-in `epoch=-1` becomes visible)."""
+    local = _local(index_path)
+    recover_buckets(local, prefix=f"{EPOCH_COL}=")
+    marker = local + ".rebuilding"
+    os.makedirs(os.path.dirname(os.path.abspath(local)), exist_ok=True)
+    with open(marker, "w") as f:
+        f.write("1")
+    key_mode = "seq" if use_seq else "id"
+    gated = gate_documents(docs, id_col, text_col, min_tokens, min_alpha_ratio)
+    if quality_gates:
+        gated = apply_quality_gates(gated, id_col, text_col, **quality_gates)
+    if use_seq:
+        gated = assign_ingest_seq(gated, id_col, 0)
+        key = SEQ_COL
+    else:
+        key = id_col
+    gated = gated.localCheckpoint(eager=True)
+    bands = band_documents(gated, key, text_col)
+    if use_seq:
+        bands = bands.join(gated.select(id_col, SEQ_COL), SEQ_COL).select(
+            id_col, SEQ_COL, "band", "band_key"
+        )
+    new_bands = bands.withColumn(BUCKET_COL, _bucket_expr(n_buckets)).localCheckpoint(
+        eager=True
+    )
+    tmp = local + ".rebuild.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    new_bands.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
+        os.path.join("file:" + tmp, f"{EPOCH_COL}=-1")
+    )
+    # drop every pre-rebuild epoch: the old rows were gated under the
+    # old parameters and must not survive next to the new ones
+    for e in _epoch_values(local):
+        shutil.rmtree(os.path.join(local, f"{EPOCH_COL}={e}"), ignore_errors=True)
+    os.makedirs(local, exist_ok=True)
+    swap_partition_dirs(local, tmp, [-1], EPOCH_COL)
+    mx = new_bands.agg(F.max(key).alias("mx")).collect()[0]["mx"]
+    n_rows = new_bands.count()
+    _write_json(_meta_path(local), {"epochs": {"-1": mx}})
+    _pin_layout(
+        local,
+        n_buckets,
+        key_mode,
+        {
+            "min_tokens": int(min_tokens),
+            "min_alpha_ratio": float(min_alpha_ratio),
+            "quality_fp": _quality_fingerprint(quality_gates),
+        },
+    )
+    os.remove(marker)
+    return n_rows
 
 
 def migrate_index_to_bucketed(

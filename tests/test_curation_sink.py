@@ -449,3 +449,59 @@ def test_bucket_saturation_warns(spark, tmp_path, caplog):
     with caplog.at_level(logging.WARNING, logger=sink_mod.__name__):
         _apply(spark, EPOCH0, idx2, chk + "2", 0, n_buckets=4096)
     assert not any("touches all" in r.message for r in caplog.records)
+
+
+def test_gate_change_rebuild_loop(spark, tmp_path):
+    """The gate-retrain loop end-to-end (the curation analog of the
+    SemDeDup quantizer retrain): index built under gate A -> running a
+    batch under gate B raises -> rebuild_curation_index under B ->
+    a FRESH-checkpoint restart (epoch ids back at 0) probes the
+    rebuilt epoch=-1 history, so near-dups of pre-rebuild documents
+    are still caught; and a crashed rebuild (marker left behind) makes
+    the next batch refuse loudly instead of running on a partial
+    index."""
+    from ds_caselaw_ingester_spark.streaming.curation_sink import (
+        rebuild_curation_index,
+    )
+
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    _apply(spark, EPOCH0, idx, chk, 0)
+    _apply(spark, EPOCH1, idx, chk, 1)
+
+    # gate B (stricter min_tokens) must refuse the drifted layout
+    with pytest.raises(ValueError, match="gate params"):
+        _apply(spark, EPOCH2, idx, chk, 2, min_tokens=10)
+
+    # offline rebuild from the full corpus under gate B; note the
+    # rebuild re-decides membership: EVERY gated doc is indexed (the
+    # band log keeps dropped docs too — the delta contract)
+    n = rebuild_curation_index(
+        _df(spark, EPOCH0 + EPOCH1), idx,
+        min_tokens=10, min_alpha_ratio=0.5, n_buckets=8,
+    )
+    assert n > 0
+    assert sorted(
+        e for e in os.listdir(idx) if e.startswith("epoch=")
+    ) == ["epoch=-1"]
+
+    # fresh checkpoint: the restarted stream's FIRST batch is epoch 0
+    # again; a dup of a pre-rebuild doc must still be dropped, a new
+    # unique doc kept
+    chk2 = str(tmp_path / "chunks2")
+    batch = [("d-zz10", _text("basea")), ("d-zz11", _text("unique9"))]
+    _apply(spark, batch, idx, chk2, 0, min_tokens=10)
+    assert _kept(spark, chk2, 0) == {"d-zz11"}
+
+    # crashed rebuild: marker present -> every batch refuses
+    with open(idx + ".rebuilding", "w") as f:
+        f.write("1")
+    with pytest.raises(RuntimeError, match="unfinished rebuild"):
+        _apply(spark, EPOCH2, idx, chk2, 1, min_tokens=10)
+    # re-running the rebuild converges and clears the marker
+    rebuild_curation_index(
+        _df(spark, EPOCH0 + EPOCH1), idx,
+        min_tokens=10, min_alpha_ratio=0.5, n_buckets=8,
+    )
+    assert not os.path.exists(idx + ".rebuilding")
+    _apply(spark, EPOCH2, idx, chk2, 1, min_tokens=10)
+    assert _kept(spark, chk2, 1) == {"d-ff02"}
