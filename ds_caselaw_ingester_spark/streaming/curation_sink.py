@@ -625,6 +625,56 @@ def compact_index_epochs(spark, index_path: str, upto_epoch: int) -> int:
     return len(src)
 
 
+def compact_chunk_epochs(spark, chunks_path: str, upto_epoch: int) -> int:
+    """Offline maintenance for the CHUNKS side of the sink — the same
+    file-count growth compact_index_epochs bounds for the index exists
+    here (one directory per micro-batch epoch, forever), and the same
+    protocol fixes it: fold epochs strictly below the clamp into
+    `epoch=<max folded>`, never touching the newest on-disk epoch (the
+    only one a checkpointed replay can rewrite). Returns the number of
+    source epoch directories folded.
+
+    Row-set preserving: a kept document's chunks live in exactly ONE
+    epoch (keep decisions are made at arrival and never revisited), so
+    the fold's distinct() only heals the crash-between-swap-and-remove
+    duplicate window — it can never merge two legitimate copies,
+    because there are none. Chunk consumers that read the whole path
+    see the identical rows; consumers that tail BY EPOCH must only
+    tail epochs above the compaction watermark (the same quiesced-
+    maintenance contract as the index side)."""
+    local = _local(chunks_path)
+    if not os.path.isdir(local):
+        return 0
+    recover_buckets(local, prefix=f"{EPOCH_COL}=")
+    on_disk = _epoch_values(local)
+    if not on_disk:
+        return 0
+    upto = min(upto_epoch, on_disk[-1])
+    src = [e for e in on_disk if e < upto]
+    if len(src) <= 1:
+        return 0
+    target = max(src)
+    paths = [os.path.join(chunks_path, f"{EPOCH_COL}={e}") for e in src]
+    folded = (
+        spark.read.option("basePath", chunks_path)
+        .parquet(*paths)
+        .drop(EPOCH_COL)
+        .distinct()
+    )
+    tmp = local + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    folded.write.mode("overwrite").parquet(
+        os.path.join("file:" + tmp, f"{EPOCH_COL}={target}")
+    )
+    swap_partition_dirs(local, tmp, [target], EPOCH_COL)
+    for e in src:
+        if e != target:
+            shutil.rmtree(
+                os.path.join(local, f"{EPOCH_COL}={e}"), ignore_errors=True
+            )
+    return len(src)
+
+
 def rebuild_curation_index(
     docs: DataFrame,
     index_path: str,

@@ -505,3 +505,45 @@ def test_gate_change_rebuild_loop(spark, tmp_path):
     assert not os.path.exists(idx + ".rebuilding")
     _apply(spark, EPOCH2, idx, chk2, 1, min_tokens=10)
     assert _kept(spark, chk2, 1) == {"d-ff02"}
+
+
+def test_chunk_compaction_preserves_rows_and_clamps(spark, tmp_path):
+    """compact_chunk_epochs: the folded chunk log holds the identical
+    row set, the newest epoch is never folded (a replay may rewrite
+    it), and re-running after a replay converges — the chunks-side
+    mirror of test_compaction_clamps_and_survives_replay."""
+    from ds_caselaw_ingester_spark.streaming.curation_sink import (
+        compact_chunk_epochs,
+    )
+
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    for e, rows in enumerate([EPOCH0, EPOCH1, EPOCH2]):
+        _apply(spark, rows, idx, chk, e)
+
+    def _rows():
+        return {
+            tuple(r)
+            for r in spark.read.option("basePath", chk)
+            .parquet(chk).drop("epoch").collect()
+        }
+
+    before = _rows()
+    assert compact_chunk_epochs(spark, chk, upto_epoch=99) == 2  # 0,1 -> 1
+    assert sorted(
+        e for e in os.listdir(chk) if e.startswith("epoch=")
+    ) == ["epoch=1", "epoch=2"]
+    assert _rows() == before
+    # replay of the newest epoch after compaction still converges
+    _apply(spark, EPOCH2, idx, chk, 2)
+    assert _rows() == before
+    # with only one epoch below the newest, the clamp refuses to fold
+    assert compact_chunk_epochs(spark, chk, upto_epoch=99) == 0
+    # a further epoch unblocks it: 1,2 -> 2, rows still identical
+    extra = [("d-zz20", _text("unique3"))]
+    _apply(spark, extra, idx, chk, 3)
+    after = _rows()
+    assert compact_chunk_epochs(spark, chk, upto_epoch=99) == 2
+    assert sorted(
+        e for e in os.listdir(chk) if e.startswith("epoch=")
+    ) == ["epoch=2", "epoch=3"]
+    assert _rows() == after
