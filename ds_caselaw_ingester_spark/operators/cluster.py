@@ -203,11 +203,13 @@ def quality_keep_one(
     Deterministic selection: keeper = arg max score, ties broken by MIN
     id — expressed as one min(struct(-score, id)) aggregation so the
     shuffle carries map-side-combined partials (a row_number window over
-    the component would shuffle every raw row to rank it). NULL scores
-    are treated as -inf (a scored member always beats an unscored one;
-    an all-NULL component falls back to the min-id rule), so missing
-    quality rows degrade to canonical_assignment instead of poisoning
-    the struct ordering.
+    the component would shuffle every raw row to rank it). NULL and NaN
+    scores are both treated as -inf (a finitely-scored member always
+    beats an unscored one; an all-NULL/NaN component falls back to the
+    min-id rule) — NaN needs the explicit nanvl because Spark's
+    nan-aware ordering would otherwise rank -NaN ABOVE +inf and let a
+    NaN-scored member lose even to NULLs, silently violating the
+    scored-beats-unscored contract.
 
     Cost on top of canonical_assignment: one extra groupBy on
     `component` plus a keeper-lookup join — both keyed on the SAME
@@ -217,14 +219,16 @@ def quality_keep_one(
     assigned = canonical_assignment(docs, pair_edges, id_col=id_col, id_a=id_a, id_b=id_b)
     scored = assigned.join(docs.select(id_col, score_col), id_col, "left")
     neg_inf = F.lit(float("-inf"))
+    # nanvl first (NaN -> -inf), coalesce second (NULL -> -inf)
+    clean = F.coalesce(
+        F.nanvl(F.col(score_col).cast("double"), neg_inf), neg_inf
+    )
     keepers = (
         scored.groupBy("component")
         .agg(
             F.min(
                 F.struct(
-                    (-F.coalesce(F.col(score_col).cast("double"), neg_inf)).alias(
-                        "_neg_score"
-                    ),
+                    (-clean).alias("_neg_score"),
                     F.col(id_col).alias("_id"),
                 )
             ).alias("_best")
@@ -264,7 +268,9 @@ def leakage_safe_split(
 
     splits: ordered {name: fraction} summing to 1 (±1e-9); assignment
     walks cumulative ranges over the fraction in INSERTION order, so
-    {"train": .9, "val": .1} puts fraction<0.9 in train. The fraction
+    {"train": .9, "val": .1} puts fraction<0.9 in train. Each range
+    bound is round(cumulative sum, 12) — the exact constant a replayer
+    writes nominally. The fraction
     is operators/sampling.py's 13-hex-md5 convention over
     salt||component (the same replayable arithmetic DuckDB can run:
     ('0x' || substr(md5(salt || component), 1, 13))::BIGINT / 16.0^13),
@@ -294,13 +300,18 @@ def leakage_safe_split(
     assigned = canonical_assignment(docs, pair_edges, id_col=id_col, id_a=id_a, id_b=id_b)
     frac = hash_fraction(F.concat(F.lit(salt), F.col("component").cast("string")))
     # cumulative-range CASE in insertion order; the last branch is the
-    # otherwise so float round-off at the top end cannot drop a row
+    # otherwise so float round-off at the top end cannot drop a row.
+    # Bounds are micro-rounded (12 dp — the repo's replay convention):
+    # a plain float cumsum makes 0.8+0.1 = 0.9000000000000001 while a
+    # replayer writes the nominal 0.9, and the 52-bit md5 fraction CAN
+    # land in that gap — rounding pins the operator and every replayer
+    # to the same boundary constant.
     names = list(splits)
     expr = F.lit(names[-1])
     hi = 0.0
     conds = []
     for name in names[:-1]:
-        hi += splits[name]
+        hi = round(hi + splits[name], 12)
         conds.append((name, hi))
     for name, bound in reversed(conds):
         expr = F.when(frac < F.lit(bound), F.lit(name)).otherwise(expr)

@@ -371,6 +371,54 @@ def _prior_index(
     )
 
 
+# ---------------------------------------------------------------- gating
+
+
+def _gate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    min_alpha_ratio: float,
+    quality_gates: "dict | None",
+    use_seq: bool,
+    seq_start: int,
+) -> "tuple[DataFrame, str]":
+    """Structural + quality gates, then the canonical key: the ONE
+    definition both writers share (apply_curation_batch and
+    rebuild_curation_index) — the layout sidecar pins the gate
+    PARAMETERS, but only a single code path can pin the gate
+    SEMANTICS; two copies could diverge in ways no sidecar sees.
+    Returns (gated docs, canonical key column), eagerly checkpointed
+    (every consumer reads it several times)."""
+    gated = gate_documents(docs, id_col, text_col, min_tokens, min_alpha_ratio)
+    if quality_gates:
+        gated = apply_quality_gates(gated, id_col, text_col, **quality_gates)
+    if use_seq:
+        gated = assign_ingest_seq(gated, id_col, seq_start)
+        key = SEQ_COL
+    else:
+        key = id_col
+    return gated.localCheckpoint(eager=True), key
+
+
+def _band_bucketed(
+    gated: DataFrame, key: str, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """Band the gated docs and attach the bucket column — the shared
+    back half of both writers (see _gate). Eagerly checkpointed: the
+    result feeds the touched-bucket collect, the probe, pair
+    generation, and the delta write."""
+    bands = band_documents(gated, key, text_col)
+    if key == SEQ_COL:
+        bands = bands.join(gated.select(id_col, SEQ_COL), SEQ_COL).select(
+            id_col, SEQ_COL, "band", "band_key"
+        )
+    return bands.withColumn(BUCKET_COL, _bucket_expr(n_buckets)).localCheckpoint(
+        eager=True
+    )
+
+
 # ---------------------------------------------------------------- batch
 
 
@@ -453,16 +501,11 @@ def apply_curation_batch(
             "with rebuild_index_meta(spark, index_path, key_col)."
         )
     base_max = _base_max(meta, epoch_id)
-    gated = gate_documents(batch, id_col, text_col, min_tokens, min_alpha_ratio)
-    if quality_gates:
-        gated = apply_quality_gates(gated, id_col, text_col, **quality_gates)
-    if use_seq:
-        start = 0 if base_max is None else int(base_max) + 1
-        gated = assign_ingest_seq(gated, id_col, start)
-        key = SEQ_COL
-    else:
-        key = id_col
-    gated = gated.localCheckpoint(eager=True)
+    start = 0 if base_max is None else (int(base_max) + 1 if use_seq else 0)
+    gated, key = _gate(
+        batch, id_col, text_col, min_tokens, min_alpha_ratio,
+        quality_gates, use_seq, start,
+    )
     if not use_seq:
         new_min = gated.agg(F.min(id_col).alias("mn")).collect()[0]["mn"]
         if base_max is not None and new_min is not None and new_min <= base_max:
@@ -471,14 +514,7 @@ def apply_curation_batch(
                 f"{new_min} <= indexed max {base_max}; use the default "
                 "use_seq=True for unordered id spaces."
             )
-    bands = band_documents(gated, key, text_col)
-    if use_seq:
-        bands = bands.join(gated.select(id_col, SEQ_COL), SEQ_COL).select(
-            id_col, SEQ_COL, "band", "band_key"
-        )
-    new_bands = bands.withColumn(BUCKET_COL, _bucket_expr(n_buckets)).localCheckpoint(
-        eager=True
-    )  # consumed by: touched-bucket collect, probe, pair gen, delta write
+    new_bands = _band_bucketed(gated, key, id_col, text_col, n_buckets)
     touched = sorted(
         r[BUCKET_COL]
         for r in new_bands.select(BUCKET_COL).distinct().collect()
@@ -540,6 +576,63 @@ def apply_curation_batch(
 # ---------------------------------------------------------------- maintenance
 
 
+def _fold_epochs(spark, path: str, upto_epoch: int) -> "tuple[list[int], int]":
+    """The shared clamp/read/distinct/swap/remove fold protocol behind
+    both compaction entry points (index and chunks — ONE definition so
+    a protocol fix cannot miss a copy). Returns (folded source epochs,
+    target epoch); ([], 0) when nothing folds.
+
+    Target selection: max(src) normally, but when the rebuild epoch -1
+    is among the sources the target IS -1 — folding the rebuilt
+    history into a non-negative epoch would silently revoke
+    rebuild_curation_index's fresh-checkpoint guarantee (a restart's
+    epoch 0 probes `epoch < 0`, would see an EMPTY index, and its
+    overwrite of epoch=0 would destroy the fold: the ADVICE-r8 failure
+    shape again). Folding the other direction is safe: every folded
+    source is committed (the clamp excludes the newest epoch, and an
+    epoch's existence implies every earlier epoch committed), so
+    moving its rows BELOW their original id only widens what an
+    `epoch < current` probe has always been entitled to see."""
+    local = _local(path)
+    if not os.path.isdir(local):
+        return [], 0
+    recover_buckets(local, prefix=f"{EPOCH_COL}=")
+    on_disk = _epoch_values(local)
+    if not on_disk:
+        return [], 0
+    # clamp: the newest on-disk epoch may be an uncommitted write a
+    # checkpointed replay will rewrite — never fold it, never target it
+    upto = min(upto_epoch, on_disk[-1])
+    src = [e for e in on_disk if e < upto]
+    if len(src) <= 1:
+        return [], 0
+    target = min(src) if min(src) < 0 else max(src)
+    paths = [os.path.join(path, f"{EPOCH_COL}={e}") for e in src]
+    # distinct: rows are unique per epoch in a clean log, but a crash
+    # after a previous swap-and-before-source-removal leaves the folded
+    # rows in two dirs — without the distinct, re-compacting would bake
+    # those duplicates into the new target forever
+    folded = (
+        spark.read.option("basePath", path)
+        .parquet(*paths)
+        .drop(EPOCH_COL)
+        .distinct()
+    )
+    tmp = local + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = folded.write.mode("overwrite")
+    if BUCKET_COL in folded.columns:
+        writer = writer.partitionBy(BUCKET_COL)
+    writer.parquet(os.path.join("file:" + tmp, f"{EPOCH_COL}={target}"))
+    swap_partition_dirs(local, tmp, [target], EPOCH_COL)
+    for e in src:
+        if e != target:
+            shutil.rmtree(
+                os.path.join(local, f"{EPOCH_COL}={e}"), ignore_errors=True
+            )
+    return src, target
+
+
 def compact_index_epochs(spark, index_path: str, upto_epoch: int) -> int:
     """Offline maintenance: fold epochs below upto_epoch into ONE
     directory, `epoch=<max folded epoch>`, preserving the bucket
@@ -575,44 +668,12 @@ def compact_index_epochs(spark, index_path: str, upto_epoch: int) -> int:
     sidecar's folded entries merge into the target's (max-preserving,
     so _base_max is unchanged for every future epoch). Run it from the
     maintenance cadence with the stream QUIESCED, not the hot path (it
-    reads O(folded epochs) like any compaction)."""
+    reads O(folded epochs) like any compaction). A rebuilt `epoch=-1`
+    partition folds toward -1, never upward (see _fold_epochs)."""
     local = _local(index_path)
-    if not os.path.isdir(local):
+    src, target = _fold_epochs(spark, index_path, upto_epoch)
+    if not src:
         return 0
-    recover_buckets(local, prefix=f"{EPOCH_COL}=")
-    on_disk = _epoch_values(local)
-    if not on_disk:
-        return 0
-    # clamp: the newest on-disk epoch may be an uncommitted write a
-    # checkpointed replay will rewrite — never fold it, never target it
-    upto = min(upto_epoch, on_disk[-1])
-    src = [e for e in on_disk if e < upto]
-    if len(src) <= 1:
-        return 0
-    target = max(src)
-    paths = [os.path.join(index_path, f"{EPOCH_COL}={e}") for e in src]
-    # distinct: band rows are unique per (id, band) in a clean log, but
-    # a crash after a previous swap-and-before-source-removal leaves
-    # the folded rows in two dirs — without the distinct, re-compacting
-    # would bake those duplicates into the new target forever
-    folded = (
-        spark.read.option("basePath", index_path)
-        .parquet(*paths)
-        .drop(EPOCH_COL)
-        .distinct()
-    )
-    tmp = local + ".compact.tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    writer = folded.write.mode("overwrite")
-    if BUCKET_COL in folded.columns:
-        writer = writer.partitionBy(BUCKET_COL)
-    writer.parquet(os.path.join("file:" + tmp, f"{EPOCH_COL}={target}"))
-    swap_partition_dirs(local, tmp, [target], EPOCH_COL)
-    for e in src:
-        if e != target:
-            shutil.rmtree(
-                os.path.join(local, f"{EPOCH_COL}={e}"), ignore_errors=True
-            )
     meta = _read_epoch_meta(local)
     folded_vals = [
         meta["epochs"].pop(str(e))
@@ -641,37 +702,9 @@ def compact_chunk_epochs(spark, chunks_path: str, upto_epoch: int) -> int:
     because there are none. Chunk consumers that read the whole path
     see the identical rows; consumers that tail BY EPOCH must only
     tail epochs above the compaction watermark (the same quiesced-
-    maintenance contract as the index side)."""
-    local = _local(chunks_path)
-    if not os.path.isdir(local):
-        return 0
-    recover_buckets(local, prefix=f"{EPOCH_COL}=")
-    on_disk = _epoch_values(local)
-    if not on_disk:
-        return 0
-    upto = min(upto_epoch, on_disk[-1])
-    src = [e for e in on_disk if e < upto]
-    if len(src) <= 1:
-        return 0
-    target = max(src)
-    paths = [os.path.join(chunks_path, f"{EPOCH_COL}={e}") for e in src]
-    folded = (
-        spark.read.option("basePath", chunks_path)
-        .parquet(*paths)
-        .drop(EPOCH_COL)
-        .distinct()
-    )
-    tmp = local + ".compact.tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    folded.write.mode("overwrite").parquet(
-        os.path.join("file:" + tmp, f"{EPOCH_COL}={target}")
-    )
-    swap_partition_dirs(local, tmp, [target], EPOCH_COL)
-    for e in src:
-        if e != target:
-            shutil.rmtree(
-                os.path.join(local, f"{EPOCH_COL}={e}"), ignore_errors=True
-            )
+    maintenance contract as the index side). Shares _fold_epochs with
+    the index side — one protocol definition, no copy to drift."""
+    src, _ = _fold_epochs(spark, chunks_path, upto_epoch)
     return len(src)
 
 
@@ -685,6 +718,7 @@ def rebuild_curation_index(
     n_buckets: int = DEFAULT_BUCKETS,
     use_seq: bool = True,
     quality_gates: "dict | None" = None,
+    chunks_path: "str | None" = None,
 ) -> int:
     """Offline rebuild of the band index from the full corpus — the
     documented remedy when _check_layout raises (gate-parameter or
@@ -711,6 +745,16 @@ def rebuild_curation_index(
     order; callers who must preserve arrival order keep the old index
     and don't change gates).
 
+    chunks_path: pass the stream's chunks output to have its epoch
+    directories dropped with the old index epochs. The old chunks were
+    gated under the OLD parameters — a fresh-checkpoint restart over
+    the same chunks_path would otherwise overwrite epochs 0..N with
+    new-gate chunks while old-gate chunks survive in higher
+    pre-rebuild epochs, handing consumers a silent mix of two gates.
+    Omit it ONLY when the restart writes to a new chunks directory
+    (then the old log stays intact as the old gate's corpus, clearly
+    separated).
+
     Crash behavior: a `.rebuilding` marker is written before anything
     is touched and removed only after the new sidecars land;
     apply_curation_batch refuses to run while the marker exists, so
@@ -725,23 +769,11 @@ def rebuild_curation_index(
     with open(marker, "w") as f:
         f.write("1")
     key_mode = "seq" if use_seq else "id"
-    gated = gate_documents(docs, id_col, text_col, min_tokens, min_alpha_ratio)
-    if quality_gates:
-        gated = apply_quality_gates(gated, id_col, text_col, **quality_gates)
-    if use_seq:
-        gated = assign_ingest_seq(gated, id_col, 0)
-        key = SEQ_COL
-    else:
-        key = id_col
-    gated = gated.localCheckpoint(eager=True)
-    bands = band_documents(gated, key, text_col)
-    if use_seq:
-        bands = bands.join(gated.select(id_col, SEQ_COL), SEQ_COL).select(
-            id_col, SEQ_COL, "band", "band_key"
-        )
-    new_bands = bands.withColumn(BUCKET_COL, _bucket_expr(n_buckets)).localCheckpoint(
-        eager=True
+    gated, key = _gate(
+        docs, id_col, text_col, min_tokens, min_alpha_ratio,
+        quality_gates, use_seq, 0,
     )
+    new_bands = _band_bucketed(gated, key, id_col, text_col, n_buckets)
     tmp = local + ".rebuild.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     new_bands.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
@@ -751,6 +783,12 @@ def rebuild_curation_index(
     # old parameters and must not survive next to the new ones
     for e in _epoch_values(local):
         shutil.rmtree(os.path.join(local, f"{EPOCH_COL}={e}"), ignore_errors=True)
+    if chunks_path is not None:
+        chunks_local = _local(chunks_path)
+        for e in _epoch_values(chunks_local):
+            shutil.rmtree(
+                os.path.join(chunks_local, f"{EPOCH_COL}={e}"), ignore_errors=True
+            )
     os.makedirs(local, exist_ok=True)
     swap_partition_dirs(local, tmp, [-1], EPOCH_COL)
     mx = new_bands.agg(F.max(key).alias("mx")).collect()[0]["mx"]

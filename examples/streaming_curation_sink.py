@@ -116,6 +116,10 @@ def main(spark, sf_dir: str, work_dir: str) -> dict:
     except ValueError:
         refused = True
     all_docs = base.unionAll(new1).unionAll(dup1).unionAll(dup2)
+    # chunks_path is omitted because stage 4 restarts into a NEW chunks
+    # directory (chk2) — the old log stays intact as the old gate's
+    # corpus. A restart over the SAME chunks dir must pass
+    # chunks_path=chk so the old-gate epochs are dropped with the index.
     n_rebuilt = rebuild_curation_index(
         all_docs, idx, n_buckets=1024,
         min_tokens=12, min_alpha_ratio=GATE["min_alpha_ratio"],

@@ -122,7 +122,7 @@ def test_quality_keep_one_duckdb_replay(spark):
 
     from ds_caselaw_ingester_spark.operators.cluster import quality_keep_one
 
-    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31), (50, 51)]
     docs = [
         # component {1,2,3}: min id is LOW quality — keeper must be 2
         (1, 0.1), (2, 0.9), (3, 0.5),
@@ -134,6 +134,9 @@ def test_quality_keep_one_duckdb_replay(spark):
         (30, None), (31, None),
         # singleton, keeper of itself even when unscored
         (40, None),
+        # component {50,51}: NaN counts as unscored — finite 51 wins
+        # (without nanvl, Spark ranks -NaN above +inf and 50 would win)
+        (50, float("nan")), (51, 0.01),
     ]
     docs_df = spark.createDataFrame(docs, "doc_id long, score double")
     edges_df = spark.createDataFrame(edges, "doc_a long, doc_b long")
@@ -157,7 +160,9 @@ def test_quality_keep_one_duckdb_replay(spark):
           select c.doc_id, c.component, d.score,
                  row_number() over (
                    partition by c.component
-                   order by coalesce(d.score, -1e308) desc, c.doc_id asc
+                   order by coalesce(
+                     case when isnan(d.score) then NULL else d.score end,
+                     -1e308) desc, c.doc_id asc
                  ) as rk
           from comp c join docs d using (doc_id)
         ),
@@ -175,6 +180,7 @@ def test_quality_keep_one_duckdb_replay(spark):
     assert got[20] == (20, 21, True)
     assert got[30] == (30, 30, False)
     assert got[40] == (40, 40, False)
+    assert got[50] == (50, 51, True) and got[51] == (50, 51, False)
 
 
 def test_leakage_safe_split_duckdb_replay(spark):

@@ -547,3 +547,64 @@ def test_chunk_compaction_preserves_rows_and_clamps(spark, tmp_path):
         e for e in os.listdir(chk) if e.startswith("epoch=")
     ) == ["epoch=2", "epoch=3"]
     assert _rows() == after
+
+
+def test_compaction_preserves_rebuilt_epoch(spark, tmp_path):
+    """Review regression: folding sources that include the rebuild's
+    epoch=-1 must target -1, never a non-negative epoch — otherwise a
+    fresh-checkpoint restart (the mode rebuild_curation_index blesses)
+    probes `epoch < 0`, sees nothing, and its epoch-0 overwrite
+    destroys the folded history."""
+    from ds_caselaw_ingester_spark.streaming.curation_sink import (
+        compact_index_epochs,
+        rebuild_curation_index,
+    )
+
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    rebuild_curation_index(
+        _df(spark, EPOCH0), idx, n_buckets=8,
+        min_tokens=CHUNK_KW["min_tokens"],
+        min_alpha_ratio=CHUNK_KW["min_alpha_ratio"],
+    )
+    # fresh-checkpoint stream: epochs 0 and 1
+    _apply(spark, EPOCH1, idx, chk, 0)
+    _apply(spark, EPOCH2, idx, chk, 1)
+    all_rows = _index_rows(spark, idx)
+    assert compact_index_epochs(spark, idx, upto_epoch=99) == 2  # -1,0
+    # the fold target is -1 — the rebuilt partition id survives
+    assert sorted(
+        e for e in os.listdir(idx) if e.startswith("epoch=")
+    ) == ["epoch=-1", "epoch=1"]
+    assert _index_rows(spark, idx) == all_rows
+    # the disaster-recovery mode: ANOTHER fresh checkpoint, epoch 0 —
+    # its probe (epoch < 0) must see the folded history, so a dup of a
+    # rebuilt base is rejected and the overwrite cannot destroy it
+    chk2 = str(tmp_path / "chunks2")
+    _apply(spark, [("d-zz30", _text("basea"))], idx, chk2, 0)
+    assert _kept(spark, chk2, 0) == set()
+    assert _index_rows(spark, idx) >= all_rows
+
+
+def test_rebuild_clears_old_gate_chunks(spark, tmp_path):
+    """Review regression: rebuild_curation_index(chunks_path=...) must
+    drop the old-gate chunk epochs — a fresh-checkpoint restart over
+    the same chunks dir would otherwise leave consumers a silent mix
+    of chunks kept under two gate parameter sets."""
+    from ds_caselaw_ingester_spark.streaming.curation_sink import (
+        rebuild_curation_index,
+    )
+
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    _apply(spark, EPOCH0, idx, chk, 0)
+    _apply(spark, EPOCH1, idx, chk, 1)
+    assert os.path.isdir(os.path.join(chk, "epoch=1"))
+    rebuild_curation_index(
+        _df(spark, EPOCH0 + EPOCH1), idx, n_buckets=8,
+        min_tokens=10, min_alpha_ratio=0.5, chunks_path=chk,
+    )
+    assert not any(e.startswith("epoch=") for e in os.listdir(chk))
+    # restart over the SAME chunks dir: only new-gate chunks exist
+    _apply(spark, EPOCH2, idx, chk, 0, min_tokens=10)
+    assert sorted(
+        e for e in os.listdir(chk) if e.startswith("epoch=")
+    ) == ["epoch=0"]
