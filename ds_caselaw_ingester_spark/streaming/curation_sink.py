@@ -408,14 +408,26 @@ def _band_bucketed(
     """Band the gated docs and attach the bucket column — the shared
     back half of both writers (see _gate). Eagerly checkpointed: the
     result feeds the touched-bucket collect, the probe, pair
-    generation, and the delta write."""
+    generation, and the delta write.
+
+    Repartitioned ON the bucket column before the checkpoint: a
+    partitionBy write emits one file per (task × bucket-in-task) pair,
+    so W write tasks each holding rows of many buckets fragment the
+    layout into O(W × buckets) under-filled files — measured at 500k
+    docs / 4096 buckets this turned a 173 s rebuild into a >580 s
+    non-finisher (docs/SCALE.md). Hash-clustering the rows by bucket
+    first makes every bucket land as ONE file per write, at the cost
+    of one O(band rows) shuffle the write was going to pay in file
+    handles anyway."""
     bands = band_documents(gated, key, text_col)
     if key == SEQ_COL:
         bands = bands.join(gated.select(id_col, SEQ_COL), SEQ_COL).select(
             id_col, SEQ_COL, "band", "band_key"
         )
-    return bands.withColumn(BUCKET_COL, _bucket_expr(n_buckets)).localCheckpoint(
-        eager=True
+    return (
+        bands.withColumn(BUCKET_COL, _bucket_expr(n_buckets))
+        .repartition(F.col(BUCKET_COL))
+        .localCheckpoint(eager=True)
     )
 
 
@@ -620,6 +632,10 @@ def _fold_epochs(spark, path: str, upto_epoch: int) -> "tuple[list[int], int]":
     )
     tmp = local + ".compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
+    if BUCKET_COL in folded.columns:
+        # one file per bucket, not one per (task × bucket) — see
+        # _band_bucketed's fragmentation note
+        folded = folded.repartition(F.col(BUCKET_COL))
     writer = folded.write.mode("overwrite")
     if BUCKET_COL in folded.columns:
         writer = writer.partitionBy(BUCKET_COL)
@@ -834,9 +850,9 @@ def migrate_index_to_bucketed(
         df = spark.read.parquet(os.path.join(index_path, f"{EPOCH_COL}={e}"))
         if BUCKET_COL in df.columns:
             df = df.drop(BUCKET_COL)
-        df.withColumn(BUCKET_COL, _bucket_expr(n_buckets)).write.mode(
-            "overwrite"
-        ).partitionBy(BUCKET_COL).parquet(
+        df.withColumn(BUCKET_COL, _bucket_expr(n_buckets)).repartition(
+            F.col(BUCKET_COL)  # one file per bucket — see _band_bucketed
+        ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
             os.path.join("file:" + tmp, f"{EPOCH_COL}={e}")
         )
     swap_partition_dirs(local, tmp, epochs, EPOCH_COL)
