@@ -186,7 +186,11 @@ def upsert_parquet_table_bucketed(
         merged = upd
     tmp = local + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").partitionBy("kb").parquet(tmp)
+    # one file per touched bucket, not one per (task × bucket) — the
+    # fragmentation cliff measured in docs/SCALE.md
+    merged.repartition(F.col("kb")).write.mode("overwrite").partitionBy(
+        "kb"
+    ).parquet(tmp)
     # single-writer violation check: the merge covered exactly the
     # snapshotted files; a concurrent append/overwrite in any touched
     # bucket means swapping would drop rows Spark never read. Abort

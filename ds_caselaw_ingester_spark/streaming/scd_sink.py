@@ -185,9 +185,11 @@ def apply_scd2_batch_bucketed(
     tmp = local + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     try:
-        merged.withColumn("kb", kb).write.mode("overwrite").partitionBy(
-            "kb"
-        ).parquet(tmp)
+        # one file per touched bucket, not one per (task × bucket) —
+        # the fragmentation cliff measured in docs/SCALE.md
+        merged.withColumn("kb", kb).repartition(F.col("kb")).write.mode(
+            "overwrite"
+        ).partitionBy("kb").parquet(tmp)
     finally:
         batch.unpersist()
         updates.unpersist()

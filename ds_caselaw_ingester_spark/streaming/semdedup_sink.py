@@ -323,7 +323,13 @@ def apply_semdedup_batch(
     # cells are never opened, listed, or rewritten
     tmp = local + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    updated.write.mode("overwrite").partitionBy(CELL_COL).parquet(tmp)
+    # cluster rows on the cell before the partitionBy write: one file
+    # per touched cell instead of one per (write task × cell) — the
+    # fragmentation cliff measured in docs/SCALE.md (curation sink
+    # round 9 late); the repartition shuffle is O(touched cells' rows)
+    updated.repartition(F.col(CELL_COL)).write.mode("overwrite").partitionBy(
+        CELL_COL
+    ).parquet(tmp)
     swap_partition_dirs(local, tmp, touched_cells, CELL_COL)
     # amortized: the growth check lists every cell partition (footer
     # metadata only, but O(index files)) — running it every epoch would
@@ -395,7 +401,11 @@ def retrain_semdedup_index(
     )
     rebuilt = semdedup_build_index(vecs, vec_col, id_col, cents)
     shutil.rmtree(tmp, ignore_errors=True)
-    rebuilt.write.mode("overwrite").partitionBy(CELL_COL).parquet("file:" + tmp)
+    # rebuilds rewrite EVERY cell from every task — exactly the (task ×
+    # partition) fragmentation regime; cluster on the cell first
+    rebuilt.repartition(F.col(CELL_COL)).write.mode("overwrite").partitionBy(
+        CELL_COL
+    ).parquet("file:" + tmp)
     with open(os.path.join(tmp, _QUANTIZER_FILE), "w") as f:
         f.write(_quantizer_json(cents))
     commit_swap(local, tmp, old)
