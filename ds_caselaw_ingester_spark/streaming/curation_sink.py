@@ -164,6 +164,20 @@ BUCKET_COL = "bucket"
 DEFAULT_BUCKETS = 64
 
 
+def _gate_pin(
+    min_tokens: int, min_alpha_ratio: float, quality_gates: "dict | None"
+) -> dict:
+    """The layout sidecar's gate-pin payload — ONE definition shared by
+    the batch writer and the rebuild (a parameter added to one literal
+    but not the other would make a just-rebuilt index refuse the
+    restarted stream, or vice versa)."""
+    return {
+        "min_tokens": int(min_tokens),
+        "min_alpha_ratio": float(min_alpha_ratio),
+        "quality_fp": _quality_fingerprint(quality_gates),
+    }
+
+
 def _local(path: str) -> str:
     return path[len("file:") :] if path.startswith("file:") else path
 
@@ -492,14 +506,14 @@ def apply_curation_batch(
         )
     # heal a crashed compaction swap before partition discovery: an
     # `epoch=<t>.old` leftover would otherwise surface as a bogus
-    # partition VALUE ('<t>.old') and break the int epoch filter
+    # partition VALUE ('<t>.old') and break the int epoch filter —
+    # on BOTH outputs (a crashed compact_chunk_epochs would otherwise
+    # hide an epoch's chunks in `epoch=<t>.old` until the next
+    # maintenance run, with nothing on the hot path healing it)
     recover_buckets(local, prefix=f"{EPOCH_COL}=")
+    recover_buckets(_local(chunks_path), prefix=f"{EPOCH_COL}=")
     key_mode = "seq" if use_seq else "id"
-    gate = {
-        "min_tokens": int(min_tokens),
-        "min_alpha_ratio": float(min_alpha_ratio),
-        "quality_fp": _quality_fingerprint(quality_gates),
-    }
+    gate = _gate_pin(min_tokens, min_alpha_ratio, quality_gates)
     _check_layout(local, n_buckets, key_mode, gate)
     meta = _read_epoch_meta(local)
     if (
@@ -687,6 +701,21 @@ def compact_index_epochs(spark, index_path: str, upto_epoch: int) -> int:
     reads O(folded epochs) like any compaction). A rebuilt `epoch=-1`
     partition folds toward -1, never upward (see _fold_epochs)."""
     local = _local(index_path)
+    # a lost sidecar must stay LOUD: folding with a fabricated entry
+    # would hand the next batch a non-empty epochs dict, bypass its
+    # missing-meta guard, restart seq assignment at 0 over indexed
+    # seqs, and silently re-keep duplicates — refuse instead, exactly
+    # like the batch path, until rebuild_index_meta has run
+    if os.path.isdir(local) and _epoch_values(local) and not _read_epoch_meta(
+        local
+    )["epochs"]:
+        raise RuntimeError(
+            f"{_meta_path(local)} is missing but the index holds "
+            "committed epochs — compacting would fabricate a sidecar "
+            "entry and bypass the batch path's missing-meta guard. "
+            "Rebuild it once with rebuild_index_meta(spark, "
+            "index_path, key_col), then compact."
+        )
     src, target = _fold_epochs(spark, index_path, upto_epoch)
     if not src:
         return 0
@@ -735,6 +764,8 @@ def rebuild_curation_index(
     use_seq: bool = True,
     quality_gates: "dict | None" = None,
     chunks_path: "str | None" = None,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
 ) -> int:
     """Offline rebuild of the band index from the full corpus — the
     documented remedy when _check_layout raises (gate-parameter or
@@ -761,15 +792,20 @@ def rebuild_curation_index(
     order; callers who must preserve arrival order keep the old index
     and don't change gates).
 
-    chunks_path: pass the stream's chunks output to have its epoch
-    directories dropped with the old index epochs. The old chunks were
-    gated under the OLD parameters — a fresh-checkpoint restart over
-    the same chunks_path would otherwise overwrite epochs 0..N with
-    new-gate chunks while old-gate chunks survive in higher
-    pre-rebuild epochs, handing consumers a silent mix of two gates.
-    Omit it ONLY when the restart writes to a new chunks directory
-    (then the old log stays intact as the old gate's corpus, clearly
-    separated).
+    chunks_path: pass the stream's chunks output to have the curated
+    corpus REBUILT under the new gate too — old-gate chunk epochs are
+    dropped and the new-gate keepers' chunks written to
+    `chunks/epoch=-1` (chunk_tokens/overlap must match the stream's).
+    This is the only way the historical corpus gets new-gate chunks:
+    the rebuilt index contains EVERY gated doc, so replaying the
+    historical source through the restarted stream would mark each
+    document a near-dup of its own epoch=-1 band rows and emit empty
+    epochs — deleting the old chunks without re-chunking here would
+    permanently lose the corpus. Omit chunks_path ONLY for an
+    index-only rebuild where the old chunks dir is retired separately
+    (the restart must then write to a NEW chunks directory, and the
+    operator accepts that the retired log holds the old gate's
+    corpus).
 
     Crash behavior: a `.rebuilding` marker is written before anything
     is touched and removed only after the new sidecars land;
@@ -795,16 +831,40 @@ def rebuild_curation_index(
     new_bands.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
         os.path.join("file:" + tmp, f"{EPOCH_COL}=-1")
     )
+    # re-curate the corpus under the new gate BEFORE any deletion: the
+    # keep-one + chunking over the full corpus with an empty prior is
+    # exactly one epoch's _increment_core with no base side
+    new_chunks = None
+    if chunks_path is not None:
+        new_chunks = _increment_core(
+            gated,
+            new_bands.drop(BUCKET_COL),
+            new_bands.drop(BUCKET_COL).limit(0),
+            None,
+            key=key,
+            id_col=id_col,
+            text_col=text_col,
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+        ).localCheckpoint(eager=True)
     # drop every pre-rebuild epoch: the old rows were gated under the
     # old parameters and must not survive next to the new ones
     for e in _epoch_values(local):
         shutil.rmtree(os.path.join(local, f"{EPOCH_COL}={e}"), ignore_errors=True)
     if chunks_path is not None:
         chunks_local = _local(chunks_path)
+        # heal a crashed chunk-compaction swap first: _epoch_values
+        # ignores `epoch=<t>.old`, so an unhealed leftover would
+        # survive this purge and later be resurrected as OLD-GATE
+        # chunks by the next compaction's recover_buckets
+        recover_buckets(chunks_local, prefix=f"{EPOCH_COL}=")
         for e in _epoch_values(chunks_local):
             shutil.rmtree(
                 os.path.join(chunks_local, f"{EPOCH_COL}={e}"), ignore_errors=True
             )
+        new_chunks.write.mode("overwrite").parquet(
+            os.path.join(chunks_path, f"{EPOCH_COL}=-1")
+        )
     os.makedirs(local, exist_ok=True)
     swap_partition_dirs(local, tmp, [-1], EPOCH_COL)
     mx = new_bands.agg(F.max(key).alias("mx")).collect()[0]["mx"]
@@ -814,11 +874,7 @@ def rebuild_curation_index(
         local,
         n_buckets,
         key_mode,
-        {
-            "min_tokens": int(min_tokens),
-            "min_alpha_ratio": float(min_alpha_ratio),
-            "quality_fp": _quality_fingerprint(quality_gates),
-        },
+        _gate_pin(min_tokens, min_alpha_ratio, quality_gates),
     )
     os.remove(marker)
     return n_rows

@@ -122,7 +122,7 @@ def test_quality_keep_one_duckdb_replay(spark):
 
     from ds_caselaw_ingester_spark.operators.cluster import quality_keep_one
 
-    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31), (50, 51)]
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31), (50, 51), (60, 61)]
     docs = [
         # component {1,2,3}: min id is LOW quality — keeper must be 2
         (1, 0.1), (2, 0.9), (3, 0.5),
@@ -135,8 +135,13 @@ def test_quality_keep_one_duckdb_replay(spark):
         # singleton, keeper of itself even when unscored
         (40, None),
         # component {50,51}: NaN counts as unscored — finite 51 wins
-        # (without nanvl, Spark ranks -NaN above +inf and 50 would win)
         (50, float("nan")), (51, 0.01),
+        # component {60,61}: NaN vs NULL — the case that DISCRIMINATES
+        # the nanvl fix: both map to -inf, tie-break -> min id 60.
+        # Pre-fix, -NaN sorted above +inf in Spark's nan-aware struct
+        # ordering, so the NULL member 61 won — a NaN-scored doc losing
+        # to an unscored one
+        (60, float("nan")), (61, None),
     ]
     docs_df = spark.createDataFrame(docs, "doc_id long, score double")
     edges_df = spark.createDataFrame(edges, "doc_a long, doc_b long")
@@ -181,6 +186,7 @@ def test_quality_keep_one_duckdb_replay(spark):
     assert got[30] == (30, 30, False)
     assert got[40] == (40, 40, False)
     assert got[50] == (50, 51, True) and got[51] == (50, 51, False)
+    assert got[60] == (60, 60, False) and got[61] == (60, 60, True)
 
 
 def test_leakage_safe_split_duckdb_replay(spark):

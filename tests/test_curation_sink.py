@@ -585,11 +585,13 @@ def test_compaction_preserves_rebuilt_epoch(spark, tmp_path):
     assert _index_rows(spark, idx) >= all_rows
 
 
-def test_rebuild_clears_old_gate_chunks(spark, tmp_path):
-    """Review regression: rebuild_curation_index(chunks_path=...) must
-    drop the old-gate chunk epochs — a fresh-checkpoint restart over
-    the same chunks dir would otherwise leave consumers a silent mix
-    of chunks kept under two gate parameter sets."""
+def test_rebuild_recurates_chunks(spark, tmp_path):
+    """Review regression (data-loss trap): rebuild_curation_index
+    (chunks_path=...) must not merely DELETE the old-gate chunks — the
+    rebuilt index contains every gated doc, so historical documents
+    can never re-chunk through the restarted stream (each would be a
+    near-dup of its own epoch=-1 band rows). The rebuild itself must
+    write the new-gate keepers' chunks to chunks/epoch=-1."""
     from ds_caselaw_ingester_spark.streaming.curation_sink import (
         rebuild_curation_index,
     )
@@ -600,11 +602,39 @@ def test_rebuild_clears_old_gate_chunks(spark, tmp_path):
     assert os.path.isdir(os.path.join(chk, "epoch=1"))
     rebuild_curation_index(
         _df(spark, EPOCH0 + EPOCH1), idx, n_buckets=8,
-        min_tokens=10, min_alpha_ratio=0.5, chunks_path=chk,
+        min_tokens=CHUNK_KW["min_tokens"],
+        min_alpha_ratio=CHUNK_KW["min_alpha_ratio"],
+        chunks_path=chk,
+        chunk_tokens=CHUNK_KW["chunk_tokens"], overlap=CHUNK_KW["overlap"],
     )
-    assert not any(e.startswith("epoch=") for e in os.listdir(chk))
-    # restart over the SAME chunks dir: only new-gate chunks exist
-    _apply(spark, EPOCH2, idx, chk, 0, min_tokens=10)
+    # old per-epoch dirs replaced by exactly the rebuilt corpus
     assert sorted(
         e for e in os.listdir(chk) if e.startswith("epoch=")
-    ) == ["epoch=0"]
+    ) == ["epoch=-1"]
+    # the rebuild restarts the canonical order in ID order (arrival
+    # history is not reconstructible from a corpus snapshot — the
+    # docstring's contract), so the basea cluster's keeper flips from
+    # arrival-order d-7f3a to id-order minimum d-05aa; every other
+    # cluster's minima coincide
+    expected = (EXPECT_KEPT[0] | EXPECT_KEPT[1]) - {"d-7f3a"} | {"d-05aa"}
+    assert _kept(spark, chk, -1) == expected
+    # fresh-checkpoint restart: a dup of rebuilt history is rejected
+    # (empty epoch), a new unique doc chunks normally
+    _apply(spark, EPOCH2, idx, chk, 0)
+    assert _kept(spark, chk, 0) == EXPECT_KEPT[2]
+
+
+def test_compaction_refuses_lost_sidecar(spark, tmp_path):
+    """Review regression: compacting an index whose .seqmeta.json was
+    lost must raise (like the batch path), not fabricate a sidecar
+    entry that would bypass the batch guard and restart seqs at 0."""
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    _apply(spark, EPOCH0, idx, chk, 0)
+    _apply(spark, EPOCH1, idx, chk, 1)
+    _apply(spark, EPOCH2, idx, chk, 2)
+    os.remove(idx + ".seqmeta.json")
+    with pytest.raises(RuntimeError, match="seqmeta"):
+        compact_index_epochs(spark, idx, upto_epoch=99)
+    # the documented recovery unblocks it
+    rebuild_index_meta(spark, idx, SEQ_COL)
+    assert compact_index_epochs(spark, idx, upto_epoch=99) == 2
