@@ -25,8 +25,11 @@ Scale + determinism design (the part worth reading):
   X^T·X GEMM on the rounded int64 matrix — d²/2 work per row done at
   BLAS speed, never a per-(i,j) explode (d=64 would mean 4096 shuffled
   rows per vector relationally). Each partition emits ONE row of
-  partial sums; the driver combines P rows. Driver state is O(d²)
-  (64×64 = 32 KB), independent of corpus size.
+  partial sums — plus extra flush rows whenever the tracked exact
+  overflow bound (rows × max-product) approaches int64, so the
+  accumulator can never silently wrap; the driver combines the rows
+  with Python ints. Driver state is O(d²) (64×64 = 32 KB),
+  independent of corpus size.
 - **Eigendecomposition runs on the driver** over the tiny d×d
   covariance (numpy.linalg.eigh — deterministic for a fixed input
   matrix; the input is exact integers scaled back, so it IS fixed).
@@ -52,6 +55,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _SCALE = 1_000_000.0  # fixed-point micro-rounding, the repo-wide constant
+
+# int64 overflow headroom for the scatter accumulator: no accumulated
+# entry is ever allowed to reach this (see pca_fit's flush logic).
+# Module-level so tests can shrink it to force the flush path.
+_INT64_SAFE = 2**62
 
 
 def pca_fit(
@@ -79,31 +87,73 @@ def pca_fit(
 
     n_out = dim * dim + dim + 1  # scatter + sum + count
 
+    # Overflow safety: an exact Python-int bound (rows_added ×
+    # max_per_row_product) is tracked and the partials are FLUSHED to an
+    # output row before any accumulated entry could cross _INT64_SAFE.
+    # The driver combine uses Python ints, so any number of flush rows
+    # sum exactly — flushing preserves bit-identical order-independence.
+    # Captured at call time so tests can monkeypatch the module constant.
+    safe = _INT64_SAFE
+
     def _partials(batches):
         import numpy as _np
         import pandas as _pd
 
         acc = _np.zeros(n_out, dtype=_np.int64)
         count = 0
+        bound = 0  # Python int: exact upper bound on any scatter entry
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = _np.stack(pdf.iloc[:, 0].to_numpy())
-            if x.shape[1] != dim:
+            col = pdf.iloc[:, 0]
+            if col.isna().any():
                 raise ValueError(
-                    f"pca_fit: expected dim={dim}, got {x.shape[1]}"
+                    f"pca_fit: column {vec_col!r} contains NULL vectors; "
+                    "filter them out before fitting"
                 )
+            lens = {len(v) for v in col}
+            if lens != {dim}:
+                raise ValueError(
+                    f"pca_fit: expected vectors of length {dim} in "
+                    f"{vec_col!r}, got lengths {sorted(lens)[:5]}"
+                )
+            x = _np.stack(col.to_numpy())
             # micro-round the INPUTS once; integer products of rounded
             # inputs are exact, and their int64 sums commute — the
-            # whole accumulator is order-independent. Overflow bound:
-            # one product entry is <= (max|x| * _SCALE)^2 ≈ 1e12 for
-            # unit-ish embeddings, so a partition stays exact up to
-            # ~9M rows (int64 max / 1e12); the DRIVER combine below
-            # uses Python ints, so cross-partition totals never wrap.
+            # whole accumulator is order-independent.
             xi = _np.rint(x * _SCALE).astype(_np.int64)
-            acc[: dim * dim] += (xi.T @ xi).reshape(-1)
-            acc[dim * dim : dim * dim + dim] += xi.sum(axis=0)
-            count += len(x)
+            # Per-row product bound: one x_i·x_j entry is at most
+            # (max|xi|)². If a SINGLE row's product would wrap int64, no
+            # amount of flushing helps — the fixed-point scale is wrong
+            # for this data; fail loudly instead of corrupting components.
+            m = int(_np.abs(xi).max())
+            per_row = m * m
+            if per_row >= safe:
+                raise ValueError(
+                    f"pca_fit: input magnitude too large for fixed-point "
+                    f"accumulation (max|x| ≈ {m / _SCALE:.3g}); rescale "
+                    f"the vectors (e.g. L2-normalize) before fitting"
+                )
+            start = 0
+            while start < len(xi):
+                room = (
+                    (safe - 1 - bound) // per_row if per_row else len(xi)
+                )
+                if room < 1:
+                    # accumulator is at its exactness bound — emit a
+                    # partial row and reset; the driver sums rows exactly
+                    acc[-1] = count
+                    yield _pd.DataFrame({"acc": [acc.tolist()]})
+                    acc = _np.zeros(n_out, dtype=_np.int64)
+                    count = 0
+                    bound = 0
+                    continue
+                sub = xi[start : start + room]
+                acc[: dim * dim] += (sub.T @ sub).reshape(-1)
+                acc[dim * dim : dim * dim + dim] += sub.sum(axis=0)
+                count += len(sub)
+                bound += per_row * len(sub)
+                start += len(sub)
         acc[-1] = count
         yield _pd.DataFrame({"acc": [acc.tolist()]})
 

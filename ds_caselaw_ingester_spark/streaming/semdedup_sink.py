@@ -247,6 +247,19 @@ def apply_semdedup_batch(
     """
     spark = batch.sparkSession
     local = _local(index_path)
+    # refuse to run under an unfinished retrain: a crash between
+    # commit_swap's two renames can leave `local` MISSING with the only
+    # full pre-retrain index parked in .retrain-old — a restarted stream
+    # would silently bootstrap a fresh quantizer+index over nothing, and
+    # the next retrain's recover_swap would then delete .retrain-old.
+    # The marker makes that crash point loud; the remedy is re-running
+    # retrain_semdedup_index (its recover_swap heals either rename).
+    if os.path.exists(local + ".retraining"):
+        raise RuntimeError(
+            f"{index_path} has an unfinished retrain (the .retraining "
+            "marker exists): re-run retrain_semdedup_index to heal the "
+            "swap before restarting the stream"
+        )
     # refuse a FLAT index (written by the pre-partitioned version of
     # this sink): bootstrapping over it would mix two layouts — migrate
     # with semdedup_build_index + a partitioned write first
@@ -374,6 +387,12 @@ def retrain_semdedup_index(
     (compaction.recover_swap, exclusive — single maintenance writer);
     a stale legacy sidecar is removed after the swap so it can never
     shadow a future missing in-dir file with pre-retrain centroids.
+    A `.retraining` marker brackets the whole operation: written before
+    recovery/swap, removed only after commit_swap, and
+    apply_semdedup_batch refuses to run while it exists — so a crash
+    between commit_swap's two renames (local momentarily missing) can
+    never be papered over by a restarted stream bootstrapping a fresh
+    index on top of the orphaned .retrain-old.
 
     Returns the new centroid list."""
     from ds_caselaw_ingester_spark.operators.compaction import (
@@ -387,11 +406,25 @@ def retrain_semdedup_index(
 
     local = _local(index_path)
     tmp, old = local + ".retrain-tmp", local + ".retrain-old"
+    # marker FIRST: from here until commit_swap completes, a concurrent
+    # or restarted stream must refuse to touch the index (see
+    # apply_semdedup_batch) — recover_swap's exclusive-mode precondition
+    # ("local only exists via a completed whole-dir rename") does not
+    # hold for an index the sink maintains via per-cell swaps, so the
+    # marker is what closes the crash-between-renames window where a
+    # bootstrapping stream could orphan .retrain-old.
+    marker = local + ".retraining"
+    with open(marker, "w") as f:
+        f.write("retrain_semdedup_index in progress\n")
     recover_swap(local, tmp, old, exclusive=True)
     recover_buckets(local, prefix=f"{CELL_COL}=")
     vecs = spark.read.parquet(index_path).select(id_col, vec_col)
     n = vecs.count()
     if n == 0:
+        # nothing was (or will be) mutated — lift the marker so a
+        # stream against the empty index isn't wedged on a retrain
+        # that can never succeed
+        os.remove(marker)
         raise ValueError(f"{index_path} holds no vectors; nothing to retrain")
     if k is None:
         k = semdedup_num_clusters(n)
@@ -412,6 +445,8 @@ def retrain_semdedup_index(
     legacy = local + _QUANTIZER_SUFFIX
     if os.path.exists(legacy):
         os.remove(legacy)
+    # swap is complete and crash-consistent — lift the stream lockout
+    os.remove(marker)
     return cents
 
 

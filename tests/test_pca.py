@@ -139,6 +139,55 @@ def test_validation_errors(spark, emb):
         pca_fit(emb.limit(1), "v", DIM, k=2)
 
 
+def test_null_and_ragged_vectors_raise_named_errors(spark, emb):
+    """The ADVICE r9 guard: a NULL or wrong-length vector must raise a
+    message naming the column, not an opaque numpy stack error."""
+    sample = emb.where(F.col("vec_id") < 50)
+    with_null = sample.withColumn(
+        "v", F.when(F.col("vec_id") == 7, F.lit(None)).otherwise(F.col("v"))
+    )
+    with pytest.raises(
+        (Exception,), match="contains NULL vectors"
+    ) as ei:
+        pca_fit(with_null, "v", DIM, k=4)
+    assert "'v'" in str(ei.value)
+    ragged = sample.withColumn(
+        "v",
+        F.when(F.col("vec_id") == 7, F.slice(F.col("v"), 1, 10)).otherwise(
+            F.col("v")
+        ),
+    )
+    with pytest.raises((Exception,), match="got lengths"):
+        pca_fit(ragged, "v", DIM, k=4)
+
+
+def test_overflow_bound_flushes_and_stays_exact(spark, emb, monkeypatch):
+    """The ADVICE r9 overflow guard, both branches:
+    1. With the safe bound shrunk so only a handful of rows fit per
+       accumulator, the flush path runs constantly — and the fitted
+       components must be BIT-IDENTICAL to the unpatched fit (flushing
+       is exact by construction: Python-int driver combine).
+    2. Input whose single-row product would wrap int64 raises a named
+       magnitude error instead of silently corrupting components."""
+    from ds_caselaw_ingester_spark.operators import pca as pca_mod
+
+    sample = emb.where(F.col("vec_id") < 300)
+    want = pca_fit(sample, "v", DIM, k=6)
+    # unit-ish 64-dim vectors: per-row product bound ≈ (1e6)² · 1 = 1e12;
+    # 6e12 fits ~5 rows per accumulator → hundreds of flushes over 300
+    monkeypatch.setattr(pca_mod, "_INT64_SAFE", 6 * 10**12)
+    got = pca_fit(sample, "v", DIM, k=6)
+    assert got["components"] == want["components"]
+    assert got["mean"] == want["mean"]
+    monkeypatch.undo()
+    # magnitude guard: |x| ~ 1e4 → per-row product ~ 1e20 > 2^62
+    huge = sample.withColumn(
+        "v", F.transform(F.col("v"), lambda c: c * F.lit(10000.0))
+    )
+    with pytest.raises((Exception,), match="magnitude too large"):
+        pca_fit(huge, "v", DIM, k=4)
+
+
 def test_pca_pq_composition_recall(spark, emb):
     """The production payoff: PQ over PCA-reduced vectors. Same code
     budget (m subspaces x k codewords), half the input dims — each PQ

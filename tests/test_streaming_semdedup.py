@@ -427,3 +427,58 @@ def test_quantizer_retrain_loop_end_to_end(
     assert got == want and got
     # planted near-dups pair with their bases across the retrain
     assert any(b == a + 100000 for a, b in got)
+
+
+def test_retraining_marker_locks_out_stream_and_heals(
+    spark, corpus, quantizer, tmp_path, monkeypatch
+):
+    """The ADVICE r9 crash window: retrain_semdedup_index crashing
+    between commit_swap's two renames leaves the index momentarily
+    MISSING — a restarted stream must refuse to run (it would silently
+    bootstrap a fresh index over the orphaned .retrain-old), and
+    re-running the retrain must heal and lift the lockout."""
+    from ds_caselaw_ingester_spark.operators import compaction as comp_mod
+    from ds_caselaw_ingester_spark.streaming.semdedup_sink import (
+        retrain_semdedup_index,
+    )
+
+    emb, planted = corpus
+    idx = str(tmp_path / "index")
+    prs = str(tmp_path / "pairs")
+    apply_semdedup_batch(
+        emb, idx, prs, "v", "vec_id", quantizer, threshold=0.9, epoch_id=0
+    )
+    n0 = spark.read.parquet(idx).count()
+
+    # crash INSIDE commit_swap, after local -> old but before tmp -> local
+    real_commit = comp_mod.commit_swap
+
+    def _crashing_commit(local, tmp, old):
+        os.rename(local, old)
+        raise RuntimeError("injected crash between commit_swap's renames")
+
+    # retrain imports commit_swap inside the function body — patch the
+    # source module it imports from
+    monkeypatch.setattr(comp_mod, "commit_swap", _crashing_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        retrain_semdedup_index(spark, idx, "v", "vec_id", k=4)
+    assert os.path.exists(idx + ".retraining")
+    assert not os.path.exists(idx)  # the dangerous state: local missing
+
+    # a restarted stream must refuse loudly, NOT bootstrap a fresh index
+    with pytest.raises(RuntimeError, match="unfinished retrain"):
+        apply_semdedup_batch(
+            planted, idx, prs, "v", "vec_id", "auto", threshold=0.9, epoch_id=1
+        )
+    assert not os.path.exists(idx)  # nothing was written
+
+    # the documented remedy: re-run the retrain; recover_swap heals the
+    # half-finished rename, the marker is lifted, the stream proceeds
+    monkeypatch.setattr(comp_mod, "commit_swap", real_commit)
+    retrain_semdedup_index(spark, idx, "v", "vec_id", k=4)
+    assert not os.path.exists(idx + ".retraining")
+    assert spark.read.parquet(idx).count() == n0  # no history loss
+    apply_semdedup_batch(
+        planted, idx, prs, "v", "vec_id", "auto", threshold=0.9, epoch_id=1
+    )
+    assert spark.read.parquet(idx).count() == n0 + planted.count()
