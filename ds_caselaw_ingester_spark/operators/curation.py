@@ -91,6 +91,8 @@ def apply_quality_gates(
     gated: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    langid_model=None,
+    min_lang_p: float = 0.5,
     repetition_caps: "dict[str, float] | None" = None,
     quality_model=None,
     min_quality_p: float = 0.5,
@@ -98,16 +100,29 @@ def apply_quality_gates(
     max_ppl: float = 1e6,
     lm_max_piece_len: int = 6,
 ) -> DataFrame:
-    """The per-document quality gates (Gopher repetition caps, learned
-    quality classifier, CCNet-style LM perplexity), ONE definition
-    shared by the batch composite, the incremental APIs, and the
-    streaming sink — each gate is a pure per-document function, so
-    applying it to an increment is trivially recompute-equivalent, and
-    sharing the definition keeps stream and nightly keep decisions
-    from drifting (the _structural_gate rule, extended). Gates compose
-    after the cheap structural gate and before banding: a doc any gate
-    drops is never indexed. Semantics per gate are documented on
-    curate_corpus (which forwards here)."""
+    """The per-document quality gates (language identification, Gopher
+    repetition caps, learned quality classifier, CCNet-style LM
+    perplexity), ONE definition shared by the batch composite, the
+    incremental APIs, and the streaming sink — each gate is a pure
+    per-document function, so applying it to an increment is trivially
+    recompute-equivalent, and sharing the definition keeps stream and
+    nightly keep decisions from drifting (the _structural_gate rule,
+    extended). Gates compose after the cheap structural gate and before
+    banding: a doc any gate drops is never indexed. Semantics per gate
+    are documented on curate_corpus (which forwards here).
+
+    Gate ORDER is the CCNet pipeline's: langid first (the cheapest
+    learned gate and the biggest filter on a web-scale corpus — no
+    point profiling repetition in a document the pipeline won't keep),
+    then repetition caps, then the quality classifier, then the LM."""
+    if langid_model is not None:
+        from ds_caselaw_ingester_spark.operators.quality_clf import score_quality
+
+        lp = score_quality(gated, langid_model, id_col, text_col)
+        gated = gated.join(
+            lp.where(F.col("quality_p") >= F.lit(min_lang_p)).select(id_col),
+            id_col,
+        )
     if repetition_caps:
         import re
 
@@ -204,6 +219,8 @@ def curate_corpus(
     mixture_budget: int = 0,
     source_col: str = "source",
     keeper_score_col: "str | None" = None,
+    langid_model=None,
+    min_lang_p: float = 0.5,
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens) for the curated
     corpus: scrubbed text, quality-gated, optionally decontaminated
@@ -256,6 +273,15 @@ def curate_corpus(
     (operators/quality_clf.py); documents scoring below min_quality_p
     are dropped — the GPT-3-style learned quality filter, composed
     after the cheap structural gates like the LM gate.
+
+    langid_model + min_lang_p: optional language-identification gate —
+    a QualityModel trained with feature="char" (hashed char-n-gram
+    logistic regression, the fastText-langid architecture; label 1 =
+    target language); documents scoring below min_lang_p are dropped
+    FIRST among the learned gates, the CCNet pipeline's stage order.
+    Pure per-document function like every other gate, so all three
+    curation paths (batch, incremental, streaming sink) apply it
+    identically through apply_quality_gates.
 
     benchmark_embeddings: optional (id_col-compatible id, embedding)
     frame of BENCHMARK vectors; requires `embeddings` for the corpus
@@ -359,6 +385,8 @@ def curate_corpus(
         _structural_gate(scrubbed, id_col, text_col, min_tokens, min_alpha_ratio),
         id_col,
         text_col,
+        langid_model=langid_model,
+        min_lang_p=min_lang_p,
         repetition_caps=repetition_caps,
         quality_model=quality_model,
         min_quality_p=min_quality_p,

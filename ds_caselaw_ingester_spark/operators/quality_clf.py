@@ -46,10 +46,19 @@ from ds_caselaw_ingester_spark.operators.textstats import tokens, word_ngrams
 __all__ = [
     "QualityModel",
     "hashed_terms",
+    "hashed_char_terms",
     "train_quality_classifier",
     "score_quality",
     "py_hash_idx",
+    "CHAR_NS",
 ]
+
+# char-n-gram sizes for feature="char" (fastText-langid-style): the
+# 1-grams carry script/charset — the strongest language signal — and
+# the 2/3-grams carry orthography/morphology. A module constant, not a
+# parameter: the streaming sink fingerprints gate configs, and a free
+# knob here would have to ride every fingerprint and replay.
+CHAR_NS = (1, 2, 3)
 
 def _hash_idx(term: Column, dim: int) -> Column:
     """md5(term) -> first 13 hex digits -> bigint -> mod dim, via the
@@ -73,6 +82,12 @@ class QualityModel:
     dim: int
     bias: float
     weights: dict[int, float]  # sparse: unobserved features stay 0.0
+    # which feature family the model was trained on — scoring must
+    # featurize identically or the margins are noise:
+    #   "word" — hashed unigrams+bigrams (quality filtering)
+    #   "char" — hashed char 1-3-grams of the lowercased token-joined
+    #            text (language identification)
+    feature: str = "word"
 
 
 def hashed_terms(docs: DataFrame, id_col: str, text_col: str, dim: int) -> DataFrame:
@@ -98,6 +113,46 @@ def hashed_terms(docs: DataFrame, id_col: str, text_col: str, dim: int) -> DataF
             (F.col("_cnt").cast("double") / F.col("_nt")).alias("x"),
         )
     )
+
+
+def hashed_char_terms(
+    docs: DataFrame, id_col: str, text_col: str, dim: int
+) -> DataFrame:
+    """(id, idx, x) sparse feature triples for feature="char": hashed
+    character n-gram (n ∈ CHAR_NS) counts over the LOWERCASED,
+    token-joined text, normalized by the total n-gram count. The
+    canonical text is ' '.join(tokens(text)).lower() — reusing the
+    pinned tokens/py_tokens parity instead of introducing a second
+    trim/normalize convention; spaces stay in the grams because word
+    length and boundary patterns are real language signal. Documents
+    with no grams produce no rows (margin = bias alone), matching
+    hashed_terms."""
+    from ds_caselaw_ingester_spark.operators.textstats import char_ngrams
+
+    canon = F.lower(F.array_join(tokens(F.col(text_col)), " "))
+    grams = F.concat(*[char_ngrams(canon, n) for n in CHAR_NS])
+    exploded = docs.select(F.col(id_col), grams.alias("_terms")).select(
+        id_col, F.explode("_terms").alias("_term"), F.size("_terms").alias("_nt")
+    )
+    return (
+        exploded.groupBy(id_col, _hash_idx(F.col("_term"), dim).alias("idx"))
+        .agg(F.count("*").alias("_cnt"), F.max("_nt").alias("_nt"))
+        .select(
+            id_col,
+            "idx",
+            (F.col("_cnt").cast("double") / F.col("_nt")).alias("x"),
+        )
+    )
+
+
+def _feature_frame(
+    docs: DataFrame, id_col: str, text_col: str, dim: int, feature: str
+) -> DataFrame:
+    if feature == "word":
+        return hashed_terms(docs, id_col, text_col, dim)
+    if feature == "char":
+        return hashed_char_terms(docs, id_col, text_col, dim)
+    raise ValueError(f"unknown feature family {feature!r} (want 'word' or 'char')")
 
 
 def _margins(
@@ -128,16 +183,23 @@ def train_quality_classifier(
     dim: int = 1 << 15,
     iters: int = 20,
     lr: float = 2.0,
+    feature: str = "word",
 ) -> QualityModel:
     """Full-batch logistic GD. label_col must be 0/1. Returns the sparse
     model; every aggregated double is rounded (margin 6, gradient 9,
     weight 8 digits) so an independent replay with the same rounding —
-    numpy, DuckDB — reproduces the weights bit-for-bit."""
+    numpy, DuckDB — reproduces the weights bit-for-bit.
+
+    feature="char" trains on hashed char-n-gram features instead of
+    word features — the fastText-langid architecture (same trainer,
+    different featurizer); label 1 = target language. The model
+    remembers its feature family, so score_quality featurizes to
+    match automatically."""
     labels = docs.select(id_col, F.col(label_col).cast("double").alias("_y"))
     n = labels.count()
     if n == 0:
         raise ValueError("empty training frame")
-    feats = hashed_terms(docs, id_col, text_col, dim).persist()
+    feats = _feature_frame(docs, id_col, text_col, dim, feature).persist()
     feats.count()  # materialize once; every iteration re-reads this frame
 
     weights: dict[int, float] = {}
@@ -164,7 +226,7 @@ def train_quality_classifier(
             weights[r["idx"]] = _round_half_up(w, 8)
         bias = _round_half_up(bias - lr * float(g_bias), 8)
     feats.unpersist()
-    return QualityModel(dim=dim, bias=bias, weights=dict(weights))
+    return QualityModel(dim=dim, bias=bias, weights=dict(weights), feature=feature)
 
 
 def score_quality(
@@ -176,8 +238,11 @@ def score_quality(
 ) -> DataFrame:
     """(id, quality_p): sigmoid of the broadcast-joined margin. One
     explode + two doc-keyed aggregations; the model table is dim-bounded
-    and broadcast."""
-    feats = hashed_terms(docs, id_col, text_col, model.dim)
+    and broadcast. Featurizes per the model's own feature family —
+    scoring a langid model char-hashes, a quality model word-hashes."""
+    feats = _feature_frame(
+        docs, id_col, text_col, model.dim, getattr(model, "feature", "word")
+    )
     m = _margins(feats, id_col, model.weights, model.bias)
     return (
         docs.select(id_col)
@@ -204,34 +269,64 @@ def _round_half_up(x: float, n: int) -> float:
     )
 
 
+def py_features(text: str, dim: int, feature: str = "word") -> "dict[int, float]":
+    """Pure-Python replay of the feature frame for ONE document:
+    {idx: x} with x = count / total terms. Shared by the training
+    replay and the scoring replay so the two cannot fork."""
+    from ds_caselaw_ingester_spark.operators.textstats import (
+        py_char_ngrams,
+        py_tokens,
+    )
+
+    # py_tokens, NOT re \s/str.split(): Python's whitespace classes
+    # are Unicode-aware, the JVM's \s is ASCII-only — a U+00A0 in a
+    # training doc silently broke the replay-exact guarantee
+    toks = py_tokens(text)
+    if feature == "word":
+        terms = toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    elif feature == "char":
+        canon = " ".join(toks).lower()
+        terms = [g for n in CHAR_NS for g in py_char_ngrams(canon, n)]
+    else:
+        raise ValueError(f"unknown feature family {feature!r}")
+    cnt: dict[int, int] = {}
+    for t in terms:
+        idx = py_hash_idx(t, dim)
+        cnt[idx] = cnt.get(idx, 0) + 1
+    return {i: c / len(terms) for i, c in cnt.items()} if terms else {}
+
+
+def py_score(text: str, model: QualityModel) -> float:
+    """Pure-Python replay of score_quality for ONE document: the same
+    margin rounding (6) and probability rounding (6) as the engine."""
+    fx = py_features(text, model.dim, getattr(model, "feature", "word"))
+    margin = (
+        _round_half_up(
+            math.fsum(x * model.weights.get(i, 0.0) for i, x in sorted(fx.items()))
+            + model.bias,
+            6,
+        )
+        if fx
+        else model.bias
+    )
+    return _round_half_up(1.0 / (1.0 + math.exp(-margin)), 6)
+
+
 def py_replay_train(
     rows: list[tuple[int, str, int]],
     dim: int = 1 << 15,
     iters: int = 20,
     lr: float = 2.0,
+    feature: str = "word",
 ) -> QualityModel:
     """Pure-Python replay of train_quality_classifier for the
     replay-exact tests: same tokenization, same hash, same rounding
     schedule, sequential sums. rows = (id, text, label)."""
-    from ds_caselaw_ingester_spark.operators.textstats import py_tokens
-
     feats: dict[int, dict[int, float]] = {}
     ys: dict[int, float] = {}
     for did, text, y in rows:
         ys[did] = float(y)
-        # py_tokens, NOT re \s/str.split(): Python's whitespace classes
-        # are Unicode-aware, the JVM's \s is ASCII-only — a U+00A0 in a
-        # training doc silently broke the replay-exact guarantee
-        toks = py_tokens(text)
-        terms = toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
-        cnt: dict[int, int] = {}
-        for t in terms:
-            idx = py_hash_idx(t, dim)
-            cnt[idx] = cnt.get(idx, 0) + 1
-        if terms:
-            feats[did] = {i: c / len(terms) for i, c in cnt.items()}
-        else:
-            feats[did] = {}
+        feats[did] = py_features(text, dim, feature)
     n = len(rows)
     weights: dict[int, float] = {}
     bias = 0.0
@@ -254,4 +349,4 @@ def py_replay_train(
             )
         g_bias = _round_half_up(math.fsum(resid.values()) / n, 9)
         bias = _round_half_up(bias - lr * g_bias, 8)
-    return QualityModel(dim=dim, bias=bias, weights=weights)
+    return QualityModel(dim=dim, bias=bias, weights=weights, feature=feature)

@@ -127,26 +127,35 @@ def _quality_fingerprint(qg: "dict | None") -> "str | None":
     import hashlib
     import json
 
+    def _model_digest(m) -> str:
+        payload = [
+            int(m.dim),
+            round(float(m.bias), 12),
+            sorted(
+                (int(k), round(float(v), 12)) for k, v in m.weights.items()
+            ),
+        ]
+        # the feature family changes what the model MEANS; appended
+        # only when non-default so pre-existing "word" fingerprints
+        # stay valid across this upgrade
+        feature = getattr(m, "feature", "word")
+        if feature != "word":
+            payload.append(feature)
+        return hashlib.md5(json.dumps(payload).encode()).hexdigest()
+
     canon: dict = {}
     caps = qg.get("repetition_caps")
     if caps:
         canon["repetition_caps"] = sorted(
             (k, float(v)) for k, v in caps.items()
         )
+    lg = qg.get("langid_model")
+    if lg is not None:
+        canon["langid_model"] = _model_digest(lg)
+        canon["min_lang_p"] = float(qg.get("min_lang_p", 0.5))
     qm = qg.get("quality_model")
     if qm is not None:
-        canon["quality_model"] = hashlib.md5(
-            json.dumps(
-                [
-                    int(qm.dim),
-                    round(float(qm.bias), 12),
-                    sorted(
-                        (int(k), round(float(v), 12))
-                        for k, v in qm.weights.items()
-                    ),
-                ]
-            ).encode()
-        ).hexdigest()
+        canon["quality_model"] = _model_digest(qm)
         canon["min_quality_p"] = float(qg.get("min_quality_p", 0.5))
     lm = qg.get("lm_logp")
     if lm is not None:
@@ -480,9 +489,10 @@ def apply_curation_batch(
     view, which would understate it).
 
     quality_gates: optional dict forwarded to
-    operators/curation.py apply_quality_gates (repetition_caps,
-    quality_model + min_quality_p, lm_logp + max_ppl +
-    lm_max_piece_len) — the batch composite's per-document gates,
+    operators/curation.py apply_quality_gates (langid_model +
+    min_lang_p, repetition_caps, quality_model + min_quality_p,
+    lm_logp + max_ppl + lm_max_piece_len) — the batch composite's
+    per-document gates,
     applied between the structural gate and banding so the stream
     curates to the SAME standard as the nightly recompute. Each gate
     is a pure per-document function, so incremental application stays
