@@ -69,27 +69,52 @@ def connected_components(
     sym_rows = 2 * e.count()  # one pass materialises the pair pipeline
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     p = min(cur, max(1, (sym_rows + 99_999) // 100_000))
+
+    # The small shuffle-partition count must come from the session conf:
+    # it is the ONLY way to right-size the loop's aggregation exchanges
+    # without losing map-side partial aggregation (an explicit pre-agg
+    # repartition would satisfy the grouping's distribution and shuffle
+    # RAW E+V rows instead of combined partials — strictly worse at
+    # scale). The conf lives in a LOOP-SCOPED session (newSession: same
+    # SparkContext, shared cache blocks, isolated SQLConf), so a caller
+    # planning other queries concurrently never sees mis-sized
+    # exchanges — the r9-verdict watch item. The materialised edge list
+    # crosses into the loop session as a LogicalRDD over its execution
+    # RDD (reads straight through `e`'s cache; no data movement), and
+    # the symmetrised list is rebuilt there with an explicit
+    # repartition(p, src) + persist, so the cached frame carries the
+    # hash partitioning the per-round joins reuse — the plan shapes are
+    # unchanged (pinned in tests/test_plan_shapes.py). Caches are
+    # released in finally so a non-converging raise cannot leak the
+    # O(E) edge frames.
+    loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", str(p))
+    e_loop = DataFrame(
+        loop._jsparkSession.internalCreateDataFrame(
+            e._jdf.queryExecution().toRdd(), e._jdf.schema(), False
+        ),
+        loop,
+    )
     sym = (
-        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e_loop.unionAll(
+            e_loop.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         .repartition(p, "src")
         .persist()
     )
-
-    # The conf flip is the ONLY way to right-size the loop's aggregation
-    # exchanges without losing map-side partial aggregation (an explicit
-    # pre-agg repartition would satisfy the grouping's distribution and
-    # shuffle RAW E+V rows instead of combined partials — strictly worse
-    # at scale). It only ever LOWERS the count, is restored in finally,
-    # and assumes the session is not PLANNING other queries concurrently
-    # during the loop (true for this engine's serial bench/driver/test
-    # execution; a multi-tenant session should run CC in its own
-    # SparkSession). Caches are released in the same finally so a
-    # non-converging raise cannot leak the O(E) edge frames.
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(p))
         labels = _min_label_loop(sym, max_iter)
+        # re-parent the (localCheckpointed) labels into the CALLER's
+        # session so downstream joins plan under the caller's conf
+        labels = DataFrame(
+            spark._jsparkSession.internalCreateDataFrame(
+                labels._jdf.queryExecution().toRdd(),
+                labels._jdf.schema(),
+                False,
+            ),
+            spark,
+        )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(cur))
         e.unpersist()
         sym.unpersist()
     return labels

@@ -221,6 +221,7 @@ def curate_corpus(
     keeper_score_col: "str | None" = None,
     langid_model=None,
     min_lang_p: float = 0.5,
+    pca_model: "dict | None" = None,
 ) -> DataFrame:
     """(id, chunk_index, chunk_text, n_chunk_tokens) for the curated
     corpus: scrubbed text, quality-gated, optionally decontaminated
@@ -291,6 +292,14 @@ def curate_corpus(
     paraphrase-level overlap the exact-gram check cannot see.
     Documents with no embedding row cannot be judged and survive,
     matching the SemDeDup stage's documented convention.
+
+    pca_model: optional pca_fit output; when set, the SemDeDup stage
+    projects the survivors' embeddings map-side (operators/pca.py
+    pca_project — plan-literal matrix, no shuffle) before quantizer
+    training and the pair search, cutting the stage's shuffled bytes
+    by dim/k with the module's measured recall trade. Pure
+    deterministic map, so the composite with (raw embeddings +
+    pca_model) equals the composite fed pre-projected embeddings.
 
     boilerplate_min_df: optional paragraph-level boilerplate cut
     (operators/dedup.py common_paragraphs + strip_common_paragraphs)
@@ -446,6 +455,22 @@ def curate_corpus(
         vecs = keepers.select(id_col).join(embeddings, id_col).select(
             id_col, F.col("embedding").cast("array<double>").alias("_v")
         )
+        if pca_model is not None:
+            from ds_caselaw_ingester_spark.operators.pca import pca_project
+
+            # map-side projection BEFORE the semantic stage: quantizer
+            # training and the cell-bounded pair search then shuffle
+            # k-dim vectors instead of dim-dim (the pca.py 4× cut).
+            # Deterministic pure map, so recompute-equivalence holds by
+            # construction: this composite with (raw embeddings +
+            # pca_model) is definitionally identical to the same
+            # composite fed pre-projected embeddings — pinned in
+            # tests/test_pca.py. The dedup DECISIONS are made in the
+            # projected space; the recall trade is the module's
+            # measured contract.
+            vecs = pca_project(vecs, "_v", pca_model, out_col="_p").select(
+                id_col, F.col("_p").alias("_v")
+            )
         n_vecs = vecs.count()
         if n_vecs:
             k = min(semdedup_k, n_vecs)

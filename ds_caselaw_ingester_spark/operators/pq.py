@@ -46,10 +46,22 @@ def pq_fit(
     max_iter: int = 3,
     round_centroids: "int | None" = 6,
     round_digits: int = 4,
+    pca_model: "dict | None" = None,
 ) -> dict:
     """Train one codebook per subspace. Returns
     {"m", "k", "subdim", "books": books} where books[s][c] is the
     c-th codeword (list of floats) of subspace s.
+
+    pca_model: optional pca_fit output. When set, training runs over
+    the PCA-projected vectors and the model RIDES IN THE CODEBOOK
+    ("pca" key): pq_encode and the ADC query path then project their
+    inputs map-side automatically, so the whole PQ stack operates in
+    the reduced space with no caller-side bookkeeping — each subspace
+    quantizes a slice of a variance-ordered basis (the OPQ-lite
+    composition tests/test_pca.py measures). The exact-rerank tail
+    deliberately stays in the ORIGINAL space (it re-joins raw float
+    vectors — rerank exists to undo quantization error, so it should
+    not inherit the projection's).
 
     The m subproblems are independent, so they train JOINTLY: the sample
     explodes once into (id, subspace, subvector) rows and every Lloyd
@@ -64,6 +76,7 @@ def pq_fit(
     per-dimension means rounded to `round_centroids`, empty cells keep
     their codeword. Like the IVF quantizer, production fits on a corpus
     sample and encodes everything."""
+    vectors = _maybe_project({"pca": pca_model}, vectors, vec_col)
     init_rows = vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(f"pq_fit: need at least k={k} vectors, got {len(init_rows)}")
@@ -155,7 +168,26 @@ def pq_fit(
             ]
     finally:
         sub.unpersist()
-    return {"m": m, "k": k, "subdim": subdim, "books": books}
+    out = {"m": m, "k": k, "subdim": subdim, "books": books}
+    if pca_model is not None:
+        out["pca"] = pca_model
+    return out
+
+
+def _maybe_project(codebook: dict, df: DataFrame, vec_col: str) -> DataFrame:
+    """Project `vec_col` through the codebook's embedded PCA model (if
+    any), keeping the column name — ONE definition on every PQ input
+    edge (fit, encode, ADC queries) so no path can score raw dims
+    against a reduced-space codebook."""
+    model = codebook.get("pca")
+    if model is None:
+        return df
+    from ds_caselaw_ingester_spark.operators.pca import pca_project
+
+    other = [c for c in df.columns if c != vec_col]
+    return pca_project(df, vec_col, model, out_col="_pca_tmp").select(
+        *other, F.col("_pca_tmp").alias(vec_col)
+    )
 
 
 def _flat_codewords(codebook: dict) -> "list[float]":
@@ -173,7 +205,10 @@ def _adc_query_frame(queries: DataFrame, codebook: dict) -> DataFrame:
     ONCE per query row. Callers that fan queries out (one row per
     probed IVF cell) must join THIS frame by q_id rather than project
     the LUT after the fan-out — otherwise the m*k*subdim fold reruns
-    nprobe times per query."""
+    nprobe times per query. Queries are PCA-projected first when the
+    codebook carries a model (qv/qv_norm then live in the reduced
+    space, pairing with recon_norm)."""
+    queries = _maybe_project(codebook, queries, "qv")
     m, kk, subdim = codebook["m"], codebook["k"], codebook["subdim"]
     CW = _lit_double_array(_flat_codewords(codebook))
     qv = F.col("qv")
@@ -262,7 +297,9 @@ def pq_encode(
     CollapseProject inlines into every downstream reference — an ADC
     scorer reads it m+1 times and the combined plan pays ~10x in
     optimizer/codegen (measured, plans/queries_similarity.py
-    pq_adc_topk)."""
+    pq_adc_topk). A codebook carrying a PCA model projects the input
+    map-side first (see pq_fit) — still join-free, one scan."""
+    df = _maybe_project(codebook, df, vec_col)
     m, k, subdim = codebook["m"], codebook["k"], codebook["subdim"]
     books = codebook["books"]
     CW = _lit_double_array(_flat_codewords(codebook))

@@ -667,6 +667,7 @@ def ivf_topk(
     k: int = 10,
     nprobe: int = 2,
     round_digits: int = 4,
+    pca_model: "dict | None" = None,
 ) -> DataFrame:
     """IVF-style ANN: candidates are partitioned into centroid cells
     (inverted file); each query probes only its `nprobe` nearest cells.
@@ -676,8 +677,27 @@ def ivf_topk(
     equi-join on centroid_id — candidate work per query drops from n to
     ~n·nprobe/num_centroids. The cell id is also the natural partitioning/
     clustering key for a stored index at 100 TB.
+
+    pca_model: optional pca_fit output — BOTH sides are projected
+    map-side before assignment and scoring, so the probe join shuffles
+    k-dim candidate vectors instead of dim-dim (the pca.py cut).
+    `centroids` must then be trained in the SAME projected space (fit
+    kmeans on pca_project output); scores are reduced-space cosines
+    with the module's measured recall trade.
     """
     from pyspark.sql import Window
+
+    if pca_model is not None:
+        from ds_caselaw_ingester_spark.operators.pca import pca_project
+
+        queries = pca_project(queries, "qv", pca_model, out_col="_p").select(
+            *[c for c in queries.columns if c != "qv"], F.col("_p").alias("qv")
+        )
+        candidates = pca_project(
+            candidates, "cv", pca_model, out_col="_p"
+        ).select(
+            *[c for c in candidates.columns if c != "cv"], F.col("_p").alias("cv")
+        )
 
     # collect the (small) quantizer ONCE; both assign calls embed the same
     # literals — one driver job instead of two. Accepts kmeans_fit's

@@ -171,6 +171,10 @@ def _quality_fingerprint(qg: "dict | None") -> "str | None":
 EPOCH_COL = "epoch"
 BUCKET_COL = "bucket"
 DEFAULT_BUCKETS = 64
+# first-batch auto-sizing margin (the SemDeDup sink's convention): size
+# the bucket count for a corpus ~this many times the bootstrap batch,
+# since n_buckets is pinned for the index's life by the layout sidecar
+BOOTSTRAP_GROWTH = 10.0
 
 
 def _gate_pin(
@@ -295,6 +299,35 @@ def _check_layout(
                 "migrate_index_to_bucketed(spark, index_path, n_buckets) "
                 "once (quiesced stream), then restart."
             )
+
+
+def _resolve_n_buckets(
+    batch: DataFrame, local: str, bootstrap_growth: float
+) -> int:
+    """n_buckets="auto" resolution (mirrors the SemDeDup sink's
+    _resolve_centroids): an already-pinned layout wins — the count is
+    fixed for the index's life — otherwise the FIRST batch derives it
+    from its own size × the growth margin via the block-sized rule
+    (sizing.curation_n_buckets), so production callers land on the
+    measured sweet spot without reading docs/SCALE.md."""
+    meta = _read_json(_layout_path(local))
+    if meta is not None:
+        return int(meta["n_buckets"])
+    if _epoch_values(local):
+        # epoch dirs without the sidecar: someone restored/copied the
+        # index directory alone. Auto-deriving a fresh count here would
+        # probe history bucketed under an unknown B — raise like the
+        # SemDeDup sink's missing-quantizer guard; an explicit
+        # n_buckets (the value it was built with) still works.
+        raise ValueError(
+            f"{local} holds committed epochs but no layout sidecar at "
+            f"{_layout_path(local)}; n_buckets='auto' cannot recover "
+            "the original bucket count. Pass the explicit n_buckets "
+            "the index was built with, or rebuild it."
+        )
+    from ds_caselaw_ingester_spark.operators.sizing import curation_n_buckets
+
+    return curation_n_buckets(int(batch.count() * bootstrap_growth))
 
 
 def _pin_layout(
@@ -468,9 +501,10 @@ def apply_curation_batch(
     chunk_tokens: int = 128,
     overlap: int = 16,
     epoch_id: int = 0,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: "int | str" = DEFAULT_BUCKETS,
     use_seq: bool = True,
     quality_gates: "dict | None" = None,
+    bootstrap_growth: float = BOOTSTRAP_GROWTH,
 ) -> None:
     """One micro-batch: curate `batch` against every earlier epoch's
     band rows (pruned to the batch's own touched buckets), overwrite
@@ -522,6 +556,12 @@ def apply_curation_batch(
     # maintenance run, with nothing on the hot path healing it)
     recover_buckets(local, prefix=f"{EPOCH_COL}=")
     recover_buckets(_local(chunks_path), prefix=f"{EPOCH_COL}=")
+    if isinstance(n_buckets, str):
+        if n_buckets != "auto":
+            raise ValueError(
+                f"n_buckets must be an int or 'auto', got {n_buckets!r}"
+            )
+        n_buckets = _resolve_n_buckets(batch, local, bootstrap_growth)
     key_mode = "seq" if use_seq else "id"
     gate = _gate_pin(min_tokens, min_alpha_ratio, quality_gates)
     _check_layout(local, n_buckets, key_mode, gate)
@@ -941,12 +981,34 @@ def run_curation_stream(
     min_alpha_ratio: float = 0.5,
     chunk_tokens: int = 128,
     overlap: int = 16,
-    n_buckets: int = DEFAULT_BUCKETS,
+    n_buckets: "int | str" = DEFAULT_BUCKETS,
     use_seq: bool = True,
     quality_gates: "dict | None" = None,
+    projected_docs: "int | None" = None,
+    bootstrap_growth: float = BOOTSTRAP_GROWTH,
 ):
     """Materialize a document stream as a continuously-curated chunk
-    log plus the maintained band index."""
+    log plus the maintained band index.
+
+    n_buckets="auto" sizes the band log's bucket count from the
+    block-sized rule (sizing.curation_n_buckets) instead of a fixed
+    knob: from `projected_docs` when the caller knows the corpus the
+    stream will grow into (resolved here, before the first batch), or
+    from the first batch's size × `bootstrap_growth` otherwise (the
+    SemDeDup bootstrap convention). Either way the count is pinned by
+    the layout sidecar at first write and fixed for the index's life;
+    restarts load the pinned value."""
+    if projected_docs is not None:
+        if n_buckets != "auto":
+            raise ValueError(
+                "projected_docs only applies with n_buckets='auto' "
+                "(an explicit bucket count would silently override it)"
+            )
+        from ds_caselaw_ingester_spark.operators.sizing import (
+            curation_n_buckets,
+        )
+
+        n_buckets = curation_n_buckets(projected_docs)
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         apply_curation_batch(
@@ -963,6 +1025,7 @@ def run_curation_stream(
             n_buckets=n_buckets,
             use_seq=use_seq,
             quality_gates=quality_gates,
+            bootstrap_growth=bootstrap_growth,
         )
 
     return (

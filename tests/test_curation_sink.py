@@ -638,3 +638,83 @@ def test_compaction_refuses_lost_sidecar(spark, tmp_path):
     # the documented recovery unblocks it
     rebuild_index_meta(spark, idx, SEQ_COL)
     assert compact_index_epochs(spark, idx, upto_epoch=99) == 2
+
+
+def test_auto_n_buckets_bootstraps_and_pins(spark, tmp_path):
+    """n_buckets='auto' (r9 queue #4): the first batch derives the
+    bucket count from its own size × BOOTSTRAP_GROWTH via the
+    block-sized sizing rule and pins it in the layout sidecar; later
+    'auto' batches load the pinned value instead of re-deriving; keep
+    decisions match the fixed-count runs."""
+    import json
+
+    from ds_caselaw_ingester_spark.operators.sizing import curation_n_buckets
+    from ds_caselaw_ingester_spark.streaming.curation_sink import (
+        BOOTSTRAP_GROWTH,
+        _layout_path,
+    )
+
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    _apply(spark, EPOCH0, idx, chk, 0, n_buckets="auto")
+    want = curation_n_buckets(int(len(EPOCH0) * BOOTSTRAP_GROWTH))
+    with open(_layout_path(idx)) as f:
+        assert json.load(f)["n_buckets"] == want
+    _apply(spark, EPOCH1, idx, chk, 1, n_buckets="auto")
+    with open(_layout_path(idx)) as f:
+        assert json.load(f)["n_buckets"] == want
+    for e in range(2):
+        assert _kept(spark, chk, e) == EXPECT_KEPT[e], f"epoch {e}"
+
+
+def test_auto_n_buckets_refuses_unpinned_history(spark, tmp_path):
+    """'auto' over an index with committed epochs but no layout sidecar
+    must raise (re-deriving a fresh count would probe history bucketed
+    under an unknown B), while the explicit original count still
+    works — the SemDeDup missing-quantizer guard, transplanted."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from ds_caselaw_ingester_spark.streaming.curation_sink import _layout_path
+
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    _apply(spark, EPOCH0, idx, chk, 0, n_buckets=8)
+    _os.remove(_layout_path(idx))
+    with _pytest.raises(ValueError, match="no layout sidecar"):
+        _apply(spark, EPOCH1, idx, chk, 1, n_buckets="auto")
+    # the documented recovery: pass the explicit original count
+    _apply(spark, EPOCH1, idx, chk, 1, n_buckets=8)
+    assert _kept(spark, chk, 1) == EXPECT_KEPT[1]
+
+
+def test_auto_n_buckets_from_projected_docs(spark, tmp_path):
+    """run_curation_stream(n_buckets='auto', projected_docs=N) resolves
+    the bucket count from the sizing rule BEFORE the first batch — the
+    grow-into-corpus path — and pins it in the sidecar."""
+    import json
+
+    from ds_caselaw_ingester_spark.operators.sizing import curation_n_buckets
+    from ds_caselaw_ingester_spark.streaming.curation_sink import _layout_path
+
+    src = str(tmp_path / "src")
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+    projected = 500_000_000  # a corpus the floor rule does NOT flatten
+    want = curation_n_buckets(projected)
+    assert want > 8  # non-vacuous: proves the rule, not the floor
+    with _few_shuffle_partitions(spark):
+        _df(spark, EPOCH0).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id string, text string")
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(src)
+        )
+        q = run_curation_stream(
+            stream, idx, chk, ckpt, n_buckets="auto",
+            projected_docs=projected, **CHUNK_KW,
+        )
+        q.awaitTermination(120)
+        q.stop()
+    with open(_layout_path(idx)) as f:
+        assert json.load(f)["n_buckets"] == want
+    assert _kept(spark, chk, 0) == EXPECT_KEPT[0]

@@ -236,3 +236,146 @@ def test_pca_pq_composition_recall(spark, emb):
     # isolated claim is the basis ordering, pinned by the strict >)
     assert rec_pca >= 0.2, (rec_pca, rec_trunc)
     assert rec_pca > rec_trunc, (rec_pca, rec_trunc)
+
+
+def test_curate_corpus_pca_equals_preprojected(spark, emb):
+    """The r9 queue #3 plumbing contract: curate_corpus(embeddings=raw,
+    pca_model=m) must equal the same composite fed manually
+    pre-projected embeddings — the map-side projection changes WHERE
+    the reduction happens (inside the stage, before any shuffle), not
+    WHAT is computed. Planted near-identical vectors make the semantic
+    stage non-vacuous (cosine is scale-invariant, so planted pairs
+    survive the projection)."""
+    from ds_caselaw_ingester_spark.operators.curation import curate_corpus
+
+    base = emb.where(F.col("vec_id") < 120)
+    planted = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("v"), lambda c: c * F.lit(1.001)).alias("v"),
+    )
+    vecs = base.unionByName(planted)
+    filler = " alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = vecs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.concat(
+            F.lit("document body number "),
+            F.col("vec_id").cast("string"),
+            F.lit(filler),
+        ).alias("text"),
+    )
+    embeddings = vecs.select(
+        F.col("vec_id").alias("doc_id"), F.col("v").alias("embedding")
+    )
+    m = pca_fit(vecs, "v", DIM, k=16)
+
+    def chunks(emb_frame, **kw):
+        out = curate_corpus(
+            docs, min_tokens=4, min_alpha_ratio=0.3, chunk_tokens=32,
+            overlap=0, embeddings=emb_frame, semdedup_k=4,
+            semdedup_threshold=0.95, **kw,
+        )
+        return {(r["doc_id"], r["chunk_index"], r["chunk_text"]) for r in out.collect()}
+
+    got = chunks(embeddings, pca_model=m)
+    pre = pca_project(embeddings, "embedding", m, out_col="_p").select(
+        "doc_id", F.col("_p").alias("embedding")
+    )
+    want = chunks(pre)
+    assert got == want and got
+    # the semantic stage actually fired: planted near-identical copies
+    # collapsed (each planted pair keeps one member)
+    kept = {d for d, _, _ in got}
+    dropped_planted = {v + 100000 for v in range(0, 120, 10)} - kept
+    assert dropped_planted, "semantic stage was vacuous"
+
+
+def test_pq_stack_carries_pca_model(spark, emb):
+    """pq_fit(pca_model=...) embeds the model in the codebook; encode
+    and ADC query paths then project automatically and match the
+    manual pre-projection pipeline bit-for-bit; save/load round-trips
+    the embedded model."""
+    from ds_caselaw_ingester_spark.operators.pq import (
+        load_index,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+        save_index,
+    )
+
+    vecs = emb.where(F.col("vec_id") < 300).select("vec_id", "v")
+    m = pca_fit(vecs, "v", DIM, k=32)
+    proj = pca_project(vecs, "v", m, out_col="p").select(
+        "vec_id", F.col("p").alias("v")
+    )
+
+    book_auto = pq_fit(vecs, "v", "vec_id", m=8, k=16, pca_model=m)
+    book_manual = pq_fit(proj, "v", "vec_id", m=8, k=16)
+    assert book_auto["books"] == book_manual["books"]
+    assert book_auto["pca"] == m
+
+    enc_auto = pq_encode(vecs, "v", "vec_id", book_auto)
+    enc_manual = pq_encode(proj, "v", "vec_id", book_manual)
+    a = {r["vec_id"]: (r["codes"], r["recon_norm"]) for r in enc_auto.collect()}
+    b = {r["vec_id"]: (r["codes"], r["recon_norm"]) for r in enc_manual.collect()}
+    assert a == b
+
+    enc = enc_auto.select(
+        F.col("vec_id").alias("c_id"), "codes", "recon_norm"
+    ).localCheckpoint(eager=True)
+    q_raw = vecs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    q_proj = proj.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    top_auto = {
+        (r["q_id"], r["c_id"], r["cosine_adc"])
+        for r in pq_topk(q_raw, enc, book_auto, k=5).collect()
+    }
+    top_manual = {
+        (r["q_id"], r["c_id"], r["cosine_adc"])
+        for r in pq_topk(q_proj, enc, book_manual, k=5).collect()
+    }
+    assert top_auto == top_manual and top_auto
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        save_index(d, book_auto)
+        loaded, _ = load_index(d)
+        assert loaded["pca"] == m
+
+
+def test_ivf_topk_pca_projects_both_sides(spark, emb):
+    """ivf_topk(pca_model=...) equals the manual projected pipeline:
+    same centroids (trained in the projected space), same probes, same
+    reduced-space cosines."""
+    from ds_caselaw_ingester_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    vecs = emb.where(F.col("vec_id") < 300)
+    m = pca_fit(vecs, "v", DIM, k=16)
+    proj = pca_project(vecs, "v", m, out_col="p").select(
+        "vec_id", F.col("p").alias("v")
+    )
+    cents = kmeans_fit(proj, "v", "vec_id", k=4, max_iter=2)
+
+    def q(df):
+        return df.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+
+    def c(df):
+        return df.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+
+    got = {
+        (r["q_id"], r["c_id"], r["cosine"])
+        for r in ivf_topk(q(vecs), c(vecs), cents, k=5, nprobe=2, pca_model=m).collect()
+    }
+    want = {
+        (r["q_id"], r["c_id"], r["cosine"])
+        for r in ivf_topk(q(proj), c(proj), cents, k=5, nprobe=2).collect()
+    }
+    assert got == want and got

@@ -233,18 +233,37 @@ def test_decontam_flags_broadcasts_benchmark_grams(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_connected_components_restores_shuffle_partitions(spark):
-    """The CC loop temporarily right-sizes spark.sql.shuffle.partitions;
-    it must restore the session value even though the loop ran with a
-    different one (same hygiene bar as the events reader's legacy
-    conf)."""
+def test_connected_components_never_touches_caller_conf(spark):
+    """r10: the CC loop right-sizes spark.sql.shuffle.partitions in a
+    LOOP-SCOPED session (spark.newSession), so the caller's conf is not
+    merely restored — it is never written at all, even mid-loop. Pin
+    that by making conf.set on the CALLER session raise for the key."""
     from ds_caselaw_ingester_spark.operators.cluster import connected_components
 
     before = spark.conf.get("spark.sql.shuffle.partitions")
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
     )
-    connected_components(edges).collect()
+    real_set = spark.conf.set
+
+    def guarded_set(key, value):
+        assert key != "spark.sql.shuffle.partitions", (
+            "CC loop wrote the caller session's shuffle-partition conf"
+        )
+        return real_set(key, value)
+
+    spark.conf.set = guarded_set
+    try:
+        got = connected_components(edges)
+        # the result must be consumable from the CALLER session: joins
+        # against caller-session frames plan under the caller's conf
+        nodes = spark.createDataFrame([(1,), (3,), (8,)], "node long")
+        joined = {
+            (r["node"], r["component"]) for r in got.join(nodes, "node").collect()
+        }
+        assert joined == {(1, 1), (3, 1), (8, 7)}
+    finally:
+        spark.conf.set = real_set
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
