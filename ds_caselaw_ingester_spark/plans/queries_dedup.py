@@ -277,7 +277,8 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# neardup_quality_keepers — keep the BEST member per cluster (unregistered:
+# neardup_quality_keepers — keep the BEST member per cluster (registered
+# round 10 — see rotation note on the decorator; previously unregistered:
 # the cluster computation is registry-covered by neardup_clusters; the
 # keeper-rule variant keeps a full end-to-end oracle gate here and in
 # tests/test_oracle_parity.py so the composition cannot silently rot)
@@ -349,6 +350,22 @@ FROM scored s JOIN keep k USING (component)
 """
 
 
+@register(
+    "neardup_quality_keepers",
+    NEARDUP_QUALITY_KEEPERS_ORACLE,
+    doc="Quality-aware keep-one over the REAL near-dup pipeline "
+    "(shingle → minhash → LSH bands → connected components → arg-max-"
+    "score keeper, operators/cluster.py quality_keep_one): each "
+    "component keeps its longest member, ties → min id — the dedup "
+    "decision a production corpus actually ships. Round-10 rotation: "
+    "took hybrid_search's slot (its single-query RRF shape is a strict "
+    "subset of the registered hybrid_search_multi; it keeps an "
+    "identical pytest DuckDB gate). Scale shape: the keeper is ONE "
+    "min(struct(-score, id)) aggregation — the shuffle carries combined "
+    "partials, never raw membership (partial_min pinned in "
+    "tests/test_plan_shapes.py).",
+    survey_ops=("ext:dedup-keep-one",),
+)
 def q_neardup_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 

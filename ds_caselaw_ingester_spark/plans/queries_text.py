@@ -612,18 +612,14 @@ LIMIT {_HYBRID_K}
 """
 
 
-@register(
-    "hybrid_search",
-    hybrid_search_oracle(),
-    doc="Hybrid retrieval: the BM25 lexical shortlist and a dense cosine "
-    "shortlist (query = document 0's embedding; vec_id==doc_id in this "
-    "corpus) fused with reciprocal-rank fusion (Cormack et al. 2009). "
-    "Scale shape: both scorers are corpus-pruned top-k plans, and the "
-    "fusion moves only the two k-row shortlists — one tiny union + "
-    "groupBy, never the corpus. Scores are micro-rounded reciprocal "
-    "sums — order-stable integers, engine-exact vs DuckDB.",
-    survey_ops=("ext:search-hybrid",),
-)
+# UNREGISTERED (round 10): gave up its registry slot to
+# neardup_quality_keepers (queries_dedup.py) under the driver's 50-row
+# cap. The single-query BM25+dense RRF shape is a strict subset of the
+# REGISTERED hybrid_search_multi (one corpus pass, per-query shortlists,
+# identical rrf_fuse semantics), and this exact query keeps an identical
+# pytest DuckDB gate in tests/test_oracle_parity.py
+# (test_unregistered_hybrid_search_matches_oracle). ext:search-hybrid
+# coverage rides hybrid_search_multi.
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 + dense cosine shortlists → RRF top-15 (operators/search.py
     rrf_fuse; single-query lists, so query_col=None with its duplicate-

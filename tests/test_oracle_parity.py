@@ -52,20 +52,19 @@ def test_unregistered_distinct_agg_matches_oracle(spark, sf_dir):
     assert res.spark_rows > 0
 
 
-def test_unregistered_quality_keepers_match_oracle(spark, sf_dir):
-    """neardup_quality_keepers is unregistered (the cluster computation
-    is registry-covered by neardup_clusters) but the best-copy keeper
-    rule composed end-to-end over the real pipeline keeps a full oracle
-    gate: same recursive-CTE components, keeper = arg max text length
-    with min-id ties (organic exact duplicates exercise the tie-break)."""
-    from ds_caselaw_ingester_spark.plans.queries_dedup import (
-        NEARDUP_QUALITY_KEEPERS_ORACLE,
-        q_neardup_quality_keepers,
+def test_unregistered_hybrid_search_matches_oracle(spark, sf_dir):
+    """hybrid_search gave up its registry slot in round 10 to
+    neardup_quality_keepers (its single-query RRF shape is a strict
+    subset of the registered hybrid_search_multi) but keeps the same
+    oracle gate here so the single-query fusion path cannot silently
+    rot."""
+    from ds_caselaw_ingester_spark.plans.queries_text import (
+        hybrid_search_oracle,
+        q_hybrid_search,
     )
 
     res = check_query(
-        spark, sf_dir, "neardup_quality_keepers", q_neardup_quality_keepers,
-        NEARDUP_QUALITY_KEEPERS_ORACLE,
+        spark, sf_dir, "hybrid_search", q_hybrid_search, hybrid_search_oracle()
     )
     assert res.ok, res.detail
     assert res.spark_rows > 0
