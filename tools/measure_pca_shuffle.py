@@ -61,6 +61,10 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
