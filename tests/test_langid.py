@@ -167,3 +167,106 @@ def test_sink_fingerprint_pins_langid(spark):
     assert _quality_fingerprint({"quality_model": word_m}) == _quality_fingerprint(
         {"quality_model": legacy_equivalent}
     )
+
+
+def test_char_score_matches_duckdb_oracle(spark, sf_dir):
+    """Char-feature scoring with a pinned sparse model over the real
+    documents table must hash-match a DuckDB replay — the same contract
+    the word-feature scorer pins (test_quality_clf.py), extended to the
+    char 1-3-gram featurizer: same lowercased token-joined canon text,
+    same md5 hash, same rounding."""
+    import duckdb
+
+    model = QualityModel(
+        dim=4096,
+        bias=0.1,
+        weights={3: 2.0, 777: -1.25, 2047: 0.5, 4001: -0.75},
+        feature="char",
+    )
+    got = {
+        r["doc_id"]: r["quality_p"]
+        for r in score_quality(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+            model,
+        ).collect()
+    }
+    vals = ", ".join(f"({i}, {w!r})" for i, w in sorted(model.weights.items()))
+    sql = f"""
+WITH base AS (
+  SELECT doc_id,
+         lower(array_to_string(
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), ' '
+         )) AS c
+  FROM read_parquet('{sf_dir}/documents.parquet')
+),
+grams AS (
+  SELECT doc_id,
+         list_concat(list_concat(
+           list_transform(generate_series(1, length(c)), i -> substr(c, i, 1)),
+           CASE WHEN length(c) >= 2
+                THEN list_transform(generate_series(1, length(c) - 1), i -> substr(c, i, 2))
+                ELSE []::VARCHAR[] END),
+           CASE WHEN length(c) >= 3
+                THEN list_transform(generate_series(1, length(c) - 2), i -> substr(c, i, 3))
+                ELSE []::VARCHAR[] END) AS t
+  FROM base
+),
+feat AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(u.term), 1, 13))::BIGINT % 4096 AS INTEGER) AS idx,
+         CAST(count(*) AS DOUBLE) / max(len(t)) AS x
+  FROM grams, unnest(t) AS u(term)
+  GROUP BY doc_id, idx
+),
+margin AS (
+  SELECT f.doc_id, round(sum(f.x * w.w) + 0.1, 6) AS m
+  FROM feat f JOIN (VALUES {vals}) AS w(idx, w) ON f.idx = w.idx
+  GROUP BY f.doc_id
+)
+SELECT b.doc_id,
+       round(1.0 / (1.0 + exp(-coalesce(m.m, 0.1))), 6) AS quality_p
+FROM base b LEFT JOIN margin m USING (doc_id)
+"""
+    want = dict(duckdb.sql(sql).fetchall())
+    assert got == want and got
+
+
+def test_streaming_sink_applies_langid_gate(spark, tmp_path):
+    """Integration: the curation sink with a langid gate in
+    quality_gates drops foreign documents from the stream exactly as
+    the batch composite would, and a restart with a DIFFERENT langid
+    threshold refuses via the pinned gate fingerprint."""
+    import pytest as _pytest
+
+    from ds_caselaw_ingester_spark.streaming.curation_sink import (
+        apply_curation_batch,
+    )
+
+    model = _train(spark)
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    filler = " one two three four five six seven eight"
+    rows = (
+        [(f"en-{i}", t + filler) for i, t in enumerate(HELDOUT_EN + ENGLISH[:2])]
+        + [(f"de-{i}", t + filler) for i, t in enumerate(HELDOUT_DE + GERMANIC[:2])]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    gates = {"langid_model": model, "min_lang_p": 0.5}
+    apply_curation_batch(
+        docs, idx, chk, min_tokens=4, min_alpha_ratio=0.3,
+        chunk_tokens=16, overlap=4, epoch_id=0, n_buckets=8,
+        quality_gates=gates,
+    )
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{chk}/epoch=0").select("doc_id").collect()
+    }
+    assert kept and all(d.startswith("en-") for d in kept), sorted(kept)
+    # drift: a different threshold is a different gate — must refuse
+    with _pytest.raises(ValueError, match="gate params"):
+        apply_curation_batch(
+            docs, idx, chk, min_tokens=4, min_alpha_ratio=0.3,
+            chunk_tokens=16, overlap=4, epoch_id=1, n_buckets=8,
+            quality_gates={"langid_model": model, "min_lang_p": 0.9},
+        )

@@ -348,8 +348,12 @@ def test_hybrid_search_fusion_is_shortlist_bounded(spark, sf_dir):
     """The RRF fusion must never touch corpus-sized data: both scorers
     end in a TakeOrderedAndProject top-k (per-partition heap, no global
     sort shuffle), and the dense scorer's query side broadcasts. The
-    localCheckpointed shortlists keep the fusion's own plan tiny."""
-    plan = _physical_plan(all_specs()["hybrid_search"].fn(spark, sf_dir))
+    localCheckpointed shortlists keep the fusion's own plan tiny.
+    (hybrid_search rotated out of the registry in round 10 — the plan
+    pin stays, on the function directly.)"""
+    from ds_caselaw_ingester_spark.plans.queries_text import q_hybrid_search
+
+    plan = _physical_plan(q_hybrid_search(spark, sf_dir))
     # the only rows reaching the fused groupBy are the two checkpointed
     # k-row shortlists (rrf_fuse materializes them for the rank check)
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
