@@ -89,6 +89,14 @@ _QUANTIZER_SUFFIX = ".quantizer.json"
 # `<index>.quantizer.json` sidecar remains a read fallback for indexes
 # written before this change.
 _QUANTIZER_FILE = "_quantizer.json"
+# in-dir pin of the optional PCA projection in front of the sink (see
+# apply_semdedup_batch's pca_model): the stored cells hold PROJECTED
+# vectors, so the projection is part of the index's identity exactly
+# like the quantizer — a restart without the model (or with a
+# different one) would probe raw dims against reduced-space cells and
+# silently miss every near-dup. Underscore-prefixed so Spark's file
+# listing ignores it; rides the same whole-directory retrain swap.
+_PCA_FILE = "_pca.json"
 
 
 def _local(path: str) -> str:
@@ -115,6 +123,64 @@ def _quantizer_json(cents: "list") -> str:
             for c in cents
         ]
     )
+
+
+def _pca_fingerprint(model: dict) -> str:
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps(
+            [model["components"], model["mean"], bool(model.get("center"))]
+        ).encode()
+    ).hexdigest()
+
+
+def _check_pca_pin(local: str, pca_model: "dict | None") -> None:
+    """Validate (or first-contact pin) the index's PCA projection.
+    Mirrors the quantizer contract: pinned at bootstrap, constant for
+    the index's life, drift raises instead of silently mixing vector
+    spaces."""
+    import json
+
+    pin_path = os.path.join(local, _PCA_FILE)
+    pinned = None
+    if os.path.exists(pin_path):
+        with open(pin_path) as f:
+            pinned = json.load(f)
+    if pca_model is None:
+        if pinned is not None:
+            raise ValueError(
+                f"{local} was built with a PCA projection "
+                f"(fingerprint {pinned['md5']}, k={pinned['k']}) but this "
+                "run passes no pca_model — probing raw vectors against "
+                "reduced-space cells would silently miss every pair. "
+                "Restart with the SAME model, or rebuild the index."
+            )
+        return
+    fp = _pca_fingerprint(pca_model)
+    k = len(pca_model["components"])
+    if pinned is None:
+        if os.path.isdir(local) and any(
+            e.startswith(f"{CELL_COL}=") for e in os.listdir(local)
+        ):
+            raise ValueError(
+                f"{local} holds cells built WITHOUT a PCA projection; "
+                "adding one now would mix vector spaces — rebuild the "
+                "index from projected vectors first."
+            )
+        os.makedirs(local, exist_ok=True)
+        tmp = pin_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"md5": fp, "k": k}, f)
+        os.replace(tmp, pin_path)
+    elif pinned["md5"] != fp:
+        raise ValueError(
+            f"{local} is pinned to PCA fingerprint {pinned['md5']} "
+            f"(k={pinned['k']}) but this run passes a different model "
+            f"({fp}, k={k}); the stored cells live in the pinned "
+            "projection's space — rebuild to change the projection."
+        )
 
 
 def _save_quantizer(local: str, cents: "list") -> None:
@@ -223,6 +289,7 @@ def apply_semdedup_batch(
     check_replaced: bool = True,
     bootstrap_growth: float = BOOTSTRAP_GROWTH,
     growth_check_every: int = 16,
+    pca_model: "dict | None" = None,
 ) -> None:
     """One micro-batch: probe `batch` against the cell-partitioned index
     at `index_path`, write this epoch's pairs, swap in ONLY the touched
@@ -244,6 +311,19 @@ def apply_semdedup_batch(
     embedding. Checkpoint replay of an identical batch stays correct
     either way: the same vector lands in the same cell, so its old row
     is superseded inside a touched cell.
+
+    pca_model: optional pca_fit output — the batch is PROJECTED
+    map-side before assignment, probing, and indexing, so the stored
+    cells, the quantizer, the pair decisions, and every shuffle live in
+    the reduced space (the curate_corpus pca_model semantics, applied
+    to the stream; at 100 TB the index's vector bytes shrink dim/k).
+    The projection becomes part of the index's identity: its
+    fingerprint is pinned in an in-dir `_pca.json` at bootstrap, a
+    restart without the model (or with a different one) raises, an
+    existing raw index refuses a late-added projection, and the pin
+    rides the retrain's whole-directory swap — the retrain itself reads
+    the index's own (already-projected) vectors, so the loop stays
+    closed.
     """
     spark = batch.sparkSession
     local = _local(index_path)
@@ -267,6 +347,16 @@ def apply_semdedup_batch(
     # reconcile any per-cell crash point BEFORE reading: a crash between
     # the two renames leaves centroid_id=N only in centroid_id=N.old
     recover_buckets(local, prefix=f"{CELL_COL}=")
+    # vector-space pin BEFORE anything reads or writes cells: raw vs
+    # projected mismatches must refuse, not silently miss pairs
+    _check_pca_pin(local, pca_model)
+    if pca_model is not None:
+        from ds_caselaw_ingester_spark.operators.pca import pca_project
+
+        others = [c for c in batch.columns if c != vec_col]
+        batch = pca_project(batch, vec_col, pca_model, out_col="_pca_tmp").select(
+            *others, F.col("_pca_tmp").alias(vec_col)
+        )
     if isinstance(centroids, str):
         if centroids != "auto":
             raise ValueError(f"centroids must be a list or 'auto', got {centroids!r}")
@@ -441,6 +531,12 @@ def retrain_semdedup_index(
     ).parquet("file:" + tmp)
     with open(os.path.join(tmp, _QUANTIZER_FILE), "w") as f:
         f.write(_quantizer_json(cents))
+    # the PCA pin is part of the index's identity (the retrain read the
+    # index's own already-projected vectors, so the projection is
+    # unchanged) — carry it through the swap
+    pca_pin = os.path.join(local, _PCA_FILE)
+    if os.path.exists(pca_pin):
+        shutil.copyfile(pca_pin, os.path.join(tmp, _PCA_FILE))
     commit_swap(local, tmp, old)
     legacy = local + _QUANTIZER_SUFFIX
     if os.path.exists(legacy):
@@ -460,9 +556,11 @@ def run_semdedup_stream(
     centroids: "list | str",
     threshold: float = 0.95,
     check_replaced: bool = True,
+    pca_model: "dict | None" = None,
 ):
     """Materialize the embedding stream as a maintained cell index plus
-    an append-only near-dup pair log."""
+    an append-only near-dup pair log. pca_model projects every batch
+    map-side first (see apply_semdedup_batch — pinned, drift raises)."""
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         apply_semdedup_batch(
@@ -475,6 +573,7 @@ def run_semdedup_stream(
             threshold=threshold,
             epoch_id=epoch_id,
             check_replaced=check_replaced,
+            pca_model=pca_model,
         )
 
     return (

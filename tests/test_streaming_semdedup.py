@@ -482,3 +482,99 @@ def test_retraining_marker_locks_out_stream_and_heals(
         planted, idx, prs, "v", "vec_id", "auto", threshold=0.9, epoch_id=1
     )
     assert spark.read.parquet(idx).count() == n0 + planted.count()
+
+
+def test_pca_projected_stream_pins_projection(spark, corpus, tmp_path):
+    """pca_model on the streaming sink (round 10): batches project
+    map-side before assignment/probe/indexing, pair decisions equal the
+    batch operator over manually pre-projected vectors, the projection
+    fingerprint is pinned at bootstrap (restart without the model, with
+    a different model, or adding one to a raw index all refuse), and
+    the retrain swap carries the pin."""
+    from ds_caselaw_ingester_spark.operators.pca import pca_fit, pca_project
+    from ds_caselaw_ingester_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+        semdedup_build_index,
+    )
+    from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
+    from ds_caselaw_ingester_spark.streaming.semdedup_sink import (
+        retrain_semdedup_index,
+    )
+
+    emb, planted = corpus
+    dim = len(emb.first()["v"])
+    model = pca_fit(emb, "v", dim, k=16)
+
+    def proj(df):
+        return pca_project(df, "v", model, out_col="_p").select(
+            "vec_id", F.col("_p").alias("v")
+        )
+
+    quant = kmeans_fit(proj(emb.where(F.col("vec_id") % 4 == 0)), "v",
+                       "vec_id", k=8, max_iter=2)
+    idx, prs = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    apply_semdedup_batch(
+        emb, idx, prs, "v", "vec_id", quant, threshold=0.9, epoch_id=0,
+        pca_model=model,
+    )
+    apply_semdedup_batch(
+        planted, idx, prs, "v", "vec_id", quant, threshold=0.9, epoch_id=1,
+        pca_model=model,
+    )
+    got = _all_pairs(spark, prs)
+    # oracle: the batch incremental operator over manually projected
+    # vectors (one shot, empty index)
+    full = proj(emb.unionByName(planted))
+    ref, _ = semantic_dedup_incremental(
+        semdedup_build_index(full, "v", "vec_id", quant).limit(0),
+        full, "v", "vec_id", quant, threshold=0.9,
+    )
+    want = {(r["id_a"], r["id_b"]) for r in ref.collect()}
+    assert got == want and got
+    # the stored index holds PROJECTED (16-dim) vectors
+    assert len(spark.read.parquet(idx).first()["v"]) == 16
+
+    # drift lockouts
+    with pytest.raises(ValueError, match="no pca_model"):
+        apply_semdedup_batch(
+            planted, idx, prs, "v", "vec_id", quant, threshold=0.9, epoch_id=2
+        )
+    other = pca_fit(emb.where(F.col("vec_id") % 2 == 0), "v", dim, k=8)
+    with pytest.raises(ValueError, match="different model"):
+        apply_semdedup_batch(
+            planted, idx, prs, "v", "vec_id", quant, threshold=0.9,
+            epoch_id=2, pca_model=other,
+        )
+
+    # the retrain reads the index's own projected vectors and carries
+    # the pin through its whole-directory swap
+    n_before = spark.read.parquet(idx).count()
+    retrain_semdedup_index(spark, idx, "v", "vec_id", k=6)
+    assert os.path.exists(os.path.join(idx, "_pca.json"))
+    assert spark.read.parquet(idx).count() == n_before
+    # and the stream continues under the same model via 'auto'
+    more = planted.select((F.col("vec_id") + 500000).alias("vec_id"), "v")
+    apply_semdedup_batch(
+        more, idx, prs, "v", "vec_id", "auto", threshold=0.9, epoch_id=3,
+        pca_model=model,
+    )
+    assert spark.read.parquet(idx).count() == n_before + more.count()
+
+
+def test_pca_on_raw_index_refuses(spark, corpus, quantizer, tmp_path):
+    """Adding a projection to an index built from raw vectors must
+    refuse — the cells live in the raw space."""
+    from ds_caselaw_ingester_spark.operators.pca import pca_fit
+
+    emb, planted = corpus
+    idx, prs = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    apply_semdedup_batch(
+        emb, idx, prs, "v", "vec_id", quantizer, threshold=0.9, epoch_id=0
+    )
+    dim = len(emb.first()["v"])
+    model = pca_fit(emb, "v", dim, k=16)
+    with pytest.raises(ValueError, match="WITHOUT a PCA projection"):
+        apply_semdedup_batch(
+            planted, idx, prs, "v", "vec_id", quantizer, threshold=0.9,
+            epoch_id=1, pca_model=model,
+        )
