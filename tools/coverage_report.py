@@ -76,6 +76,11 @@ def main() -> int:
             "  unigram perplexity (op) tests/test_unigram_lm.py (replay-exact LM filter)",
             "  layout migration (op)   tests/test_compaction.py (flat -> partitioned)",
             "  multi-query bm25 (op)   tests/test_search.py (DuckDB-gated per-query ranks)",
+            "  langid gate (op)        tests/test_langid.py (char-ngram clf, replay-exact + DuckDB)",
+            "  hybrid_search           tests/test_oracle_parity.py (slot -> neardup_quality_keepers r10)",
+            "  pca plumbing (op)       tests/test_pca.py (composite/PQ/IVF pre-projection ==)",
+            "  pca'd semdedup stream   tests/test_streaming_semdedup.py (drift-pinned projection)",
+            "  wav/image real decode   tests/test_multimodal_real.py (stdlib headers + PCM RMS)",
         ):
             print(line)
         print()
