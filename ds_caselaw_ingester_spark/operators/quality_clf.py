@@ -88,6 +88,15 @@ class QualityModel:
     #   "char" — hashed char 1-3-grams of the lowercased token-joined
     #            text (language identification)
     feature: str = "word"
+    # char-feature prefix cap: featurize only the first max_chars of the
+    # canonical text (None = whole document). Language identity is a
+    # property of the first few hundred characters (CCNet classifies on
+    # the head), and the char featurizer's cost is ~3·len md5-hashed
+    # grams per document — on a 100 TB corpus the FIRST gate must not
+    # pay per-byte for a decision the prefix already makes. Part of the
+    # model (training and scoring must agree), so it rides the sink's
+    # gate fingerprint like the feature family.
+    max_chars: "int | None" = None
 
 
 def hashed_terms(docs: DataFrame, id_col: str, text_col: str, dim: int) -> DataFrame:
@@ -116,7 +125,8 @@ def hashed_terms(docs: DataFrame, id_col: str, text_col: str, dim: int) -> DataF
 
 
 def hashed_char_terms(
-    docs: DataFrame, id_col: str, text_col: str, dim: int
+    docs: DataFrame, id_col: str, text_col: str, dim: int,
+    max_chars: "int | None" = None,
 ) -> DataFrame:
     """(id, idx, x) sparse feature triples for feature="char": hashed
     character n-gram (n ∈ CHAR_NS) counts over the LOWERCASED,
@@ -130,6 +140,10 @@ def hashed_char_terms(
     from ds_caselaw_ingester_spark.operators.textstats import char_ngrams
 
     canon = F.lower(F.array_join(tokens(F.col(text_col)), " "))
+    if max_chars is not None:
+        if max_chars < 1:
+            raise ValueError(f"max_chars must be positive, got {max_chars}")
+        canon = F.substring(canon, 1, max_chars)
     grams = F.concat(*[char_ngrams(canon, n) for n in CHAR_NS])
     exploded = docs.select(F.col(id_col), grams.alias("_terms")).select(
         id_col, F.explode("_terms").alias("_term"), F.size("_terms").alias("_nt")
@@ -146,12 +160,17 @@ def hashed_char_terms(
 
 
 def _feature_frame(
-    docs: DataFrame, id_col: str, text_col: str, dim: int, feature: str
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int,
+    feature: str,
+    max_chars: "int | None" = None,
 ) -> DataFrame:
     if feature == "word":
         return hashed_terms(docs, id_col, text_col, dim)
     if feature == "char":
-        return hashed_char_terms(docs, id_col, text_col, dim)
+        return hashed_char_terms(docs, id_col, text_col, dim, max_chars=max_chars)
     raise ValueError(f"unknown feature family {feature!r} (want 'word' or 'char')")
 
 
@@ -184,6 +203,7 @@ def train_quality_classifier(
     iters: int = 20,
     lr: float = 2.0,
     feature: str = "word",
+    max_chars: "int | None" = None,
 ) -> QualityModel:
     """Full-batch logistic GD. label_col must be 0/1. Returns the sparse
     model; every aggregated double is rounded (margin 6, gradient 9,
@@ -192,14 +212,18 @@ def train_quality_classifier(
 
     feature="char" trains on hashed char-n-gram features instead of
     word features — the fastText-langid architecture (same trainer,
-    different featurizer); label 1 = target language. The model
-    remembers its feature family, so score_quality featurizes to
-    match automatically."""
+    different featurizer); label 1 = target language. max_chars caps
+    char featurization to the document HEAD (the langid production
+    setting — see QualityModel.max_chars for the scale argument). The
+    model remembers its feature family and cap, so score_quality
+    featurizes to match automatically."""
     labels = docs.select(id_col, F.col(label_col).cast("double").alias("_y"))
     n = labels.count()
     if n == 0:
         raise ValueError("empty training frame")
-    feats = _feature_frame(docs, id_col, text_col, dim, feature).persist()
+    feats = _feature_frame(
+        docs, id_col, text_col, dim, feature, max_chars=max_chars
+    ).persist()
     feats.count()  # materialize once; every iteration re-reads this frame
 
     weights: dict[int, float] = {}
@@ -226,7 +250,10 @@ def train_quality_classifier(
             weights[r["idx"]] = _round_half_up(w, 8)
         bias = _round_half_up(bias - lr * float(g_bias), 8)
     feats.unpersist()
-    return QualityModel(dim=dim, bias=bias, weights=dict(weights), feature=feature)
+    return QualityModel(
+        dim=dim, bias=bias, weights=dict(weights), feature=feature,
+        max_chars=max_chars,
+    )
 
 
 def score_quality(
@@ -241,7 +268,9 @@ def score_quality(
     and broadcast. Featurizes per the model's own feature family —
     scoring a langid model char-hashes, a quality model word-hashes."""
     feats = _feature_frame(
-        docs, id_col, text_col, model.dim, getattr(model, "feature", "word")
+        docs, id_col, text_col, model.dim,
+        getattr(model, "feature", "word"),
+        max_chars=getattr(model, "max_chars", None),
     )
     m = _margins(feats, id_col, model.weights, model.bias)
     return (
@@ -269,7 +298,9 @@ def _round_half_up(x: float, n: int) -> float:
     )
 
 
-def py_features(text: str, dim: int, feature: str = "word") -> "dict[int, float]":
+def py_features(
+    text: str, dim: int, feature: str = "word", max_chars: "int | None" = None
+) -> "dict[int, float]":
     """Pure-Python replay of the feature frame for ONE document:
     {idx: x} with x = count / total terms. Shared by the training
     replay and the scoring replay so the two cannot fork."""
@@ -286,6 +317,8 @@ def py_features(text: str, dim: int, feature: str = "word") -> "dict[int, float]
         terms = toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
     elif feature == "char":
         canon = " ".join(toks).lower()
+        if max_chars is not None:
+            canon = canon[:max_chars]
         terms = [g for n in CHAR_NS for g in py_char_ngrams(canon, n)]
     else:
         raise ValueError(f"unknown feature family {feature!r}")
@@ -299,7 +332,10 @@ def py_features(text: str, dim: int, feature: str = "word") -> "dict[int, float]
 def py_score(text: str, model: QualityModel) -> float:
     """Pure-Python replay of score_quality for ONE document: the same
     margin rounding (6) and probability rounding (6) as the engine."""
-    fx = py_features(text, model.dim, getattr(model, "feature", "word"))
+    fx = py_features(
+        text, model.dim, getattr(model, "feature", "word"),
+        max_chars=getattr(model, "max_chars", None),
+    )
     margin = (
         _round_half_up(
             math.fsum(x * model.weights.get(i, 0.0) for i, x in sorted(fx.items()))
@@ -318,6 +354,7 @@ def py_replay_train(
     iters: int = 20,
     lr: float = 2.0,
     feature: str = "word",
+    max_chars: "int | None" = None,
 ) -> QualityModel:
     """Pure-Python replay of train_quality_classifier for the
     replay-exact tests: same tokenization, same hash, same rounding
@@ -326,7 +363,7 @@ def py_replay_train(
     ys: dict[int, float] = {}
     for did, text, y in rows:
         ys[did] = float(y)
-        feats[did] = py_features(text, dim, feature)
+        feats[did] = py_features(text, dim, feature, max_chars=max_chars)
     n = len(rows)
     weights: dict[int, float] = {}
     bias = 0.0
@@ -349,4 +386,6 @@ def py_replay_train(
             )
         g_bias = _round_half_up(math.fsum(resid.values()) / n, 9)
         bias = _round_half_up(bias - lr * g_bias, 8)
-    return QualityModel(dim=dim, bias=bias, weights=weights, feature=feature)
+    return QualityModel(
+        dim=dim, bias=bias, weights=weights, feature=feature, max_chars=max_chars
+    )

@@ -135,12 +135,15 @@ def _quality_fingerprint(qg: "dict | None") -> "str | None":
                 (int(k), round(float(v), 12)) for k, v in m.weights.items()
             ),
         ]
-        # the feature family changes what the model MEANS; appended
-        # only when non-default so pre-existing "word" fingerprints
-        # stay valid across this upgrade
+        # the feature family and prefix cap change what the model MEANS;
+        # appended only when non-default so pre-existing "word"
+        # fingerprints stay valid across this upgrade
         feature = getattr(m, "feature", "word")
         if feature != "word":
             payload.append(feature)
+        max_chars = getattr(m, "max_chars", None)
+        if max_chars is not None:
+            payload.append(int(max_chars))
         return hashlib.md5(json.dumps(payload).encode()).hexdigest()
 
     canon: dict = {}

@@ -270,3 +270,47 @@ def test_streaming_sink_applies_langid_gate(spark, tmp_path):
             chunk_tokens=16, overlap=4, epoch_id=1, n_buckets=8,
             quality_gates={"langid_model": model, "min_lang_p": 0.9},
         )
+
+
+def test_max_chars_cap_is_replay_exact_and_prefix_only(spark):
+    """The langid prefix cap (round 10): a capped model trains and
+    scores identically to the Python replay, scoring reads ONLY the
+    document head (an English prefix with a German tail scores as the
+    prefix), and the cap changes the sink fingerprint."""
+    rows = _train_rows()
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    capped = train_quality_classifier(
+        docs, dim=DIM, iters=8, lr=2.0, feature="char", max_chars=40
+    )
+    replay = py_replay_train(rows, dim=DIM, iters=8, lr=2.0, feature="char",
+                             max_chars=40)
+    assert capped.max_chars == 40
+    assert capped.bias == replay.bias and capped.weights == replay.weights
+
+    # prefix-only scoring: same 40-char English head, divergent tails
+    head = "the committee reviewed the annual report"[:40]
+    mixed = spark.createDataFrame(
+        [
+            (1, head + " and published the findings for the region"),
+            (2, head + " der bericht zeigt wachstum in der ganzen region"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["quality_p"] for r in score_quality(mixed, capped).collect()}
+    assert got[1] == got[2] == py_score(head, capped)
+
+    # an uncapped model disagrees across the two tails (non-vacuous)
+    uncapped = _train(spark)
+    g2 = {r["doc_id"]: r["quality_p"] for r in score_quality(mixed, uncapped).collect()}
+    assert g2[1] != g2[2]
+
+    # the cap rides the gate fingerprint
+    from ds_caselaw_ingester_spark.streaming.curation_sink import (
+        _quality_fingerprint,
+    )
+
+    free = QualityModel(dim=capped.dim, bias=capped.bias,
+                        weights=capped.weights, feature="char")
+    assert _quality_fingerprint({"langid_model": capped}) != _quality_fingerprint(
+        {"langid_model": free}
+    )
