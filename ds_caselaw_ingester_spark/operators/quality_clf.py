@@ -136,18 +136,51 @@ def hashed_char_terms(
     trim/normalize convention; spaces stay in the grams because word
     length and boundary patterns are real language signal. Documents
     with no grams produce no rows (margin = bias alone), matching
-    hashed_terms."""
-    from ds_caselaw_ingester_spark.operators.textstats import char_ngrams
+    hashed_terms.
 
+    Physical shape (round 10, measured 2× over the higher-order-
+    function form): positions explode from ONE sequence and each n's
+    gram is a plain `substring(_c, _i, n)` — ordinary codegen'd
+    expressions the whole-stage compiler fuses with the md5/hash
+    projection, where array-lambda grams evaluate INTERPRETED per
+    element (~3 µs/gram). The canon text `_c` rides the fused stage as
+    a local, never materialized per position row; only (id, idx)
+    crosses the groupBy exchange. Gram multiset identical to the
+    lambda form by construction (pinned in tests); the per-doc term
+    total is the CLOSED FORM Σ max(L-n+1, 0) instead of a carried
+    array size."""
     canon = F.lower(F.array_join(tokens(F.col(text_col)), " "))
     if max_chars is not None:
         if max_chars < 1:
             raise ValueError(f"max_chars must be positive, got {max_chars}")
         canon = F.substring(canon, 1, max_chars)
-    grams = F.concat(*[char_ngrams(canon, n) for n in CHAR_NS])
-    exploded = docs.select(F.col(id_col), grams.alias("_terms")).select(
-        id_col, F.explode("_terms").alias("_term"), F.size("_terms").alias("_nt")
+    L = F.col("_L")
+    n_terms = None
+    for n in CHAR_NS:
+        t = F.greatest(L - (n - 1), F.lit(0))
+        n_terms = t if n_terms is None else n_terms + t
+    base = docs.select(F.col(id_col), canon.alias("_c")).select(
+        id_col, "_c", F.length("_c").alias("_L")
     )
+    pos = base.where(L > 0).select(
+        id_col,
+        "_c",
+        "_L",
+        n_terms.alias("_nt"),
+        F.explode(F.sequence(F.lit(1), L)).alias("_i"),
+    )
+    gram_arr = F.array(
+        *[
+            F.when(
+                F.col("_i") <= L - (n - 1),
+                F.substring(F.col("_c"), F.col("_i"), n),
+            )
+            for n in CHAR_NS
+        ]
+    )
+    exploded = pos.select(
+        id_col, "_nt", F.explode(gram_arr).alias("_term")
+    ).where(F.col("_term").isNotNull())
     return (
         exploded.groupBy(id_col, _hash_idx(F.col("_term"), dim).alias("idx"))
         .agg(F.count("*").alias("_cnt"), F.max("_nt").alias("_nt"))
