@@ -6,12 +6,19 @@ and search it — every stage is an operator from this repo.
 Stages (each prints a one-line result):
 1. corpus health report            (operators/report.py)
 2. curation composite              (operators/curation.py:
-   scrub -> quality gate -> lexical dedup -> SemDeDup -> chunk)
+   scrub -> langid gate -> quality gate -> lexical dedup ->
+   PCA-reduced SemDeDup -> chunk)
 3. deterministic shard export      (operators/export.py)
 4. PCA reduction                   (operators/pca.py: 64 -> 32 dims,
-   the pre-quantization transform — smaller codebooks, cheaper cells)
+   the pre-quantization transform — smaller codebooks, cheaper cells;
+   the SAME model drives stage 2's semantic stage via pca_model=)
 5. PQ index build + save           (operators/pq.py, over PCA vectors)
 6. IVFADC search over the index    (coarse cells -> ADC -> rerank)
+
+The langid gate is trained in-demo (quality_clf feature="char",
+max_chars=512 — the fastText-langid architecture on the repo's
+replay-exact trainer) from a handful of labeled sentences; production
+would train once and broadcast the model everywhere the gates run.
 """
 
 from __future__ import annotations
@@ -35,6 +42,9 @@ from ds_caselaw_ingester_spark.operators.pq import (  # noqa: E402
 from ds_caselaw_ingester_spark.operators.pca import (  # noqa: E402
     pca_fit,
     pca_project,
+)
+from ds_caselaw_ingester_spark.operators.quality_clf import (  # noqa: E402
+    train_quality_classifier,
 )
 from ds_caselaw_ingester_spark.operators.report import corpus_report  # noqa: E402
 from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit  # noqa: E402
@@ -60,14 +70,32 @@ def main() -> None:
         f"exact-dup {rep['exact_dup_frac']:.1%}, short {rep['short_doc_frac']:.1%}"
     )
 
-    # 2. curation composite (embeddings keyed to doc ids for the demo)
+    # 2. curation composite (embeddings keyed to doc ids for the demo).
+    # The langid gate runs FIRST among the learned gates (CCNet order),
+    # capped to the document head; the semantic stage projects through
+    # the stage-4 PCA model map-side before any embedding shuffle.
+    langid = train_quality_classifier(
+        spark.createDataFrame(
+            [(0, "the report shows steady growth across the region", 1),
+             (1, "researchers published the findings after careful review", 1),
+             (2, "a committee examined the evidence and issued guidance", 1),
+             (100, "der bericht zeigt ein stetiges wachstum in der region", 0),
+             (101, "die forscher veroeffentlichten die ergebnisse", 0),
+             (102, "ein ausschuss prueft die beweise und leitlinien", 0)],
+            "doc_id long, text string, label int",
+        ),
+        dim=1 << 13, iters=8, feature="char", max_chars=512,
+    )
+    pca = pca_fit(emb, "v", 64, k=32)
     doc_emb = emb.select(F.col("vec_id").alias("doc_id"), F.col("v").alias("embedding"))
     chunks = curate_corpus(
-        docs, chunk_tokens=64, overlap=8, embeddings=doc_emb, semdedup_k=8
+        docs, chunk_tokens=64, overlap=8, embeddings=doc_emb, semdedup_k=8,
+        langid_model=langid, min_lang_p=0.5, pca_model=pca,
     )
     n_chunks = chunks.count()
     n_docs = chunks.select("doc_id").distinct().count()
-    print(f"[2 curate] {n_docs} surviving docs -> {n_chunks} training chunks")
+    print(f"[2 curate] {n_docs} surviving docs -> {n_chunks} training chunks "
+          f"(langid-gated, SemDeDup in {len(pca['components'])}-dim PCA space)")
 
     # 3. reproducible shard export (the trainer hand-off)
     export_shuffled(chunks.withColumn("chunk_id",
@@ -75,9 +103,9 @@ def main() -> None:
         "chunk_id", f"{work}/shards", num_shards=4)
     print(f"[3 export] 4 deterministic shards under {work}/shards")
 
-    # 4. PCA: fit once on the corpus, project map-side — every
-    # downstream stage (coarse cells, codebooks, ADC) runs on 32 dims
-    pca = pca_fit(emb, "v", 64, k=32)
+    # 4. PCA (fitted above, shared with stage 2): project map-side —
+    # every downstream stage (coarse cells, codebooks, ADC) runs on 32
+    # dims
     emb_p = pca_project(emb, "v", pca, out_col="pv").select(
         "vec_id", F.col("pv").alias("v")
     ).localCheckpoint(eager=True)
