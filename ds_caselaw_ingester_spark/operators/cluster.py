@@ -89,32 +89,57 @@ def connected_components(
     # O(E) edge frames.
     loop = spark.newSession()
     loop.conf.set("spark.sql.shuffle.partitions", str(p))
-    e_loop = DataFrame(
-        loop._jsparkSession.internalCreateDataFrame(
-            e._jdf.queryExecution().toRdd(), e._jdf.schema(), False
-        ),
-        loop,
-    )
-    sym = (
-        e_loop.unionAll(
-            e_loop.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    try:
+        # the cross-session hop rides SparkSession.internalCreateDataFrame
+        # (package-private but stable since 2.x; reachable via py4j). If
+        # a future Spark removes it, fall back to the caller-session
+        # conf set/restore below — same plans, weaker isolation.
+        e_loop = DataFrame(
+            loop._jsparkSession.internalCreateDataFrame(
+                e._jdf.queryExecution().toRdd(), e._jdf.schema(), False
+            ),
+            loop,
         )
+    except Exception:  # noqa: BLE001 — private-API removal fallback
+        e_loop = None
+    if e_loop is not None:
+        sym = (
+            e_loop.unionAll(
+                e_loop.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .repartition(p, "src")
+            .persist()
+        )
+        try:
+            labels = _min_label_loop(sym, max_iter)
+            # re-parent the (localCheckpointed) labels into the CALLER's
+            # session so downstream joins plan under the caller's conf
+            labels = DataFrame(
+                spark._jsparkSession.internalCreateDataFrame(
+                    labels._jdf.queryExecution().toRdd(),
+                    labels._jdf.schema(),
+                    False,
+                ),
+                spark,
+            )
+        finally:
+            e.unpersist()
+            sym.unpersist()
+        return labels
+    # Fallback (only reachable if Spark drops the private API): flip the
+    # caller session's conf for the loop and restore in finally. Same
+    # plan shapes; the isolation caveat this path reintroduces is why
+    # the scoped session above is the primary path.
+    sym = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .repartition(p, "src")
         .persist()
     )
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(p))
         labels = _min_label_loop(sym, max_iter)
-        # re-parent the (localCheckpointed) labels into the CALLER's
-        # session so downstream joins plan under the caller's conf
-        labels = DataFrame(
-            spark._jsparkSession.internalCreateDataFrame(
-                labels._jdf.queryExecution().toRdd(),
-                labels._jdf.schema(),
-                False,
-            ),
-            spark,
-        )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cur))
         e.unpersist()
         sym.unpersist()
     return labels
