@@ -32,12 +32,23 @@ def corpus_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus: str = "",
+    langid_model=None,
+    min_lang_p: float = 0.5,
 ) -> DataFrame:
     """(corpus, metric, value) with metrics:
     n_docs, total_tokens, mean_tokens, p50_tokens, p95_tokens,
     mean_alpha_ratio, short_doc_frac (< 16 tokens),
     exact_dup_frac (docs whose normalized text hash repeats),
-    distinct_texts."""
+    distinct_texts.
+
+    langid_model (optional, round 10): a trained quality_clf langid
+    (feature="char") adds `lang_pass_frac` (share of docs scoring >=
+    min_lang_p — the fraction the curation gate would KEEP) and
+    `mean_lang_p`. The dial to read before enabling the gate: a
+    surprising lang_pass_frac means the threshold, the training set,
+    or the corpus is not what you thought — caught at report time,
+    not as a silent 40% corpus drop in the curation run. One extra
+    doc-keyed aggregation pass (score_quality)."""
     t = F.col(text_col)
     ntok = token_count(t)
     base = docs.select(
@@ -82,6 +93,21 @@ def corpus_report(
         ("exact_dup_frac", float(dup["dups"]) / n),
         ("distinct_texts", float(dup["distinct_texts"])),
     ]
+    if langid_model is not None:
+        from ds_caselaw_ingester_spark.operators.quality_clf import (
+            score_quality,
+        )
+
+        lang = score_quality(docs, langid_model, id_col, text_col).agg(
+            F.avg(
+                (F.col("quality_p") >= F.lit(min_lang_p)).cast("double")
+            ).alias("pass_frac"),
+            F.avg("quality_p").alias("mean_p"),
+        ).collect()[0]
+        metrics += [
+            ("lang_pass_frac", float(lang["pass_frac"] or 0.0)),
+            ("mean_lang_p", float(lang["mean_p"] or 0.0)),
+        ]
     spark = docs.sparkSession
     return spark.createDataFrame(
         [(corpus, m, v) for m, v in metrics],

@@ -63,3 +63,40 @@ def test_null_text_docs_do_not_inflate_dup_stats(spark):
     assert m["n_docs"] == 5.0
     assert m["exact_dup_frac"] == 0.0   # no true duplicates
     assert m["distinct_texts"] == 2.0
+
+
+def test_report_langid_metrics(spark):
+    """langid_model adds lang_pass_frac / mean_lang_p, replayed exactly
+    with py_score; metrics absent without a model (back-compat)."""
+    from ds_caselaw_ingester_spark.operators.quality_clf import (
+        py_score,
+        train_quality_classifier,
+    )
+    from ds_caselaw_ingester_spark.operators.report import corpus_report
+
+    train = spark.createDataFrame(
+        [(0, "the report shows steady growth across the region", 1),
+         (1, "researchers published the findings after careful review", 1),
+         (100, "der bericht zeigt ein stetiges wachstum in der region", 0),
+         (101, "die forscher veroeffentlichten die ergebnisse", 0)],
+        "doc_id long, text string, label int",
+    )
+    model = train_quality_classifier(train, dim=1 << 12, iters=8, feature="char")
+    texts = [
+        "the council approved the plan after a short debate today",
+        "measurements were taken daily throughout the study period",
+        "der rat genehmigte den plan nach einer kurzen aussprache",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rep = {
+        r["metric"]: r["value"]
+        for r in corpus_report(docs, langid_model=model, min_lang_p=0.5).collect()
+    }
+    ps = [py_score(t, model) for t in texts]
+    assert rep["lang_pass_frac"] == sum(p >= 0.5 for p in ps) / len(ps)
+    assert abs(rep["mean_lang_p"] - sum(ps) / len(ps)) < 1e-9
+    assert 0.0 < rep["lang_pass_frac"] < 1.0  # non-vacuous split
+    plain = {r["metric"] for r in corpus_report(docs).collect()}
+    assert "lang_pass_frac" not in plain
