@@ -116,12 +116,22 @@ def apply_quality_gates(
     point profiling repetition in a document the pipeline won't keep),
     then repetition caps, then the quality classifier, then the LM."""
     if langid_model is not None:
-        from ds_caselaw_ingester_spark.operators.quality_clf import score_quality
+        from ds_caselaw_ingester_spark.operators.quality_clf import (
+            score_quality_mapside,
+        )
 
-        lp = score_quality(gated, langid_model, id_col, text_col)
-        gated = gated.join(
-            lp.where(F.col("quality_p") >= F.lit(min_lang_p)).select(id_col),
-            id_col,
+        # shuffle-free: the langid gate is the FIRST learned gate and
+        # sees the most data, so it must be a pure map — the mapside
+        # scorer adds the probability row-locally (py_score, the same
+        # replay the parity tests pin) and the filter follows with no
+        # exchange, no join-back (see score_quality_mapside's docstring
+        # for the exchange-bytes argument)
+        gated = (
+            score_quality_mapside(
+                gated, langid_model, id_col, text_col, out_col="_lang_p"
+            )
+            .where(F.col("_lang_p") >= F.lit(min_lang_p))
+            .drop("_lang_p")
         )
     if repetition_caps:
         import re

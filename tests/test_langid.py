@@ -314,3 +314,58 @@ def test_max_chars_cap_is_replay_exact_and_prefix_only(spark):
     assert _quality_fingerprint({"langid_model": capped}) != _quality_fingerprint(
         {"langid_model": free}
     )
+
+
+def test_mapside_scorer_equals_aggregation_scorer(spark):
+    """score_quality_mapside (the shuffle-free gate path) must produce
+    the same probabilities as the aggregation path post-rounding, for
+    BOTH feature families, including empty/null text (bias score), and
+    its plan must contain NO exchange."""
+    from ds_caselaw_ingester_spark.operators.quality_clf import (
+        score_quality_mapside,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(HELDOUT_EN + HELDOUT_DE + ENGLISH[:2])]
+        + [(90, ""), (91, None)],
+        "doc_id long, text string",
+    )
+    for feature in ("char", "word"):
+        model = (
+            _train(spark)
+            if feature == "char"
+            else train_quality_classifier(
+                spark.createDataFrame(
+                    _train_rows(), "doc_id long, text string, label int"
+                ),
+                dim=DIM, iters=8, lr=2.0, feature="word",
+            )
+        )
+        agg = {
+            r["doc_id"]: r["quality_p"]
+            for r in score_quality(docs, model).collect()
+        }
+        mapped = score_quality_mapside(docs, model, out_col="p")
+        got = {r["doc_id"]: r["p"] for r in mapped.collect()}
+        assert got == agg, feature
+    plan = mapped._sc._jvm.PythonSQLUtils.explainString(
+        mapped._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_langid_gate_plan_is_shuffle_free(spark):
+    """The gate as applied by apply_quality_gates: scoring + filter add
+    NO exchange to the plan — the 100 TB first-gate contract."""
+    model = _train(spark)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ENGLISH + GERMANIC)],
+        "doc_id long, text string",
+    )
+    gated = apply_quality_gates(
+        docs, "doc_id", "text", langid_model=model, min_lang_p=0.5
+    )
+    plan = gated._sc._jvm.PythonSQLUtils.explainString(
+        gated._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan, plan
