@@ -171,12 +171,20 @@ def apply_quality_gates(
             cond = c if cond is None else (cond & c)
         gated = gated.join(prof.where(cond).select(id_col), id_col)
     if quality_model is not None:
-        from ds_caselaw_ingester_spark.operators.quality_clf import score_quality
+        from ds_caselaw_ingester_spark.operators.quality_clf import (
+            score_quality_mapside,
+        )
 
-        qp = score_quality(gated, quality_model, id_col, text_col)
-        gated = gated.join(
-            qp.where(F.col("quality_p") >= F.lit(min_quality_p)).select(id_col),
-            id_col,
+        # same shuffle-free shape as the langid gate: a per-document
+        # score that exists only to filter is a pure map (mapside ==
+        # aggregation scorer post-rounding, pinned for both feature
+        # families in test_langid.py)
+        gated = (
+            score_quality_mapside(
+                gated, quality_model, id_col, text_col, out_col="_quality_p"
+            )
+            .where(F.col("_quality_p") >= F.lit(min_quality_p))
+            .drop("_quality_p")
         )
     if lm_logp is not None:
         from ds_caselaw_ingester_spark.operators.unigram_lm import (
