@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from ds_caselaw_ingester_spark.streaming.curation_sink import (  # noqa: E402
+    _layout_path,
     apply_curation_batch,
     compact_chunk_epochs,
     compact_index_epochs,
@@ -70,8 +71,20 @@ def main(spark, sf_dir: str, work_dir: str) -> dict:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    q = run_curation_stream(stream, idx, chk, ckpt, n_buckets=1024, **GATE)
+    # n_buckets="auto" + the corpus the stream will grow into: the
+    # block-sized sizing rule picks the count and the layout sidecar
+    # pins it for the index's life — no knob to read SCALE.md for
+    q = run_curation_stream(
+        stream, idx, chk, ckpt, n_buckets="auto",
+        projected_docs=5_000_000, **GATE,
+    )
     q.awaitTermination(300)
+    import json
+
+    with open(_layout_path(idx)) as f:
+        pinned_buckets = json.load(f)["n_buckets"]
+    print(f"0. auto-sized band log: n_buckets={pinned_buckets} "
+          "(block-sized rule over 5M projected docs, pinned in the sidecar)")
 
     kept = {
         e: spark.read.parquet(os.path.join(chk, f"epoch={e}"))
@@ -98,7 +111,7 @@ def main(spark, sf_dir: str, work_dir: str) -> dict:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src}/*")
     )
-    q2 = run_curation_stream(stream2, idx, chk, ckpt, n_buckets=1024, **GATE)
+    q2 = run_curation_stream(stream2, idx, chk, ckpt, n_buckets="auto", **GATE)
     q2.awaitTermination(300)
     fold_i = compact_index_epochs(spark, idx, upto_epoch=99)
     fold_c = compact_chunk_epochs(spark, chk, upto_epoch=99)
@@ -111,7 +124,7 @@ def main(spark, sf_dir: str, work_dir: str) -> dict:
     refused = False
     try:
         apply_curation_batch(
-            dup2.limit(1), idx, chk, epoch_id=99, n_buckets=1024, **tight
+            dup2.limit(1), idx, chk, epoch_id=99, n_buckets="auto", **tight
         )
     except ValueError:
         refused = True
@@ -120,8 +133,10 @@ def main(spark, sf_dir: str, work_dir: str) -> dict:
     # directory (chk2) — the old log stays intact as the old gate's
     # corpus. A restart over the SAME chunks dir must pass
     # chunks_path=chk so the old-gate epochs are dropped with the index.
+    # rebuilds take the EXPLICIT pinned count (the operational pattern:
+    # read it from the sidecar — "auto" on history is refused by design)
     n_rebuilt = rebuild_curation_index(
-        all_docs, idx, n_buckets=1024,
+        all_docs, idx, n_buckets=pinned_buckets,
         min_tokens=12, min_alpha_ratio=GATE["min_alpha_ratio"],
     )
     # fresh checkpoint; re-submissions of pre-rebuild docs still rejected
@@ -137,7 +152,7 @@ def main(spark, sf_dir: str, work_dir: str) -> dict:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{src2}/*")
     )
-    q3 = run_curation_stream(stream3, idx, chk2, ckpt2, n_buckets=1024, **tight)
+    q3 = run_curation_stream(stream3, idx, chk2, ckpt2, n_buckets="auto", **tight)
     q3.awaitTermination(300)
     post_kept = (
         spark.read.option("basePath", chk2).parquet(chk2)
