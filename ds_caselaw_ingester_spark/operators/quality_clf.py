@@ -360,6 +360,11 @@ def score_quality_mapside(
     cols = [f.name for f in docs.schema.fields]
     if text_col not in cols:
         raise ValueError(f"{text_col!r} is not a column of the input frame")
+    if out_col in cols:
+        raise ValueError(
+            f"out_col {out_col!r} already exists on the input frame; "
+            "pass a different name (the scorer appends, never replaces)"
+        )
     # plain locals close over the worker function: dataclass instances
     # pickle fine, but weights as a plain dict + scalars keeps the
     # closure minimal
