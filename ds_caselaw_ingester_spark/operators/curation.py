@@ -564,6 +564,7 @@ def curation_band_index(
     text_col: str = "text",
     min_tokens: int = 8,
     min_alpha_ratio: float = 0.5,
+    **quality_gates,
 ) -> DataFrame:
     """(id, band, band_key) for the scrubbed+gated corpus — the
     persisted state `curate_increment` probes (write it bucketed on
@@ -580,6 +581,13 @@ def curation_band_index(
     gated = _structural_gate(
         _scrub(docs, id_col, text_col), id_col, text_col, min_tokens, min_alpha_ratio
     )
+    if quality_gates:
+        # the index must be gated EXACTLY like the increments probing
+        # it (forwarded to the shared apply_quality_gates): a base doc
+        # the full gate battery would have dropped could otherwise
+        # taint new arrivals the recompute keeps — the equivalence
+        # contract compares keep decisions under ONE gate
+        gated = apply_quality_gates(gated, id_col, text_col, **quality_gates)
     return _bands(gated, id_col, text_col)
 
 
@@ -830,6 +838,7 @@ def curation_band_index_seq(
     min_tokens: int = 8,
     min_alpha_ratio: float = 0.5,
     start: int = 0,
+    **quality_gates,
 ) -> DataFrame:
     """(id, _seq, band, band_key) — curation_band_index for corpora
     whose ids carry no ingest order (the reference's own fallback URIs
@@ -840,6 +849,12 @@ def curation_band_index_seq(
     gated = _structural_gate(
         _scrub(docs, id_col, text_col), id_col, text_col, min_tokens, min_alpha_ratio
     )
+    if quality_gates:
+        # same rule as curation_band_index: one gate battery for the
+        # base and every increment. Gates run BEFORE seq assignment —
+        # the sequence numbers SURVIVORS, matching the sink's order, so
+        # a gated-out doc consumes no seq value on any path
+        gated = apply_quality_gates(gated, id_col, text_col, **quality_gates)
     gated = _assign_seq(gated, id_col, start)
     return _bands(gated, SEQ_COL, text_col).join(
         gated.select(id_col, SEQ_COL), SEQ_COL

@@ -369,3 +369,38 @@ def test_langid_gate_plan_is_shuffle_free(spark):
         gated._jdf.queryExecution(), "simple"
     )
     assert "Exchange" not in plan, plan
+
+
+def test_incremental_api_honors_langid_gate(spark):
+    """curate_increment_seq forwards quality_gates to the SAME
+    apply_quality_gates the batch composite uses: a mixed-language
+    increment against an English base index keeps only the documents
+    the langid gate passes, and the index delta contains band rows for
+    exactly those keepers (a gated-out doc is never indexed)."""
+    from ds_caselaw_ingester_spark.operators.curation import (
+        curate_increment_seq,
+        curation_band_index_seq,
+    )
+
+    model = _train(spark)
+    gates = {"langid_model": model, "min_lang_p": 0.5}
+    base = spark.createDataFrame(
+        [(f"b-{i}", t) for i, t in enumerate(ENGLISH)],
+        "doc_id string, text string",
+    )
+    index = curation_band_index_seq(
+        base, min_tokens=4, min_alpha_ratio=0.3, **gates
+    ).localCheckpoint(eager=True)
+    inc = spark.createDataFrame(
+        [(f"en-{i}", t) for i, t in enumerate(HELDOUT_EN)]
+        + [(f"de-{i}", t) for i, t in enumerate(HELDOUT_DE)],
+        "doc_id string, text string",
+    )
+    chunks, delta = curate_increment_seq(
+        inc, index, min_tokens=4, min_alpha_ratio=0.3,
+        chunk_tokens=16, overlap=4, **gates,
+    )
+    kept = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert kept and all(d.startswith("en-") for d in kept), sorted(kept)
+    indexed = {r["doc_id"] for r in delta.select("doc_id").distinct().collect()}
+    assert indexed == kept  # gated-out docs never enter the index
