@@ -427,11 +427,21 @@ def ivfadc_topk(
     the SAME ids as `vectors` (c_id, cv float). Cell assignment is
     computed here from `vectors` so the three tiers can be maintained
     independently; a deployed index would store centroid_id alongside
-    the codes and skip that join."""
+    the codes and skip that join.
+
+    A codebook carrying a PCA model (pq_fit's pca_model=...) projects
+    the COARSE tier too: cell assignment for both vectors and queries
+    runs in the reduced space, so `coarse_centroids` must be trained on
+    pca_project output (the same convention as ivf_topk's pca_model).
+    ivf_assign raises on a dimension mismatch rather than null-padding,
+    so a raw-space quantizer against a PCA codebook fails loudly. The
+    RERANK tier stays in the original space — exact cosines over the
+    raw floats, which is the true metric."""
     from ds_caselaw_ingester_spark.operators.similarity import ivf_assign
 
     cand_cells = ivf_assign(
-        vectors.select("c_id", "cv"), "cv", "c_id", coarse_centroids, nprobe=1,
+        _maybe_project(codebook, vectors.select("c_id", "cv"), "cv"),
+        "cv", "c_id", coarse_centroids, nprobe=1,
         round_digits=round_digits,
     ).select("c_id", "centroid_id")
     enc_cells = encoded.join(cand_cells, "c_id")
@@ -441,7 +451,8 @@ def ivfadc_topk(
     # per query (review finding; cost scaled linearly with nprobe).
     qmeta = _adc_query_frame(queries, codebook).drop("qv")
     q_cells = ivf_assign(
-        queries.select("q_id", "qv"), "qv", "q_id", coarse_centroids, nprobe=nprobe,
+        _maybe_project(codebook, queries.select("q_id", "qv"), "qv"),
+        "qv", "q_id", coarse_centroids, nprobe=nprobe,
         round_digits=round_digits,
     ).select("q_id", "centroid_id")
     qs = q_cells.join(qmeta, "q_id")

@@ -535,6 +535,12 @@ def _ivf_assign_matmul(
             if len(pdf) == 0:
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if v.shape[1] != m.shape[1]:
+                raise ValueError(
+                    f"ivf_assign: vector dim {v.shape[1]} != centroid dim "
+                    f"{m.shape[1]} — raw/reduced space mix? Project inputs "
+                    "through the same PCA model the quantizer was trained in."
+                )
             vn = np.sqrt((v * v).sum(axis=1))
             s = np.round((v @ m.T) / (vn[:, None] * n[None, :]), round_digits)
             # stable argsort on -s: equal scores keep column order =
@@ -633,8 +639,28 @@ def ivf_assign(
     # hoist the query norm to a COLUMN: _entry evaluates per centroid,
     # and an l2_norm expression inside it would re-run the O(dim) fold
     # n_c times per row (the word_ngrams lambda lesson) — as an
-    # attribute it is computed once per row
-    df = df.withColumn("_vnorm", l2_norm(vec))
+    # attribute it is computed once per row. The dim guard rides the
+    # same column (so the optimizer cannot prune it): a vector whose
+    # length differs from the quantizer's dim is a raw/reduced SPACE
+    # MIX (e.g. raw queries against PCA-space centroids) — element_at
+    # past the end would null-pad into silently wrong cosines, so it
+    # raises instead.
+    df = df.withColumn(
+        "_vnorm",
+        F.when(F.size(vec) == dim, l2_norm(vec)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ivf_assign: vector dim "),
+                    F.size(vec).cast("string"),
+                    F.lit(
+                        f" != centroid dim {dim} — raw/reduced space mix?"
+                        " Project inputs through the same PCA model the"
+                        " quantizer was trained in."
+                    ),
+                )
+            )
+        ),
+    )
     vnorm = F.col("_vnorm")
 
     def _entry(c: Column) -> Column:

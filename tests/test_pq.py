@@ -230,3 +230,75 @@ def test_index_roundtrip_is_bit_identical(spark, pq_ctx, tmp_path):
     s1 = sorted(map(tuple, pq_topk(qs, enc, cb, k=5).collect()))
     s2 = sorted(map(tuple, pq_topk(qs, enc, cb2, k=5).collect()))
     assert s1 == s2
+
+
+def test_ivfadc_with_pca_codebook_projects_coarse_tier(spark, pq_ctx):
+    """A codebook carrying a PCA model projects the COARSE tier too
+    (ADVICE r10): with reduced-space coarse centroids and every cell
+    probed, ivfadc_topk equals the flat pq_topk_rerank on the same
+    codebook — cell filtering is vacuous at nprobe=n_cells, so any
+    divergence would be a projection bug in the assign tier. A
+    raw-space quantizer against the same codebook raises ivf_assign's
+    dimension guard instead of null-padding into empty results."""
+    from ds_caselaw_ingester_spark.operators.pca import pca_fit, pca_project
+    from ds_caselaw_ingester_spark.operators.pq import (
+        ivfadc_topk,
+        pq_encode,
+        pq_fit,
+        pq_topk_rerank,
+    )
+    from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
+
+    emb, _, _ = pq_ctx
+    vecs = emb.where(F.col("vec_id") < 300).select("vec_id", "v")
+    m = pca_fit(vecs, "v", 64, k=32)
+    cb = pq_fit(vecs, "v", "vec_id", m=8, k=16, pca_model=m)
+    enc = pq_encode(
+        vecs.select(F.col("vec_id").alias("c_id"), "v"), "v", "c_id", cb
+    ).localCheckpoint(eager=True)
+    cand = vecs.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    qs = vecs.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    proj = pca_project(vecs, "v", m, out_col="p").select(
+        "vec_id", F.col("p").alias("v")
+    )
+    coarse = kmeans_fit(
+        spread(proj.where(F.col("vec_id") % 3 == 0), "vec_id"), "v", "vec_id",
+        k=4, max_iter=2, tol=0.0, round_centroids=6,
+    )
+    got = {
+        (r["q_id"], r["c_id"], r["cosine"])
+        for r in ivfadc_topk(
+            qs, enc, cand, coarse, cb, k=5, nprobe=4, shortlist=400
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["c_id"], r["cosine"])
+        for r in pq_topk_rerank(qs, enc, cand, cb, k=5, shortlist=400).collect()
+    }
+    assert got == want and got
+
+    # raw-space quantizer + PCA codebook: the guard names the mix
+    coarse_raw = kmeans_fit(
+        spread(vecs.where(F.col("vec_id") % 3 == 0), "vec_id"), "v", "vec_id",
+        k=4, max_iter=1, tol=0.0, round_centroids=6,
+    )
+    with pytest.raises(Exception, match="space mix"):
+        ivfadc_topk(
+            qs, enc, cand, coarse_raw, cb, k=5, nprobe=2, shortlist=50
+        ).collect()
+
+
+def test_ivf_assign_dim_guard_both_paths(spark, pq_ctx):
+    """ivf_assign raises (naming the space mix) on a vector/centroid
+    dimension mismatch in BOTH the literal and matmul paths, instead of
+    element_at null-padding into silently wrong cosines."""
+    from ds_caselaw_ingester_spark.operators.similarity import ivf_assign
+
+    emb, _, _ = pq_ctx
+    vecs = emb.where(F.col("vec_id") < 20).select("vec_id", "v")
+    bad_cents = [{"centroid_id": 0, "cvec": [1.0] * 32}, {"centroid_id": 1, "cvec": [0.5] * 32}]
+    for method in ("literal", "matmul"):
+        with pytest.raises(Exception, match="space mix"):
+            ivf_assign(vecs, "v", "vec_id", bad_cents, nprobe=1, method=method).collect()
