@@ -26,8 +26,22 @@ Scale properties:
 
 from __future__ import annotations
 
+import warnings
+
+from py4j.protocol import Py4JError
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _is_py4j_missing_api(exc: "Py4JError") -> bool:
+    """True when a Py4JError means the JVM-side method DOES NOT EXIST
+    (removed/renamed private API) rather than a real execution failure.
+    py4j reports a missing method as 'Method <name>([...]) does not
+    exist' without a java_exception; anything carrying a real Java
+    exception is an execution error and must propagate."""
+    if getattr(exc, "java_exception", None) is not None:
+        return False
+    return "does not exist" in str(exc)
 
 
 def connected_components(
@@ -100,8 +114,35 @@ def connected_components(
             ),
             loop,
         )
-    except Exception:  # noqa: BLE001 — private-API removal fallback
+    except (AttributeError, TypeError) as exc:
+        # API-REMOVAL errors only (py4j surfaces a missing/renamed
+        # method as Py4JError or a Python-side attribute/signature
+        # error). Real execution failures must PROPAGATE — a bare
+        # except here silently degraded every failure to the
+        # conf-mutating fallback, reintroducing the isolation hazard
+        # the scoped session exists to remove (ADVICE r10).
+        warnings.warn(
+            "connected_components: internalCreateDataFrame unavailable "
+            f"({exc!r}); falling back to caller-session conf flip — "
+            "concurrent planning in this session may see mis-sized "
+            "exchanges for the loop's duration",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         e_loop = None
+    except Py4JError as exc:
+        if _is_py4j_missing_api(exc):
+            warnings.warn(
+                "connected_components: internalCreateDataFrame unavailable "
+                f"({exc!r}); falling back to caller-session conf flip — "
+                "concurrent planning in this session may see mis-sized "
+                "exchanges for the loop's duration",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            e_loop = None
+        else:
+            raise
     if e_loop is not None:
         sym = (
             e_loop.unionAll(

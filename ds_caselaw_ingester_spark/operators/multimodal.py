@@ -302,12 +302,22 @@ def decode_audio_real(data: bytes) -> dict:
             "environment"
         )
     with wave.open(io.BytesIO(data), "rb") as w:
+        sw = w.getsampwidth()
+        if sw not in (1, 2):
+            # validate HERE, not in the RMS helper: a valid 24/32-bit
+            # WAV that decoded fine but blew up in _pcm_rms escaped the
+            # caller's per-document error wrapping and killed the whole
+            # scan with no doc id (ADVICE r10)
+            raise NotImplementedError(
+                f"{sw * 8}-bit PCM WAV not supported (8/16-bit only in "
+                "this container)"
+            )
         n = w.getnframes()
         return {
             "format": "wav",
             "sample_rate": w.getframerate(),
             "n_channels": w.getnchannels(),
-            "bytes_per_sample": w.getsampwidth(),
+            "bytes_per_sample": sw,
             "n_frames": n,
             "pcm": w.readframes(n),
         }

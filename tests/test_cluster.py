@@ -306,3 +306,53 @@ def test_keeper_and_split_match_python_model_on_random_graphs(spark, seed):
     for i in range(n):
         frac = int(hashlib.md5(f"z{comp[i]}".encode()).hexdigest()[:13], 16) / 16.0**13
         assert out[i] == ("train" if frac < 0.7 else "val"), (i, comp[i], frac)
+
+
+def test_missing_api_classifier_and_fallback_warns(spark, monkeypatch):
+    """ADVICE r10: the private-API hop's except must catch ONLY
+    API-removal errors (with a RuntimeWarning naming the degraded
+    isolation), never real execution failures. Unit-pins the Py4J
+    classifier, then forces the AttributeError branch and checks the
+    fallback still computes correct components under a warning."""
+    import warnings as _w
+
+    from py4j.protocol import Py4JError
+
+    from ds_caselaw_ingester_spark.operators import cluster as C
+
+    # classifier: missing-method Py4JError degrades; real java
+    # execution errors propagate
+    assert C._is_py4j_missing_api(
+        Py4JError("Method internalCreateDataFrame([class X]) does not exist")
+    )
+    java_err = Py4JError("error while calling o123.count")
+    java_err.java_exception = object()  # what Py4JJavaError carries
+    assert not C._is_py4j_missing_api(java_err)
+    assert not C._is_py4j_missing_api(Py4JError("connection refused"))
+
+    # force the API-unavailable branch: the hop's first DataFrame(...)
+    # construction raises AttributeError (what a removed py4j member
+    # surfaces as Python-side)
+    real_df = C.DataFrame
+
+    class _Boom:
+        def __call__(self, *a, **k):
+            raise AttributeError("internalCreateDataFrame is gone")
+
+    monkeypatch.setattr(C, "DataFrame", _Boom())
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = {
+            (r["node"], r["component"])
+            for r in C.connected_components(edges).collect()
+        }
+    monkeypatch.setattr(C, "DataFrame", real_df)
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    msgs = [str(w.message) for w in rec if w.category is RuntimeWarning]
+    assert any("falling back to caller-session conf flip" in m for m in msgs)
+    # the fallback restored the caller's conf
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

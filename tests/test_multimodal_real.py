@@ -173,3 +173,27 @@ def test_audio_windows_wav_container_real_rms(spark):
     )
     with pytest.raises(Exception, match="doc 9"):
         audio_windows(bad, container="wav").collect()
+
+
+def test_audio_windows_wav_24bit_names_the_document(spark):
+    """A perfectly VALID 24-bit PCM WAV is unsupported in this container
+    — the refusal must surface through the per-document error wrapping
+    (naming the doc id), not escape from the RMS helper and kill the
+    scan anonymously (ADVICE r10). decode_audio_real validates the
+    sample width itself."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)  # 24-bit: wave writes it happily
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01\x02" * 100)
+    wav24 = buf.getvalue()
+
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_audio_real(wav24)
+
+    df = spark.createDataFrame(
+        [(7, bytearray(wav24))], "doc_id long, content binary"
+    )
+    with pytest.raises(Exception, match="doc 7"):
+        audio_windows(df, window_ms=500, hop_ms=250, container="wav").collect()
