@@ -102,23 +102,33 @@ def main() -> None:
     if errors:
         out["errors"] = errors
 
-    # The artifact pipeline captures a bounded TAIL of stdout: BENCH_r09.json
-    # lost the suite total because the per-query spread dict pushed the
-    # one-line JSON past that window. Two defenses:
-    #   1. The FULL summary is written to BENCH_LAST.json in the repo — a
-    #      committed file can never be truncated by an output-capture window.
-    #   2. The stdout line is printed compact (no spaces) and carries only
-    #      the spreads that matter for adjudication (queries a stall actually
-    #      hit, spread > 0.05) — the full spread map lives in the file.
+    # The artifact pipeline captures a bounded TAIL of stdout: BENCH_r09 and
+    # r10 both lost the suite total because the one-line JSON outgrew that
+    # window (r10's >0.05 spread filter kept 48/50 entries on this noisy
+    # VM). Three defenses:
+    #   1. The FULL summary (full-precision timings + complete spread map)
+    #      is written to BENCH_LAST.json in the repo — a committed file can
+    #      never be truncated by an output-capture window.
+    #   2. The stdout line drops `spread` ENTIRELY and rounds per-query
+    #      timings to 4 decimals: measured 1.3 KB for the 50-query suite,
+    #      inside the window with margin.
+    #   3. A final minimal line {"value","sf","n_queries"} prints AFTER the
+    #      full line, so a tail capture always ENDS with the suite total
+    #      even if the per-query line someday outgrows the window again.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
         "w",
     ) as f:
         json.dump(out, f, separators=(",", ":"))
         f.write("\n")
-    line = dict(out)
-    line["spread"] = {n: s for n, s in spreads.items() if s > 0.05}
+    line = {k: v for k, v in out.items() if k != "spread"}
+    line["queries"] = {n: round(t, 4) for n, t in timings.items()}
     print(json.dumps(line, separators=(",", ":")))
+    tail = {"metric": out["metric"], "value": total, "unit": "sec", "sf": sf,
+            "n_queries": len(timings)}
+    if errors:
+        tail["errors"] = errors
+    print(json.dumps(tail, separators=(",", ":")))
 
 
 if __name__ == "__main__":
