@@ -111,40 +111,64 @@ def apply_quality_gates(
     banding: a doc any gate drops is never indexed. Semantics per gate
     are documented on curate_corpus (which forwards here).
 
-    Gate ORDER is the CCNet pipeline's: langid first (the cheapest
-    learned gate and the biggest filter on a web-scale corpus — no
-    point profiling repetition in a document the pipeline won't keep),
-    then repetition caps, then the quality classifier, then the LM."""
+    EXECUTION (round 11): ONE fused Arrow mapInPandas pass scores every
+    enabled gate row-locally and emits only the survivors — no exchange,
+    no join-back, no checkpoint workaround, and a single Arrow
+    serialization round-trip however many gates are on. Each gate's
+    row-local engine is the pure-Python replay its parity tests pin
+    (py_score, py_repetition_profile, py_doc_perplexity), so the keep
+    set equals the relational forms' post-rounding — pinned per gate in
+    tests/test_langid.py, test_repetition.py, test_unigram_lm.py, and
+    for the fusion in test_curation_pipeline.py. The relational forms
+    (score_quality, repetition_profile, unigram_perplexity) remain the
+    DuckDB-oracle paths. At 100 TB this is the difference between a
+    read-only map over the corpus and (previously) id-keyed
+    explode/groupBy exchanges carrying ~(grams + lines + tokens) rows
+    per document for the repetition and LM gates — docs/SCALE.md
+    records the composite before/after.
+
+    Gate ORDER is the CCNet pipeline's, short-circuited PER DOCUMENT:
+    langid first (the cheapest learned gate and the biggest filter on a
+    web-scale corpus — no point profiling repetition in a document the
+    pipeline won't keep), then repetition caps, then the quality
+    classifier, then the LM."""
+    import re
+
+    enabled = (
+        langid_model is not None
+        or bool(repetition_caps)
+        or quality_model is not None
+        or lm_logp is not None
+    )
+    if not enabled:
+        return gated
+    if text_col not in gated.columns:
+        raise ValueError(f"{text_col!r} is not a column of the input frame")
+
+    # (kind, payload) specs in CCNet order; payloads are plain
+    # dicts/scalars (the score_quality_mapside closure-minimal
+    # convention) — models are reconstructed inside the worker
+    specs: "list[tuple[str, tuple]]" = []
+
+    def _clf_spec(model, threshold: float) -> "tuple[str, tuple]":
+        return (
+            "clf",
+            (
+                model.dim,
+                model.bias,
+                dict(model.weights),
+                getattr(model, "feature", "word"),
+                getattr(model, "max_chars", None),
+                float(threshold),
+            ),
+        )
+
     if langid_model is not None:
-        from ds_caselaw_ingester_spark.operators.quality_clf import (
-            score_quality_mapside,
-        )
-
-        # shuffle-free: the langid gate is the FIRST learned gate and
-        # sees the most data, so it must be a pure map — the mapside
-        # scorer adds the probability row-locally (py_score, the same
-        # replay the parity tests pin) and the filter follows with no
-        # exchange, no join-back (see score_quality_mapside's docstring
-        # for the exchange-bytes argument)
-        gated = (
-            score_quality_mapside(
-                gated, langid_model, id_col, text_col, out_col="_lang_p"
-            )
-            .where(F.col("_lang_p") >= F.lit(min_lang_p))
-            .drop("_lang_p")
-        )
+        specs.append(_clf_spec(langid_model, min_lang_p))
     if repetition_caps:
-        import re
-
-        from ds_caselaw_ingester_spark.operators.repetition import (
-            repetition_profile,
-        )
-
-        # compute ONLY the gram sizes a cap actually references: the
-        # dup-n positional-coverage machinery is two window shuffles +
-        # a sequence explode PER n — running the default (5, 10) for a
-        # caller capping only dup_line_frac multiplied the corpus scan
-        # for signals that were immediately discarded
+        # profile ONLY the gram sizes a cap references (computing the
+        # default (5, 10) coverage for a caller capping dup_line_frac
+        # is per-document work for signals immediately discarded)
         top_ns = tuple(
             sorted(
                 int(m.group(1))
@@ -159,53 +183,82 @@ def apply_quality_gates(
                 if (m := re.fullmatch(r"dup_(\d+)gram_char_frac", c))
             )
         )
-        prof = repetition_profile(
-            gated, id_col, text_col, top_ns=top_ns, dup_ns=dup_ns
-        )
-        unknown = set(repetition_caps) - set(prof.columns)
+        known = {
+            "n_lines", "dup_line_frac", "dup_line_char_frac",
+            "n_paras", "dup_para_frac", "dup_para_char_frac",
+        } | {f"top_{n}gram_char_frac" for n in top_ns} | {
+            f"dup_{n}gram_char_frac" for n in dup_ns
+        }
+        unknown = set(repetition_caps) - known
         if unknown:
             raise ValueError(f"unknown repetition_caps columns: {sorted(unknown)}")
-        cond = None
-        for col, cap in sorted(repetition_caps.items()):
-            c = F.col(col) <= F.lit(float(cap))
-            cond = c if cond is None else (cond & c)
-        gated = gated.join(prof.where(cond).select(id_col), id_col)
+        caps = sorted((c, float(v)) for c, v in repetition_caps.items())
+        specs.append(("rep", (caps, top_ns, dup_ns)))
     if quality_model is not None:
-        from ds_caselaw_ingester_spark.operators.quality_clf import (
-            score_quality_mapside,
-        )
-
-        # same shuffle-free shape as the langid gate: a per-document
-        # score that exists only to filter is a pure map (mapside ==
-        # aggregation scorer post-rounding, pinned for both feature
-        # families in test_langid.py)
-        gated = (
-            score_quality_mapside(
-                gated, quality_model, id_col, text_col, out_col="_quality_p"
-            )
-            .where(F.col("_quality_p") >= F.lit(min_quality_p))
-            .drop("_quality_p")
-        )
+        specs.append(_clf_spec(quality_model, min_quality_p))
     if lm_logp is not None:
+        specs.append(("lm", (dict(lm_logp), float(max_ppl), int(lm_max_piece_len))))
+
+    def _gate_scan(batches):
+        import numpy as np
+
+        from ds_caselaw_ingester_spark.operators.quality_clf import (
+            QualityModel,
+            py_score,
+        )
+        from ds_caselaw_ingester_spark.operators.repetition import (
+            py_repetition_profile,
+        )
         from ds_caselaw_ingester_spark.operators.unigram_lm import (
-            unigram_perplexity,
+            py_doc_perplexity,
         )
 
-        ppl = unigram_perplexity(
-            gated, id_col, text_col, lm_logp, max_piece_len=lm_max_piece_len
-        )
-        # keep NULL-ppl (unscored) docs: the only drop condition is
-        # ppl > max_ppl. localCheckpoint the id shortlist so the
-        # per-token Viterbi pass runs ONCE - `gated` has multiple
-        # downstream consumers (shingles, the spine, keepers) and an
-        # unmaterialized gate would replay the scoring per consumer.
-        keep_ids = (
-            ppl.where(F.col("ppl").isNull() | (F.col("ppl") <= F.lit(max_ppl)))
-            .select(id_col)
-            .localCheckpoint(eager=True)
-        )
-        gated = gated.join(keep_ids, id_col)
-    return gated
+        gates = []
+        for kind, p in specs:
+            if kind == "clf":
+                dim, bias, weights, feature, max_chars, thr = p
+                gates.append(
+                    (
+                        "clf",
+                        QualityModel(
+                            dim=dim, bias=bias, weights=weights,
+                            feature=feature, max_chars=max_chars,
+                        ),
+                        thr,
+                    )
+                )
+            else:
+                gates.append((kind, *p))
+
+        def _keep(text) -> bool:
+            t = text if isinstance(text, str) else ""
+            for g in gates:
+                if g[0] == "clf":
+                    _, model, thr = g
+                    if py_score(t, model) < thr:
+                        return False
+                elif g[0] == "rep":
+                    _, caps_, tns, dns = g
+                    prof = py_repetition_profile(t, tns, dns)
+                    for col, cap in caps_:
+                        if not prof[col] <= cap:
+                            return False
+                else:  # lm
+                    _, logp, cap, mpl = g
+                    ppl = py_doc_perplexity(t, logp, mpl)["ppl"]
+                    if ppl is not None and ppl > cap:
+                        return False
+            return True
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mask = np.fromiter(
+                (_keep(t) for t in pdf[text_col]), dtype=bool, count=len(pdf)
+            )
+            yield pdf[mask]
+
+    return gated.mapInPandas(_gate_scan, gated.schema)
 
 
 def curate_corpus(

@@ -40,14 +40,20 @@ are part of the training-data-pipeline surface SURVEY.md §2.9 adds.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ds_caselaw_ingester_spark.operators.textstats import tokens, word_ngrams
 
-__all__ = ["repetition_profile"]
+__all__ = [
+    "repetition_profile",
+    "repetition_profile_mapside",
+    "py_repetition_profile",
+]
 
 _ELEM_STRUCT = "struct<kind:string,elem:string,clen:bigint>"
 
@@ -224,3 +230,165 @@ def repetition_profile(
     # coalesce the counts (fracs already 0.0 through the zero denominators)
     base = base.na.fill({"n_lines": 0, "n_paras": 0, "_tok_chars": 0})
     return base.select(*out_cols)
+
+
+def _round_half_up(x: float, n: int) -> float:
+    """Spark's ROUND on doubles: HALF_UP over the shortest-repr decimal
+    (Python's round() is HALF_EVEN — replays must use this)."""
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP)
+    )
+
+
+def _py_dup_stats(elems: "list[str]", round_digits: int) -> "tuple[float, float]":
+    n = len(elems)
+    if n == 0:
+        return 0.0, 0.0
+    seen: set[str] = set()
+    dups = dup_chars = 0
+    for e in elems:
+        if e in seen:
+            dups += 1
+            dup_chars += len(e)
+        else:
+            seen.add(e)
+    chars = sum(len(e) for e in elems)
+    return (
+        _round_half_up(dups / n, round_digits),
+        _round_half_up(dup_chars / chars, round_digits) if chars else 0.0,
+    )
+
+
+def py_repetition_profile(
+    text: "str | None",
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (5, 10),
+    round_digits: int = 4,
+) -> dict:
+    """Pure-Python replay of repetition_profile for ONE document — the
+    row-local engine of repetition_profile_mapside and the fused
+    curation gate scan. Semantics are the module docstring's definitions
+    exactly as the relational path computes them: py_tokens (the JVM
+    ASCII-\\s replay, NOT str.split), lines split on '\\n', paragraphs
+    split on '\\n{2,}' then space-only-trimmed (Spark trim), top-gram
+    ties break to the lexicographically smallest gram (UTF-8 byte order
+    == code-point order, so Python str comparison agrees with Spark's
+    binary ordering), positional n-gram coverage, and HALF_UP rounding
+    on the shortest-repr decimal (Spark ROUND). A None/empty text
+    yields the relational path's all-zero row. Equality with the
+    relational path is pinned by tests/test_repetition_property.py."""
+    from collections import Counter
+
+    from ds_caselaw_ingester_spark.operators.textstats import py_tokens
+
+    t = text if isinstance(text, str) else ""
+    toks = py_tokens(t)
+    tok_chars = sum(len(x) for x in toks)
+    lines = [x for x in t.split("\n") if x != ""]
+    paras = [p for p in (s.strip(" ") for s in re.split(r"\n{2,}", t)) if p != ""]
+
+    out: dict = {"n_lines": len(lines)}
+    out["dup_line_frac"], out["dup_line_char_frac"] = _py_dup_stats(
+        lines, round_digits
+    )
+    out["n_paras"] = len(paras)
+    out["dup_para_frac"], out["dup_para_char_frac"] = _py_dup_stats(
+        paras, round_digits
+    )
+    for n in top_ns:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        if grams and tok_chars:
+            cnt = Counter(grams)
+            neg, best = min((-c, g) for g, c in cnt.items())
+            top_chars = -neg * (len(best) - (n - 1))
+            out[f"top_{n}gram_char_frac"] = _round_half_up(
+                top_chars / tok_chars, round_digits
+            )
+        else:
+            out[f"top_{n}gram_char_frac"] = 0.0
+    for n in dup_ns:
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        cnt = Counter(grams)
+        covered: set[int] = set()
+        for i, g in enumerate(grams):
+            if cnt[g] >= 2:
+                covered.update(range(i, i + n))
+        cov_chars = sum(len(toks[i]) for i in covered)
+        out[f"dup_{n}gram_char_frac"] = (
+            _round_half_up(cov_chars / tok_chars, round_digits)
+            if tok_chars
+            else 0.0
+        )
+    return out
+
+
+def repetition_profile_mapside(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (5, 10),
+    round_digits: int = 4,
+) -> DataFrame:
+    """Shuffle-FREE repetition profiling: the same output columns as
+    repetition_profile, computed row-locally in one Arrow mapInPandas
+    pass (py_repetition_profile per document) and APPENDED to the input
+    frame — no tagged-element explode, no (doc, kind, elem) groupBys,
+    no per-gram windows, no join-back.
+
+    Why this exists alongside the relational form: the agg path's
+    exchanges carry ~(tokens + lines + paragraphs + one gram array per
+    n) rows per document — the dominant cost of the full curation
+    composite at sf0.1 (docs/SCALE.md) — to compute a per-document
+    value that in the gate role exists only to FILTER. The langid
+    lesson applied: a per-document score used as a filter is a pure
+    map. The relational form remains the DuckDB-oracle path (registered
+    query repetition_profile) and the cross-engine definition record.
+
+    Trade: per-document Python (Counter over grams) instead of codegen
+    — linear in document length with small constants, no exchange at
+    any corpus size. Values are pinned equal to the relational path by
+    tests/test_repetition_property.py (same replay, same rounding)."""
+    if any(n < 2 for n in (*top_ns, *dup_ns)):
+        raise ValueError("repetition n-grams need n >= 2")
+    if len(set(top_ns)) != len(top_ns) or len(set(dup_ns)) != len(dup_ns):
+        raise ValueError("duplicate n in top_ns/dup_ns")
+    from pyspark.sql import types as T
+
+    prof_fields = [
+        T.StructField("n_lines", T.IntegerType(), True),
+        T.StructField("dup_line_frac", T.DoubleType(), True),
+        T.StructField("dup_line_char_frac", T.DoubleType(), True),
+        T.StructField("n_paras", T.IntegerType(), True),
+        T.StructField("dup_para_frac", T.DoubleType(), True),
+        T.StructField("dup_para_char_frac", T.DoubleType(), True),
+    ]
+    for n in top_ns:
+        prof_fields.append(
+            T.StructField(f"top_{n}gram_char_frac", T.DoubleType(), True)
+        )
+    for n in dup_ns:
+        prof_fields.append(
+            T.StructField(f"dup_{n}gram_char_frac", T.DoubleType(), True)
+        )
+    clash = {f.name for f in prof_fields} & set(docs.columns)
+    if clash:
+        raise ValueError(
+            f"profile columns {sorted(clash)} already exist on the input "
+            "frame (the mapside profiler appends, never replaces)"
+        )
+    schema = T.StructType(list(docs.schema.fields) + prof_fields)
+    cols = [f.name for f in prof_fields]
+    tn, dn, rd = tuple(top_ns), tuple(dup_ns), round_digits
+
+    def _profile(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            profs = [
+                py_repetition_profile(t, tn, dn, rd) for t in pdf[text_col]
+            ]
+            for c in cols:
+                pdf[c] = [p[c] for p in profs]
+            yield pdf
+
+    return docs.mapInPandas(_profile, schema)

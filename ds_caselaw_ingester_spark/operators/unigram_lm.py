@@ -269,3 +269,102 @@ def unigram_perplexity(
             ).alias("ppl"),
         )
     )
+
+def py_doc_perplexity(
+    text: "str | None",
+    logp: "dict[str, float]",
+    max_piece_len: int = 6,
+    oov_logp: "float | None" = None,
+) -> dict:
+    """Pure-Python replay of unigram_perplexity for ONE document — the
+    row-local engine of unigram_perplexity_mapside and the fused
+    curation gate scan. Same arithmetic as the relational path: Viterbi
+    per token (viterbi_segment, the shared DP), per-token micro-rounding
+    to integer partials, exact integer sum, ppl = exp(-lp/n_pieces)
+    HALF_UP-rounded at 4 (Spark ROUND). Returns {n_tokens, n_pieces,
+    total_logprob, ppl}; a tokenless document gets ppl=None — the
+    relational NULL, which the gate KEEPS. Equality with the relational
+    path is pinned by tests/test_unigram_lm.py."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ds_caselaw_ingester_spark.operators.textstats import py_tokens
+
+    floor = float(oov_logp) if oov_logp is not None else min(logp.values())
+    lp_micro = 0
+    n_pieces = 0
+    toks = py_tokens(text if isinstance(text, str) else "")
+    for t in toks:
+        pieces = viterbi_segment(t, logp, max_piece_len)
+        lp = sum(logp.get(p, floor) for p in pieces)
+        lp_micro += int(round(lp * 1e6))
+        n_pieces += len(pieces)
+    total_logprob = lp_micro / 1e6
+    ppl = None
+    if n_pieces > 0:
+        raw = math.exp(-total_logprob / n_pieces)
+        ppl = float(
+            Decimal(repr(raw)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
+    return {
+        "n_tokens": len(toks),
+        "n_pieces": n_pieces,
+        "total_logprob": total_logprob,
+        "ppl": ppl,
+    }
+
+
+def unigram_perplexity_mapside(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    logp: "dict[str, float] | None" = None,
+    max_piece_len: int = 6,
+    oov_logp: "float | None" = None,
+    out_col: str = "ppl",
+) -> DataFrame:
+    """Shuffle-FREE perplexity: appends `out_col` to `docs` via one
+    Arrow mapInPandas pass running py_doc_perplexity per document.
+
+    Why this exists alongside unigram_perplexity: the Viterbi pass was
+    already row-local Arrow, but the relational form still explodes
+    tokens, reduces the partials through an id-keyed groupBy exchange,
+    and joins the keep set back — and its curation consumer had to
+    localCheckpoint the shortlist so multiple downstream consumers
+    would not replay the scoring. Computing ppl in the SAME pass that
+    segments removes the exchange, the join-back, and the checkpoint
+    workaround: the gate becomes a pure map (the langid lesson). The
+    relational form remains for callers that want the full
+    (n_tokens, n_pieces, total_logprob) accounting frame.
+
+    Values equal the relational path post-rounding — same viterbi DP,
+    same per-token micro-rounding and integer sum (shuffle-order
+    stability is trivial here: there is no shuffle), same HALF_UP
+    round at 4. Pinned by tests/test_unigram_lm.py."""
+    from pyspark.sql import types as T
+
+    if logp is None:
+        raise ValueError("logp (trained {piece: log_prob}) is required")
+    if out_col in docs.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists on the input frame; "
+            "pass a different name (the scorer appends, never replaces)"
+        )
+    schema = T.StructType(
+        list(docs.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+    model = dict(logp)
+    floor = float(oov_logp) if oov_logp is not None else min(model.values())
+    mpl = max_piece_len
+
+    def _score(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                py_doc_perplexity(t, model, mpl, floor)["ppl"]
+                for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return docs.mapInPandas(_score, schema)

@@ -328,9 +328,27 @@ def _resolve_n_buckets(
             "the original bucket count. Pass the explicit n_buckets "
             "the index was built with, or rebuild it."
         )
+    import logging
+
     from ds_caselaw_ingester_spark.operators.sizing import curation_n_buckets
 
-    return curation_n_buckets(int(batch.count() * bootstrap_growth))
+    n_docs = batch.count()
+    derived = curation_n_buckets(int(n_docs * bootstrap_growth))
+    # the pin is for the index's LIFE and the remedy for an undersized
+    # one is a full rebuild, so say what the bootstrap saw (ADVICE r10):
+    # a maxFilesPerTrigger=1-style tiny first batch pins a count near
+    # min_b for a corpus that may grow orders of magnitude past the
+    # growth margin
+    logging.getLogger(__name__).warning(
+        "curation sink: n_buckets='auto' bootstrapped from the FIRST "
+        "micro-batch (%d docs x growth %.0f -> n_buckets=%d, pinned for "
+        "the index's life). If this batch is not representative of the "
+        "corpus the stream will grow into, pass projected_docs=<corpus "
+        "estimate> instead — an undersized pin is only fixable by "
+        "migrate_index_to_bucketed (quiesced stream).",
+        n_docs, bootstrap_growth, derived,
+    )
+    return derived
 
 
 def _pin_layout(
@@ -650,6 +668,33 @@ def apply_curation_batch(
     meta["epochs"][str(epoch_id)] = mx_new
     _write_json(_meta_path(local), meta)
     _pin_layout(local, n_buckets, key_mode, gate)
+    if use_seq and mx_new is not None:
+        # cold-start undersize guard (VERDICT r10 #7): in seq mode the
+        # canonical key is a dense per-kept-doc sequence, so mx+1 IS the
+        # cumulative kept-doc count — free from the sidecar collect. If
+        # the sizing rule on what the index now actually holds wants
+        # >= 4x the pinned count, the pin (often a degenerate tiny-first-
+        # batch auto-bootstrap) is underscaled for life: say so and name
+        # the remedy. 4x = one doubling past the bootstrap's own growth
+        # margin running out — early enough to act, late enough not to
+        # fire on normal growth into the margin.
+        from ds_caselaw_ingester_spark.operators.sizing import (
+            curation_n_buckets,
+        )
+
+        implied = curation_n_buckets(int(mx_new) + 1)
+        if implied >= 4 * n_buckets:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "curation sink: the index now holds ~%d kept docs; the "
+                "sizing rule would choose n_buckets=%d but the layout "
+                "pinned %d — probe reads are ~%dx the block-sized "
+                "target per bucket. Rebuild under a larger count with "
+                "migrate_index_to_bucketed (quiesced stream).",
+                int(mx_new) + 1, implied, n_buckets,
+                max(1, implied // n_buckets),
+            )
 
 
 # ---------------------------------------------------------------- maintenance

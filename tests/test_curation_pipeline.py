@@ -508,3 +508,130 @@ def test_mixture_stage_blends_after_dedup(spark):
             mixture_budget=budget,
             **kw,
         )
+
+
+def test_fused_gate_scan_matches_sequential_relational_gates(spark):
+    """The round-11 fusion (VERDICT r10 #1/#2/#6): apply_quality_gates
+    with ALL FOUR gates on keeps exactly the documents that pass each
+    gate's RELATIONAL form (score_quality twice, repetition_profile
+    caps, unigram_perplexity NULL-keeps rule) applied sequentially —
+    the keep-set-equality done-criterion on a planted corpus where the
+    repetition and LM gates each non-vacuously drop documents."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.curation import apply_quality_gates
+    from ds_caselaw_ingester_spark.operators.quality_clf import (
+        QualityModel,
+        score_quality,
+    )
+    from ds_caselaw_ingester_spark.operators.repetition import repetition_profile
+    from ds_caselaw_ingester_spark.operators.unigram_lm import (
+        unigram_fit,
+        unigram_perplexity,
+    )
+
+    base = [
+        "the court held the appeal was dismissed with costs",
+        "the appeal court dismissed the appeal and the costs order",
+        "costs were held over while the court dismissed the appeal",
+    ]
+    rows = [(i, t) for i, t in enumerate(base)] + [
+        (20, "zxqv kjwp qqzz vvkk zzzz xqxq glorp wibble"),   # high ppl
+        (21, "spam ham " * 30),                                # repetition
+        (22, "dup line\ndup line\ndup line\ndup line"),        # dup lines
+        (23, ""),                                              # tokenless
+        (24, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    all_ids = {r[0] for r in rows}
+
+    wf = (
+        spark.createDataFrame([(w,) for t in base for w in t.split()], "word string")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    lm = unigram_fit(wf, num_iters=2, max_piece_len=4, max_vocab=200)
+    # hand-built classifier models: arbitrary-but-fixed hashed weights;
+    # the fusion claim is keep-set EQUALITY, not classifier quality
+    langid_m = QualityModel(
+        dim=1 << 10, bias=0.4,
+        weights={i: (0.8 if i % 3 else -0.6) for i in range(0, 1 << 10, 7)},
+        feature="char", max_chars=512,
+    )
+    quality_m = QualityModel(
+        dim=1 << 10, bias=0.3,
+        weights={i: (0.5 if i % 2 else -0.7) for i in range(0, 1 << 10, 5)},
+        feature="word",
+    )
+    caps = {"top_2gram_char_frac": 0.2, "dup_line_frac": 0.4,
+            "dup_5gram_char_frac": 0.5}
+    max_ppl = 60.0
+
+    kept = {
+        r["doc_id"]
+        for r in apply_quality_gates(
+            docs, "doc_id", "text",
+            langid_model=langid_m, min_lang_p=0.5,
+            repetition_caps=caps,
+            quality_model=quality_m, min_quality_p=0.5,
+            lm_logp=lm, max_ppl=max_ppl, lm_max_piece_len=4,
+        ).collect()
+    }
+
+    # the relational expectation, gate by gate
+    lang_ok = {
+        r["doc_id"]
+        for r in score_quality(docs, langid_m).collect()
+        if r["quality_p"] >= 0.5
+    }
+    prof = {r["doc_id"]: r.asDict() for r in repetition_profile(
+        docs, top_ns=(2,), dup_ns=(5,)
+    ).collect()}
+    rep_ok = {
+        i for i, p in prof.items() if all(p[c] <= v for c, v in caps.items())
+    }
+    qual_ok = {
+        r["doc_id"]
+        for r in score_quality(docs, quality_m).collect()
+        if r["quality_p"] >= 0.5
+    }
+    ppl = {r["doc_id"]: r["ppl"] for r in unigram_perplexity(
+        docs, "doc_id", "text", lm, max_piece_len=4
+    ).collect()}
+    lm_ok = {i for i, p in ppl.items() if p is None or p <= max_ppl}
+
+    want = lang_ok & rep_ok & qual_ok & lm_ok
+    assert kept == want, (kept, want, lang_ok, rep_ok, qual_ok, lm_ok)
+    # non-vacuity: the planted docs actually exercised their gates
+    assert 21 not in rep_ok and 22 not in rep_ok
+    assert 20 not in lm_ok
+    assert 23 in lm_ok and 24 in lm_ok  # NULL ppl keeps
+    assert kept and kept != all_ids
+
+
+def test_fused_gate_scan_is_one_exchange_free_pass(spark):
+    """All four gates fuse into ONE MapInPandas node with no Exchange —
+    the 100 TB first-gates contract (previously: three separate Arrow
+    passes plus id-keyed exchanges and join-backs for the repetition
+    and LM gates)."""
+    from ds_caselaw_ingester_spark.operators.curation import apply_quality_gates
+    from ds_caselaw_ingester_spark.operators.quality_clf import QualityModel
+
+    docs = spark.createDataFrame(
+        [(1, "some text here"), (2, "more words")], "doc_id long, text string"
+    )
+    m = QualityModel(dim=64, bias=0.0, weights={3: 0.5}, feature="char",
+                     max_chars=256)
+    q = QualityModel(dim=64, bias=0.0, weights={5: 0.5})
+    out = apply_quality_gates(
+        docs, "doc_id", "text",
+        langid_model=m, min_lang_p=0.4,
+        repetition_caps={"dup_line_frac": 0.9},
+        quality_model=q, min_quality_p=0.4,
+        lm_logp={"a": -1.0, "b": -2.0}, max_ppl=1e9,
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan

@@ -142,3 +142,40 @@ def test_py_tokens_matches_spark_tokens_on_hostile_whitespace(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == py_tokens(t), repr(t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_doc(), min_size=1, max_size=4))
+def test_mapside_profile_matches_python_model(spark, docs):
+    """repetition_profile_mapside agrees with the SAME independent
+    pure-Python model the relational test above pins — so mapside ==
+    relational by transitivity, on arbitrary corpora (VERDICT r10 #1)."""
+    from ds_caselaw_ingester_spark.operators.repetition import (
+        repetition_profile_mapside,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = repetition_profile_mapside(frame)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert set(got) == set(range(len(docs)))
+    for i, text in enumerate(docs):
+        want = _py_profile(text)
+        have = {k: v for k, v in got[i].items() if k not in ("doc_id", "text")}
+        assert have == want, f"doc {i}: {text!r}\n{have}\nvs\n{want}"
+
+
+def test_mapside_profile_plan_is_exchange_free(spark):
+    from ds_caselaw_ingester_spark.operators.repetition import (
+        repetition_profile_mapside,
+    )
+
+    frame = spark.createDataFrame(
+        [(1, "a bb a bb a bb\n\nx y z")], "doc_id long, text string"
+    )
+    out = repetition_profile_mapside(frame)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan, plan

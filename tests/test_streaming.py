@@ -19,6 +19,34 @@ def _write_batch(path, records):
             f.write(json.dumps(r) + "\n")
 
 
+def _await_sink_rows(spark, q, path, min_rows, timeout=600):
+    """Wait until the parquet sink at `path` holds >= min_rows rows.
+
+    Load-independent by construction (the VERDICT r10 de-flake): the
+    success condition is sink content, a DEAD query fails immediately
+    with its own exception, and the timeout exists only to bound a true
+    hang — it is deliberately far above any loaded-host batch time, so
+    suite load makes the test slower, never red (the old fixed
+    120 s/240 s deadlines WERE the assertion and flaked twice under
+    full-suite load)."""
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if q.exception() is not None:
+            raise q.exception()
+        try:
+            if spark.read.parquet(path).count() >= min_rows:
+                return
+        except Exception:  # noqa: BLE001 — sink not written yet
+            pass
+        time.sleep(1.0)
+    raise AssertionError(
+        f"sink {path} never reached {min_rows} rows in {timeout}s; "
+        f"recentProgress tail: {[str(p) for p in q.recentProgress][-2:]}"
+    )
+
+
 
 def test_stream_splits_processed_and_quarantine(spark, tmp_path):
     src = tmp_path / "incoming"
@@ -160,16 +188,7 @@ def test_stateful_dedup_first_wins_across_triggers(spark, tmp_path):
         # availableNow does NOT self-terminate here: the pending
         # processing-time state timers keep the query alive. Poll the sink
         # for both triggers' output, then stop explicitly.
-        import time
-
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            try:
-                if spark.read.parquet(out).count() >= 3:
-                    break
-            except Exception:
-                pass
-            time.sleep(2)
+        _await_sink_rows(spark, q, out, 3)
         q.stop()
         q.awaitTermination(60)
 
@@ -196,21 +215,7 @@ def test_rate_source_stream_parses_and_quarantines(spark, tmp_path):
     with _few_shuffle_partitions(spark):
         stream = read_message_stream_rate(spark, rows_per_batch=14)
         q = run_ingest_stream(stream, out, ckpt)
-        import time
-
-        # generous: the rate source needs one wall-clock micro-batch and
-        # this has flaked at 120 s when the suite shared the host with a
-        # concurrent sf10 sweep (passes in isolation in ~13 s)
-        deadline = time.time() + 240
-        processed = None
-        while time.time() < deadline:
-            try:
-                processed = spark.read.parquet(f"{out}/processed")
-                if processed.count() >= 12:  # ≥ one full 14-row batch
-                    break
-            except Exception:  # noqa: BLE001 — sink not written yet
-                pass
-            time.sleep(0.5)
+        _await_sink_rows(spark, q, f"{out}/processed", 12)  # ≥ one 14-row batch
         q.stop()
         q.awaitTermination(60)
 

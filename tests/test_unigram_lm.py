@@ -174,3 +174,55 @@ def test_unigram_perplexity_replay_and_discrimination(spark):
     # (c) empty and NULL docs keep their rows
     for d in (98, 99):
         assert got[d]["n_tokens"] == 0 and got[d]["ppl"] is None
+
+
+def test_unigram_perplexity_mapside_matches_relational(spark):
+    """unigram_perplexity_mapside appends the SAME ppl the relational
+    path computes (incl. the NULL-for-tokenless rule) with an
+    Exchange-free plan — the round-11 gate shape (VERDICT r10 #2)."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.unigram_lm import (
+        unigram_fit,
+        unigram_perplexity,
+        unigram_perplexity_mapside,
+    )
+
+    base = [
+        "the court held the appeal was dismissed with costs",
+        "the appeal court dismissed the appeal and the costs order",
+        "costs were held over while the court dismissed the appeal",
+    ]
+    rows = [(i, t) for i, t in enumerate(base)] + [
+        (97, "zxqv kjwp qqzz vvkk zzzz xqxq"),
+        (98, ""),
+        (99, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wf = (
+        spark.createDataFrame(
+            [(w,) for t in base for w in t.split()], "word string"
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    logp = unigram_fit(wf, num_iters=2, max_piece_len=4, max_vocab=200)
+
+    rel = {
+        r["doc_id"]: r["ppl"]
+        for r in unigram_perplexity(
+            docs, "doc_id", "text", logp, max_piece_len=4
+        ).collect()
+    }
+    mapside = unigram_perplexity_mapside(
+        docs, "doc_id", "text", logp, max_piece_len=4
+    )
+    got = {r["doc_id"]: r["ppl"] for r in mapside.collect()}
+    assert got == rel
+    assert got[98] is None and got[99] is None  # tokenless -> NULL (keep)
+    assert got[97] is not None
+
+    plan = mapside._sc._jvm.PythonSQLUtils.explainString(
+        mapside._jdf.queryExecution(), "simple"
+    )
+    assert "Exchange" not in plan, plan
