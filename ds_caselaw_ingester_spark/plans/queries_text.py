@@ -986,13 +986,35 @@ LEFT JOIN covc10 c10 USING (doc_id)
     doc="Gopher repetition-removal signals per document (Rae et al. "
     "2021 Table A1): duplicate line/paragraph fractions (count- and "
     "character-weighted), top 2/3/4-gram character fraction, duplicate "
-    "5/10-gram positional character coverage. One tagged explode + one "
-    "(doc,kind,elem) groupBy for the count family; one (doc,gram) "
-    "window per coverage n. Every shuffle key carries doc_id, so skew "
-    "is bounded by repetition inside a single document.",
+    "5/10-gram positional character coverage. Round 11: the registered "
+    "Spark side is the SHUFFLE-FREE mapside engine (one Arrow "
+    "mapInPandas pass, py_repetition_profile per document) — the "
+    "driver's hash check now pins the path curate_corpus actually runs "
+    "directly against the relational DuckDB definition. The relational "
+    "Spark form (tagged explode + (doc,kind,elem) groupBys + per-gram "
+    "windows) keeps an identical pytest gate in test_oracle_parity.py "
+    "and stays pinned equal to the same Python replay by "
+    "test_repetition_property.py.",
     survey_ops=("ext:repetition-profile", "ext:quality-score"),
 )
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_oracle_safe(spark)
+    from ds_caselaw_ingester_spark.operators.repetition import (
+        repetition_profile_mapside,
+    )
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    d = spread(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    # drop the carried text column: the appended profile fields follow it,
+    # leaving exactly the relational form's (doc_id, profile...) shape.
+    return repetition_profile_mapside(d).drop("text")
+
+
+def q_repetition_profile_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relational explode/groupBy/window form of repetition_profile —
+    the cross-engine definition record, pytest-gated against the same
+    oracle (test_oracle_parity.py) since the registry row moved to the
+    mapside engine in round 11."""
     ensure_oracle_safe(spark)
     from ds_caselaw_ingester_spark.operators.repetition import repetition_profile
     from ds_caselaw_ingester_spark.sources.catalog import spread

@@ -70,6 +70,25 @@ def test_unregistered_hybrid_search_matches_oracle(spark, sf_dir):
     assert res.spark_rows > 0
 
 
+def test_relational_repetition_profile_matches_oracle(spark, sf_dir):
+    """The registered repetition_profile row switched its Spark side to
+    the shuffle-free mapside engine (round 11), so the driver now pins
+    mapside-vs-DuckDB. This identical gate keeps the relational
+    explode/groupBy/window form — the cross-engine definition record —
+    hash-matched to the same oracle so it cannot silently rot."""
+    from ds_caselaw_ingester_spark.plans.queries_text import (
+        REPETITION_PROFILE_ORACLE,
+        q_repetition_profile_relational,
+    )
+
+    res = check_query(
+        spark, sf_dir, "repetition_profile_relational",
+        q_repetition_profile_relational, REPETITION_PROFILE_ORACLE,
+    )
+    assert res.ok, res.detail
+    assert res.spark_rows > 0
+
+
 def test_unregistered_tar_listing_matches_oracle(spark, sf_dir):
     """tar_member_listing gave up its registry slot (S7/S8 are a strict
     subset of tar_pipeline's coverage) but keeps the same oracle gate
