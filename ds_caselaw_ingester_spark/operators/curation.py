@@ -413,6 +413,15 @@ def curate_corpus(
         raise ValueError(
             f"mixture needs a `{source_col}` column on the input docs"
         )
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    # Production entry for an UNSEEN frame: a single-file corpus plans as
+    # 1-2 partitions, and the fused Arrow gate scan below — the stage
+    # that touches every byte — would serialise on 1-2 cores. No-op when
+    # the scan is already wide (the real-scale case); results are
+    # partitioning-invariant either way (pinned in
+    # tests/test_curation_pipeline.py).
+    docs = spread_if_narrow(docs, id_col)
     if benchmark is not None:
         from ds_caselaw_ingester_spark.operators.decontam import decontaminate
 

@@ -226,6 +226,14 @@ def semantic_dedup_auto(
         semdedup_num_clusters,
     )
 
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    # Production entry for an UNSEEN frame: a single-file corpus plans
+    # as 1-2 partitions and serialises every map-side stage below
+    # (training argmax, assignment, in-cell pair generation) — measured
+    # 90 s vs 12.5 s at sf1 (docs/SCALE.md round 11). No-op when the
+    # scan is already wide, so real-scale inputs pay nothing.
+    vectors = spread_if_narrow(vectors, id_col)
     cell = target_cell_size or SEMDEDUP_TARGET_CELL
     n = vectors.count()
     # clamp to the corpus itself FIRST: for n below the rule's clamp

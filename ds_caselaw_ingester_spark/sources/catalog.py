@@ -114,3 +114,26 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     replace source partitioning."""
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
+def spread_if_narrow(
+    df: DataFrame, *key_cols: str, min_fraction: float = 0.5
+) -> DataFrame:
+    """spread(), but ONLY when the frame's planned partitioning cannot
+    fill the cluster — the guard for PRODUCTION operator entries that
+    accept an unseen frame. A single compact parquet file plans as 1-2
+    partitions, and every downstream map-side stage (Arrow gate scans,
+    centroid argmax, in-cell pair generation) then serialises on 1-2
+    cores: semantic_dedup_auto measured 90 s vs 12.5 s at sf1 on
+    exactly this (docs/SCALE.md round 11). An already-wide scan — the
+    normal case at real scale, where the source arrives in thousands
+    of splits — is returned UNCHANGED, so large inputs never pay a
+    gratuitous corpus shuffle. Streaming frames are returned unchanged
+    (no static partitioning to inspect; micro-batch frames inside
+    foreachBatch are static and do get the guard)."""
+    if df.isStreaming:
+        return df
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(n * min_fraction)):
+        return df
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)

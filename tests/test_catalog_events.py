@@ -125,3 +125,56 @@ def test_driver_table_schema_canary(spark, name):
     df = table(spark, "/root/testdata/sf0.001", name)
     missing = EXPECTED_COLUMNS[name] - set(df.columns)
     assert not missing, f"{name} lost expected columns: {missing}; has {df.columns}"
+
+
+# ---------------------------------------------------------------------------
+# spread_if_narrow — the production-entry partitioning guard
+# ---------------------------------------------------------------------------
+
+def test_spread_if_narrow_widens_a_single_partition_frame(spark):
+    """A 1-partition frame (the compact-single-file shape that serialised
+    semantic_dedup_auto's map stages 90 s -> 12.5 s at sf1) must come out
+    at the session's full parallelism."""
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    narrow = spark.range(0, 10_000).coalesce(1)
+    widened = spread_if_narrow(narrow, "id")
+    assert widened.rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    # same rows, just redistributed
+    assert widened.count() == 10_000
+
+
+def test_spread_if_narrow_leaves_a_wide_frame_unchanged(spark):
+    """An already-wide scan (the real-scale case) must NOT pay a
+    gratuitous shuffle — the helper returns the frame object itself."""
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    n = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, n)
+    assert spread_if_narrow(wide, "id") is wide
+
+
+def test_semantic_dedup_auto_self_defends_against_narrow_input(spark):
+    """The auto entry must produce identical verdicts on a 1-partition
+    frame and a pre-spread frame (the repartition is a pure perf guard,
+    never a semantic one)."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.semdedup import semantic_dedup_auto
+    from ds_caselaw_ingester_spark.sources.catalog import spread, table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    narrow = emb.coalesce(1)
+    a = sorted(
+        (r["vec_id"], r["is_duplicate"])
+        for r in semantic_dedup_auto(narrow, "v", "vec_id").collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["is_duplicate"])
+        for r in semantic_dedup_auto(spread(emb, "vec_id"), "v", "vec_id").collect()
+    )
+    assert a == b
