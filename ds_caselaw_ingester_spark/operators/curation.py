@@ -273,7 +273,7 @@ def curate_corpus(
     decontam_n: int = 8,
     embeddings: DataFrame | None = None,
     semdedup_threshold: float = 0.95,
-    semdedup_k: int = 16,
+    semdedup_k: "int | str" = "auto",
     lm_logp: "dict[str, float] | None" = None,
     max_ppl: float = 1e6,
     lm_max_piece_len: int = 6,
@@ -310,11 +310,15 @@ def curate_corpus(
     (operators/semdedup.py) — paraphrases and re-encodes that share no
     n-grams but sit within `semdedup_threshold` cosine collapse to the
     paper's least-centroid-similar exemplar. The quantizer trains on
-    the survivors' own embeddings (k = min(semdedup_k, survivors), 3
-    Lloyd rounds, deterministic init) — the stages compose, they don't
-    share hidden state. Runs after lexical dedup on purpose: lexical
-    pairs are cheaper per candidate, so the embedding stage sees an
-    already-shrunk corpus.
+    the survivors' own embeddings (3 Lloyd rounds, deterministic
+    init) — the stages compose, they don't share hidden state.
+    semdedup_k defaults to "auto": k follows the k ≈ n/cell_size rule
+    (operators/sizing.py) from the SURVIVOR count, so the in-cell pair
+    search stays linear as the corpus grows instead of quadratic under
+    a pinned k (the sf3 crossover measured in BENCH_SF1.md round 11);
+    pass an int to pin it (oracle replays do). Runs after lexical
+    dedup on purpose: lexical pairs are cheaper per candidate, so the
+    embedding stage sees an already-shrunk corpus.
 
     keeper_score_col: optional column ON THE INPUT docs frame; when
     set, each lexical near-dup cluster keeps its highest-scoring
@@ -553,7 +557,24 @@ def curate_corpus(
             )
         n_vecs = vecs.count()
         if n_vecs:
-            k = min(semdedup_k, n_vecs)
+            if semdedup_k == "auto":
+                # the k ≈ n/cell_size rule (operators/sizing.py): a
+                # PINNED k makes the in-cell pair search quadratic in
+                # corpus growth — measured 62.3 s (k=16) vs 23.2 s
+                # (auto k=60) on the same 60k-vector corpus
+                # (BENCH_SF1.md round 11). Deterministic given the
+                # corpus: k is a pure function of the survivor count.
+                from ds_caselaw_ingester_spark.operators.sizing import (
+                    semdedup_num_clusters,
+                )
+
+                k = min(semdedup_num_clusters(n_vecs), n_vecs)
+            elif isinstance(semdedup_k, str):
+                raise ValueError(
+                    f"semdedup_k must be an int or 'auto', got {semdedup_k!r}"
+                )
+            else:
+                k = min(semdedup_k, n_vecs)
             cents = kmeans_fit(
                 vecs, "_v", id_col, k=k, max_iter=3, tol=0.0, round_centroids=6
             )

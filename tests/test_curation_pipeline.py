@@ -635,3 +635,49 @@ def test_fused_gate_scan_is_one_exchange_free_pass(spark):
     )
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_semantic_stage_auto_k_follows_sizing_rule(spark):
+    """semdedup_k defaults to 'auto' (round 11): k comes from the
+    k ≈ n/cell_size rule applied to the SURVIVOR count, so the composite
+    does not inherit the pinned-k quadratic the sf3 crossover measured
+    (BENCH_SF1.md). On a corpus small enough that the rule clamps to its
+    floor, auto must equal the explicitly-pinned floor k exactly; a
+    bogus string must raise before any work runs."""
+    import pytest
+
+    from ds_caselaw_ingester_spark.operators.curation import curate_corpus
+    from ds_caselaw_ingester_spark.operators.sizing import semdedup_num_clusters
+
+    filler = "the quick brown fox jumps over a lazy dog near the river bank"
+    rows = [
+        (10, "a fast auburn canine leaps across an idle hound by a stream " + filler),
+        (11, "a fast auburn canine leaps across an idle hound by a stream too " + filler),
+        (12, "completely unrelated document about parquet row groups and shuffles " + filler),
+        (13, "another unrelated document regarding watermark state eviction rules " + filler),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = [1.0, 0.5, -0.25] * 8
+    other = [-0.5, 1.0, 0.75] * 8
+    emb = spark.createDataFrame(
+        [(10, base), (11, [v * 1.001 for v in base]), (12, other), (13, [-v for v in other])],
+        "doc_id long, embedding array<double>",
+    )
+    kwargs = dict(
+        min_tokens=8, min_alpha_ratio=0.5, chunk_tokens=64, overlap=0,
+        embeddings=emb,
+    )
+    auto = sorted(
+        (r.doc_id, r.chunk_index)
+        for r in curate_corpus(docs, semdedup_k="auto", **kwargs).collect()
+    )
+    # survivors here are <= 4 docs -> the rule clamps to its floor
+    floor_k = semdedup_num_clusters(4)
+    pinned = sorted(
+        (r.doc_id, r.chunk_index)
+        for r in curate_corpus(docs, semdedup_k=floor_k, **kwargs).collect()
+    )
+    assert auto == pinned and auto  # same kept chunks, non-empty
+
+    with pytest.raises(ValueError, match="semdedup_k"):
+        curate_corpus(docs, semdedup_k="bogus", **kwargs).collect()
