@@ -179,3 +179,20 @@ def test_mapside_profile_plan_is_exchange_free(spark):
         out._jdf.queryExecution(), "simple"
     )
     assert "Exchange" not in plan, plan
+
+
+def test_registered_repetition_query_plan_shape(spark):
+    """The registered repetition_profile row runs the mapside engine
+    (round 11): its whole plan must be the read-spread Exchange plus ONE
+    MapInPandas — any groupBy/window/join creeping back in would revive
+    the relational form's id-keyed shuffles under the registry's name."""
+    from ds_caselaw_ingester_spark.plans.queries_text import q_repetition_profile
+
+    out = q_repetition_profile(spark, "/root/testdata/sf0.001")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange") == 1, plan  # the spread() read fan-out only
+    assert plan.count("MapInPandas") == 1, plan
+    for node in ("HashAggregate", "Window", "SortMergeJoin", "BroadcastHashJoin"):
+        assert node not in plan, plan
