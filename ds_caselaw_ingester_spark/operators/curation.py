@@ -114,7 +114,11 @@ def apply_quality_gates(
     EXECUTION (round 11): ONE fused Arrow mapInPandas pass scores every
     enabled gate row-locally and emits only the survivors — no exchange,
     no join-back, no checkpoint workaround, and a single Arrow
-    serialization round-trip however many gates are on. Each gate's
+    serialization round-trip however many gates are on. The pass is
+    LAZY like any map: a caller fanning the survivors into multiple
+    consumers must materialize ONCE (localCheckpoint/persist) or each
+    action replays the whole scoring scan — curate_corpus and the
+    incremental/seq paths all do. Each gate's
     row-local engine is the pure-Python replay its parity tests pin
     (py_score, py_repetition_profile, py_doc_perplexity), so the keep
     set equals the relational forms' post-rounding — pinned per gate in
@@ -192,12 +196,37 @@ def apply_quality_gates(
         unknown = set(repetition_caps) - known
         if unknown:
             raise ValueError(f"unknown repetition_caps columns: {sorted(unknown)}")
+        bad_ns = sorted(n for n in (*top_ns, *dup_ns) if n < 2)
+        if bad_ns:
+            # the relational forms raise "repetition n-grams need n >= 2";
+            # without this check a typo'd cap (dup_0gram_char_frac) would
+            # silently profile nothing and the filter would never drop
+            raise ValueError(
+                f"repetition_caps reference n-gram sizes {bad_ns}; "
+                "repetition n-grams need n >= 2"
+            )
         caps = sorted((c, float(v)) for c, v in repetition_caps.items())
         specs.append(("rep", (caps, top_ns, dup_ns)))
     if quality_model is not None:
         specs.append(_clf_spec(quality_model, min_quality_p))
     if lm_logp is not None:
-        specs.append(("lm", (dict(lm_logp), float(max_ppl), int(lm_max_piece_len))))
+        if not lm_logp:
+            raise ValueError(
+                "lm_logp must be a non-empty trained vocab (unigram_fit "
+                "output); an empty dict would fail per-document inside "
+                "the executor scan"
+            )
+        # hoist the OOV floor ONCE: py_doc_perplexity's default rescans
+        # min(logp.values()) per document — pure waste over a corpus
+        specs.append((
+            "lm",
+            (
+                dict(lm_logp),
+                float(max_ppl),
+                int(lm_max_piece_len),
+                min(float(v) for v in lm_logp.values()),
+            ),
+        ))
 
     def _gate_scan(batches):
         import numpy as np
@@ -244,8 +273,8 @@ def apply_quality_gates(
                         if not prof[col] <= cap:
                             return False
                 else:  # lm
-                    _, logp, cap, mpl = g
-                    ppl = py_doc_perplexity(t, logp, mpl)["ppl"]
+                    _, logp, cap, mpl, floor = g
+                    ppl = py_doc_perplexity(t, logp, mpl, oov_logp=floor)["ppl"]
                     if ppl is not None and ppl > cap:
                         return False
             return True
@@ -417,6 +446,12 @@ def curate_corpus(
         raise ValueError(
             f"mixture needs a `{source_col}` column on the input docs"
         )
+    if isinstance(semdedup_k, str) and semdedup_k != "auto":
+        # driver-side and input-independent: fail HERE, not hours into
+        # the job after decontam/gates/banding/CC have already run
+        raise ValueError(
+            f"semdedup_k must be an int or 'auto', got {semdedup_k!r}"
+        )
     from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
 
     # Production entry for an UNSEEN frame: a single-file corpus plans as
@@ -487,6 +522,19 @@ def curate_corpus(
         max_ppl=max_ppl,
         lm_max_piece_len=lm_max_piece_len,
     )
+    if (
+        langid_model is not None
+        or repetition_caps
+        or quality_model is not None
+        or lm_logp is not None
+    ):
+        # the fused gate scan has >= 3 downstream consumers (banding,
+        # keeper assignment, the keepers join); without materialization
+        # each action replays the whole per-document scoring pass — the
+        # guarantee the pre-fusion LM shortlist checkpoint used to give
+        # (review finding, round 11). The stage forces eager jobs
+        # anyway, so this changes no laziness contract.
+        gated = gated.localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(_bands(gated, id_col, text_col), id_col)
     if keeper_score_col is not None:
         # quality-aware keep-one: each near-dup component keeps its
@@ -939,6 +987,10 @@ def curation_band_index_seq(
         # a gated-out doc consumes no seq value on any path
         gated = apply_quality_gates(gated, id_col, text_col, **quality_gates)
     gated = _assign_seq(gated, id_col, start)
+    if quality_gates:
+        # two consumers below (banding + the seq join) would otherwise
+        # replay the fused gate scan twice (review finding, round 11)
+        gated = gated.localCheckpoint(eager=True)
     return _bands(gated, SEQ_COL, text_col).join(
         gated.select(id_col, SEQ_COL), SEQ_COL
     ).select(id_col, SEQ_COL, "band", "band_key")

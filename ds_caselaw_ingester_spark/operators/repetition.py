@@ -353,6 +353,10 @@ def repetition_profile_mapside(
         raise ValueError("repetition n-grams need n >= 2")
     if len(set(top_ns)) != len(top_ns) or len(set(dup_ns)) != len(dup_ns):
         raise ValueError("duplicate n in top_ns/dup_ns")
+    for c in (id_col, text_col):
+        # driver-side, not a KeyError inside an executor's Arrow batch
+        if c not in docs.columns:
+            raise ValueError(f"{c!r} is not a column of the input frame")
     from pyspark.sql import types as T
 
     prof_fields = [

@@ -645,9 +645,16 @@ def ivf_assign(
     # MIX (e.g. raw queries against PCA-space centroids) — element_at
     # past the end would null-pad into silently wrong cosines, so it
     # raises instead.
+    # NULL vectors pass through as null scores (the pre-guard behavior —
+    # one upstream-failed embedding must not abort a corpus-wide
+    # assignment, and F.size(NULL) = -1 would otherwise hit the raise
+    # with a misleading "dim -1" space-mix diagnosis); only a genuine
+    # length mismatch raises.
     df = df.withColumn(
         "_vnorm",
-        F.when(F.size(vec) == dim, l2_norm(vec)).otherwise(
+        F.when(vec.isNull(), F.lit(None).cast("double"))
+        .when(F.size(vec) == dim, l2_norm(vec))
+        .otherwise(
             F.raise_error(
                 F.concat(
                     F.lit("ivf_assign: vector dim "),

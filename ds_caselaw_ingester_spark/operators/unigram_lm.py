@@ -346,11 +346,17 @@ def unigram_perplexity_mapside(
 
     if logp is None:
         raise ValueError("logp (trained {piece: log_prob}) is required")
+    if not logp:
+        raise ValueError("logp must be a non-empty trained vocab")
     if out_col in docs.columns:
         raise ValueError(
             f"out_col {out_col!r} already exists on the input frame; "
             "pass a different name (the scorer appends, never replaces)"
         )
+    for c in (id_col, text_col):
+        # driver-side, not a KeyError inside an executor's Arrow batch
+        if c not in docs.columns:
+            raise ValueError(f"{c!r} is not a column of the input frame")
     schema = T.StructType(
         list(docs.schema.fields) + [T.StructField(out_col, T.DoubleType(), True)]
     )

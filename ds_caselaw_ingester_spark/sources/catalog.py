@@ -130,10 +130,30 @@ def spread_if_narrow(
     of splits — is returned UNCHANGED, so large inputs never pay a
     gratuitous corpus shuffle. Streaming frames are returned unchanged
     (no static partitioning to inspect; micro-batch frames inside
-    foreachBatch are static and do get the guard)."""
+    foreachBatch are static and do get the guard).
+
+    Lineage safety: a frame whose plan already contains an Exchange is
+    returned unchanged WITHOUT inspecting its RDD — downstream of a
+    shuffle the partitioning is shuffle-partitions-sized (or
+    AQE-coalesced by bytes) and never inherits a narrow scan; and
+    under AQE, `df.rdd` on a shuffled plan would MATERIALIZE every
+    upstream query stage just to read a partition count (review
+    finding, round 11). The `.rdd` probe below therefore only ever
+    runs on exchange-free plans, where it is pure planning."""
     if df.isStreaming:
         return df
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(1, int(n * min_fraction)):
+    if n <= 1:
+        return df
+    # executedPlan, not sparkPlan: exchanges are inserted by
+    # EnsureRequirements during plan preparation; under AQE toString()
+    # renders the INITIAL adaptive plan without executing any stage
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        return df
+    # max(2, ...): at defaultParallelism 2-3 the 0.5 fraction rounds to
+    # 1, which would wave a 1-partition frame through on the exact
+    # narrow input the guard exists to widen
+    if df.rdd.getNumPartitions() >= max(2, int(n * min_fraction)):
         return df
     return df.repartition(n, *key_cols) if key_cols else df.repartition(n)

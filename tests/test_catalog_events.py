@@ -178,3 +178,26 @@ def test_semantic_dedup_auto_self_defends_against_narrow_input(spark):
         for r in semantic_dedup_auto(spread(emb, "vec_id"), "v", "vec_id").collect()
     )
     assert a == b
+
+
+def test_spread_if_narrow_skips_shuffled_lineage_without_rdd_probe(spark):
+    """A frame downstream of an Exchange is already shuffle-sized; the
+    guard must return it UNCHANGED without converting to RDD (which
+    under AQE would materialize every upstream query stage just to read
+    a partition count)."""
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    shuffled = spark.range(0, 1000).groupBy((F.col("id") % 7).alias("k")).count()
+    assert spread_if_narrow(shuffled, "k") is shuffled
+
+
+def test_spread_if_narrow_small_parallelism_threshold():
+    """At defaultParallelism 2-3 the 0.5 fraction rounds to 1 — the
+    threshold must still widen a 1-partition frame (the exact narrow
+    input the guard exists for). Pure threshold arithmetic, no session:
+    parts >= max(2, int(n * fraction)) is the keep condition."""
+    for n in (2, 3):
+        assert not (1 >= max(2, int(n * 0.5)))  # 1-part frame must widen
+    assert 2 >= max(2, int(2 * 0.5))  # already-full 2-core frame kept

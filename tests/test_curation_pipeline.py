@@ -681,3 +681,30 @@ def test_semantic_stage_auto_k_follows_sizing_rule(spark):
 
     with pytest.raises(ValueError, match="semdedup_k"):
         curate_corpus(docs, semdedup_k="bogus", **kwargs).collect()
+
+
+def test_gate_battery_validates_driver_side(spark):
+    """Misconfigurations must fail at the driver before any work runs:
+    a typo'd repetition cap (dup_0gram) previously profiled nothing and
+    silently never dropped; an empty LM vocab previously failed
+    per-document inside the executor scan; a bogus semdedup_k string
+    previously surfaced only deep inside the embeddings branch."""
+    import pytest
+
+    from ds_caselaw_ingester_spark.operators.curation import (
+        apply_quality_gates,
+        curate_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="n >= 2"):
+        apply_quality_gates(docs, repetition_caps={"dup_0gram_char_frac": 0.1})
+    with pytest.raises(ValueError, match="non-empty"):
+        apply_quality_gates(docs, lm_logp={})
+    # entry validation fires even with NO embeddings frame (previously
+    # silently ignored on that path)
+    with pytest.raises(ValueError, match="semdedup_k"):
+        curate_corpus(docs, semdedup_k="Auto")

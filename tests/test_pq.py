@@ -302,3 +302,30 @@ def test_ivf_assign_dim_guard_both_paths(spark, pq_ctx):
     for method in ("literal", "matmul"):
         with pytest.raises(Exception, match="space mix"):
             ivf_assign(vecs, "v", "vec_id", bad_cents, nprobe=1, method=method).collect()
+
+
+def test_ivf_assign_literal_path_null_vector_flows_as_null_score(spark, pq_ctx):
+    """A NULL embedding row (upstream encoder failure) must NOT abort a
+    corpus-wide assignment with a misleading 'dim -1' space-mix raise —
+    it flows through with a null cosine (the pre-guard behavior) while
+    genuinely mis-sized vectors still raise (test above)."""
+    from ds_caselaw_ingester_spark.operators.similarity import ivf_assign
+
+    emb, _, _ = pq_ctx
+    good = emb.where(F.col("vec_id") < 5).select("vec_id", "v")
+    nulled = good.withColumn(
+        "v", F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(F.col("v"))
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in ivf_assign(
+            nulled, "v", "vec_id", keep_score=True, method="literal",
+            centroids=[
+                {"centroid_id": 0, "cvec": [1.0] * 64},
+                {"centroid_id": 1, "cvec": [-1.0] * 64},
+            ],
+        ).collect()
+    }
+    assert rows[0]["centroid_cos"] is None  # null row: null score, no abort
+    for vid in (1, 2, 3, 4):
+        assert rows[vid]["centroid_cos"] is not None
