@@ -987,10 +987,13 @@ def curation_band_index_seq(
         # a gated-out doc consumes no seq value on any path
         gated = apply_quality_gates(gated, id_col, text_col, **quality_gates)
     gated = _assign_seq(gated, id_col, start)
-    if quality_gates:
-        # two consumers below (banding + the seq join) would otherwise
-        # replay the fused gate scan twice (review finding, round 11)
-        gated = gated.localCheckpoint(eager=True)
+    # no extra checkpoint here: _assign_seq already localCheckpoints its
+    # `ranged` frame internally (to pin sampled partition boundaries), so
+    # the fused gate scan is materialized exactly once — the two
+    # consumers below (banding + the seq join) replay only the cheap
+    # row_number window over that checkpoint, not the gate scan. A
+    # second checkpoint would pay a full re-materialization to save a
+    # window recompute (review finding, round 12).
     return _bands(gated, SEQ_COL, text_col).join(
         gated.select(id_col, SEQ_COL), SEQ_COL
     ).select(id_col, SEQ_COL, "band", "band_key")

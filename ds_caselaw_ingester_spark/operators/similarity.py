@@ -530,10 +530,29 @@ def _ivf_assign_matmul(
     col_order = [f.name for f in schema.fields]
 
     def _assign(batches):
+        import pandas as pd
+
         m, n, ids = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # NULL embeddings (upstream encoder failure) flow through as
+            # one row with null centroid_id/centroid_cos instead of
+            # crashing np.stack — the same no-abort guarantee as the
+            # literal path, which matters MOST here (matmul is the
+            # auto-selected large-corpus path)
+            isnull = pdf[vec_col].isna()
+            if isnull.any():
+                nulls = pdf[isnull].copy()
+                nulls["centroid_id"] = pd.array([pd.NA] * len(nulls), dtype="Int64")
+                if keep_score:
+                    nulls["centroid_cos"] = pd.array(
+                        [pd.NA] * len(nulls), dtype="Float64"
+                    )
+                yield nulls[col_order]
+                pdf = pdf[~isnull]
+                if len(pdf) == 0:
+                    continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             if v.shape[1] != m.shape[1]:
                 raise ValueError(
@@ -686,7 +705,19 @@ def ivf_assign(
 
     # lexicographic struct sort == (score DESC, centroid_id ASC)
     ranked = F.array_sort(F.transform(F.sequence(F.lit(0), F.lit(n_c - 1)), _entry))
-    picked = df.withColumn("_pick", F.explode(F.slice(ranked, 1, nprobe)))
+    # null vector → exactly ONE row with null centroid_id (not nprobe
+    # copies deterministically parked in the lowest-id cell, which
+    # downstream equi-joins on centroid_id would treat as cell members
+    # — review finding, round 11). Null ids drop out of probe joins
+    # and semdedup pair generation naturally.
+    null_pick = F.struct(
+        F.lit(None).cast("double").alias("neg_score"),
+        F.lit(None).cast("bigint").alias("centroid_id"),
+    )
+    picks = F.when(vnorm.isNull(), F.array(null_pick)).otherwise(
+        F.slice(ranked, 1, nprobe)
+    )
+    picked = df.withColumn("_pick", F.explode(picks))
     out = picked.withColumn("centroid_id", F.col("_pick")["centroid_id"])
     if keep_score:
         out = out.withColumn("centroid_cos", -F.col("_pick")["neg_score"])

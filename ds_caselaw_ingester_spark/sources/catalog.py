@@ -8,6 +8,8 @@ columns on ``documents``) is the single biggest win.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -149,7 +151,12 @@ def spread_if_narrow(
     # EnsureRequirements during plan preparation; under AQE toString()
     # renders the INITIAL adaptive plan without executing any stage
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
+    # line-anchored OPERATOR match, not a bare substring: the plan text
+    # embeds column/field names, so a user column literally named
+    # "Exchange" would otherwise false-positive and silently skip the
+    # widening (fail-safe direction, but avoidable). Tree lines prefix
+    # the node name with only whitespace/box-art characters.
+    if re.search(r"(?m)^[\s:+*-]*(?:Broadcast|Shuffle)?Exchange\b", plan):
         return df
     # max(2, ...): at defaultParallelism 2-3 the 0.5 fraction rounds to
     # 1, which would wave a 1-partition frame through on the exact

@@ -304,11 +304,16 @@ def test_ivf_assign_dim_guard_both_paths(spark, pq_ctx):
             ivf_assign(vecs, "v", "vec_id", bad_cents, nprobe=1, method=method).collect()
 
 
-def test_ivf_assign_literal_path_null_vector_flows_as_null_score(spark, pq_ctx):
+@pytest.mark.parametrize("method", ["literal", "matmul"])
+def test_ivf_assign_null_vector_flows_as_null_row(spark, pq_ctx, method):
     """A NULL embedding row (upstream encoder failure) must NOT abort a
-    corpus-wide assignment with a misleading 'dim -1' space-mix raise —
-    it flows through with a null cosine (the pre-guard behavior) while
-    genuinely mis-sized vectors still raise (test above)."""
+    corpus-wide assignment — on EITHER dispatch path (matmul is the
+    auto-selected large-corpus one). It flows through as exactly ONE
+    row with null centroid_id AND null centroid_cos, even at nprobe>1:
+    a failed embedding is not a member of any cell, so downstream
+    equi-joins (probe, semdedup pair generation) drop it naturally
+    instead of clustering all failures into the lowest-id cell.
+    Genuinely mis-sized vectors still raise (test above)."""
     from ds_caselaw_ingester_spark.operators.similarity import ivf_assign
 
     emb, _, _ = pq_ctx
@@ -316,16 +321,21 @@ def test_ivf_assign_literal_path_null_vector_flows_as_null_score(spark, pq_ctx):
     nulled = good.withColumn(
         "v", F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(F.col("v"))
     )
-    rows = {
-        r["vec_id"]: r
-        for r in ivf_assign(
-            nulled, "v", "vec_id", keep_score=True, method="literal",
-            centroids=[
-                {"centroid_id": 0, "cvec": [1.0] * 64},
-                {"centroid_id": 1, "cvec": [-1.0] * 64},
-            ],
-        ).collect()
-    }
-    assert rows[0]["centroid_cos"] is None  # null row: null score, no abort
+    rows = ivf_assign(
+        nulled, "v", "vec_id", keep_score=True, method=method, nprobe=2,
+        centroids=[
+            {"centroid_id": 0, "cvec": [1.0] * 64},
+            {"centroid_id": 1, "cvec": [-1.0] * 64},
+        ],
+    ).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["vec_id"], []).append(r)
+    assert len(by_vid[0]) == 1  # one null row, not nprobe copies
+    assert by_vid[0][0]["centroid_id"] is None
+    assert by_vid[0][0]["centroid_cos"] is None
     for vid in (1, 2, 3, 4):
-        assert rows[vid]["centroid_cos"] is not None
+        assert len(by_vid[vid]) == 2  # nprobe survivors untouched
+        for r in by_vid[vid]:
+            assert r["centroid_id"] is not None
+            assert r["centroid_cos"] is not None
