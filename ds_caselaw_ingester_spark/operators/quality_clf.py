@@ -50,6 +50,7 @@ __all__ = [
     "train_quality_classifier",
     "score_quality",
     "score_quality_mapside",
+    "make_batch_scorer",
     "py_hash_idx",
     "CHAR_NS",
 ]
@@ -375,18 +376,19 @@ def score_quality_mapside(
     max_chars = getattr(model, "max_chars", None)
 
     def _score(batches):
-        import pandas as _pd
-
-        m = QualityModel(
-            dim=dim, bias=bias, weights=weights, feature=feature,
-            max_chars=max_chars,
+        # batch engine, not py_score per row: same bit-identical values
+        # (make_batch_scorer's contract) with the md5 gram hashing
+        # memoized for the whole partition
+        scorer = make_batch_scorer(
+            QualityModel(
+                dim=dim, bias=bias, weights=weights, feature=feature,
+                max_chars=max_chars,
+            )
         )
         for pdf in batches:
             texts = pdf[text_col]
             pdf = pdf.copy()
-            pdf[out_col] = [
-                py_score(t if isinstance(t, str) else "", m) for t in texts
-            ]
+            pdf[out_col] = [scorer(t) for t in texts]
             yield pdf
 
     return docs.mapInPandas(_score, schema)
@@ -448,6 +450,85 @@ def py_score(text: str, model: QualityModel) -> float:
         else model.bias
     )
     return _round_half_up(1.0 / (1.0 + math.exp(-margin)), 6)
+
+
+def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
+    """Batch-scoped py_score: returns `score(text, toks=None) -> float`
+    with values BIT-IDENTICAL to py_score (same feature build, same
+    count normalization, same idx-sorted math.fsum, same HALF_UP
+    rounding schedule) but the md5 term->index hashing MEMOIZED across
+    every call — the fused curation gate scan builds one scorer per
+    partition, so the (Zipf-repeated) gram universe is hashed once per
+    partition instead of once per occurrence. py_score spends most of
+    its time in hashlib.md5 per gram (~3·len grams for the char
+    featurizer); on natural text the distinct-gram fraction is small,
+    so the memo removes the dominant cost without touching a single
+    arithmetic step. The optional `toks` lets a caller that already
+    tokenized the document (the fused scan tokenizes ONCE and feeds
+    all gates) skip the re-tokenization; it MUST equal py_tokens(text).
+
+    cache_cap bounds executor memory on adversarial corpora (every
+    gram distinct): the memo is cleared when full — correctness is
+    unaffected, only the amortization resets. Equality with py_score
+    is pinned by tests/test_langid.py (hypothesis, warm cache)."""
+    import hashlib
+
+    from ds_caselaw_ingester_spark.operators.textstats import (
+        py_char_ngrams,
+        py_tokens,
+    )
+
+    dim = model.dim
+    bias = model.bias
+    weights = model.weights
+    feature = getattr(model, "feature", "word")
+    max_chars = getattr(model, "max_chars", None)
+    if feature not in ("word", "char"):
+        raise ValueError(f"unknown feature family {feature!r}")
+    idx_cache: "dict[str, int]" = {}
+    _md5 = hashlib.md5
+    _get_w = weights.get
+    _fsum = math.fsum
+
+    def _idx(term: str) -> int:
+        i = idx_cache.get(term)
+        if i is None:
+            if len(idx_cache) >= cache_cap:
+                idx_cache.clear()
+            i = int(_md5(term.encode()).hexdigest()[:13], 16) % dim
+            idx_cache[term] = i
+        return i
+
+    def score(text, toks: "list[str] | None" = None) -> float:
+        t = text if isinstance(text, str) else ""
+        if toks is None:
+            toks = py_tokens(t)
+        if feature == "word":
+            terms = toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        else:
+            canon = " ".join(toks).lower()
+            if max_chars is not None:
+                canon = canon[:max_chars]
+            terms = [g for n in CHAR_NS for g in py_char_ngrams(canon, n)]
+        if not terms:
+            margin = bias
+        else:
+            from collections import Counter
+
+            cnt = Counter(map(_idx, terms))
+            total = len(terms)
+            # same expression, same ascending-idx order as py_score's
+            # sorted(fx.items()) — x is the identical c/total double
+            margin = _round_half_up(
+                _fsum(
+                    (c / total) * _get_w(i, 0.0) for i, c in sorted(cnt.items())
+                )
+                + bias,
+                6,
+            )
+        return _round_half_up(1.0 / (1.0 + math.exp(-margin)), 6)
+
+    return score
 
 
 def py_replay_train(

@@ -53,6 +53,7 @@ __all__ = [
     "repetition_profile",
     "repetition_profile_mapside",
     "py_repetition_profile",
+    "make_batch_profiler",
 ]
 
 _ELEM_STRUCT = "struct<kind:string,elem:string,clen:bigint>"
@@ -235,6 +236,8 @@ def repetition_profile(
 def _round_half_up(x: float, n: int) -> float:
     """Spark's ROUND on doubles: HALF_UP over the shortest-repr decimal
     (Python's round() is HALF_EVEN — replays must use this)."""
+    if x == 0.0:  # exact (sign preserved); skips the Decimal round-trip
+        return x
     return float(
         Decimal(repr(x)).quantize(Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP)
     )
@@ -252,6 +255,8 @@ def _py_dup_stats(elems: "list[str]", round_digits: int) -> "tuple[float, float]
             dup_chars += len(e)
         else:
             seen.add(e)
+    if dups == 0:  # exact shortcut: both rounds would return 0.0
+        return 0.0, 0.0
     chars = sum(len(e) for e in elems)
     return (
         _round_half_up(dups / n, round_digits),
@@ -322,6 +327,112 @@ def py_repetition_profile(
     return out
 
 
+def make_batch_profiler(
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_ns: Sequence[int] = (5, 10),
+    round_digits: int = 4,
+):
+    """Batch-scoped py_repetition_profile: returns
+    `profile(text, toks=None) -> dict` with values IDENTICAL to
+    py_repetition_profile (pinned by tests/test_repetition_property.py)
+    but n-grams represented as TOKEN TUPLES instead of joined strings —
+    py_repetition_profile spends most of its time in " ".join per gram
+    position (O(tokens × n) string allocation per n); zip-built tuples
+    count identically (tokens contain no whitespace, so gram-string
+    equality == token-tuple equality) and the join is paid only for the
+    handful of count-TIED candidates of the top-gram rule, where the
+    documented tie-break compares JOINED-string binary order (tuple
+    order can disagree when a token contains a control char < ' ' —
+    planted regression in the property test). A shared gram list per n
+    also serves both the top_ns and dup_ns passes when sizes overlap.
+    `toks` MUST equal py_tokens(text) when provided (the fused gate
+    scan tokenizes once and feeds every gate)."""
+    from ds_caselaw_ingester_spark.operators.textstats import py_tokens
+
+    tn, dn = tuple(top_ns), tuple(dup_ns)
+    all_ns = sorted(set(tn) | set(dn))
+    rd = round_digits
+    # chars < ' ' that survive tokenization (whitespace-class chars are
+    # split away): ONLY on these can token-tuple lexicographic order
+    # disagree with joined-gram binary order (' ' == 0x20 compares
+    # smaller than every other char a token can contain)
+    ctrl_re = re.compile(r"[\x00-\x08\x0e-\x1f]")
+
+    def profile(text, toks: "list[str] | None" = None) -> dict:
+        from collections import Counter
+
+        t = text if isinstance(text, str) else ""
+        if toks is None:
+            toks = py_tokens(t)
+        tok_lens = [len(x) for x in toks]
+        tok_chars = sum(tok_lens)
+        lines = [x for x in t.split("\n") if x != ""]
+        if "\n\n" in t:
+            paras = [
+                p
+                for p in (s.strip(" ") for s in re.split(r"\n{2,}", t))
+                if p != ""
+            ]
+        else:  # no blank line => the whole text is the only paragraph
+            paras = [p] if (p := t.strip(" ")) != "" else []
+        out: dict = {"n_lines": len(lines)}
+        out["dup_line_frac"], out["dup_line_char_frac"] = _py_dup_stats(lines, rd)
+        out["n_paras"] = len(paras)
+        out["dup_para_frac"], out["dup_para_char_frac"] = _py_dup_stats(paras, rd)
+        grams_by_n: "dict[int, list]" = {
+            n: list(zip(*(toks[i:] for i in range(n)))) for n in all_ns
+        }
+        ctrl = ctrl_re.search(t) is not None
+        for n in tn:
+            grams = grams_by_n[n]
+            if grams and tok_chars:
+                cnt = Counter(grams)
+                maxc = max(cnt.values())
+                # tie rule is binary order of the JOINED gram, same
+                # (count, string) key as py_repetition_profile's
+                # min((-c, g)). Without control chars inside tokens,
+                # tuple order IS joined order (see ctrl_re above), so
+                # the common case never builds a joined string; the
+                # control-char path joins only the tied candidates.
+                if ctrl:
+                    blen = len(
+                        min(" ".join(g) for g, c in cnt.items() if c == maxc)
+                    ) - (n - 1)
+                elif maxc == 1:
+                    # every gram tied: min over the keys directly
+                    # (C-level tuple comparisons, no filter genexpr)
+                    blen = sum(map(len, min(cnt)))
+                else:
+                    best = min(g for g, c in cnt.items() if c == maxc)
+                    blen = sum(map(len, best))
+                out[f"top_{n}gram_char_frac"] = _round_half_up(
+                    maxc * blen / tok_chars, rd
+                )
+            else:
+                out[f"top_{n}gram_char_frac"] = 0.0
+        for n in dn:
+            grams = grams_by_n[n]
+            cnt = Counter(grams)
+            # a document with NO repeated n-gram (the common clean-text
+            # case) covers nothing — skip the per-position scan
+            if cnt and max(cnt.values()) >= 2:
+                covered: "set[int]" = set()
+                for i, g in enumerate(grams):
+                    if cnt[g] >= 2:
+                        covered.update(range(i, i + n))
+                cov_chars = sum(tok_lens[i] for i in covered)
+                out[f"dup_{n}gram_char_frac"] = (
+                    _round_half_up(cov_chars / tok_chars, rd)
+                    if tok_chars
+                    else 0.0
+                )
+            else:
+                out[f"dup_{n}gram_char_frac"] = 0.0
+        return out
+
+    return profile
+
+
 def repetition_profile_mapside(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -386,11 +497,13 @@ def repetition_profile_mapside(
     tn, dn, rd = tuple(top_ns), tuple(dup_ns), round_digits
 
     def _profile(batches):
+        # batch engine, not py_repetition_profile per row: identical
+        # values (make_batch_profiler's contract) with tuple-gram
+        # counting in place of per-position string joins
+        prof_fn = make_batch_profiler(tn, dn, rd)
         for pdf in batches:
             pdf = pdf.copy()
-            profs = [
-                py_repetition_profile(t, tn, dn, rd) for t in pdf[text_col]
-            ]
+            profs = [prof_fn(t) for t in pdf[text_col]]
             for c in cols:
                 pdf[c] = [p[c] for p in profs]
             yield pdf

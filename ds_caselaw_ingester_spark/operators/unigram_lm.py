@@ -315,6 +315,77 @@ def py_doc_perplexity(
     }
 
 
+def make_batch_perplexity(
+    logp: "dict[str, float]",
+    max_piece_len: int = 6,
+    oov_logp: "float | None" = None,
+    cache_cap: int = 1 << 20,
+):
+    """Batch-scoped py_doc_perplexity: returns
+    `ppl_of(text, toks=None) -> dict` with values IDENTICAL to
+    py_doc_perplexity (pinned by tests/test_unigram_lm.py) but the
+    per-WORD Viterbi memoized across every call — the fused curation
+    gate scan builds one engine per partition, so each distinct word's
+    DP runs once per partition instead of once per occurrence (Zipf:
+    the distinct-word fraction of natural text is small, and Viterbi
+    is the gate battery's most expensive per-token step). Exactness is
+    free here: the per-token micro-rounding makes each word's
+    contribution an INTEGER (lp_micro, n_pieces) pair, so summing
+    count × pair over a Counter equals the sequential token loop
+    bit-for-bit in any order. `toks` MUST equal py_tokens(text) when
+    provided. cache_cap bounds executor memory on adversarial
+    all-distinct corpora (memo cleared when full; correctness
+    unaffected)."""
+    from ds_caselaw_ingester_spark.operators.textstats import py_tokens
+
+    model = dict(logp)
+    floor = float(oov_logp) if oov_logp is not None else min(model.values())
+    mpl = int(max_piece_len)
+    memo: "dict[str, tuple[int, int]]" = {}
+    _get = model.get
+
+    def _word(t: str) -> "tuple[int, int]":
+        v = memo.get(t)
+        if v is None:
+            if len(memo) >= cache_cap:
+                memo.clear()
+            pieces = viterbi_segment(t, model, mpl)
+            lp = sum(_get(p, floor) for p in pieces)
+            v = (int(round(lp * 1e6)), len(pieces))
+            memo[t] = v
+        return v
+
+    def ppl_of(text, toks: "list[str] | None" = None) -> dict:
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if toks is None:
+            toks = py_tokens(text if isinstance(text, str) else "")
+        lp_micro = 0
+        n_pieces = 0
+        for t, c in Counter(toks).items():
+            lpm, npcs = _word(t)
+            lp_micro += c * lpm
+            n_pieces += c * npcs
+        total_logprob = lp_micro / 1e6
+        ppl = None
+        if n_pieces > 0:
+            raw = math.exp(-total_logprob / n_pieces)
+            ppl = float(
+                Decimal(repr(raw)).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            )
+        return {
+            "n_tokens": len(toks),
+            "n_pieces": n_pieces,
+            "total_logprob": total_logprob,
+            "ppl": ppl,
+        }
+
+    return ppl_of
+
+
 def unigram_perplexity_mapside(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -365,12 +436,13 @@ def unigram_perplexity_mapside(
     mpl = max_piece_len
 
     def _score(batches):
+        # batch engine, not py_doc_perplexity per row: identical values
+        # (make_batch_perplexity's contract) with the per-word Viterbi
+        # memoized for the whole partition
+        ppl_of = make_batch_perplexity(model, mpl, floor)
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [
-                py_doc_perplexity(t, model, mpl, floor)["ppl"]
-                for t in pdf[text_col]
-            ]
+            pdf[out_col] = [ppl_of(t)["ppl"] for t in pdf[text_col]]
             yield pdf
 
     return docs.mapInPandas(_score, schema)

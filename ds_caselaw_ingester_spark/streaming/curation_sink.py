@@ -381,19 +381,25 @@ def _base_max(meta: dict, epoch_id: int):
 def rebuild_index_meta(spark, index_path: str, key_col: str) -> dict:
     """Recover the .seqmeta.json sidecar from the index itself (one
     column-pruned scan): per-epoch max of `key_col` (SEQ_COL for a
-    seq-keyed index, the id column for a monotone one). For disaster
-    recovery / migration only — the hot path never scans."""
+    seq-keyed index, the id column for a monotone one) plus the
+    per-epoch kept-doc count (distinct keys — the undersize guard's
+    running total). For disaster recovery / migration only — the hot
+    path never scans."""
     local = _local(index_path)
-    meta = {"epochs": {}}
+    meta = {"epochs": {}, "kept": {}}
     if _epoch_values(local):
         rows = (
             spark.read.option("basePath", index_path)
             .parquet(index_path)
             .groupBy(EPOCH_COL)
-            .agg(F.max(key_col).alias("mx"))
+            .agg(
+                F.max(key_col).alias("mx"),
+                F.countDistinct(F.col(key_col)).alias("kept"),
+            )
             .collect()
         )
         meta["epochs"] = {str(r[EPOCH_COL]): r["mx"] for r in rows}
+        meta["kept"] = {str(r[EPOCH_COL]): int(r["kept"]) for r in rows}
     _write_json(_meta_path(local), meta)
     return meta
 
@@ -664,25 +670,48 @@ def apply_curation_batch(
     new_bands.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(
         os.path.join(index_path, f"{EPOCH_COL}={epoch_id}")
     )
-    mx_new = new_bands.agg(F.max(key).alias("mx")).collect()[0]["mx"]
+    agg_new = new_bands.agg(
+        F.max(key).alias("mx"),
+        # one extra column on the agg the sidecar already pays (over the
+        # checkpointed bands, not a gate-scan replay): the epoch's kept-
+        # doc count, which min-key mode needs for the undersize guard —
+        # seq mode gets it free from the dense key but records it too
+        # for uniformity
+        F.countDistinct(F.col(key)).alias("kept"),
+    ).collect()[0]
+    mx_new, kept_new = agg_new["mx"], int(agg_new["kept"])
     meta["epochs"][str(epoch_id)] = mx_new
+    # replay-safe running count (VERDICT r11 #3): keyed by epoch like
+    # the max map, so a crashed epoch's re-run overwrites its own entry
+    # and the cumulative sum converges whatever the crash order
+    meta.setdefault("kept", {})[str(epoch_id)] = kept_new
     _write_json(_meta_path(local), meta)
     _pin_layout(local, n_buckets, key_mode, gate)
-    if use_seq and mx_new is not None:
-        # cold-start undersize guard (VERDICT r10 #7): in seq mode the
-        # canonical key is a dense per-kept-doc sequence, so mx+1 IS the
-        # cumulative kept-doc count — free from the sidecar collect. If
-        # the sizing rule on what the index now actually holds wants
-        # >= 4x the pinned count, the pin (often a degenerate tiny-first-
-        # batch auto-bootstrap) is underscaled for life: say so and name
-        # the remedy. 4x = one doubling past the bootstrap's own growth
-        # margin running out — early enough to act, late enough not to
-        # fire on normal growth into the margin.
+    # cold-start undersize guard (VERDICT r10 #7, extended to min-key
+    # mode in r12): if the sizing rule on what the index now actually
+    # holds wants >= 4x the pinned count, the pin (often a degenerate
+    # tiny-first-batch auto-bootstrap) is underscaled for life: say so
+    # and name the remedy. 4x = one doubling past the bootstrap's own
+    # growth margin running out — early enough to act, late enough not
+    # to fire on normal growth into the margin. Seq mode reads the
+    # count from the dense key (mx+1, exact across restarts even where
+    # older sidecars predate the kept map); min-key mode sums the
+    # per-epoch kept map (epochs committed before the map existed
+    # contribute nothing — the guard UNDERCOUNTS on such indexes
+    # rather than misfiring).
+    if use_seq:
+        held = int(mx_new) + 1 if mx_new is not None else 0
+    else:
+        held = sum(
+            v for e, v in meta.get("kept", {}).items()
+            if int(e) <= epoch_id and v is not None
+        )
+    if held > 0:
         from ds_caselaw_ingester_spark.operators.sizing import (
             curation_n_buckets,
         )
 
-        implied = curation_n_buckets(int(mx_new) + 1)
+        implied = curation_n_buckets(held)
         if implied >= 4 * n_buckets:
             import logging
 
@@ -692,7 +721,7 @@ def apply_curation_batch(
                 "pinned %d — probe reads are ~%dx the block-sized "
                 "target per bucket. Rebuild under a larger count with "
                 "migrate_index_to_bucketed (quiesced stream).",
-                int(mx_new) + 1, implied, n_buckets,
+                held, implied, n_buckets,
                 max(1, implied // n_buckets),
             )
 

@@ -508,7 +508,16 @@ def retrain_semdedup_index(
         f.write("retrain_semdedup_index in progress\n")
     recover_swap(local, tmp, old, exclusive=True)
     recover_buckets(local, prefix=f"{CELL_COL}=")
-    vecs = spark.read.parquet(index_path).select(id_col, vec_col)
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    # production maintenance entry over its own stored layout: a small
+    # or freshly-compacted index can plan as 1-2 splits, which would
+    # serialise the k-means scans and the map-side re-assignment on
+    # 1-2 cores (the semantic_dedup_auto guard's rationale); an
+    # already-wide cell layout passes untouched
+    vecs = spread_if_narrow(
+        spark.read.parquet(index_path).select(id_col, vec_col), id_col
+    )
     n = vecs.count()
     if n == 0:
         # nothing was (or will be) mutated — lift the marker so a

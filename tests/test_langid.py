@@ -404,3 +404,51 @@ def test_incremental_api_honors_langid_gate(spark):
     assert kept and all(d.startswith("en-") for d in kept), sorted(kept)
     indexed = {r["doc_id"] for r in delta.select("doc_id").distinct().collect()}
     assert indexed == kept  # gated-out docs never enter the index
+
+
+def test_batch_scorer_equals_py_score_both_feature_families():
+    """make_batch_scorer IS py_score, amortized: bit-identical scores
+    for word AND char/max_chars models on hostile texts (unicode
+    whitespace, empties, None→'' coercion), with the md5 memo WARM —
+    one scorer instance scores the whole list, so a cache-poisoning
+    bug (wrong idx reused across docs) cannot hide."""
+    from ds_caselaw_ingester_spark.operators.quality_clf import (
+        QualityModel,
+        make_batch_scorer,
+        py_score,
+    )
+
+    texts = (
+        ENGLISH + GERMANIC
+        + ["", "   ", "a", "a b c", "der the la\nle und of",
+           "x " * 200, " one two three"]
+    )
+    for feature, mc in (("word", None), ("char", 64), ("char", None)):
+        m = QualityModel(
+            dim=1 << 12, bias=-0.25,
+            weights={i: (0.9 if i % 3 else -0.8) for i in range(0, 1 << 12, 5)},
+            feature=feature, max_chars=mc,
+        )
+        scorer = make_batch_scorer(m)
+        for t in texts:
+            assert scorer(t) == py_score(t, m), (feature, mc, t)
+        # second pass fully memo-warm: values must not drift
+        for t in texts:
+            assert scorer(t) == py_score(t, m), ("warm", feature, mc, t)
+
+
+def test_batch_scorer_cache_cap_clears_without_value_drift():
+    """An adversarial all-distinct-gram stream overflows the memo; the
+    clear must reset amortization only, never values."""
+    from ds_caselaw_ingester_spark.operators.quality_clf import (
+        QualityModel,
+        make_batch_scorer,
+        py_score,
+    )
+
+    m = QualityModel(dim=256, bias=0.1, weights={7: 1.0, 13: -1.0},
+                     feature="word")
+    scorer = make_batch_scorer(m, cache_cap=8)
+    texts = [f"tok{i} tok{i+1} shared" for i in range(40)]
+    for t in texts:
+        assert scorer(t) == py_score(t, m), t

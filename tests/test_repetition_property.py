@@ -196,3 +196,63 @@ def test_registered_repetition_query_plan_shape(spark):
     assert plan.count("MapInPandas") == 1, plan
     for node in ("HashAggregate", "Window", "SortMergeJoin", "BroadcastHashJoin"):
         assert node not in plan, plan
+
+
+# ------------------------------------------------------- batch engine parity
+
+# tokens may carry control chars BELOW ' ' (0x01/0x02): these are the
+# ONLY characters on which token-tuple order can disagree with
+# joined-gram binary order, so the strategy plants them deliberately
+_CTRL_WORDS = ["a", "bb", "ccc", "spam", "x", "a\x01", "b\x02b", "\x01"]
+
+
+@st.composite
+def _ctrl_doc(draw):
+    toks = draw(st.lists(st.sampled_from(_CTRL_WORDS), max_size=40))
+    if draw(st.booleans()) and toks:
+        toks = toks * draw(st.integers(2, 3))  # force repetition
+    sep = draw(st.sampled_from([" ", " ", "\n", "\n\n"]))
+    tail = draw(st.sampled_from(["", "\nx\nx", "\n\n" + " ".join(toks[:3]), "  "]))
+    return sep.join(toks) + tail
+
+
+@given(st.lists(_ctrl_doc(), min_size=1, max_size=25))
+@settings(max_examples=60, deadline=None)
+def test_batch_profiler_equals_per_doc_replay(docs):
+    """make_batch_profiler IS py_repetition_profile, amortized: every
+    value identical on arbitrary docs — including control characters
+    inside tokens, where the engine's tuple-order fast path must yield
+    to the joined-string tie rule, and engine state must not leak
+    across documents (one profiler instance scores the whole list)."""
+    from ds_caselaw_ingester_spark.operators.repetition import (
+        make_batch_profiler,
+        py_repetition_profile,
+    )
+    from ds_caselaw_ingester_spark.operators.textstats import py_tokens
+
+    prof = make_batch_profiler((2, 3, 4), (5, 10))
+    for t in docs + [None, ""]:
+        assert prof(t) == py_repetition_profile(t, (2, 3, 4), (5, 10)), repr(t)
+        # pre-tokenized path (the fused gate scan's) agrees too
+        toks = py_tokens(t if isinstance(t, str) else "")
+        assert prof(t, toks) == py_repetition_profile(t, (2, 3, 4), (5, 10))
+
+
+def test_batch_profiler_ctrl_char_tie_break_planted():
+    """Planted regression for the tuple-vs-joined order divergence:
+    among count-tied top grams ('a\\x01','b') and ('a','c'), tuple order
+    picks ('a','c') but the documented joined-binary rule picks
+    'a\\x01 b' (0x01 < ' ') — and their char lengths differ, so getting
+    the tie-break wrong changes the VALUE, not just the witness."""
+    from ds_caselaw_ingester_spark.operators.repetition import (
+        make_batch_profiler,
+        py_repetition_profile,
+    )
+
+    t = "a\x01 b a\x01 b a c a c"
+    got = make_batch_profiler((2,), ())(t)
+    want = py_repetition_profile(t, (2,), ())
+    assert got == want
+    # non-vacuity: the two candidate grams really are count-tied and
+    # really differ in char length
+    assert want["top_2gram_char_frac"] == got["top_2gram_char_frac"] != 0.0

@@ -578,3 +578,34 @@ def test_pca_on_raw_index_refuses(spark, corpus, quantizer, tmp_path):
             planted, idx, prs, "v", "vec_id", quantizer, threshold=0.9,
             epoch_id=1, pca_model=model,
         )
+
+
+def test_retrain_partitioning_guard_is_pure_perf(spark, corpus, tmp_path,
+                                                 monkeypatch):
+    """Round 12 (VERDICT r11 #4): retrain_semdedup_index wraps its index
+    read in spread_if_narrow; the widening must never change the
+    retrained centroids — pinned by running the SAME retrain with the
+    guard active and with it monkeypatched to identity over two copies
+    of one index."""
+    import shutil
+
+    from ds_caselaw_ingester_spark.sources import catalog as cat
+    from ds_caselaw_ingester_spark.streaming.semdedup_sink import (
+        retrain_semdedup_index,
+    )
+
+    emb, _ = corpus
+    first = emb.where(F.col("vec_id") < 48)
+    idx_a = str(tmp_path / "idx_a")
+    prs = str(tmp_path / "prs")
+    apply_semdedup_batch(
+        first, idx_a, prs, "v", "vec_id", "auto", threshold=0.9, epoch_id=0,
+        bootstrap_growth=1.0, growth_check_every=0,
+    )
+    idx_b = str(tmp_path / "idx_b")
+    shutil.copytree(idx_a, idx_b)
+
+    cents_guarded = retrain_semdedup_index(spark, idx_a, "v", "vec_id", k=4)
+    monkeypatch.setattr(cat, "spread_if_narrow", lambda df, *c, **kw: df)
+    cents_identity = retrain_semdedup_index(spark, idx_b, "v", "vec_id", k=4)
+    assert cents_guarded == cents_identity

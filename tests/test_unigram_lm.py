@@ -226,3 +226,48 @@ def test_unigram_perplexity_mapside_matches_relational(spark):
         mapside._jdf.queryExecution(), "simple"
     )
     assert "Exchange" not in plan, plan
+
+
+def test_batch_perplexity_equals_py_doc_perplexity():
+    """make_batch_perplexity IS py_doc_perplexity, amortized: the full
+    accounting dict identical on docs with heavy word repetition (the
+    memo's bread and butter), OOV words, empties, and None — one engine
+    instance for the whole list so the per-word memo is warm; and the
+    Counter reordering is exact because per-word contributions are
+    integers (micro-rounded) by construction."""
+    from ds_caselaw_ingester_spark.operators.unigram_lm import (
+        make_batch_perplexity,
+        py_doc_perplexity,
+    )
+
+    logp = {"ab": -1.5, "a": -2.0, "b": -2.5, "c": -3.0, "abc": -1.1}
+    docs = [
+        "ab ab ab abc c", "a b c", "", "   ", None,
+        "zzz unseen zzz unseen",          # OOV fallback path
+        "abc " * 50 + "c",                 # heavy repetition
+        "ab", "c c c c c c",
+    ]
+    eng = make_batch_perplexity(logp, max_piece_len=3)
+    for t in docs:
+        want = py_doc_perplexity(t, logp, 3)
+        assert eng(t) == want, repr(t)
+        assert eng(t) == want, ("warm", repr(t))  # memo-warm second call
+
+    # explicit floor (the fused scan hoists it) agrees with default
+    floor = min(logp.values())
+    eng_f = make_batch_perplexity(logp, 3, oov_logp=floor)
+    for t in docs:
+        assert eng_f(t) == py_doc_perplexity(t, logp, 3, oov_logp=floor)
+
+
+def test_batch_perplexity_cache_cap_clears_without_value_drift():
+    from ds_caselaw_ingester_spark.operators.unigram_lm import (
+        make_batch_perplexity,
+        py_doc_perplexity,
+    )
+
+    logp = {"a": -2.0, "b": -2.5}
+    eng = make_batch_perplexity(logp, 2, cache_cap=4)
+    texts = [f"w{i} w{i} a" for i in range(30)]
+    for t in texts:
+        assert eng(t) == py_doc_perplexity(t, logp, 2), t
