@@ -489,6 +489,15 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
     _md5 = hashlib.md5
     _get_w = weights.get
     _fsum = math.fsum
+    # dense weight vector for the vectorized margin (8B x dim; 256 KB at
+    # the default 2^15 — skip for absurd dims and use the dict path)
+    import numpy as _np
+
+    warr = None
+    if dim <= (1 << 22):
+        warr = _np.zeros(dim, dtype=_np.float64)
+        for i, w in weights.items():
+            warr[i] = w
 
     def _idx(term: str) -> int:
         i = idx_cache.get(term)
@@ -498,6 +507,71 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
             i = int(_md5(term.encode()).hexdigest()[:13], 16) % dim
             idx_cache[term] = i
         return i
+
+    def _margin_vec(idxs, cts, total: int) -> float:
+        # vectorized margin, still BIT-IDENTICAL to py_score: math.fsum
+        # is the correctly-rounded EXACT sum of its inputs — order-
+        # independent by definition — so the only requirement is
+        # element-wise identical products, and float64 `/` and `*` are
+        # the same IEEE ops Python floats use. Same-idx count folding
+        # via argsort + add.reduceat is exact (integer-valued sums).
+        order = _np.argsort(idxs)
+        si = idxs[order]
+        starts = _np.concatenate(([0], _np.nonzero(_np.diff(si))[0] + 1))
+        uc = _np.add.reduceat(cts[order], starts)
+        return _round_half_up(_fsum((uc / total) * warr[si[starts]]) + bias, 6)
+
+    # packed-int gram memos for the ASCII char fast path: one dict per
+    # n, keyed by the gram's bytes packed big-endian into an int (the
+    # packing is injective, so packed equality == gram equality); the
+    # md5 is computed once per distinct packed gram and reproduces
+    # py_hash_idx exactly (ASCII str.encode() == the packed bytes)
+    pack_cache: "dict[int, dict[int, int]]" = {1: {}, 2: {}, 3: {}}
+    ascii_char_fast = feature == "char" and warr is not None and CHAR_NS == (1, 2, 3)
+
+    def _char_margin_ascii(canon: str) -> float:
+        # the per-position gram STRINGS never exist: n-grams are int32
+        # windows over the byte array, counted by np.unique; only each
+        # DISTINCT gram on a memo miss is reconstructed for its md5
+        b = _np.frombuffer(canon.encode(), dtype=_np.uint8).astype(_np.int32)
+        total = 0
+        idx_parts, cnt_parts = [], []
+        for n in (1, 2, 3):
+            size = b.size - n + 1
+            if size <= 0:
+                continue
+            total += size
+            if n == 1:
+                packed = b
+            elif n == 2:
+                packed = (b[:-1] << 8) | b[1:]
+            else:
+                packed = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+            u, c = _np.unique(packed, return_counts=True)
+            memo = pack_cache[n]
+            mget = memo.get
+            out = _np.empty(u.size, dtype=_np.int64)
+            for j, p in enumerate(u.tolist()):
+                i = mget(p)
+                if i is None:
+                    if len(memo) >= cache_cap:
+                        memo.clear()
+                    if n == 1:
+                        g = chr(p)
+                    elif n == 2:
+                        g = chr(p >> 8) + chr(p & 255)
+                    else:
+                        g = chr(p >> 16) + chr((p >> 8) & 255) + chr(p & 255)
+                    i = int(_md5(g.encode()).hexdigest()[:13], 16) % dim
+                    memo[p] = i
+                out[j] = i
+            idx_parts.append(out)
+            cnt_parts.append(c)
+        return _margin_vec(
+            _np.concatenate(idx_parts),
+            _np.concatenate(cnt_parts).astype(_np.float64),
+            total,
+        )
 
     def score(text, toks: "list[str] | None" = None) -> float:
         t = text if isinstance(text, str) else ""
@@ -509,23 +583,47 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
             canon = " ".join(toks).lower()
             if max_chars is not None:
                 canon = canon[:max_chars]
+            if canon and ascii_char_fast and canon.isascii():
+                margin = _char_margin_ascii(canon)
+                return _round_half_up(1.0 / (1.0 + math.exp(-margin)), 6)
             terms = [g for n in CHAR_NS for g in py_char_ngrams(canon, n)]
         if not terms:
             margin = bias
         else:
             from collections import Counter
 
-            cnt = Counter(map(_idx, terms))
+            # count TERMS first (one C pass over strings), then hash
+            # only the DISTINCT terms through the memo: the per-
+            # occurrence _idx call was the scorer's remaining hot spot
+            # (~3·len(grams) Python calls per document); folding
+            # same-idx terms afterwards reproduces py_features'
+            # idx-level counts exactly
+            cnt_t = Counter(terms)
             total = len(terms)
-            # same expression, same ascending-idx order as py_score's
-            # sorted(fx.items()) — x is the identical c/total double
-            margin = _round_half_up(
-                _fsum(
-                    (c / total) * _get_w(i, 0.0) for i, c in sorted(cnt.items())
+            if warr is not None:
+                idxs = _np.fromiter(
+                    map(_idx, cnt_t.keys()), dtype=_np.int64, count=len(cnt_t)
                 )
-                + bias,
-                6,
-            )
+                cts = _np.fromiter(
+                    cnt_t.values(), dtype=_np.float64, count=len(cnt_t)
+                )
+                margin = _margin_vec(idxs, cts, total)
+            else:
+                cnt: "dict[int, int]" = {}
+                for term, c in cnt_t.items():
+                    i = _idx(term)
+                    cnt[i] = cnt.get(i, 0) + c
+                # same expression, same ascending-idx order as
+                # py_score's sorted(fx.items()) — x is the identical
+                # c/total double
+                margin = _round_half_up(
+                    _fsum(
+                        (c / total) * _get_w(i, 0.0)
+                        for i, c in sorted(cnt.items())
+                    )
+                    + bias,
+                    6,
+                )
         return _round_half_up(1.0 / (1.0 + math.exp(-margin)), 6)
 
     return score

@@ -452,3 +452,39 @@ def test_batch_scorer_cache_cap_clears_without_value_drift():
     texts = [f"tok{i} tok{i+1} shared" for i in range(40)]
     for t in texts:
         assert scorer(t) == py_score(t, m), t
+
+
+def test_batch_scorer_packed_ascii_path_equals_py_score_adversarially():
+    """The round-12 char fast path (packed int32 n-gram windows +
+    per-distinct md5 memo + vectorized exact margin) must be
+    bit-identical to py_score across its dispatch boundary: pure-ASCII
+    documents (fast path), non-ASCII documents (string fallback),
+    mixed corpora through ONE scorer instance (shared memos), tiny dim
+    (heavy idx collisions exercising the same-idx fold), and prefix
+    caps that slice mid-word."""
+    import random
+    import string
+
+    from ds_caselaw_ingester_spark.operators.quality_clf import (
+        QualityModel,
+        make_batch_scorer,
+        py_score,
+    )
+
+    rng = random.Random(5)
+    cases = ["", " ", "a", "aa bb aa", "x" * 600, "héllo wörld", "ß",
+             "mixed ascii ünd nicht", "\x01\x02 ctrl", "tab\tand\nnl"]
+    cases += [
+        "".join(rng.choice(string.ascii_lowercase + " \né")
+                for _ in range(rng.randint(0, 120)))
+        for _ in range(200)
+    ]
+    for dim, mc in ((17, 64), (1 << 12, None), (1 << 10, 3)):
+        m = QualityModel(
+            dim=dim, bias=-0.2,
+            weights={i: rng.uniform(-2, 2) for i in range(min(dim, 500))},
+            feature="char", max_chars=mc,
+        )
+        scorer = make_batch_scorer(m)
+        for t in cases:
+            assert scorer(t) == py_score(t, m), (dim, mc, repr(t)[:40])
