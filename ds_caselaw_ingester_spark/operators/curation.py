@@ -1105,7 +1105,12 @@ def curate_increment_seq(
     if base_max_seq is _UNSET:
         base_max_seq = band_index.agg(F.max(SEQ_COL).alias("mx")).collect()[0]["mx"]
     start = 0 if base_max_seq is None else int(base_max_seq) + 1
-    # consumed by bands, the CC spine, and chunking
+    # consumed by bands, the CC spine, AND chunking — three consumers,
+    # so unlike curation_band_index_seq (two consumers; its equivalent
+    # checkpoint was dropped, round 12) this one is kept: _assign_seq's
+    # internal checkpoint protects the gate scan either way, but here
+    # the row_number window + seq map would replay three times over the
+    # full increment without it
     gated = _assign_seq(gated, id_col, start).localCheckpoint(eager=True)
     new_bands = (
         _bands(gated, SEQ_COL, text_col)
