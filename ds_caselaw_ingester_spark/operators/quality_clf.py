@@ -521,32 +521,40 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
         uc = _np.add.reduceat(cts[order], starts)
         return _round_half_up(_fsum((uc / total) * warr[si[starts]]) + bias, 6)
 
-    # packed-int gram memos for the ASCII char fast path: one dict per
-    # n, keyed by the gram's bytes packed big-endian into an int (the
-    # packing is injective, so packed equality == gram equality); the
-    # md5 is computed once per distinct packed gram and reproduces
-    # py_hash_idx exactly (ASCII str.encode() == the packed bytes)
+    # packed-int gram memos for the char fast path: one dict per n,
+    # keyed by the gram's CODE POINTS packed into an int64 (21 bits per
+    # code point — the Unicode ceiling is 0x10FFFF < 2^21, so three
+    # code points fit in 63 bits and the packing is injective: packed
+    # equality == gram equality for ANY text, not just ASCII — langid's
+    # real domain is multilingual). The md5 is computed once per
+    # distinct packed gram, from the gram reconstructed via chr(),
+    # whose UTF-8 encode equals the original slice's — reproducing
+    # py_hash_idx exactly.
     pack_cache: "dict[int, dict[int, int]]" = {1: {}, 2: {}, 3: {}}
-    ascii_char_fast = feature == "char" and warr is not None and CHAR_NS == (1, 2, 3)
+    char_fast = feature == "char" and warr is not None and CHAR_NS == (1, 2, 3)
+    _CP = 0x1FFFFF  # 21-bit code-point mask
 
-    def _char_margin_ascii(canon: str) -> float:
-        # the per-position gram STRINGS never exist: n-grams are int32
-        # windows over the byte array, counted by np.unique; only each
-        # DISTINCT gram on a memo miss is reconstructed for its md5
-        b = _np.frombuffer(canon.encode(), dtype=_np.uint8).astype(_np.int32)
+    def _char_margin_packed(canon: str) -> float:
+        # the per-position gram STRINGS never exist: n-grams are int64
+        # windows over the code-point array (utf-32-le bytes reread as
+        # uint32), counted by np.unique; only each DISTINCT gram on a
+        # memo miss is reconstructed for its md5
+        cps = _np.frombuffer(
+            canon.encode("utf-32-le"), dtype=_np.uint32
+        ).astype(_np.int64)
         total = 0
         idx_parts, cnt_parts = [], []
         for n in (1, 2, 3):
-            size = b.size - n + 1
+            size = cps.size - n + 1
             if size <= 0:
                 continue
             total += size
             if n == 1:
-                packed = b
+                packed = cps
             elif n == 2:
-                packed = (b[:-1] << 8) | b[1:]
+                packed = (cps[:-1] << 21) | cps[1:]
             else:
-                packed = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+                packed = (cps[:-2] << 42) | (cps[1:-1] << 21) | cps[2:]
             u, c = _np.unique(packed, return_counts=True)
             memo = pack_cache[n]
             mget = memo.get
@@ -559,9 +567,9 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
                     if n == 1:
                         g = chr(p)
                     elif n == 2:
-                        g = chr(p >> 8) + chr(p & 255)
+                        g = chr(p >> 21) + chr(p & _CP)
                     else:
-                        g = chr(p >> 16) + chr((p >> 8) & 255) + chr(p & 255)
+                        g = chr(p >> 42) + chr((p >> 21) & _CP) + chr(p & _CP)
                     i = int(_md5(g.encode()).hexdigest()[:13], 16) % dim
                     memo[p] = i
                 out[j] = i
@@ -583,9 +591,16 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
             canon = " ".join(toks).lower()
             if max_chars is not None:
                 canon = canon[:max_chars]
-            if canon and ascii_char_fast and canon.isascii():
-                margin = _char_margin_ascii(canon)
-                return _round_half_up(1.0 / (1.0 + math.exp(-margin)), 6)
+            if canon and char_fast:
+                try:
+                    margin = _char_margin_packed(canon)
+                except UnicodeEncodeError:
+                    # lone surrogates cannot encode to utf-32 (cannot
+                    # arrive via Arrow either) — string path handles
+                    # them byte-for-byte like py_score
+                    margin = None
+                if margin is not None:
+                    return _round_half_up(1.0 / (1.0 + math.exp(-margin)), 6)
             terms = [g for n in CHAR_NS for g in py_char_ngrams(canon, n)]
         if not terms:
             margin = bias

@@ -454,14 +454,15 @@ def test_batch_scorer_cache_cap_clears_without_value_drift():
         assert scorer(t) == py_score(t, m), t
 
 
-def test_batch_scorer_packed_ascii_path_equals_py_score_adversarially():
-    """The round-12 char fast path (packed int32 n-gram windows +
-    per-distinct md5 memo + vectorized exact margin) must be
-    bit-identical to py_score across its dispatch boundary: pure-ASCII
-    documents (fast path), non-ASCII documents (string fallback),
-    mixed corpora through ONE scorer instance (shared memos), tiny dim
-    (heavy idx collisions exercising the same-idx fold), and prefix
-    caps that slice mid-word."""
+def test_batch_scorer_packed_path_equals_py_score_adversarially():
+    """The round-12 char fast path (code points packed 21-bits-each
+    into int64 n-gram windows + per-distinct md5 memo + vectorized
+    exact margin) must be bit-identical to py_score on ANY text —
+    ASCII, Latin diacritics, CJK, astral-plane emoji (code points past
+    0xFFFF exercise the 21-bit packing), control chars — through ONE
+    scorer instance (shared memos), at tiny dim (heavy idx collisions
+    exercising the same-idx fold), and under prefix caps that slice
+    mid-word."""
     import random
     import string
 
@@ -473,7 +474,9 @@ def test_batch_scorer_packed_ascii_path_equals_py_score_adversarially():
 
     rng = random.Random(5)
     cases = ["", " ", "a", "aa bb aa", "x" * 600, "héllo wörld", "ß",
-             "mixed ascii ünd nicht", "\x01\x02 ctrl", "tab\tand\nnl"]
+             "mixed ascii ünd nicht", "\x01\x02 ctrl", "tab\tand\nnl",
+             "日本語 テキスト 分類", "правовой текст", "🦜 emoji 🧪🧪 mix",
+             "\U0010FFFF max \U0001F600 astral"]
     cases += [
         "".join(rng.choice(string.ascii_lowercase + " \né")
                 for _ in range(rng.randint(0, 120)))
