@@ -39,6 +39,30 @@ from ds_caselaw_ingester_spark.operators.textstats import alpha_ratio, tokens
 SEQ_COL = "_seq"
 _UNSET = object()  # distinguishes "not passed" from an explicit None
 
+# (applicationId, payload-md5) -> Broadcast: gate-spec broadcasts reused
+# across apply_quality_gates calls (see the call site for why)
+_SPEC_BC_CACHE: "dict[tuple, object]" = {}
+_SPEC_BC_CAP = 8
+
+
+def _broadcast_specs(sc, specs):
+    import hashlib
+    import pickle
+
+    key = (sc.applicationId, hashlib.md5(pickle.dumps(specs)).hexdigest())
+    bc = _SPEC_BC_CACHE.get(key)
+    if bc is None:
+        if len(_SPEC_BC_CACHE) >= _SPEC_BC_CAP:
+            for old in _SPEC_BC_CACHE.values():
+                try:
+                    old.unpersist()
+                except Exception:  # noqa: BLE001 — stopped context etc.
+                    pass
+            _SPEC_BC_CACHE.clear()
+        bc = sc.broadcast(specs)
+        _SPEC_BC_CACHE[key] = bc
+    return bc
+
 
 def _scrub(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(F.col(id_col), scrub_text(F.col(text_col)).alias(text_col))
@@ -241,8 +265,15 @@ def apply_quality_gates(
     # while a broadcast ships once per executor and the closure carries
     # only the handle (the codebook/LUT convention elsewhere in the
     # repo). Size bound: the payload is model-sized (vocab cap ×
-    # piece strings + dim-bounded weights), never corpus-sized.
-    bc_specs = gated.sparkSession.sparkContext.broadcast(specs)
+    # piece strings + dim-bounded weights), never corpus-sized. The
+    # broadcast is REUSED across calls with the same gate config
+    # (keyed by payload fingerprint): the streaming sink runs this
+    # per micro-batch, and one fresh model-sized broadcast per epoch
+    # would accumulate in executor block managers between GC cycles
+    # (review finding, round 12) — the cache caps at a handful of
+    # configs and unpersists evictees (a still-referenced evictee is
+    # re-sent on use; unpersist, never destroy).
+    bc_specs = _broadcast_specs(gated.sparkSession.sparkContext, specs)
 
     def _gate_scan(batches):
         import numpy as np

@@ -471,8 +471,6 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
     gram distinct): the memo is cleared when full — correctness is
     unaffected, only the amortization resets. Equality with py_score
     is pinned by tests/test_langid.py (hypothesis, warm cache)."""
-    import hashlib
-
     from ds_caselaw_ingester_spark.operators.textstats import (
         py_char_ngrams,
         py_tokens,
@@ -486,7 +484,6 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
     if feature not in ("word", "char"):
         raise ValueError(f"unknown feature family {feature!r}")
     idx_cache: "dict[str, int]" = {}
-    _md5 = hashlib.md5
     _get_w = weights.get
     _fsum = math.fsum
     # dense weight vector for the vectorized margin (8B x dim; 256 KB at
@@ -504,7 +501,11 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
         if i is None:
             if len(idx_cache) >= cache_cap:
                 idx_cache.clear()
-            i = int(_md5(term.encode()).hexdigest()[:13], 16) % dim
+            # py_hash_idx, not an inlined md5 formula: ONE pinned
+            # definition of the term->index hash across the repo
+            # (review finding) — this runs only on memo misses, so the
+            # indirection costs nothing measurable
+            i = py_hash_idx(term, dim)
             idx_cache[term] = i
         return i
 
@@ -539,8 +540,11 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
         # windows over the code-point array (utf-32-le bytes reread as
         # uint32), counted by np.unique; only each DISTINCT gram on a
         # memo miss is reconstructed for its md5
+        # dtype "<u4", not native uint32: the buffer is explicitly
+        # little-endian utf-32, and a native-endian read would byte-swap
+        # every code point on a big-endian host (review finding)
         cps = _np.frombuffer(
-            canon.encode("utf-32-le"), dtype=_np.uint32
+            canon.encode("utf-32-le"), dtype="<u4"
         ).astype(_np.int64)
         total = 0
         idx_parts, cnt_parts = [], []
@@ -570,7 +574,8 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
                         g = chr(p >> 21) + chr(p & _CP)
                     else:
                         g = chr(p >> 42) + chr((p >> 21) & _CP) + chr(p & _CP)
-                    i = int(_md5(g.encode()).hexdigest()[:13], 16) % dim
+                    # the one pinned hash definition (see _idx)
+                    i = py_hash_idx(g, dim)
                     memo[p] = i
                 out[j] = i
             idx_parts.append(out)

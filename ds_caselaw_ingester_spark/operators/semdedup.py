@@ -275,15 +275,29 @@ def semdedup_build_index(
     vec) for every indexed vector — the map-side argmax runs ONCE at
     ingest time and the cell assignment is stored (parquet partitioned
     or bucketed by centroid_id makes the daily probe co-located), so
-    increments never re-assign the corpus."""
-    return ivf_assign(
-        vectors.select(id_col, vec_col),
-        vec_col,
-        id_col,
-        centroids,
-        nprobe=1,
-        round_digits=round_digits,
-    ).select(id_col, "centroid_id", vec_col)
+    increments never re-assign the corpus.
+
+    NULL embeddings (upstream encoder failures) are EXCLUDED from the
+    index: ivf_assign emits them with a null centroid_id (round 12 —
+    previously they crashed the matmul path or silently clustered in
+    the lowest-id cell), and an unjudgeable vector must not become a
+    cell member — downstream the sink's touched-cell sort and the
+    partition-swap protocol address cells by integer id, and the
+    documented semantics ('a document with no embedding cannot be
+    semantically judged and survives') already treat such documents as
+    out of the semantic stage entirely."""
+    return (
+        ivf_assign(
+            vectors.select(id_col, vec_col),
+            vec_col,
+            id_col,
+            centroids,
+            nprobe=1,
+            round_digits=round_digits,
+        )
+        .where(F.col("centroid_id").isNotNull())
+        .select(id_col, "centroid_id", vec_col)
+    )
 
 
 def semantic_dedup_incremental(

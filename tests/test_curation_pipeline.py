@@ -753,3 +753,28 @@ def test_incremental_entries_self_defend_against_narrow_input(spark):
         chunks_w, delta_w = entry(spread(inc, "doc_id"), idx)
         assert _rows(chunks_n) == _rows(chunks_w), entry.__name__
         assert _rows(delta_n) == _rows(delta_w), entry.__name__
+
+
+def test_gate_spec_broadcast_is_reused_across_calls(spark):
+    """Round-12 review finding: one model-sized broadcast per
+    apply_quality_gates call accumulates in executor block managers on
+    a per-epoch streaming path — the spec broadcast must be REUSED for
+    an identical gate config and evicted (unpersisted) past the cap."""
+    from ds_caselaw_ingester_spark.operators import curation as C
+    from ds_caselaw_ingester_spark.operators.quality_clf import QualityModel
+
+    C._SPEC_BC_CACHE.clear()
+    docs = spark.createDataFrame(
+        [(1, "some text tokens here"), (2, "more words again")],
+        "doc_id long, text string",
+    )
+    m = QualityModel(dim=64, bias=0.0, weights={3: 0.5}, feature="char",
+                     max_chars=64)
+    a = C.apply_quality_gates(docs, langid_model=m, min_lang_p=0.1)
+    b = C.apply_quality_gates(docs, langid_model=m, min_lang_p=0.1)
+    assert len(C._SPEC_BC_CACHE) == 1  # same config -> one broadcast
+    assert a.count() == b.count() == 2
+    m2 = QualityModel(dim=64, bias=0.1, weights={5: 0.2}, feature="word")
+    C.apply_quality_gates(docs, quality_model=m2, min_quality_p=0.1).count()
+    assert len(C._SPEC_BC_CACHE) == 2  # distinct config -> second entry
+    C._SPEC_BC_CACHE.clear()

@@ -609,3 +609,47 @@ def test_retrain_partitioning_guard_is_pure_perf(spark, corpus, tmp_path,
     monkeypatch.setattr(cat, "spread_if_narrow", lambda df, *c, **kw: df)
     cents_identity = retrain_semdedup_index(spark, idx_b, "v", "vec_id", k=4)
     assert cents_guarded == cents_identity
+
+
+def test_null_embedding_batch_survives_and_is_not_indexed(spark, corpus,
+                                                          tmp_path):
+    """Round-12 review finding: ivf_assign now emits null-centroid rows
+    for NULL embeddings, and the sink's touched-cell sort / partition
+    swap address cells by integer id — so semdedup_build_index must
+    EXCLUDE unjudgeable vectors. A micro-batch containing a null
+    embedding plus normal vectors must commit its epoch (no TypeError
+    from sorting None against ints), index the normal vectors, and
+    leave the null-embedding id out of the index entirely."""
+    from ds_caselaw_ingester_spark.operators.semdedup import (
+        semdedup_build_index,
+    )
+
+    emb, _ = corpus
+    first = emb.where(F.col("vec_id") < 24)
+    nulled = emb.where(F.col("vec_id") < 32).withColumn(
+        "v", F.when(F.col("vec_id") == 25, F.lit(None)).otherwise(F.col("v"))
+    )
+    idx, prs = str(tmp_path / "idx"), str(tmp_path / "prs")
+    apply_semdedup_batch(
+        first, idx, prs, "v", "vec_id", "auto", threshold=0.9, epoch_id=0,
+        bootstrap_growth=1.0, growth_check_every=0,
+    )
+    # the null-carrying increment commits without aborting
+    apply_semdedup_batch(
+        nulled.where(F.col("vec_id") >= 24), idx, prs, "v", "vec_id",
+        "auto", threshold=0.9, epoch_id=1, growth_check_every=0,
+    )
+    indexed = {
+        r["vec_id"] for r in spark.read.parquet(idx).select("vec_id").collect()
+    }
+    assert 25 not in indexed          # unjudgeable vector excluded
+    assert {24, 26, 27}.issubset(indexed)  # its batch still indexed
+
+    # operator-level contract: build_index drops null-centroid rows
+    cents = [{"centroid_id": 0, "cvec": [1.0] * 64},
+             {"centroid_id": 1, "cvec": [-1.0] * 64}]
+    built = semdedup_build_index(
+        nulled.select("vec_id", "v"), "v", "vec_id", cents
+    )
+    ids = {r["vec_id"] for r in built.collect()}
+    assert 25 not in ids and 24 in ids
