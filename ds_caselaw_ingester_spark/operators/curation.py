@@ -149,7 +149,7 @@ def apply_quality_gates(
     (py_score, py_repetition_profile, py_doc_perplexity) while
     amortizing the per-document constants across the partition — md5
     gram-hash memo, per-word Viterbi memo, tuple-gram counting, ONE
-    tokenization shared by all gates — measured 6.3 s -> 1.0 s (6x)
+    tokenization shared by all gates — measured 5-6x (paired windows)
     on the full four-gate battery over 50k sf1 docs (docs/SCALE.md
     round 12). The keep set equals the relational forms'
     post-rounding — pinned per gate in
