@@ -91,10 +91,18 @@ def main() -> None:
                 break
         if not samples:
             timings[name] = -1.0
+        elif len(samples) < 2:
+            # Succeeded once, then failed on the re-sample: the min was
+            # never REPRODUCED, so recording spread 0.0 would make an
+            # unreproduced one-sample cost read as perfectly reproducible
+            # in the artifact. Record spread as null and flag it.
+            timings[name] = min(samples)
+            spreads[name] = None
+            flagged.append(name)
         else:
             timings[name] = min(samples)
             spreads[name] = round(_agreement(samples), 3)
-            if len(samples) >= 2 and _agreement(samples) > SPREAD_TARGET:
+            if _agreement(samples) > SPREAD_TARGET:
                 flagged.append(name)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -102,7 +110,7 @@ def main() -> None:
     # exclusion shrinks the headline total, so a regression that breaks
     # a query reads as a speedup when comparing BENCH_r{N}.json files
     errors = sorted(n for n, t in timings.items() if t < 0)
-    vals = sorted(v for v in spreads.values())
+    vals = sorted(v for v in spreads.values() if v is not None)
     suite_spread = {
         # agreement of each query's two fastest samples, summarized:
         # a judge reads median/p90 to decide whether cross-round totals
@@ -142,61 +150,118 @@ def main() -> None:
     #   3. A final minimal line {"value","sf","n_queries"} prints AFTER the
     #      full line, so a tail capture always ENDS with the suite total
     #      even if the per-query line someday outgrows the window again.
+    # Paired comparison vs a previous round's artifact. Cross-round
+    # totals from different sessions conflate host speed with plan
+    # changes (rounds 10 and 11 each lost a judge-hour to exactly
+    # that); the paired protocol instead estimates the HOST FACTOR as
+    # the median per-query ratio new_min/old_min and reports each
+    # query's residual vs that factor — a plan regression stands out
+    # from uniform host scaling. Queries flagged unreproducible in
+    # EITHER artifact are excluded from the factor estimate.
+    #
+    # `--paired OLD.json` pins the baseline explicitly; with no flag
+    # the sweep AUTO-PAIRS against the newest committed BENCH_r*.json
+    # in the repo (the current round's artifact is written by the
+    # driver only AFTER this run, so the newest on disk is always a
+    # prior round).
+    paired = _paired_summary(timings, set(flagged))
+    if paired:
+        out["paired"] = paired
+
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
         "w",
     ) as f:
         json.dump(out, f, separators=(",", ":"))
         f.write("\n")
-    line = {k: v for k, v in out.items() if k != "spread"}
+    line = {k: v for k, v in out.items() if k not in ("spread", "paired")}
     line["queries"] = {n: round(t, 4) for n, t in timings.items()}
     print(json.dumps(line, separators=(",", ":")))
+    if paired:
+        print(json.dumps(paired, separators=(",", ":")))
     tail = {"metric": out["metric"], "value": total, "unit": "sec", "sf": sf,
             "n_queries": len(timings),
             "spread_median": suite_spread["median"],
             "n_flagged": len(flagged)}
+    if paired:
+        tail["host_factor_median_ratio"] = paired["host_factor_median_ratio"]
     if errors:
         tail["errors"] = errors
     print(json.dumps(tail, separators=(",", ":")))
 
-    # --paired OLD.json: after the sweep, compare against a previous
-    # round's committed artifact IN THIS SESSION. Cross-round totals
-    # from different sessions conflate host speed with plan changes
-    # (rounds 10 and 11 each lost a judge-hour to exactly that); the
-    # paired protocol instead estimates the HOST FACTOR as the median
-    # per-query ratio new_min/old_min and reports each query's residual
-    # vs that factor — a plan regression stands out from uniform host
-    # scaling. Queries flagged unreproducible in EITHER artifact are
-    # excluded from the factor estimate.
+
+def _load_old_queries(path: str) -> "tuple[dict, set]":
+    """Per-query mins + flagged set from a prior artifact.
+
+    Handles both shapes: bench.py's own output / BENCH_LAST.json
+    ({"queries": {...}, "suite_spread": {...}}), and the driver's
+    BENCH_r{N}.json wrapper whose "tail" field holds the captured
+    stdout (the full JSON line is re-parsed out of it).
+    """
+    with open(path) as f:
+        old = json.load(f)
+    if "queries" not in old:
+        best = {}
+        for ln in str(old.get("tail", "")).splitlines():
+            ln = ln.strip()
+            if not ln.startswith("{"):
+                continue
+            try:
+                d = json.loads(ln)
+            except ValueError:
+                continue
+            if isinstance(d, dict) and "queries" in d:
+                best = d
+        old = best
+    old_q = old.get("queries", {})
+    old_flagged = set((old.get("suite_spread") or {}).get("flagged", []))
+    return old_q, old_flagged
+
+
+def _paired_summary(timings: dict, flagged: set) -> "dict | None":
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
     if len(sys.argv) >= 3 and sys.argv[1] == "--paired":
-        with open(sys.argv[2]) as f:
-            old = json.load(f)
-        old_q = old.get("queries", {})
-        old_flagged = set(
-            (old.get("suite_spread") or {}).get("flagged", [])
+        paired_path = sys.argv[2]
+    else:
+        cands = []
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+            if m:
+                cands.append((int(m.group(1)), p))
+        if not cands:
+            return None
+        paired_path = max(cands)[1]
+    try:
+        old_q, old_flagged = _load_old_queries(paired_path)
+    except (OSError, ValueError) as e:
+        print(f"bench: paired baseline unreadable: {e}", file=sys.stderr)
+        return None
+    ratios = {
+        n: timings[n] / old_q[n]
+        for n in timings
+        if n in old_q and old_q[n] > 0 and timings[n] > 0
+        and n not in flagged and n not in old_flagged
+    }
+    if not ratios:
+        return None
+    rs = sorted(ratios.values())
+    host_factor = rs[len(rs) // 2]
+    resid = {
+        n: round(r / host_factor, 3)
+        for n, r in sorted(
+            ratios.items(), key=lambda kv: -abs(kv[1] - host_factor)
         )
-        ratios = {
-            n: timings[n] / old_q[n]
-            for n in timings
-            if n in old_q and old_q[n] > 0 and timings[n] > 0
-            and n not in flagged and n not in old_flagged
-        }
-        if ratios:
-            rs = sorted(ratios.values())
-            host_factor = rs[len(rs) // 2]
-            resid = {
-                n: round(r / host_factor, 3)
-                for n, r in sorted(
-                    ratios.items(), key=lambda kv: -abs(kv[1] - host_factor)
-                )
-            }
-            top = dict(list(resid.items())[:10])
-            print(json.dumps({
-                "paired_vs": sys.argv[2],
-                "host_factor_median_ratio": round(host_factor, 3),
-                "n_compared": len(ratios),
-                "top_residuals_vs_host_factor": top,
-            }, separators=(",", ":")))
+    }
+    top = dict(list(resid.items())[:10])
+    return {
+        "paired_vs": os.path.basename(paired_path),
+        "host_factor_median_ratio": round(host_factor, 3),
+        "n_compared": len(ratios),
+        "top_residuals_vs_host_factor": top,
+    }
 
 
 if __name__ == "__main__":

@@ -43,6 +43,11 @@ _UNSET = object()  # distinguishes "not passed" from an explicit None
 # across apply_quality_gates calls (see the call site for why)
 _SPEC_BC_CACHE: "dict[tuple, object]" = {}
 _SPEC_BC_CAP = 8
+# foreachBatch callbacks from multiple concurrent streaming queries run
+# on different JVM-callback threads; the lock makes check-then-insert
+# atomic so two threads racing on the same payload don't each broadcast
+# (and so eviction never interleaves with an insert).
+_SPEC_BC_LOCK = __import__("threading").Lock()
 
 
 def _broadcast_specs(sc, specs):
@@ -50,17 +55,22 @@ def _broadcast_specs(sc, specs):
     import pickle
 
     key = (sc.applicationId, hashlib.md5(pickle.dumps(specs)).hexdigest())
-    bc = _SPEC_BC_CACHE.get(key)
-    if bc is None:
-        if len(_SPEC_BC_CACHE) >= _SPEC_BC_CAP:
-            for old in _SPEC_BC_CACHE.values():
+    with _SPEC_BC_LOCK:
+        bc = _SPEC_BC_CACHE.get(key)
+        if bc is None:
+            # Evict OLDEST-first (dicts preserve insertion order) rather
+            # than clearing the whole cache: interleaved long-lived
+            # streams at the cap would otherwise re-broadcast each
+            # other's payloads on every batch.
+            while len(_SPEC_BC_CACHE) >= _SPEC_BC_CAP:
+                oldest_key = next(iter(_SPEC_BC_CACHE))
+                old = _SPEC_BC_CACHE.pop(oldest_key)
                 try:
                     old.unpersist()
                 except Exception:  # noqa: BLE001 — stopped context etc.
                     pass
-            _SPEC_BC_CACHE.clear()
-        bc = sc.broadcast(specs)
-        _SPEC_BC_CACHE[key] = bc
+            bc = sc.broadcast(specs)
+            _SPEC_BC_CACHE[key] = bc
     return bc
 
 

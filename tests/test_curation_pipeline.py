@@ -778,3 +778,27 @@ def test_gate_spec_broadcast_is_reused_across_calls(spark):
     C.apply_quality_gates(docs, quality_model=m2, min_quality_p=0.1).count()
     assert len(C._SPEC_BC_CACHE) == 2  # distinct config -> second entry
     C._SPEC_BC_CACHE.clear()
+
+
+def test_gate_spec_broadcast_evicts_oldest_only(spark):
+    """Round-12 review finding: at the cap the cache used to clear ALL
+    entries — interleaved long-lived streams then re-broadcast each
+    other's payloads every batch. Eviction must drop the OLDEST entry
+    and keep the survivors' Broadcast objects identical."""
+    from ds_caselaw_ingester_spark.operators import curation as C
+
+    sc = spark.sparkContext
+    C._SPEC_BC_CACHE.clear()
+    payloads = [("spec", i) for i in range(C._SPEC_BC_CAP)]
+    bcs = [C._broadcast_specs(sc, p) for p in payloads]
+    assert len(C._SPEC_BC_CACHE) == C._SPEC_BC_CAP
+    # one over the cap: only the OLDEST is evicted
+    extra = C._broadcast_specs(sc, ("spec", "extra"))
+    assert len(C._SPEC_BC_CACHE) == C._SPEC_BC_CAP
+    survivors = [C._broadcast_specs(sc, p) for p in payloads[1:]]
+    for want, got in zip(bcs[1:], survivors):
+        assert want is got  # survivors still cached, not re-broadcast
+    assert C._broadcast_specs(sc, ("spec", "extra")) is extra
+    # the evicted oldest re-broadcasts under a NEW Broadcast object
+    assert C._broadcast_specs(sc, payloads[0]) is not bcs[0]
+    C._SPEC_BC_CACHE.clear()
