@@ -350,14 +350,17 @@ def bm25_topk_queries(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    qterms = (
-        queries.select(
-            F.col(q_id_col).alias("q_id"),
-            F.explode(F.col(terms_col)).alias("token"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # tiny; read by the prune + the scoring join
-    )
+    # qterms has two consumers (the prune and the scoring join) but is a
+    # trivial explode+distinct of the tiny queries frame — recomputing it
+    # twice is cheaper than the eager localCheckpoint it used to carry:
+    # the checkpoint cost a whole extra JOB per invocation (scheduling
+    # round-trip + one more cold-codegen stage), which round-13 profiling
+    # found was a measurable slice of hybrid_search_multi's warm-up tail
+    # (docs/SCALE.md round-13 notes).
+    qterms = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.explode(F.col(terms_col)).alias("token"),
+    ).distinct()
     all_terms = qterms.select("token").distinct()
 
     dl, stats, tf, df_t = _bm25_corpus_frames(
