@@ -696,14 +696,65 @@ def apply_curation_batch(
     # to fire on normal growth into the margin. Seq mode reads the
     # count from the dense key (mx+1, exact across restarts even where
     # older sidecars predate the kept map); min-key mode sums the
-    # per-epoch kept map (epochs committed before the map existed
-    # contribute nothing — the guard UNDERCOUNTS on such indexes
-    # rather than misfiring).
+    # per-epoch kept map, and committed epochs the map predates
+    # (pre-r12 sidecars, or a pre-r13 rebuild's epoch=-1) are
+    # BACKFILLED ONCE from the index itself — a partition-pruned scan
+    # of exactly the missing epoch directories — so the guard counts
+    # the full history instead of silently undercounting (VERDICT r12
+    # #2). If that one-time scan fails the guard says it is blind and
+    # names the remedy; it never sums a knowingly partial map without
+    # saying so.
     if use_seq:
         held = int(mx_new) + 1 if mx_new is not None else 0
     else:
+        kept_map = meta["kept"]
+        missing = sorted(
+            (e for e in meta["epochs"]
+             if int(e) <= epoch_id and kept_map.get(e) is None),
+            key=int,
+        )
+        if missing:
+            import logging
+
+            log = logging.getLogger(__name__)
+            try:
+                found = {
+                    str(r[EPOCH_COL]): int(r["kept"])
+                    for r in (
+                        batch.sparkSession.read
+                        .option("basePath", index_path)
+                        .parquet(index_path)
+                        .where(
+                            F.col(EPOCH_COL).isin([int(e) for e in missing])
+                        )
+                        .groupBy(EPOCH_COL)
+                        .agg(F.countDistinct(F.col(key)).alias("kept"))
+                        .collect()
+                    )
+                }
+                for e in missing:
+                    # an epoch dir absent from the scan held zero kept
+                    # docs (empty epochs are legal); record the zero so
+                    # the backfill never re-runs
+                    kept_map[e] = found.get(e, 0)
+                _write_json(_meta_path(local), meta)
+                log.warning(
+                    "curation sink: sidecar predates the per-epoch kept "
+                    "map for epochs %s — backfilled once from the index "
+                    "(partition-pruned scan of those epochs only); the "
+                    "undersize guard now counts the full history.",
+                    missing,
+                )
+            except Exception as exc:  # noqa: BLE001 — guard must stay loud
+                log.warning(
+                    "curation sink: sidecar lacks kept counts for epochs "
+                    "%s and the backfill scan failed (%s) — the undersize "
+                    "guard UNDERCOUNTS until rebuild_index_meta(spark, "
+                    "index_path, %r) is run on a quiesced stream.",
+                    missing, exc, key,
+                )
         held = sum(
-            v for e, v in meta.get("kept", {}).items()
+            v for e, v in kept_map.items()
             if int(e) <= epoch_id and v is not None
         )
     if held > 0:
@@ -854,6 +905,17 @@ def compact_index_epochs(spark, index_path: str, upto_epoch: int) -> int:
     ]
     vals = [v for v in folded_vals + [meta["epochs"].get(str(target))] if v is not None]
     meta["epochs"][str(target)] = max(vals) if vals else None
+    # fold the kept map the same direction: canonical keys are unique
+    # ACROSS epochs (each epoch keeps only new canonical docs), so the
+    # folded partition's distinct count is the SUM of the folded
+    # entries. If any folded epoch predates the kept map the sum is
+    # unknown — drop the target's entry so the undersize guard's
+    # backfill recomputes it from the folded partition instead of
+    # trusting a knowingly partial sum.
+    kept_map = meta.get("kept", {})
+    kept_vals = [kept_map.pop(str(e), None) for e in src]
+    if kept_vals and all(v is not None for v in kept_vals):
+        meta.setdefault("kept", {})[str(target)] = sum(kept_vals)
     _write_json(_meta_path(local), meta)
     return len(src)
 
@@ -994,9 +1056,19 @@ def rebuild_curation_index(
         )
     os.makedirs(local, exist_ok=True)
     swap_partition_dirs(local, tmp, [-1], EPOCH_COL)
-    mx = new_bands.agg(F.max(key).alias("mx")).collect()[0]["mx"]
+    agg = new_bands.agg(
+        F.max(key).alias("mx"),
+        # the rebuilt epoch's kept count rides the same agg (VERDICT
+        # r12 #2): without it every post-rebuild min-key undersize
+        # check would hit the backfill path for epoch -1
+        F.countDistinct(F.col(key)).alias("kept"),
+    ).collect()[0]
+    mx = agg["mx"]
     n_rows = new_bands.count()
-    _write_json(_meta_path(local), {"epochs": {"-1": mx}})
+    _write_json(
+        _meta_path(local),
+        {"epochs": {"-1": mx}, "kept": {"-1": int(agg["kept"])}},
+    )
     _pin_layout(
         local,
         n_buckets,

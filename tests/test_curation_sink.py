@@ -832,3 +832,129 @@ def test_undersized_pin_warns_in_monotone_id_mode(spark, tmp_path,
 
 def _df_long(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_old_sidecar_kept_backfills_and_guard_fires(spark, tmp_path,
+                                                    caplog, monkeypatch):
+    """VERDICT r12 #2: a pre-r12 sidecar (committed epochs present,
+    `kept` map absent) must not make the min-key undersize guard
+    silently undercount. The guard backfills the missing entries ONCE
+    from the index itself (partition-pruned to the missing epochs),
+    persists them, and then fires the 4x WARN on the FULL history."""
+    import json
+    import logging
+
+    from ds_caselaw_ingester_spark.operators import sizing as S
+
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    kw = {**CHUNK_KW, "use_seq": False}
+    apply_curation_batch(
+        _df_long(spark, [(10, _text("ka")), (11, _text("kb")),
+                         (12, _text("kc"))]),
+        idx, chk, epoch_id=0, n_buckets=8, **kw,
+    )
+    apply_curation_batch(
+        _df_long(spark, [(20, _text("kd"))]),
+        idx, chk, epoch_id=1, n_buckets=8, **kw,
+    )
+    # simulate the old format: epochs present, kept absent
+    meta_path = idx + ".seqmeta.json"
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["kept"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    real = S.curation_n_buckets
+
+    def huge_corpus_rule(projected_docs, **kwargs):
+        return 64 if not kwargs else real(projected_docs, **kwargs)
+
+    monkeypatch.setattr(S, "curation_n_buckets", huge_corpus_rule)
+    with caplog.at_level(
+        logging.WARNING,
+        logger="ds_caselaw_ingester_spark.streaming.curation_sink",
+    ):
+        apply_curation_batch(
+            _df_long(spark, [(30, _text("ke"))]),
+            idx, chk, epoch_id=2, n_buckets=8, **kw,
+        )
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("backfilled once" in m for m in msgs), msgs
+    assert any("sizing rule would choose n_buckets=64" in m for m in msgs), msgs
+    # the backfill persisted: epochs 0/1 recounted from the index, 2 fresh
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["kept"] == {"0": 3, "1": 1, "2": 1}
+    # and it never re-runs: a fourth epoch sees a complete map
+    caplog.clear()
+    with caplog.at_level(
+        logging.WARNING,
+        logger="ds_caselaw_ingester_spark.streaming.curation_sink",
+    ):
+        apply_curation_batch(
+            _df_long(spark, [(40, _text("kf"))]),
+            idx, chk, epoch_id=3, n_buckets=8, **kw,
+        )
+    assert not any(
+        "backfilled once" in r.getMessage() for r in caplog.records
+    )
+
+
+def test_rebuild_writes_kept_for_epoch_minus1(spark, tmp_path):
+    """The rebuilt epoch=-1 sidecar entry carries its kept count, so a
+    post-rebuild min-key stream never needs the backfill path."""
+    import json
+
+    from ds_caselaw_ingester_spark.streaming.curation_sink import (
+        rebuild_curation_index,
+    )
+
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    docs = _df_long(
+        spark, [(10, _text("ra")), (11, _text("rb")), (12, _text("ra"))]
+    )
+    rebuild_curation_index(
+        docs, idx, use_seq=False, n_buckets=8, chunks_path=chk,
+        **{k: CHUNK_KW[k] for k in
+           ("min_tokens", "min_alpha_ratio", "chunk_tokens", "overlap")},
+    )
+    with open(idx + ".seqmeta.json") as f:
+        meta = json.load(f)
+    # the map counts INDEXED canonical keys (all gated docs — the
+    # quantity the n_buckets sizing rule is about), so the within-batch
+    # dup (12 dups 10) still counts: 3 gated, 3 indexed
+    assert meta["kept"] == {"-1": 3}
+
+
+def test_compaction_folds_kept_map(spark, tmp_path):
+    """compact_index_epochs folds the kept map the same direction as
+    the max map (canonical keys are unique across epochs, so counts
+    SUM); a folded epoch that predates the map drops the target's
+    entry so the guard's backfill recomputes it instead of trusting a
+    partial sum."""
+    import json
+
+    idx, chk = str(tmp_path / "idx"), str(tmp_path / "chunks")
+    for e, rows in enumerate([EPOCH0, EPOCH1, EPOCH2]):
+        _apply(spark, rows, idx, chk, e)
+    meta_path = idx + ".seqmeta.json"
+    # indexed canonical keys per epoch: EPOCH1's too-short row is gated
+    # out (4 of 5 indexed), its tainted dup still indexes
+    with open(meta_path) as f:
+        assert json.load(f)["kept"] == {"0": 4, "1": 4, "2": 2}
+    assert compact_index_epochs(spark, idx, upto_epoch=99) == 2  # 0,1 -> 1
+    with open(meta_path) as f:
+        assert json.load(f)["kept"] == {"1": 8, "2": 2}
+    # partial map: strip the target-to-be's entry, fold 1,2 -> 2
+    _apply(spark, [("d-zz91", _text("uniq9"))], idx, chk, 3)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["kept"]["1"]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    assert compact_index_epochs(spark, idx, upto_epoch=99) == 2  # 1,2 -> 2
+    with open(meta_path) as f:
+        kept = json.load(f)["kept"]
+    assert "2" not in kept  # unknown sum -> entry dropped, not fabricated
+    assert kept == {"3": 1}
