@@ -49,6 +49,13 @@ def word_frequencies(docs: DataFrame, text_col: str) -> DataFrame:
     """(word, freq): the one corpus-sized scan. Map-side combine
     collapses repeats before the shuffle carries one row per distinct
     word per partition."""
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    # Production entry for an UNSEEN frame (feeds bpe_learn): the token
+    # explode touches every byte — widen a 1-2-partition single-file
+    # corpus, no-op otherwise. Keyless round-robin (there is no id
+    # contract here); word counts are placement-invariant.
+    docs = spread_if_narrow(docs)
     return (
         docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")

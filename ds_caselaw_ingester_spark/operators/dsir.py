@@ -67,6 +67,15 @@ def hashed_ngram_counts(
     `num_buckets`. One explode + one (id, bucket) groupBy; documents
     with no tokens contribute no rows (score 0 downstream, matching
     the paper — an empty doc carries no evidence either way)."""
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    # Production entry for an UNSEEN frame (serves dsir_select and both
+    # featurize inputs of dsir_logratios): the tokenize + n-gram explode
+    # below touches every byte, so a single-file corpus planning as 1-2
+    # partitions would serialise it on 1-2 cores. No-op on an already-
+    # wide scan; results are partitioning-invariant (pinned in
+    # tests/test_dsir.py narrow-vs-wide).
+    docs = spread_if_narrow(docs, id_col)
     # tokenize to an ATTRIBUTE first: the concat and the n-gram builder
     # then share one tokenizer evaluation per doc (word_ngrams is also
     # internally let-bound — see its docstring for the interpreter trap)

@@ -90,6 +90,14 @@ def mix_corpus(
     max_rate caps accidental explosion (a tiny source with a big weight
     would otherwise repeat millions of times); hitting it raises.
     """
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    # Production entry for an UNSEEN frame: the epoch-explode below
+    # replicates every kept row rate-many times — on a 1-2-partition
+    # single-file corpus that expansion (and the upsampled write that
+    # usually follows) serialises on 1-2 cores. No-op when already wide;
+    # the blend is partitioning-invariant (hash-derived Bernoulli).
+    docs = spread_if_narrow(docs, id_col)
     agg = (
         docs.where(F.col(source_col).isin(list(weights)))
         .groupBy(source_col)

@@ -53,6 +53,13 @@ def corpus_diff(
     would report it 'added' no matter which snapshot it is in
     (review-found). Two NULL-text rows compare as unchanged (null-safe
     equality) — both snapshots agree the content is absent."""
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    # Production entry: the map-side md5 runs BEFORE the join's
+    # exchange, on the input's own partitioning — widen a single-file
+    # snapshot so hashing the whole corpus isn't a 1-2-core stage.
+    old = spread_if_narrow(old, id_col)
+    new = spread_if_narrow(new, id_col)
     o = old.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("old_hash"),
@@ -77,6 +84,13 @@ def corpus_diff(
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(token, n) — the unigram sufficient statistics, one scan."""
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    # Production entry for an UNSEEN frame (serves vocab_shift and
+    # js_divergence, both sides): the tokenize+explode touches every
+    # byte — widen a 1-2-partition single-file snapshot, no-op
+    # otherwise. Keyless round-robin; counts are placement-invariant.
+    docs = spread_if_narrow(docs)
     return (
         docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("token")

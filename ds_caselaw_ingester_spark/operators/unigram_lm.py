@@ -49,6 +49,13 @@ def seed_vocab(
     every word, weighted by word frequency; top `max_vocab` by weight,
     with ALL single characters force-included (totality). Returns
     {piece: log_prob} normalized over the selected set."""
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    # Production entry: word_freqs usually arrives post-shuffle (no-op
+    # via the Exchange check), but a frequency table re-read from a
+    # single parquet file plans narrow and the substring explode below
+    # is the heavy stage — widen it then.
+    word_freqs = spread_if_narrow(word_freqs, "word")
     subs = F.expr(
         f"""flatten(transform(sequence(1, length(word)),
               i -> transform(sequence(i, least(length(word), i + {max_piece_len - 1})),

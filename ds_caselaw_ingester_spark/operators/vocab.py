@@ -24,6 +24,12 @@ def token_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     document's repeated tokens map-side, so the big shuffle carries one
     row per DISTINCT (token, doc), not one per occurrence — then the
     per-token rollup (count of docs = count of rows, occurrences = sum)."""
+    from ds_caselaw_ingester_spark.sources.catalog import spread_if_narrow
+
+    # Production entry for an UNSEEN frame (serves vocab_topk): the
+    # tokenize+explode touches every byte — widen a 1-2-partition
+    # single-file corpus, no-op otherwise.
+    docs = spread_if_narrow(docs, id_col)
     tok = docs.select(
         F.col(id_col).alias("_doc"), F.explode(tokens(F.col(text_col))).alias("token")
     )

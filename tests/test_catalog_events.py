@@ -201,3 +201,133 @@ def test_spread_if_narrow_small_parallelism_threshold():
     for n in (2, 3):
         assert not (1 >= max(2, int(n * 0.5)))  # 1-part frame must widen
     assert 2 >= max(2, int(2 * 0.5))  # already-full 2-core frame kept
+
+
+# ---------------------------------------------------------------------------
+# round-13 guard rollout (VERDICT r12 #3): every remaining corpus-scan
+# production entry self-defends against a narrow (single-file) input,
+# and the guard is a pure perf property — verdicts/rows identical
+# narrow vs pre-spread.
+# ---------------------------------------------------------------------------
+
+
+def _docs_sf0001(spark):
+    from ds_caselaw_ingester_spark.sources.catalog import table
+
+    return table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+
+
+def test_dsir_entries_narrow_equals_wide(spark):
+    from ds_caselaw_ingester_spark.operators.dsir import (
+        dsir_logratios,
+        dsir_select,
+        hashed_ngram_counts,
+    )
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    docs = _docs_sf0001(spark)
+    target = docs.limit(20)
+    sel_n = sorted(
+        tuple(r)
+        for r in dsir_select(docs.coalesce(1), target, 25).collect()
+    )
+    sel_w = sorted(
+        tuple(r)
+        for r in dsir_select(spread(docs, "doc_id"), target, 25).collect()
+    )
+    assert sel_n == sel_w
+    # logratios over narrow-vs-wide featurize inputs (the guard lives in
+    # hashed_ngram_counts, which serves both public entries)
+    rn, fn = dsir_logratios(
+        hashed_ngram_counts(target.coalesce(1), "doc_id", "text"),
+        hashed_ngram_counts(docs.coalesce(1), "doc_id", "text"),
+    )
+    rw, fw = dsir_logratios(
+        hashed_ngram_counts(spread(target, "doc_id"), "doc_id", "text"),
+        hashed_ngram_counts(spread(docs, "doc_id"), "doc_id", "text"),
+    )
+    assert fn == fw
+    assert sorted(map(tuple, rn.collect())) == sorted(map(tuple, rw.collect()))
+
+
+def test_bpe_word_frequencies_narrow_equals_wide(spark):
+    from ds_caselaw_ingester_spark.operators.bpe import (
+        bpe_learn,
+        word_frequencies,
+    )
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    docs = _docs_sf0001(spark).limit(120)
+    wf_n = word_frequencies(docs.coalesce(1), "text")
+    wf_w = word_frequencies(spread(docs, "doc_id"), "text")
+    assert sorted(map(tuple, wf_n.collect())) == sorted(
+        map(tuple, wf_w.collect())
+    )
+    assert bpe_learn(wf_n, 6) == bpe_learn(wf_w, 6)
+
+
+def test_mix_corpus_narrow_equals_wide(spark):
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.mixture import mix_corpus
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    docs = _docs_sf0001(spark).withColumn(
+        "src",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")),
+    ).withColumn("tok", F.size(F.split(F.col("text"), r"\s+")))
+    kw = dict(weights={"a": 0.7, "b": 0.3}, token_budget=30_000)
+    out_n = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mix_corpus(docs.coalesce(1), "doc_id", "src", "tok", **kw)
+        .select("doc_id", "epoch").collect()
+    )
+    out_w = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in mix_corpus(
+            spread(docs, "doc_id"), "doc_id", "src", "tok", **kw
+        ).select("doc_id", "epoch").collect()
+    )
+    assert out_n == out_w
+
+
+def test_snapshot_entries_narrow_equals_wide(spark):
+    from pyspark.sql import functions as F
+
+    from ds_caselaw_ingester_spark.operators.snapshot import (
+        corpus_diff,
+        js_divergence,
+        vocab_shift,
+    )
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    docs = _docs_sf0001(spark).limit(150)
+    old = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0)
+    assert js_divergence(old.coalesce(1), new.coalesce(1)) == js_divergence(
+        spread(old, "doc_id"), spread(new, "doc_id")
+    )
+    vs_n = sorted(map(tuple, vocab_shift(old.coalesce(1), new.coalesce(1)).collect()))
+    vs_w = sorted(map(tuple, vocab_shift(spread(old, "doc_id"), spread(new, "doc_id")).collect()))
+    assert vs_n == vs_w
+    cd_n = sorted(map(tuple, corpus_diff(old.coalesce(1), new.coalesce(1)).collect()))
+    cd_w = sorted(map(tuple, corpus_diff(spread(old, "doc_id"), spread(new, "doc_id")).collect()))
+    assert cd_n == cd_w
+
+
+def test_vocab_entries_narrow_equals_wide(spark):
+    from ds_caselaw_ingester_spark.operators.bpe import word_frequencies
+    from ds_caselaw_ingester_spark.operators.unigram_lm import seed_vocab
+    from ds_caselaw_ingester_spark.operators.vocab import vocab_topk
+    from ds_caselaw_ingester_spark.sources.catalog import spread
+
+    docs = _docs_sf0001(spark).limit(150)
+    tk_n = [tuple(r) for r in vocab_topk(docs.coalesce(1), "doc_id", "text", 30).collect()]
+    tk_w = [tuple(r) for r in vocab_topk(spread(docs, "doc_id"), "doc_id", "text", 30).collect()]
+    assert tk_n == tk_w
+    wf = word_frequencies(docs, "text").localCheckpoint(eager=True)
+    assert seed_vocab(wf.coalesce(1), max_vocab=300) == seed_vocab(
+        spread(wf, "word"), max_vocab=300
+    )
