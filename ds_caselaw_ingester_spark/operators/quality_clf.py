@@ -535,6 +535,118 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
     char_fast = feature == "char" and warr is not None and CHAR_NS == (1, 2, 3)
     _CP = 0x1FFFFF  # 21-bit code-point mask
 
+    # Round-13 combined-n path (profiled on the sf1 battery corpus:
+    # the warm scorer's cost was (a) the per-distinct-gram Python memo
+    # loop and (b) three np.unique calls per document — together ~2/3
+    # of its time). When every code point is >= 1 the three packing
+    # ranges are DISJOINT (a 2-gram packs to >= 2^21 iff its first
+    # code point is nonzero, a 3-gram to >= 2^42), so one concatenated
+    # array + ONE np.unique counts all three n-sizes, n is recoverable
+    # from magnitude for the md5 reconstruction, and the memo becomes
+    # a single sorted-array map probed by np.searchsorted (C-speed for
+    # the warm case; only true misses fall back to Python/md5, parked
+    # in `pending` and merged into the sorted arrays in batches).
+    # Documents containing NUL (the one ambiguous code point —
+    # unreachable from natural text but reachable adversarially) take
+    # the per-n legacy path below, whose per-n memos stay unambiguous.
+    # Folding counts by hashed idx uses np.bincount when the dense
+    # weight vector is small (integer-valued float additions are exact
+    # in ANY order, so the per-idx sums are bit-identical to the
+    # argsort+reduceat fold); margins are bit-identical to py_score —
+    # measured 1.64x over the r12 scorer at sf1 with zero mismatches
+    # across 50k documents (docs/SCALE.md round-13).
+    # sorted distinct packed grams, TERMINATED by an int64-max sentinel
+    # (greater than any packed gram: 3 code points use 63 bits with the
+    # top code point <= 0x10FFFF) so searchsorted positions never need
+    # clipping; known_i carries a dummy at the sentinel slot
+    _SENT = _np.iinfo(_np.int64).max
+    known_k = _np.array([_SENT], dtype=_np.int64)
+    known_i = _np.array([0], dtype=_np.int64)
+    pending: "dict[int, int]" = {}
+    _bincount_ok = warr is not None and dim <= (1 << 16)
+
+    def _merge_at() -> int:
+        # adaptive, NOT a fixed constant: grams parked in `pending` are
+        # served by the per-gram dict loop (the r12 cost this path
+        # exists to remove), so a small-vocabulary corpus must still
+        # reach the sorted arrays quickly — while each merge is an
+        # O((K+P) log(K+P)) argsort, so the threshold grows with K to
+        # keep total merge work O(K log K) amortized (a fixed 4096 cap
+        # measured as a NO-OP on the sf1 corpus: its ~3.5k-gram
+        # vocabulary never triggered a merge and every lookup stayed in
+        # the dict loop — docs/SCALE.md round-13)
+        return 256 + (known_k.size >> 4)
+
+    def _merge_pending():
+        nonlocal known_k, known_i
+        if not pending:
+            return
+        ks = _np.fromiter(pending.keys(), dtype=_np.int64, count=len(pending))
+        vs = _np.fromiter(
+            pending.values(), dtype=_np.int64, count=len(pending)
+        )
+        # the sentinel sorts last, so it stays terminal after the merge
+        allk = _np.concatenate([known_k, ks])
+        alli = _np.concatenate([known_i, vs])
+        order = _np.argsort(allk, kind="stable")
+        known_k, known_i = allk[order], alli[order]
+        pending.clear()
+
+    def _gram_of(p: int) -> str:
+        # n from magnitude — injective because the combined path only
+        # ever sees NUL-free documents (first code point >= 1)
+        if p <= _CP:
+            return chr(p)
+        if p <= ((_CP << 21) | _CP):
+            return chr(p >> 21) + chr(p & _CP)
+        return chr(p >> 42) + chr((p >> 21) & _CP) + chr(p & _CP)
+
+    def _char_margin_combined(cps) -> float:
+        nonlocal known_k, known_i
+        m = cps.size
+        parts = [cps]
+        total = m
+        if m >= 2:
+            parts.append((cps[:-1] << 21) | cps[1:])
+            total += m - 1
+        if m >= 3:
+            parts.append((cps[:-2] << 42) | (cps[1:-1] << 21) | cps[2:])
+            total += m - 2
+        u, c = _np.unique(_np.concatenate(parts), return_counts=True)
+        # u < sentinel always, so pos < known_k.size: no clipping needed
+        pos = known_k.searchsorted(u)
+        hit = known_k[pos] == u
+        idx = known_i[pos]
+        if not hit.all():
+            if known_k.size + len(pending) >= cache_cap:
+                # same bound as the dict memos: adversarial all-distinct
+                # corpora reset the amortization, never the correctness
+                known_k = _np.array([_SENT], dtype=_np.int64)
+                known_i = _np.array([0], dtype=_np.int64)
+                pending.clear()
+            pget = pending.get
+            miss = _np.flatnonzero(~hit)
+            miss_idx = []
+            for p in u[miss].tolist():
+                i = pget(p)
+                if i is None:
+                    # the one pinned hash definition (see _idx)
+                    i = py_hash_idx(_gram_of(p), dim)
+                    pending[p] = i
+                miss_idx.append(i)
+            idx[miss] = miss_idx
+            if len(pending) >= _merge_at():
+                _merge_pending()
+        if _bincount_ok:
+            # integer-valued float sums are exact in any order: uc is
+            # bit-identical to the reduceat fold in _margin_vec
+            uc = _np.bincount(idx, weights=c.astype(_np.float64), minlength=dim)
+            nz = _np.flatnonzero(uc)
+            return _round_half_up(
+                _fsum(((uc[nz] / total) * warr[nz]).tolist()) + bias, 6
+            )
+        return _margin_vec(idx, c.astype(_np.float64), total)
+
     def _char_margin_packed(canon: str) -> float:
         # the per-position gram STRINGS never exist: n-grams are int64
         # windows over the code-point array (utf-32-le bytes reread as
@@ -546,6 +658,10 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
         cps = _np.frombuffer(
             canon.encode("utf-32-le"), dtype="<u4"
         ).astype(_np.int64)
+        if cps.size and cps.min() >= 1:
+            # NUL-free (the overwhelmingly common case): combined-n
+            # counting — see _char_margin_combined above
+            return _char_margin_combined(cps)
         total = 0
         idx_parts, cnt_parts = [], []
         for n in (1, 2, 3):

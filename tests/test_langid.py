@@ -491,3 +491,38 @@ def test_batch_scorer_packed_path_equals_py_score_adversarially():
         scorer = make_batch_scorer(m)
         for t in cases:
             assert scorer(t) == py_score(t, m), (dim, mc, repr(t)[:40])
+
+
+def test_batch_scorer_combined_path_nul_fallback_and_cap():
+    """Round-13 combined-n counting: NUL is the ONE code point that
+    makes the magnitude-based n recovery ambiguous, so NUL documents
+    must take the per-n legacy path — and both paths must stay
+    bit-identical to py_score through ONE scorer instance (shared
+    memos, interleaved) and across a cache-cap reset of the sorted
+    memo arrays."""
+    from ds_caselaw_ingester_spark.operators.quality_clf import (
+        QualityModel,
+        make_batch_scorer,
+        py_score,
+    )
+
+    m = QualityModel(
+        dim=64, bias=0.05,
+        weights={i: ((i * 29) % 19 - 9) / 7 for i in range(64)},
+        feature="char", max_chars=None,
+    )
+    scorer = make_batch_scorer(m)
+    cases = [
+        "\x00", "a\x00b", "\x00 leading nul", "trailing nul \x00",
+        "no nul here", "a\x00b", "no nul here",  # interleave both paths
+        "nul\x00mid and 日本語", "\x00\x00\x00",
+    ]
+    for t in cases:
+        assert scorer(t) == py_score(t, m), repr(t)
+
+    # tiny cap: the sorted-array memo resets mid-stream (every doc's
+    # grams overflow it); values must never drift
+    capped = make_batch_scorer(m, cache_cap=8)
+    for i in range(30):
+        t = f"uniq{i}word {i}x{i}"
+        assert capped(t) == py_score(t, m), t
