@@ -1,6 +1,9 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full JSON line {"metric", "value", "unit", "queries", "sf", ...}, then a
+paired host-factor line vs the newest committed BENCH_r*.json, then a
+minimal tail line with the suite total (see the capture-window notes
+below for why three lines).
 
 Each query is forced end-to-end with the noop sink (full computation of
 every output column, no driver collect, no disk write) — the honest

@@ -75,14 +75,30 @@ def _span(src: str, base_table: str, col_hint: str) -> int:
     return _SPAN_CACHE[ck]
 
 
-def scale(src: str, dst: str, factor: int) -> None:
+def scale(
+    src: str,
+    dst: str,
+    factor: int,
+    dup_rate: "float | None" = None,
+    tables: "tuple[str, ...]" = TABLES,
+) -> None:
+    """dup_rate=None reproduces the legacy shape: every copy of a
+    document differs from its base by ONE suffix token, so the corpus
+    is `factor`-member near-duplicate families and the lexical dedup
+    join dominates any composite BY CONSTRUCTION (docs/SCALE.md's
+    honesty note on the r12 sf10 datapoint). dup_rate=0.02 plants
+    near-dup families on only ~2% of base documents (doc_id % 50 == 0);
+    every other copy gets a per-copy salt token inserted every 3 words,
+    which breaks every shared word-3-gram shingle window with its base
+    and with other copies — the battery-dominated regime a real 100 TB
+    crawl looks like."""
     os.makedirs(dst, exist_ok=True)
     spans: dict[str, int] = {}
     for col, base in KEY_BASE.items():
         key = f"{base}:{col}"
         spans[key] = _span(src, base, col)
 
-    for name in TABLES:
+    for name in tables:
         t = pq.read_table(os.path.join(src, f"{name}.parquet"))
         out_path = os.path.join(dst, f"{name}.parquet")
         if name in COPIED_UNCHANGED:
@@ -98,9 +114,26 @@ def scale(src: str, dst: str, factor: int) -> None:
                     span = spans[f"{KEY_BASE[cname]}:{cname}"]
                     col = pc.add(col, pa.scalar(i * span, type=col.type))
                 elif name == "documents" and cname == "text" and i > 0:
-                    col = pc.binary_join_element_wise(
-                        pc.cast(col, pa.string()), f" dup{i}", ""
+                    base_txt = pc.cast(col, pa.string())
+                    dup_txt = pc.binary_join_element_wise(
+                        base_txt, f" dup{i}", ""
                     )
+                    if dup_rate is None:
+                        col = dup_txt
+                    else:
+                        # low-duplication shape: salt a copy-specific
+                        # token into every 3-word window (RE2 keeps \1)
+                        # so non-planted copies share almost no 3-gram
+                        # shingles with their base or with other copies
+                        salted = pc.replace_substring_regex(
+                            base_txt, r"((?:\S+ ){3})", f"\\1cp{i}salt "
+                        )
+                        ids = t.column("doc_id").to_numpy(
+                            zero_copy_only=False
+                        )
+                        period = max(1, round(1.0 / dup_rate))
+                        mask = pa.array((ids % period) == 0)
+                        col = pc.if_else(mask, dup_txt, salted)
                 elif name == "embeddings" and cname == "embedding" and i > 0:
                     flat = col.combine_chunks()
                     if flat.null_count:
@@ -127,5 +160,15 @@ if __name__ == "__main__":
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/sf1.0")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--dup-rate", type=float, default=None,
+        help="planted near-dup family rate (e.g. 0.02); default keeps "
+        "the legacy every-copy-is-a-near-dup shape",
+    )
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset of tables (default: all)",
+    )
     a = ap.parse_args()
-    scale(a.src, a.dst, a.factor)
+    tabs = tuple(a.tables.split(",")) if a.tables else TABLES
+    scale(a.src, a.dst, a.factor, a.dup_rate, tabs)
