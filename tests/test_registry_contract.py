@@ -25,3 +25,45 @@ def test_entry_surface_is_consistent():
     assert callable(E.entry)
     # column-name contract: every oracle is non-empty SQL text
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in osql.values())
+
+
+def test_bench_paired_loader_reads_both_artifact_shapes(tmp_path):
+    """bench.py auto-pairs against the newest committed BENCH_r*.json;
+    the loader must read bench's own output shape AND the driver's
+    wrapper (per-query line embedded in the captured stdout `tail`),
+    and the summary must exclude flagged queries from the host-factor
+    estimate."""
+    import json
+    import sys
+
+    import bench
+
+    own = tmp_path / "own.json"
+    own.write_text(json.dumps({
+        "queries": {"a": 1.0, "b": 2.0},
+        "suite_spread": {"flagged": ["b"]},
+    }))
+    q, fl = bench._load_old_queries(str(own))
+    assert q == {"a": 1.0, "b": 2.0} and fl == {"b"}
+
+    inner = json.dumps({"metric": "total_query_wall_seconds",
+                        "queries": {"a": 1.0, "b": 2.0, "c": 4.0},
+                        "suite_spread": {"flagged": ["c"]}})
+    wrapped = tmp_path / "BENCH_r99.json"
+    wrapped.write_text(json.dumps({
+        "n": 99, "rc": 0,
+        "tail": "[Stage 5:>  ]\r\r" + inner + "\n" + json.dumps(
+            {"metric": "total_query_wall_seconds", "value": 7.0}) + "\n",
+    }))
+    q2, fl2 = bench._load_old_queries(str(wrapped))
+    assert q2 == {"a": 1.0, "b": 2.0, "c": 4.0} and fl2 == {"c"}
+
+    # paired summary: uniform 1.1x host factor, flagged-in-old excluded
+    argv = sys.argv
+    sys.argv = ["bench.py", "--paired", str(wrapped)]
+    try:
+        s = bench._paired_summary({"a": 1.1, "b": 2.2, "c": 400.0}, set())
+    finally:
+        sys.argv = argv
+    assert s["n_compared"] == 2  # c flagged in the old artifact
+    assert abs(s["host_factor_median_ratio"] - 1.1) < 1e-9
