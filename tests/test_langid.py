@@ -526,3 +526,40 @@ def test_batch_scorer_combined_path_nul_fallback_and_cap():
     for i in range(30):
         t = f"uniq{i}word {i}x{i}"
         assert capped(t) == py_score(t, m), t
+
+
+def test_batch_scorer_hypothesis_equals_py_score_any_unicode():
+    """Hypothesis pin for the r13 combined-n path: for ARBITRARY
+    unicode text (NUL and astral planes included, so both the combined
+    and the legacy per-n paths and the path SWITCH mid-stream are
+    exercised through one shared-memo scorer), the batch scorer equals
+    py_score bit-for-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ds_caselaw_ingester_spark.operators.quality_clf import (
+        QualityModel,
+        make_batch_scorer,
+        py_score,
+    )
+
+    m = QualityModel(
+        dim=128, bias=-0.1,
+        weights={i: ((i * 31) % 41 - 20) / 13 for i in range(128)},
+        feature="char", max_chars=96,
+    )
+    scorer = make_batch_scorer(m)
+    text = st.text(
+        alphabet=st.characters(
+            codec="utf-8",  # excludes lone surrogates, like Arrow strings
+            categories=None,
+        ),
+        max_size=200,
+    )
+
+    @given(text)
+    @settings(max_examples=300, deadline=None)
+    def check(t):
+        assert scorer(t) == py_score(t, m)
+
+    check()
