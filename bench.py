@@ -177,7 +177,7 @@ def main() -> None:
     # in the repo (the current round's artifact is written by the
     # driver only AFTER this run, so the newest on disk is always a
     # prior round).
-    paired = _paired_summary(timings, set(flagged))
+    paired = _paired_summary(timings, set(flagged), sf)
     if paired:
         out["paired"] = paired
 
@@ -203,8 +203,8 @@ def main() -> None:
     print(json.dumps(tail, separators=(",", ":")))
 
 
-def _load_old_queries(path: str) -> "tuple[dict, set]":
-    """Per-query mins + flagged set from a prior artifact.
+def _load_old_queries(path: str) -> "tuple[dict, set, float | None]":
+    """Per-query mins + flagged set + sf from a prior artifact.
 
     Handles both shapes: bench.py's own output / BENCH_LAST.json
     ({"queries": {...}, "suite_spread": {...}}), and the driver's
@@ -228,10 +228,10 @@ def _load_old_queries(path: str) -> "tuple[dict, set]":
         old = best
     old_q = old.get("queries", {})
     old_flagged = set((old.get("suite_spread") or {}).get("flagged", []))
-    return old_q, old_flagged
+    return old_q, old_flagged, old.get("sf")
 
 
-def _paired_summary(timings: dict, flagged: set) -> "dict | None":
+def _paired_summary(timings: dict, flagged: set, sf: float) -> "dict | None":
     import glob
     import re
 
@@ -248,9 +248,18 @@ def _paired_summary(timings: dict, flagged: set) -> "dict | None":
             return None
         paired_path = max(cands)[1]
     try:
-        old_q, old_flagged = _load_old_queries(paired_path)
+        old_q, old_flagged, old_sf = _load_old_queries(paired_path)
     except (OSError, ValueError) as e:
         print(f"bench: paired baseline unreadable: {e}", file=sys.stderr)
+        return None
+    if old_sf is not None and old_sf != sf:
+        # an sf1 sweep auto-pairing against the driver's sf0.1 artifact
+        # would report a ~10x "host factor" — refuse mismatched scales
+        print(
+            f"bench: paired baseline {paired_path} is sf={old_sf}, "
+            f"this run is sf={sf} — skipping the pair",
+            file=sys.stderr,
+        )
         return None
     ratios = {
         n: timings[n] / old_q[n]

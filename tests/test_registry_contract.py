@@ -43,7 +43,7 @@ def test_bench_paired_loader_reads_both_artifact_shapes(tmp_path):
         "queries": {"a": 1.0, "b": 2.0},
         "suite_spread": {"flagged": ["b"]},
     }))
-    q, fl = bench._load_old_queries(str(own))
+    q, fl, sf = bench._load_old_queries(str(own))
     assert q == {"a": 1.0, "b": 2.0} and fl == {"b"}
 
     inner = json.dumps({"metric": "total_query_wall_seconds",
@@ -55,15 +55,25 @@ def test_bench_paired_loader_reads_both_artifact_shapes(tmp_path):
         "tail": "[Stage 5:>  ]\r\r" + inner + "\n" + json.dumps(
             {"metric": "total_query_wall_seconds", "value": 7.0}) + "\n",
     }))
-    q2, fl2 = bench._load_old_queries(str(wrapped))
+    q2, fl2, _sf2 = bench._load_old_queries(str(wrapped))
     assert q2 == {"a": 1.0, "b": 2.0, "c": 4.0} and fl2 == {"c"}
 
     # paired summary: uniform 1.1x host factor, flagged-in-old excluded
     argv = sys.argv
     sys.argv = ["bench.py", "--paired", str(wrapped)]
     try:
-        s = bench._paired_summary({"a": 1.1, "b": 2.2, "c": 400.0}, set())
+        s = bench._paired_summary({"a": 1.1, "b": 2.2, "c": 400.0}, set(), 0.1)
     finally:
         sys.argv = argv
     assert s["n_compared"] == 2  # c flagged in the old artifact
     assert abs(s["host_factor_median_ratio"] - 1.1) < 1e-9
+
+    # mismatched scale refuses to pair (sf1 sweep vs an sf0.1 baseline)
+    wrapped_sf = tmp_path / "BENCH_r98.json"
+    wrapped_sf.write_text(json.dumps({"queries": {"a": 1.0}, "sf": 0.1}))
+    sys.argv = ["bench.py", "--paired", str(wrapped_sf)]
+    try:
+        assert bench._paired_summary({"a": 1.1}, set(), 1.0) is None
+        assert bench._paired_summary({"a": 1.1}, set(), 0.1) is not None
+    finally:
+        sys.argv = argv
