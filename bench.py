@@ -177,7 +177,10 @@ def main() -> None:
     # in the repo (the current round's artifact is written by the
     # driver only AFTER this run, so the newest on disk is always a
     # prior round).
-    paired = _paired_summary(timings, set(flagged), sf)
+    explicit = sys.argv[2] if (
+        len(sys.argv) >= 3 and sys.argv[1] == "--paired"
+    ) else None
+    paired = _paired_summary(timings, set(flagged), sf, explicit)
     if paired:
         out["paired"] = paired
 
@@ -231,14 +234,17 @@ def _load_old_queries(path: str) -> "tuple[dict, set, float | None]":
     return old_q, old_flagged, old.get("sf")
 
 
-def _paired_summary(timings: dict, flagged: set, sf: float) -> "dict | None":
+def _paired_summary(
+    timings: dict,
+    flagged: set,
+    sf: float,
+    paired_path: "str | None" = None,
+) -> "dict | None":
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    if len(sys.argv) >= 3 and sys.argv[1] == "--paired":
-        paired_path = sys.argv[2]
-    else:
+    if paired_path is None:
         cands = []
         for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
             m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))

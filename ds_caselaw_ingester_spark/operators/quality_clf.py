@@ -618,18 +618,24 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
         hit = known_k[pos] == u
         idx = known_i[pos]
         if not hit.all():
-            if known_k.size + len(pending) >= cache_cap:
-                # same bound as the dict memos: adversarial all-distinct
-                # corpora reset the amortization, never the correctness
-                known_k = _np.array([_SENT], dtype=_np.int64)
-                known_i = _np.array([0], dtype=_np.int64)
-                pending.clear()
             pget = pending.get
             miss = _np.flatnonzero(~hit)
             miss_idx = []
             for p in u[miss].tolist():
                 i = pget(p)
                 if i is None:
+                    # per-INSERT cap check, like the legacy per-n memos:
+                    # one adversarial document can carry ~3x its char
+                    # count in distinct grams, so a once-per-document
+                    # check would let `pending` overshoot the cap by the
+                    # whole document (review finding, round 13). The
+                    # reset drops amortization, never correctness —
+                    # already-filled idx values are independent of cache
+                    # state.
+                    if known_k.size + len(pending) >= cache_cap:
+                        known_k = _np.array([_SENT], dtype=_np.int64)
+                        known_i = _np.array([0], dtype=_np.int64)
+                        pending.clear()
                     # the one pinned hash definition (see _idx)
                     i = py_hash_idx(_gram_of(p), dim)
                     pending[p] = i

@@ -350,17 +350,25 @@ def bm25_topk_queries(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    # qterms has two consumers (the prune and the scoring join) but is a
-    # trivial explode+distinct of the tiny queries frame — recomputing it
-    # twice is cheaper than the eager localCheckpoint it used to carry:
-    # the checkpoint cost a whole extra JOB per invocation (scheduling
-    # round-trip + one more cold-codegen stage), which round-13 profiling
-    # found was a measurable slice of hybrid_search_multi's warm-up tail
-    # (docs/SCALE.md round-13 notes).
-    qterms = queries.select(
-        F.col(q_id_col).alias("q_id"),
-        F.explode(F.col(terms_col)).alias("token"),
-    ).distinct()
+    # qterms has two consumers (the prune and the scoring join), and they
+    # MUST observe the same evaluation: a caller may pass a
+    # nondeterministic queries frame (a sample(), a rand() filter), and
+    # terms visible only to the scoring join would already be pruned out
+    # of tf/df_t — scores silently wrong. A LAZY localCheckpoint pins one
+    # evaluation without the eager variant's dedicated job (round-13: the
+    # eager checkpoint's extra scheduling round-trip was a measurable
+    # slice of hybrid_search_multi's warm-up tail, docs/SCALE.md): the
+    # first action that computes it — the tf checkpoint's broadcast of
+    # all_terms — persists the RDD, and the scoring join reads the pinned
+    # rows.
+    qterms = (
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.explode(F.col(terms_col)).alias("token"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     all_terms = qterms.select("token").distinct()
 
     dl, stats, tf, df_t = _bm25_corpus_frames(

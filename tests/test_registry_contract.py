@@ -34,7 +34,6 @@ def test_bench_paired_loader_reads_both_artifact_shapes(tmp_path):
     and the summary must exclude flagged queries from the host-factor
     estimate."""
     import json
-    import sys
 
     import bench
 
@@ -59,21 +58,17 @@ def test_bench_paired_loader_reads_both_artifact_shapes(tmp_path):
     assert q2 == {"a": 1.0, "b": 2.0, "c": 4.0} and fl2 == {"c"}
 
     # paired summary: uniform 1.1x host factor, flagged-in-old excluded
-    argv = sys.argv
-    sys.argv = ["bench.py", "--paired", str(wrapped)]
-    try:
-        s = bench._paired_summary({"a": 1.1, "b": 2.2, "c": 400.0}, set(), 0.1)
-    finally:
-        sys.argv = argv
+    s = bench._paired_summary(
+        {"a": 1.1, "b": 2.2, "c": 400.0}, set(), 0.1, str(wrapped)
+    )
     assert s["n_compared"] == 2  # c flagged in the old artifact
     assert abs(s["host_factor_median_ratio"] - 1.1) < 1e-9
 
     # mismatched scale refuses to pair (sf1 sweep vs an sf0.1 baseline)
     wrapped_sf = tmp_path / "BENCH_r98.json"
     wrapped_sf.write_text(json.dumps({"queries": {"a": 1.0}, "sf": 0.1}))
-    sys.argv = ["bench.py", "--paired", str(wrapped_sf)]
-    try:
-        assert bench._paired_summary({"a": 1.1}, set(), 1.0) is None
-        assert bench._paired_summary({"a": 1.1}, set(), 0.1) is not None
-    finally:
-        sys.argv = argv
+    assert bench._paired_summary({"a": 1.1}, set(), 1.0, str(wrapped_sf)) is None
+    assert (
+        bench._paired_summary({"a": 1.1}, set(), 0.1, str(wrapped_sf))
+        is not None
+    )

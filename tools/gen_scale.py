@@ -88,10 +88,11 @@ def scale(
     join dominates any composite BY CONSTRUCTION (docs/SCALE.md's
     honesty note on the r12 sf10 datapoint). dup_rate=0.02 plants
     near-dup families on only ~2% of base documents (doc_id % 50 == 0);
-    every other copy gets a per-copy salt token inserted every 3 words,
-    which breaks every shared word-3-gram shingle window with its base
-    and with other copies — the battery-dominated regime a real 100 TB
-    crawl looks like."""
+    every other copy gets a per-copy salt token inserted after every 2
+    words, which breaks every interior shared word-3-gram shingle with
+    its base and with other copies (only a sub-3-word unsalted tail can
+    share one edge shingle) — the battery-dominated regime a real
+    100 TB crawl looks like."""
     os.makedirs(dst, exist_ok=True)
     spans: dict[str, int] = {}
     for col, base in KEY_BASE.items():
@@ -122,11 +123,19 @@ def scale(
                         col = dup_txt
                     else:
                         # low-duplication shape: salt a copy-specific
-                        # token into every 3-word window (RE2 keeps \1)
-                        # so non-planted copies share almost no 3-gram
-                        # shingles with their base or with other copies
+                        # token after every 2 words (RE2 keeps \1). Two
+                        # is load-bearing: with a salt every THREE words
+                        # the aligned (w0,w1,w2),(w3,w4,w5),... 3-gram
+                        # windows all survive intact — measured ~1/3 of
+                        # shingles still shared with the base, enough
+                        # for ~32k accidental lexical collapses at sf10
+                        # (review finding, round 13). Every 2 words, no
+                        # 3 consecutive original words stay adjacent, so
+                        # only the unsalted tail (< 2 words + the last
+                        # word carries no trailing space) can share a
+                        # single edge 3-gram.
                         salted = pc.replace_substring_regex(
-                            base_txt, r"((?:\S+ ){3})", f"\\1cp{i}salt "
+                            base_txt, r"((?:\S+ ){2})", f"\\1cp{i}salt "
                         )
                         ids = t.column("doc_id").to_numpy(
                             zero_copy_only=False
