@@ -245,14 +245,43 @@ def _paired_summary(
 
     here = os.path.dirname(os.path.abspath(__file__))
     if paired_path is None:
+        # Candidates are restricted to git-TRACKED artifacts: the
+        # driver commits BENCH_r{N}.json at round end, so an untracked
+        # current-round artifact sitting in the working tree would
+        # otherwise become its own baseline on a re-run within the
+        # round (host factor ~1.0, residuals meaningless).
+        import subprocess
+
+        names = None
+        try:
+            out = subprocess.run(
+                ["git", "ls-files", "BENCH_r*.json"],
+                cwd=here,
+                capture_output=True,
+                text=True,
+                timeout=10,
+            )
+            if out.returncode == 0:
+                names = [ln for ln in out.stdout.splitlines() if ln.strip()]
+        except (OSError, subprocess.SubprocessError):
+            names = None
+        if names is None:  # not a git checkout — fall back to the glob
+            names = [
+                os.path.basename(p)
+                for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            ]
         cands = []
-        for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-            m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+        for name in names:
+            m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(name))
             if m:
-                cands.append((int(m.group(1)), p))
+                cands.append((int(m.group(1)), os.path.join(here, name)))
         if not cands:
             return None
         paired_path = max(cands)[1]
+        print(
+            f"bench: auto-paired baseline = {os.path.basename(paired_path)}",
+            file=sys.stderr,
+        )
     try:
         old_q, old_flagged, old_sf = _load_old_queries(paired_path)
     except (OSError, ValueError) as e:

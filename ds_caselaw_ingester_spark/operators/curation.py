@@ -57,6 +57,12 @@ def _broadcast_specs(sc, specs):
     key = (sc.applicationId, hashlib.md5(pickle.dumps(specs)).hexdigest())
     with _SPEC_BC_LOCK:
         bc = _SPEC_BC_CACHE.get(key)
+        if bc is not None:
+            # LRU, not FIFO: refresh recency on hit so a still-hot
+            # long-lived stream's payload isn't the one evicted just
+            # because it was inserted first.
+            _SPEC_BC_CACHE.pop(key)
+            _SPEC_BC_CACHE[key] = bc
         if bc is None:
             # Evict OLDEST-first (dicts preserve insertion order) rather
             # than clearing the whole cache: interleaved long-lived

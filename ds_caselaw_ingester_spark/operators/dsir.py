@@ -74,7 +74,7 @@ def hashed_ngram_counts(
     # below touches every byte, so a single-file corpus planning as 1-2
     # partitions would serialise it on 1-2 cores. No-op on an already-
     # wide scan; results are partitioning-invariant (pinned in
-    # tests/test_dsir.py narrow-vs-wide).
+    # tests/test_catalog_events.py::test_dsir_entries_narrow_equals_wide).
     docs = spread_if_narrow(docs, id_col)
     # tokenize to an ATTRIBUTE first: the concat and the n-gram builder
     # then share one tokenizer evaluation per doc (word_ngrams is also

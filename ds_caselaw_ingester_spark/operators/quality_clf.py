@@ -628,14 +628,27 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
                     # one adversarial document can carry ~3x its char
                     # count in distinct grams, so a once-per-document
                     # check would let `pending` overshoot the cap by the
-                    # whole document (review finding, round 13). The
-                    # reset drops amortization, never correctness —
-                    # already-filled idx values are independent of cache
-                    # state.
+                    # whole document (review finding, round 13). At the
+                    # cap, HALVE instead of resetting (round-13 watch
+                    # item): keep every other sorted entry plus the
+                    # terminal sentinel, so a corpus sitting at the cap
+                    # retains ~50% amortization instead of thrashing
+                    # from zero. No per-entry recency exists in a
+                    # sorted array, so the kept half is positional;
+                    # `pending` (the most recently seen misses) is kept
+                    # unless the halving alone can't get under the cap.
+                    # Only amortization is at stake, never correctness
+                    # — idx values are pure functions of the gram.
                     if known_k.size + len(pending) >= cache_cap:
-                        known_k = _np.array([_SENT], dtype=_np.int64)
-                        known_i = _np.array([0], dtype=_np.int64)
-                        pending.clear()
+                        keep = _np.arange(0, known_k.size - 1, 2)
+                        known_k = _np.concatenate(
+                            [known_k[keep], known_k[-1:]]
+                        )
+                        known_i = _np.concatenate(
+                            [known_i[keep], known_i[-1:]]
+                        )
+                        if known_k.size + len(pending) >= cache_cap:
+                            pending.clear()
                     # the one pinned hash definition (see _idx)
                     i = py_hash_idx(_gram_of(p), dim)
                     pending[p] = i

@@ -958,3 +958,60 @@ def test_compaction_folds_kept_map(spark, tmp_path):
         kept = json.load(f)["kept"]
     assert "2" not in kept  # unknown sum -> entry dropped, not fabricated
     assert kept == {"3": 1}
+
+
+def test_undersize_guard_held_count_agrees_across_key_modes(
+    spark, tmp_path
+):
+    """VERDICT r13 queue #6: seq mode derives the undersize guard's
+    held count as mx+1 from the dense key; min-key mode sums the
+    per-epoch kept map. Nothing structural forces the two derivations
+    to agree, so run BOTH modes over the identical three-batch corpus
+    (same gating, same dedup drops) and assert the sidecars imply the
+    same held count — and that it equals the index's true cardinality.
+    (`held` counts docs the INDEX holds — every gate-passing doc,
+    tainted ones included, since a later dup of a DROPPED doc must
+    still find it — not the smaller set of docs whose chunks were
+    kept.)"""
+    import json
+
+    b0 = [(10, _text("xa")), (11, _text("xb")), (12, _text("xc"))]
+    b1 = [
+        (20, _text("xa")),      # dup of base 10 -> dropped
+        (21, _text("pairp")),   # new-new pair: arrival keeps 21
+        (22, _text("pairp")),
+        (23, "too short"),      # gated out
+    ]
+    b2 = [(30, _text("pairp")), (31, _text("xz"))]  # 30 dups a dropped doc
+
+    held_by_mode, kept_docs_by_mode = {}, {}
+    for mode, use_seq in (("seq", True), ("minkey", False)):
+        idx = str(tmp_path / f"idx_{mode}")
+        chk = str(tmp_path / f"chk_{mode}")
+        kw = {**CHUNK_KW, "n_buckets": 8, "use_seq": use_seq}
+        for epoch, rows in enumerate((b0, b1, b2)):
+            apply_curation_batch(
+                _df_long(spark, rows), idx, chk, epoch_id=epoch, **kw
+            )
+        with open(idx + ".seqmeta.json") as f:
+            meta = json.load(f)
+        if use_seq:
+            held = max(int(v) for v in meta["epochs"].values()) + 1
+        else:
+            held = sum(meta["kept"].values())
+        # both modes also record the kept map; its sum must agree with
+        # the mode's own held derivation
+        assert sum(meta["kept"].values()) == held, (mode, meta)
+        held_by_mode[mode] = held
+        kept_docs_by_mode[mode] = set().union(
+            *(_kept(spark, chk, e) for e in range(3))
+        )
+
+    assert held_by_mode["seq"] == held_by_mode["minkey"], held_by_mode
+    # ground truth: every gate-passing doc is index-held (3 in b0,
+    # 3 in b1 — 23 is gated out — and 2 in b2), dropped-by-dedup or not
+    assert held_by_mode["seq"] == 8, held_by_mode
+    # while the kept CHUNKS are the dedup survivors, identical across
+    # modes
+    assert kept_docs_by_mode["seq"] == kept_docs_by_mode["minkey"]
+    assert kept_docs_by_mode["minkey"] == {10, 11, 12, 21, 31}

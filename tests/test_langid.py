@@ -563,3 +563,32 @@ def test_batch_scorer_hypothesis_equals_py_score_any_unicode():
         assert scorer(t) == py_score(t, m)
 
     check()
+
+
+def test_batch_scorer_cap_halving_stays_exact_at_the_cap():
+    """Round-14 (r13 watch item #1): the combined scorer now HALVES the
+    sorted memo arrays at cache_cap instead of resetting them. The
+    pathological shape the halving targets — a corpus whose working
+    vocabulary sits right at the cap, cycling the same grams forever —
+    must stay bit-identical to py_score through repeated halvings, and
+    revisiting earlier documents after several halvings must too (idx
+    values are pure functions of the gram; only amortization may
+    change)."""
+    from ds_caselaw_ingester_spark.operators.quality_clf import (
+        QualityModel,
+        make_batch_scorer,
+        py_score,
+    )
+
+    m = QualityModel(
+        dim=128, bias=-0.3,
+        weights={i: ((i * 17) % 23 - 11) / 5 for i in range(128)},
+        feature="char", max_chars=None,
+    )
+    # cap 16 with ~30+ distinct grams per pass: every cycle crosses the
+    # cap several times, so the halving runs repeatedly mid-stream
+    scorer = make_batch_scorer(m, cache_cap=16)
+    texts = [f"abc{i}멀티{i % 3}" for i in range(12)]
+    for _cycle in range(4):
+        for t in texts:
+            assert scorer(t) == py_score(t, m), (_cycle, t)

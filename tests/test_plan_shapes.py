@@ -377,3 +377,33 @@ def test_quality_keep_one_keeper_agg_is_partial(spark):
     assert "windowspecdefinition" not in plan, plan
     # partial_min of the keeper struct appears in a map-side HashAggregate
     assert "partial_min" in plan, plan
+
+
+def test_hybrid_search_multi_construction_job_count_pinned(spark, sf_dir):
+    """VERDICT r13 queue #2: round 13 removed hybrid_search_multi's
+    per-invocation eager qterms checkpoint job (the queries frame is
+    now pinned by a LAZY localCheckpoint materialized by the tf
+    checkpoint's all_terms broadcast, operators/search.py). Nothing
+    else pinned the scheduled-job count, so the removed job could
+    silently return. Construction (building the DataFrame — eager
+    checkpoints and broadcast collects run here) schedules exactly 9
+    jobs on r13/r14 code; an eager qterms checkpoint would add one per
+    query set (=> 10). If this number changes, account for the delta
+    deliberately — one extra scheduling round-trip per invocation is
+    real latency on a busy cluster."""
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"hybrid-pin-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "hybrid_search_multi construction")
+    try:
+        df = all_specs()["hybrid_search_multi"].fn(spark, sf_dir)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) == 9, (
+        f"hybrid_search_multi construction scheduled {len(jobs)} jobs "
+        "(expected 9) — did the qterms localCheckpoint go eager again, "
+        "or did a new construction-time action appear?"
+    )
+    assert {"q_id", "doc_id", "rrf_score", "rank"} == set(df.columns)

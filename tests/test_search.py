@@ -230,3 +230,60 @@ def test_per_query_hybrid_composes_bm25_multi_and_dense(spark, sf_dir):
             for r in rows if r["q_id"] == qid
         }
         assert gotq == want and gotq
+
+
+def test_bm25_queries_nondeterministic_frame_is_evaluated_once(spark):
+    """ADVICE r14 regression: qterms' single evaluation is what keeps a
+    nondeterministic queries frame correct — the prune (via all_terms)
+    and the scoring join MUST see the same rows. Since round 13 that
+    pin is a LAZY localCheckpoint materialized by the tf checkpoint's
+    all_terms broadcast (operators/search.py); if that eager tf
+    checkpoint is ever made lazy or reordered, the frame would be
+    evaluated twice and scores would go silently wrong. The
+    accumulator-backed UDF below counts row evaluations: exactly one
+    pass over the 3 query rows, even though the frame is marked
+    nondeterministic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType
+
+    from ds_caselaw_ingester_spark.operators.search import bm25_topk_queries
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark merge window spark"),
+            (2, "spark alpha beta"),
+            (3, "gamma delta window merge"),
+        ],
+        "doc_id long, text string",
+    )
+    acc = spark.sparkContext.accumulator(0)
+
+    def _count_and_pass(terms):
+        acc.add(1)
+        return terms
+
+    counting = F.udf(
+        _count_and_pass, ArrayType(StringType())
+    ).asNondeterministic()
+    queries = spark.createDataFrame(
+        [(1, ["spark", "window"]), (2, ["merge"]), (3, ["window", "gamma"])],
+        "q_id int, terms array<string>",
+    ).select("q_id", counting("terms").alias("terms"))
+
+    got = sorted(
+        (r["q_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk_queries(docs, "doc_id", "text", queries, k=5).collect()
+    )
+    # one evaluation of the 3-row frame, not one per consumer
+    assert acc.value == 3, (
+        f"queries frame evaluated {acc.value} row-times for 3 rows — "
+        "the prune and the scoring join observed separate evaluations"
+    )
+    # and the single evaluation produced a coherent result: every query
+    # matched, ranks start at 1 per query
+    by_q = {}
+    for q, d, s, r in got:
+        by_q.setdefault(q, []).append(r)
+    assert set(by_q) == {1, 2, 3}
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
