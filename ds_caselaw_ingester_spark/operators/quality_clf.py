@@ -572,9 +572,14 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
         # reach the sorted arrays quickly — while each merge is an
         # O((K+P) log(K+P)) argsort, so the threshold grows with K to
         # keep total merge work O(K log K) amortized (a fixed 4096 cap
-        # measured as a NO-OP on the sf1 corpus: its ~3.5k-gram
-        # vocabulary never triggered a merge and every lookup stayed in
-        # the dict loop — docs/SCALE.md round-13)
+        # measured as a NO-OP on the sf1 corpus, whose true vocabulary
+        # is 543 packed grams — it never triggered a merge and every
+        # lookup stayed in the dict loop, docs/SCALE.md rounds 13-14).
+        # The threshold alone is NOT sufficient: a sub-threshold tail
+        # would sit in `pending` forever, forcing the miss branch on
+        # every later document — the merge-hot rule at the call site
+        # (merge when a document's misses were all pending-hits)
+        # flushes that tail (round 14, measured in docs/SCALE.md).
         return 256 + (known_k.size >> 4)
 
     def _merge_pending():
@@ -621,9 +626,11 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
             pget = pending.get
             miss = _np.flatnonzero(~hit)
             miss_idx = []
+            _new = False
             for p in u[miss].tolist():
                 i = pget(p)
                 if i is None:
+                    _new = True
                     # per-INSERT cap check, like the legacy per-n memos:
                     # one adversarial document can carry ~3x its char
                     # count in distinct grams, so a once-per-document
@@ -654,11 +661,28 @@ def make_batch_scorer(model: QualityModel, cache_cap: int = 1 << 20):
                     pending[p] = i
                 miss_idx.append(i)
             idx[miss] = miss_idx
-            if len(pending) >= _merge_at():
+            # merge when pending crosses the adaptive threshold, OR
+            # when a document's misses were ALL served from pending
+            # (`not _new`): a sub-threshold pending tail would
+            # otherwise sit in the dict forever, forcing the miss
+            # branch (flatnonzero + Python loop) on every later
+            # document — round-14 re-profile caught exactly that
+            # steady state on the sf1 corpus (docs/SCALE.md round-14)
+            if len(pending) >= _merge_at() or not _new:
                 _merge_pending()
-        if _bincount_ok:
+        if _bincount_ok and dim <= (u.size << 3):
             # integer-valued float sums are exact in any order: uc is
-            # bit-identical to the reduceat fold in _margin_vec
+            # bit-identical to the reduceat fold in _margin_vec.
+            # dim <= 8*u gate (round 14): bincount walks a dim-wide
+            # array per DOCUMENT (alloc + flatnonzero over all `dim`
+            # slots), which loses to the O(u log u) argsort+reduceat
+            # fold when the doc's distinct grams are much narrower
+            # than the model — at dim=32k/u~1k the fold-adaptive
+            # choice alone measured 1.83x on the sf1 battery corpus
+            # (docs/SCALE.md round-14). Both folds produce identical
+            # per-idx sums in identical ascending-idx order, and both
+            # finish in the same _fsum, so scores are bit-identical
+            # whichever side of the gate a document lands on.
             uc = _np.bincount(idx, weights=c.astype(_np.float64), minlength=dim)
             nz = _np.flatnonzero(uc)
             return _round_half_up(

@@ -209,3 +209,92 @@ def upsert_parquet_table_bucketed(
     # record the modulus the table now verifiably holds (after the
     # swap, never before — see pin_partitioned_layout)
     pin_partitioned_layout(local, "kb", n_buckets)
+
+
+def upsert_table(
+    spark_df: DataFrame,
+    path: str,
+    key: str = "uri",
+    backend: str = "parquet",
+    n_buckets: "int | None" = None,
+) -> None:
+    """Backend-dispatching upsert (round 14, VERDICT r13 queue #4):
+    `backend="parquet"` (default) keeps the crash-tested rename-swap
+    protocols — flat when n_buckets is None, bucket-pruned otherwise;
+    `backend="delta"` routes the same MERGE semantics through Delta
+    Lake's transaction log when delta-spark is on the classpath.
+
+    The Delta branch is an OPT-IN for deployments that ship the jars
+    (this container does not — docs/TABLE_FORMATS.md records the
+    substitution map); it needs a session built with the Delta
+    extension and catalog:
+
+        spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension
+        spark.sql.catalog.spark_catalog=
+            org.apache.spark.sql.delta.catalog.DeltaSparkCatalog
+
+    Absent the package, the branch refuses with an ImportError naming
+    the remedy rather than silently falling back — a caller asking for
+    a transaction log must not get rename-swap semantics unannounced.
+    """
+    if backend == "parquet":
+        if n_buckets is None:
+            upsert_parquet_table(spark_df, path, key=key)
+        else:
+            upsert_parquet_table_bucketed(
+                spark_df, path, key=key, n_buckets=n_buckets
+            )
+        return
+    if backend != "delta":
+        raise ValueError(
+            f"unknown upsert backend {backend!r}: expected 'parquet' or "
+            "'delta'"
+        )
+    try:
+        from delta.tables import DeltaTable  # noqa: PLC0415
+    except ImportError as exc:
+        raise ImportError(
+            "upsert_table(backend='delta') needs the delta-spark "
+            "package and a session configured with the Delta extension "
+            "(io.delta:delta-spark jars + "
+            "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension); "
+            "this environment has neither — use the default parquet "
+            "backend, whose rename-swap protocol is the documented "
+            "stand-in (docs/TABLE_FORMATS.md)."
+        ) from exc
+
+    spark = spark_df.sparkSession
+    if not DeltaTable.isDeltaTable(spark, path):
+        # first batch bootstraps the table, version_n=1 on every row
+        # when the merge semantics carry versions downstream
+        df = spark_df
+        if "version_n" not in df.columns:
+            df = df.withColumn("version_n", F.lit(1))
+        df.write.format("delta").save(path)
+        return
+    target = DeltaTable.forPath(spark, path)
+    payload = [c for c in spark_df.columns if c != key]
+    # identical row semantics to merge_documents: matched -> payload
+    # replaced + version bump; not matched -> insert at version 1;
+    # target-only rows untouched (Delta MERGE leaves them by definition,
+    # where the parquet emulation carries them through the full-outer
+    # join) — the op column is a parquet-emulation artifact the log
+    # subsumes (Delta's commit history records the operation)
+    (
+        target.alias("t")
+        .merge(spark_df.alias("u"), f"t.`{key}` = u.`{key}`")
+        .whenMatchedUpdate(
+            set={
+                **{c: F.col(f"u.`{c}`") for c in payload},
+                "version_n": F.col("t.version_n") + F.lit(1),
+            }
+        )
+        .whenNotMatchedInsert(
+            values={
+                key: F.col(f"u.`{key}`"),
+                **{c: F.col(f"u.`{c}`") for c in payload},
+                "version_n": F.lit(1),
+            }
+        )
+        .execute()
+    )
