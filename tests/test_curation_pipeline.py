@@ -802,3 +802,24 @@ def test_gate_spec_broadcast_evicts_oldest_only(spark):
     # the evicted oldest re-broadcasts under a NEW Broadcast object
     assert C._broadcast_specs(sc, payloads[0]) is not bcs[0]
     C._SPEC_BC_CACHE.clear()
+
+
+def test_gate_spec_broadcast_eviction_is_lru_not_fifo(spark):
+    """ADVICE r13: eviction was FIFO — a hit never refreshed recency,
+    so the earliest-INSERTED but still-hot stream's broadcast was the
+    one evicted at the cap. A cache hit now moves the entry to the
+    back: after re-touching the oldest entry, inserting one-over-cap
+    must evict the second-oldest instead."""
+    from ds_caselaw_ingester_spark.operators import curation as C
+
+    sc = spark.sparkContext
+    C._SPEC_BC_CACHE.clear()
+    payloads = [("lru", i) for i in range(C._SPEC_BC_CAP)]
+    bcs = [C._broadcast_specs(sc, p) for p in payloads]
+    # HIT the oldest: recency refreshed
+    assert C._broadcast_specs(sc, payloads[0]) is bcs[0]
+    # one over the cap: the still-hot oldest survives, #1 is evicted
+    C._broadcast_specs(sc, ("lru", "extra"))
+    assert C._broadcast_specs(sc, payloads[0]) is bcs[0]
+    assert C._broadcast_specs(sc, payloads[1]) is not bcs[1]
+    C._SPEC_BC_CACHE.clear()
