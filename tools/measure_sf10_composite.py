@@ -22,6 +22,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ds_caselaw_ingester_spark.session import get_spark  # noqa: E402
 
 
+def standard_gates() -> dict:
+    """The pass-all gate battery every measurement harness shares
+    (this one and tools/measure_battery_scan.py): thresholds that keep
+    every gate scoring every document, so the measured wall is the
+    full battery's compute, not early-exit luck."""
+    from ds_caselaw_ingester_spark.operators.quality_clf import QualityModel
+
+    char_m = QualityModel(
+        dim=512, bias=0.0,
+        weights={i: ((i * 37) % 100 - 50) / 100 for i in range(0, 512, 3)},
+        feature="char", max_chars=512,
+    )
+    word_m = QualityModel(
+        dim=2048, bias=0.0,
+        weights={i: ((i * 53) % 100 - 50) / 100 for i in range(0, 2048, 5)},
+    )
+    return dict(
+        langid_model=char_m, min_lang_p=0.0,
+        repetition_caps={
+            "dup_line_frac": 1.0,
+            "top_2gram_char_frac": 1.0,
+            "dup_5gram_char_frac": 1.0,
+        },
+        quality_model=word_m, min_quality_p=0.0,
+        max_ppl=1e18,
+    )
+
+
 def main() -> None:
     dirs = sys.argv[1:] or ["/tmp/sf10_dup", "/tmp/sf10_lowdup"]
     spark = get_spark("sf10-composite")
@@ -40,29 +68,10 @@ def main() -> None:
         apply_quality_gates,
         curate_corpus,
     )
-    from ds_caselaw_ingester_spark.operators.quality_clf import QualityModel
     from ds_caselaw_ingester_spark.operators.unigram_lm import seed_vocab
     from ds_caselaw_ingester_spark.sources.catalog import spread
 
-    char_m = QualityModel(
-        dim=512, bias=0.0,
-        weights={i: ((i * 37) % 100 - 50) / 100 for i in range(0, 512, 3)},
-        feature="char", max_chars=512,
-    )
-    word_m = QualityModel(
-        dim=2048, bias=0.0,
-        weights={i: ((i * 53) % 100 - 50) / 100 for i in range(0, 2048, 5)},
-    )
-    gates = dict(
-        langid_model=char_m, min_lang_p=0.0,
-        repetition_caps={
-            "dup_line_frac": 1.0,
-            "top_2gram_char_frac": 1.0,
-            "dup_5gram_char_frac": 1.0,
-        },
-        quality_model=word_m, min_quality_p=0.0,
-        max_ppl=1e18,
-    )
+    gates = standard_gates()
     for d in dirs:
         docs = spread(
             spark.read.parquet(os.path.join(d, "documents.parquet")).select(
