@@ -265,3 +265,119 @@ def hll_union(reg_df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
     sketches (pinned in tests); this is the rollup path — month =
     max-merge of days, cluster = max-merge of executors."""
     return reg_df.groupBy(*group_cols, "j").agg(F.max("M").alias("M"))
+
+
+# ---------------------------------------------------------------------------
+# Sampled quantiles and two-pass heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_col: str,
+    quantiles: Sequence[float],
+    rate: float = 0.01,
+) -> DataFrame:
+    """Per-group approximate quantiles: EXACT type-1 quantiles (order
+    statistic at ceil(q*n), ties broken by key) of a deterministic
+    md5-gated row sample (operators/sampling.py hash_sample).
+
+    Why not approx_percentile: Spark's sketch is seed/partitioning-
+    sensitive and not engine-replayable; this operator is a pure
+    function of the data — reruns, repartitionings, and a DuckDB
+    replay of the same two steps all produce identical rows (pinned in
+    tests). Error comes only from sampling (~1/sqrt(rate*n) quantile
+    noise), which the caller prices via `rate`.
+
+    Scale shape: the gate is a map-side scan filter (rows cut to ~rate
+    BEFORE the one exchange on the group key), so the sort that ranks
+    the sample is sample-sized, not data-sized. Merge story: the gate
+    is a pure row predicate, so the union of two partitions' samples
+    IS the sample of the union — recomputing quantiles after a corpus
+    append only re-sorts the (still sample-sized) gated rows.
+
+    Output: group_cols + q + value (the sampled quantile) + sample_n.
+    """
+    from ds_caselaw_ingester_spark.operators.sampling import hash_sample
+
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    sample = hash_sample(
+        df.filter(F.col(value_col).isNotNull()).select(
+            *group_cols, value_col, key_col
+        ),
+        key_col,
+        rate,
+    )
+    w = Window.partitionBy(*group_cols).orderBy(value_col, key_col)
+    wn = Window.partitionBy(*group_cols)
+    ranked = sample.select(
+        *group_cols,
+        F.col(value_col).alias("value"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("sample_n"),
+    )
+    qlits = F.array(*[F.lit(float(q)) for q in quantiles])
+    exploded = ranked.select(
+        "*", F.explode(qlits).alias("q")
+    )
+    target = F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("sample_n")))
+    return exploded.filter(F.col("rn") == target).select(
+        *group_cols, "q", "value", "sample_n"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    min_count: int,
+    rate: float = 0.05,
+    safety: float = 0.5,
+) -> DataFrame:
+    """Values with EXACT frequency >= min_count, found without a
+    full-cardinality groupBy: sample-pass candidates, exact-pass verify.
+
+    Pass 1 counts the md5-gated row sample (sample-sized shuffle) and
+    keeps values whose sampled count >= safety * rate * min_count.
+    Pass 2 semi-joins the full data against the (broadcast) candidate
+    set and counts EXACTLY, filtering >= min_count — so there are NO
+    false positives, and the reported counts are exact. A value at or
+    above min_count is missed only if its Binomial(count, rate) sample
+    dips below the safety margin (Chernoff-small; lower `safety` or
+    raise `rate` to price it). Deterministic end to end — the DuckDB
+    replay of both passes matches bit-for-bit (tests).
+
+    This is the hot-key census that feeds skew defense: run it on a
+    join/agg key, hand the result to operators/skew.py-style salting
+    (only the reported keys need salts). At 100 TB the full-cardinality
+    exact groupBy this replaces is the single most expensive shuffle a
+    key census could take; both passes here shuffle only sample-sized
+    or candidate-matched rows.
+
+    Output: value (original column name) + count (exact), descending.
+    """
+    from ds_caselaw_ingester_spark.operators.sampling import hash_sample
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    base = df.filter(F.col(value_col).isNotNull()).select(value_col, key_col)
+    bar = safety * rate * min_count
+    candidates = (
+        hash_sample(base, key_col, rate)
+        .groupBy(value_col)
+        .count()
+        .filter(F.col("count") >= bar)
+        .select(value_col)
+    )
+    return (
+        base.join(F.broadcast(candidates), value_col, "left_semi")
+        .groupBy(value_col)
+        .count()
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.desc("count"), value_col)
+    )

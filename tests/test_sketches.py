@@ -305,3 +305,136 @@ def test_hll_small_range_uses_linear_counting(spark):
     row = hll_distinct(_planted(spark, 10), ["grp"], "val", p=8).collect()[0]
     assert row["zero_buckets"] > 0
     assert abs(row["est_distinct"] - 10) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Sampled quantiles + two-pass heavy hitters
+# ---------------------------------------------------------------------------
+
+GATE = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)),1,13)) AS BIGINT) / 16.0^13 < {rate!r}"
+
+
+def test_sampled_quantiles_match_duckdb_exactly(spark):
+    from ds_caselaw_ingester_spark.operators.sketches import sampled_quantiles
+
+    rate, qs = 0.5, [0.0, 0.25, 0.5, 0.9, 1.0]
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    got = sorted(
+        (r["event_type"], r["q"], r["value"], r["sample_n"])
+        for r in sampled_quantiles(
+            ev, ["event_type"], "value", "event_id", qs, rate
+        ).collect()
+    )
+    con = _con()
+    gate = GATE.format(key="event_id", rate=rate)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(f"""
+WITH s AS (
+  SELECT event_type, value, event_id FROM events
+  WHERE value IS NOT NULL AND {gate}
+), ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY event_type) AS INT) AS sample_n
+  FROM s
+)
+SELECT event_type, q, value, sample_n
+FROM ranked, (SELECT CAST(unnest({[float(q) for q in qs]!r}) AS DOUBLE) AS q)
+WHERE rn = GREATEST(1, CEIL(q * sample_n))
+""").fetchall()
+    )
+    assert got == want
+    assert len(got) == 5 * 5  # every (event_type, q) pair produced one row
+
+
+def test_sampled_quantiles_partitioning_and_merge_invariance(spark):
+    """The gate is a pure row predicate, so union-of-part-samples IS
+    the sample of the union — quantiles recomputed after an append
+    equal quantiles over the whole."""
+    from ds_caselaw_ingester_spark.operators.sketches import sampled_quantiles
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = lambda df: sorted(
+        map(tuple, sampled_quantiles(
+            df, ["event_type"], "value", "event_id", [0.5, 0.95], 0.3
+        ).collect())
+    )
+    whole = out(ev)
+    assert out(ev.repartition(17)) == whole
+    halves = ev.where("event_id % 2 = 0").unionByName(ev.where("event_id % 2 = 1"))
+    assert out(halves) == whole
+
+
+def test_sampled_quantiles_accuracy_on_planted_uniform(spark):
+    """Median of hash-ordered uniform ids at rate 0.1 lands within a
+    few sampling sigmas of the true median. Deterministic."""
+    from ds_caselaw_ingester_spark.operators.sketches import sampled_quantiles
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"), F.col("id").cast("double").alias("v"),
+        F.col("id").alias("key"),
+    )
+    rows = sampled_quantiles(df, ["grp"], "v", "key", [0.5], 0.1).collect()
+    assert len(rows) == 1
+    # quantile sigma ~ sqrt(q(1-q)/m)*n with m = sample size
+    m = rows[0]["sample_n"]
+    sigma = (0.25 / m) ** 0.5 * n
+    assert abs(rows[0]["value"] - n / 2) < 4 * sigma, (rows[0], sigma)
+
+
+def test_heavy_hitters_match_duckdb_and_exact_counts(spark):
+    """Planted heavy keys over a long uniform tail: every reported
+    count must equal the exact groupBy count (no false positives by
+    construction), every planted heavy key must be found, and the
+    DuckDB replay of both passes must match bit-for-bit."""
+    from ds_caselaw_ingester_spark.operators.sketches import heavy_hitters
+
+    spark_df = (
+        spark.range(20_000)
+        .select(
+            F.col("id").alias("key"),
+            F.when(F.col("id") % 4 == 0, F.concat(F.lit("hot"), (F.col("id") % 3).cast("string")))
+            .otherwise(F.concat(F.lit("cold"), F.col("id").cast("string")))
+            .alias("val"),
+        )
+    )
+    rate, min_count, safety = 0.05, 500, 0.5
+    got = [tuple(r) for r in heavy_hitters(
+        spark_df, "val", "key", min_count, rate, safety
+    ).collect()]
+    exact = {
+        r["val"]: r["count"]
+        for r in spark_df.groupBy("val").count().filter(F.col("count") >= min_count).collect()
+    }
+    assert {v: c for v, c in got} == exact  # all 3 hot keys, exact counts
+    assert len(got) == 3
+
+    con = duckdb.connect()
+    con.register("t", spark_df.toPandas())
+    gate = GATE.format(key="key", rate=rate)
+    want = [tuple(r) for r in con.sql(f"""
+WITH cand AS (
+  SELECT val FROM t WHERE {gate}
+  GROUP BY val HAVING count(*) >= {safety * rate * min_count!r}
+)
+SELECT val, count(*) AS count FROM t
+WHERE val IN (SELECT val FROM cand)
+GROUP BY val HAVING count(*) >= {min_count}
+ORDER BY count DESC, val
+""").fetchall()]
+    assert got == want
+
+
+def test_heavy_hitters_candidate_join_is_broadcast(spark):
+    from ds_caselaw_ingester_spark.operators.sketches import heavy_hitters
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = (
+        heavy_hitters(ev, "event_type", "event_id", 10, rate=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
