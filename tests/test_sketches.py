@@ -438,3 +438,58 @@ def test_heavy_hitters_candidate_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: any-Unicode cross-engine agreement via a pure-Python model
+# ---------------------------------------------------------------------------
+
+
+def _py_h52(v: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(v.encode("utf-8")).hexdigest()[:13], 16)
+
+
+def test_sketches_match_python_model_on_adversarial_unicode(spark):
+    """KMV sketch content and HLL registers against an independent
+    hashlib model over hypothesis-generated any-Unicode values (one
+    Spark job per example; surrogates excluded — not encodable)."""
+    import hashlib  # noqa: F401  (model dependency, imported above)
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=25
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(vals=texts)
+    def prop(vals):
+        k, p = 8, 4
+        df = spark.createDataFrame([(v,) for v in vals], ["v"]).withColumn(
+            "grp", F.lit("g")
+        )
+        got_kmv = kmv_sketch(df, ["grp"], "v", k=k).collect()[0]["kmv"]
+        want_kmv = sorted({_py_h52(v) for v in vals})[:k]
+        assert got_kmv == want_kmv
+
+        got_reg = {
+            r["j"]: r["M"]
+            for r in hll_registers(df, ["grp"], "v", p=p).collect()
+        }
+        want_reg: dict[int, int] = {}
+        for v in vals:
+            hx = __import__("hashlib").md5(v.encode("utf-8")).hexdigest()
+            j, w = int(hx[:1], 16), int(hx[1:14], 16)
+            rho = 53 if w == 0 else 53 - w.bit_length()
+            want_reg[j] = max(want_reg.get(j, 0), rho)
+        assert got_reg == want_reg
+
+    prop()
