@@ -33,10 +33,7 @@ def hash_fraction(key: Column) -> Column:
     """Uniform [0, 1) value derived from md5(key) — the reproducible
     stand-in for rand(). DuckDB equivalent:
     ('0x' || substr(md5(key), 1, 13))::BIGINT / 16.0^13."""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast("double")
-        / F.lit(_HASH_SPACE)
-    )
+    return hash52_long(key.cast("string")).cast("double") / F.lit(_HASH_SPACE)
 
 
 def hash_fraction_open(key: Column) -> Column:
@@ -44,20 +41,27 @@ def hash_fraction_open(key: Column) -> Column:
     Use where a downstream log/log-log must stay finite (e.g. Gumbel
     noise, −ln(−ln u)) — hash_fraction can return exactly 0.
     DuckDB: (('0x' || substr(md5(key), 1, 13))::BIGINT + 0.5) / 16.0^13."""
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 13), 16, 10).cast("double")
+    h = hash52_long(key.cast("string")).cast("double")
     return (h + F.lit(0.5)) / F.lit(_HASH_SPACE)
 
 
+def hash52_long(key: Column) -> Column:
+    """THE shared 13-hex-md5 → 52-bit long primitive (exact in a double
+    AND a BIGINT) behind every hash-derived decision in this repo
+    (sampling gates, feature hashers, cardinality sketches). One
+    definition so a change to the hash width cannot silently fork the
+    replay formulas. Callers choose their own key canonicalization
+    (e.g. cast to string) BEFORE passing the column in.
+    DuckDB: ('0x' || substr(md5(key), 1, 13))::BIGINT;
+    Python: int(hashlib.md5(key.encode()).hexdigest()[:13], 16)."""
+    return F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
+
+
 def hash_bucket(key: Column, num_buckets: int) -> Column:
-    """Deterministic bucket id in [0, num_buckets): the SHARED
-    13-hex-md5 convention (52 bits — exact in a double AND a BIGINT)
-    behind the feature hashers (quality_clf, dsir). One definition so a
-    change to the hash width cannot silently fork replay formulas.
+    """Deterministic bucket id in [0, num_buckets) from hash52_long.
     DuckDB: ('0x' || substr(md5(key), 1, 13))::BIGINT % B;
     Python: py_hash_bucket below."""
-    return F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint") % F.lit(
-        num_buckets
-    )
+    return hash52_long(key) % F.lit(num_buckets)
 
 
 def py_hash_bucket(key: str, num_buckets: int) -> int:

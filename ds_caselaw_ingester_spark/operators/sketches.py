@@ -61,14 +61,30 @@ _BIG = 1 << 53  # 2^53: empty-bucket term in the integer harmonic sum
 
 
 def hash52(value: Column) -> Column:
-    """First 52 bits of md5(value) as a non-negative long.
+    """First 52 bits of md5(value) as a non-negative long — the shared
+    repo-wide primitive (operators/sampling.py hash52_long; one
+    definition so replay formulas cannot fork).
 
     The value is cast to string first; integer and string columns
     format identically in Spark and DuckDB ('123'). Callers hashing
     float columns should pre-format them explicitly — float-to-string
     rendering is NOT engine-portable.
     """
-    return F.conv(F.substring(F.md5(value.cast("string")), 1, 13), 16, 10).cast("long")
+    from ds_caselaw_ingester_spark.operators.sampling import hash52_long
+
+    return hash52_long(value.cast("string"))
+
+
+def _check_k(k: int) -> None:
+    """Shared KMV bound: 8 <= k <= 1000. The upper bound is
+    spark.sql.optimizer.windowGroupLimitThreshold's default — beyond it
+    the partial top-k pushdown silently stops firing and the "sketch"
+    ships every hash through the shuffle. The lower bound keeps the
+    (k-1)/h_k estimator out of its degenerate zone (k=1 estimates 0
+    for every saturated group; the 1/sqrt(k-2) standard error is
+    undefined below k=3 and useless below ~8)."""
+    if not 8 <= k <= 1000:
+        raise ValueError(f"k must be in [8, 1000], got {k}")
 
 
 def _alpha(m: int) -> float:
@@ -102,11 +118,7 @@ def kmv_sketch(
 
     Output: group_cols + `kmv` array<long> ascending, size <= k.
     """
-    if not 1 <= k <= 1000:
-        # 1000 is spark.sql.optimizer.windowGroupLimitThreshold's
-        # default; beyond it the partial top-k pushdown silently stops
-        # firing and the "sketch" ships every hash through the shuffle.
-        raise ValueError(f"k must be in [1, 1000], got {k}")
+    _check_k(k)
     w = Window.partitionBy(*group_cols).orderBy("h52")
     ranked = (
         df.filter(F.col(value_col).isNotNull())
@@ -160,7 +172,9 @@ def kmv_union(
     output is one sketch per group, identical to sketching the unioned
     raw data (pinned in tests). Explode + re-rank keeps the plan the
     same WindowGroupLimit shape as kmv_sketch — bounded at k rows per
-    input sketch either side of the exchange."""
+    input sketch either side of the exchange (same k guard too: past
+    the pushdown threshold the merge would silently ship every hash)."""
+    _check_k(k)
     w = Window.partitionBy(*group_cols).orderBy("h52")
     ranked = (
         sketch_df.select(*group_cols, F.explode("kmv").alias("h52"))
@@ -183,15 +197,23 @@ def hll_registers(
     """Per-(group, bucket) HLL register: M = max over values of the
     leading-zero rank of the 52 bits following the bucket bits.
 
-    p must be hex-digit aligned (4, 8, or 12) so the bucket is a plain
-    substring of the digest in both engines. Registers for buckets no
+    p must be 4 or 8: hex-digit aligned so the bucket is a plain
+    substring of the digest in both engines, AND small enough that
+    hll_estimate's integer harmonic sum stays in a long — the empty-
+    bucket total (m - n)·2^53 reaches 2^(p+53), which overflows int64
+    from p=11 up (p=12's 4095·2^53 ≈ 3.7e19 > 2^63−1; under ANSI that
+    is a loud ARITHMETIC_OVERFLOW, without it silent garbage). Callers
+    needing better than p=8's ~6.5% sigma should use kmv_distinct
+    (k=1000 → ~3.2%) rather than a wider HLL. Registers for buckets no
     value hashed into are absent (not zero) — hll_estimate accounts for
     them arithmetically, keeping this frame at most m rows per group.
 
     Output: group_cols + `j` (bucket, [0, 2^p)) + `M` (rank, [1, 53]).
     """
-    if p not in (4, 8, 12):
-        raise ValueError(f"p must be 4, 8, or 12 (hex-digit aligned), got {p}")
+    if p not in (4, 8):
+        raise ValueError(
+            f"p must be 4 or 8 (hex-digit aligned; integer-sum overflow past 10), got {p}"
+        )
     nhex = p // 4
     digest = F.md5(F.col(value_col).cast("string"))
     j = F.conv(F.substring(digest, 1, nhex), 16, 10).cast("int")
@@ -216,7 +238,8 @@ def hll_estimate(
 
     The harmonic sum is computed in INTEGER form:
         S = sum_present(2^(53 - M_j)) + (m - n_present) * 2^53
-    (every term and the total fit a long for p <= 12), so
+    (every term and the total fit a long for the allowed p <= 8;
+    wider HLLs would overflow — see hll_registers), so
         raw = alpha_m * m^2 * 2^53 / S
     has exactly one rounding-sensitive step — the final double multiply/
     divide of values both engines derive identically. `est_raw_floor`
@@ -226,6 +249,10 @@ def hll_estimate(
     integer inputs, but the last ulp of ln differs between libm
     implementations, hence the tolerance gate on this one column.
     """
+    if p not in (4, 8):
+        raise ValueError(
+            f"p must be 4 or 8 (integer-sum overflow past 10), got {p}"
+        )
     m = 1 << p
     const = _alpha(m) * float(m) * float(m) * float(_BIG)
     folded = reg_df.groupBy(*group_cols).agg(
@@ -304,6 +331,12 @@ def sampled_quantiles(
 
     if not 0.0 < rate <= 1.0:
         raise ValueError(f"rate must be in (0, 1], got {rate}")
+    bad_q = [q for q in quantiles if not 0.0 <= float(q) <= 1.0]
+    if bad_q:
+        # out-of-range q would silently return the group minimum
+        # (q < 0: target clamps to 1) or silently drop the row
+        # (q > 1: target exceeds sample_n, nothing matches)
+        raise ValueError(f"quantiles must be in [0, 1], got {bad_q}")
     sample = hash_sample(
         df.filter(F.col(value_col).isNotNull()).select(
             *group_cols, value_col, key_col
@@ -365,8 +398,18 @@ def heavy_hitters(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     if not 0.0 < rate <= 1.0:
         raise ValueError(f"rate must be in (0, 1], got {rate}")
-    base = df.filter(F.col(value_col).isNotNull()).select(value_col, key_col)
     bar = safety * rate * min_count
+    if bar < 1.0:
+        # bar < 1 keeps every value that appears even ONCE in the
+        # sample: the candidate set approaches the full cardinality
+        # and gets force-broadcast — driver OOM at exactly the scale
+        # this operator exists for. Refuse rather than degrade.
+        raise ValueError(
+            f"safety*rate*min_count = {bar:.3g} < 1: the sample pass "
+            "would prune nothing (candidate set ~ full cardinality, "
+            "force-broadcast). Raise rate, min_count, or safety."
+        )
+    base = df.filter(F.col(value_col).isNotNull()).select(value_col, key_col)
     candidates = (
         hash_sample(base, key_col, rate)
         .groupBy(value_col)

@@ -62,9 +62,24 @@ def apply_sketch_batch(
         recover_swap,
     )
 
+    import json
+    import os
+
     spark = batch.sparkSession
     local = _local(path)
     recover_swap(local, local + ".tmp", local + ".old", exclusive=True)
+    # identity guard: registers built at a different p (bucket space)
+    # or a different hashed column max-merge without any schema error,
+    # and the corruption would be silent and permanent — afterwards the
+    # table estimates the distinct count of NEITHER configuration. The
+    # table's identity is recorded in an underscore sidecar (parquet
+    # readers ignore it) that swaps atomically with the data.
+    stored = _read_meta(local)
+    if stored is not None and stored != {"p": p, "value_col": value_col}:
+        raise ValueError(
+            f"register table at {path} was built as {stored}; refusing "
+            f"to max-merge p={p}, value_col={value_col!r} registers into it"
+        )
     delta = hll_registers(batch, group_cols, value_col, p).localCheckpoint()
     if not delta.take(1):
         return
@@ -75,15 +90,49 @@ def apply_sketch_batch(
         else hll_union(current.unionByName(delta), group_cols)
     )
     merged.write.mode("overwrite").parquet(local + ".tmp")
+    with open(os.path.join(local + ".tmp", "_hll_meta"), "w") as fh:
+        json.dump({"p": p, "value_col": value_col}, fh)
     commit_swap(local)
 
 
+def _read_meta(local: str) -> "dict | None":
+    import json
+    import os
+
+    marker = os.path.join(local, "_hll_meta")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        return json.load(fh)
+
+
 def sink_estimate(
-    spark, path: str, group_cols: Sequence[str], p: int = 8
+    spark, path: str, group_cols: Sequence[str], p: "int | None" = None
 ) -> DataFrame:
     """Per-group distinct estimate over the maintained register table —
     identical columns to batch hll_distinct (S, zero_buckets,
-    est_raw_floor, est_distinct)."""
+    est_raw_floor, est_distinct).
+
+    p is read from the table's `_hll_meta` sidecar by default —
+    estimating at the wrong m is the same silent corruption the write
+    guard refuses (a p=4 table read as p=8 always linear-counts with
+    240+ phantom empty buckets). Passing p explicitly is only for
+    pre-sidecar tables, and it must agree with the sidecar if one
+    exists."""
+    stored = _read_meta(_local(path))
+    if stored is None:
+        if p is None:
+            raise ValueError(
+                f"register table at {path} has no _hll_meta sidecar; "
+                "pass p explicitly"
+            )
+    else:
+        if p is not None and p != stored["p"]:
+            raise ValueError(
+                f"register table at {path} was built with p={stored['p']}, "
+                f"but p={p} was requested"
+            )
+        p = stored["p"]
     return hll_estimate(spark.read.parquet(path), group_cols, p)
 
 

@@ -105,3 +105,47 @@ def test_run_hll_sink_end_to_end(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert _registers(spark, path) == _batch_registers(ev)
+
+
+def test_mismatched_identity_is_refused(spark, tmp_path):
+    """Registers at a different p (bucket space) or hashed column
+    max-merge without a schema error; the sidecar guard must refuse
+    both, and the stored table must be unchanged."""
+    import pytest
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    path = str(tmp_path / "regs")
+    apply_sketch_batch(ev, path, ["event_type"], "user_id", p=8)
+    once = _registers(spark, path)
+    with pytest.raises(ValueError, match="refusing"):
+        apply_sketch_batch(ev, path, ["event_type"], "user_id", p=4)
+    with pytest.raises(ValueError, match="refusing"):
+        apply_sketch_batch(ev, path, ["event_type"], "event_id", p=8)
+    assert _registers(spark, path) == once
+
+
+def test_sink_estimate_reads_p_from_sidecar(spark, tmp_path):
+    """Estimating at the wrong m is the same corruption class the
+    write guard refuses: the default path must take p from the
+    sidecar, an explicit conflicting p must raise, and a sidecar-less
+    table must demand an explicit p."""
+    import os
+
+    import pytest
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    path = str(tmp_path / "regs")
+    apply_sketch_batch(ev, path, ["event_type"], "user_id", p=4)
+    est = {r["event_type"]: r["est_distinct"]
+           for r in sink_estimate(spark, path, ["event_type"]).collect()}
+    want = {r["event_type"]: r["est_distinct"]
+            for r in hll_distinct(ev, ["event_type"], "user_id", p=4).collect()}
+    assert est == want
+    with pytest.raises(ValueError, match="p=4"):
+        sink_estimate(spark, path, ["event_type"], p=8)
+    os.remove(os.path.join(path, "_hll_meta"))  # pre-sidecar table
+    with pytest.raises(ValueError, match="pass p explicitly"):
+        sink_estimate(spark, path, ["event_type"])
+    est2 = {r["event_type"]: r["est_distinct"]
+            for r in sink_estimate(spark, path, ["event_type"], p=4).collect()}
+    assert est2 == want

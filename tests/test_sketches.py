@@ -493,3 +493,30 @@ def test_sketches_match_python_model_on_adversarial_unicode(spark):
         assert got_reg == want_reg
 
     prop()
+
+
+def test_degenerate_and_overflow_parameters_are_refused(spark):
+    """Review-found guards: k below the estimator's sane floor, k past
+    the WindowGroupLimit pushdown in the MERGE path too, the p values
+    whose integer harmonic sum would overflow a long, out-of-range
+    quantiles, and a vacuous heavy-hitter sample threshold."""
+    from ds_caselaw_ingester_spark.operators.sketches import (
+        heavy_hitters,
+        hll_estimate,
+        sampled_quantiles,
+    )
+
+    df = _planted(spark, 4)
+    with pytest.raises(ValueError):
+        kmv_sketch(df, ["grp"], "val", k=4)  # k=1 would estimate 0; <8 refused
+    sk = kmv_sketch(df, ["grp"], "val", k=8)
+    with pytest.raises(ValueError):
+        kmv_union(sk, ["grp"], k=1500)  # same silent-shuffle hazard as sketch
+    with pytest.raises(ValueError, match="overflow"):
+        hll_registers(df, ["grp"], "val", p=12)  # (m-1)*2^53 > 2^63-1
+    with pytest.raises(ValueError, match="overflow"):
+        hll_estimate(hll_registers(df, ["grp"], "val", p=8), ["grp"], p=12)
+    with pytest.raises(ValueError, match="quantiles"):
+        sampled_quantiles(df, ["grp"], "val", "val", [0.5, 1.01], 0.5)
+    with pytest.raises(ValueError, match="prune nothing"):
+        heavy_hitters(df, "val", "val", min_count=10, rate=0.05, safety=0.5)
