@@ -294,6 +294,64 @@ def hll_union(reg_df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
     return reg_df.groupBy(*group_cols, "j").agg(F.max("M").alias("M"))
 
 
+def kmv_intersection_estimate(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    group_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Per-group set-overlap estimate from two KMV sketches (Beyer et
+    al. 2007 / KMV θ-sketch rule): join the two sketch frames on the
+    group keys, take the k smallest hashes of the UNION, count how many
+    of those are present in BOTH sketches (array ops — this frame is
+    sketch-sized, the originals are never touched), then
+
+        est_intersection = (matches / |union-topk|) * est(union-topk)
+
+    The Jaccard-style ratio and the union estimate come from the same
+    merged sketch, so the arithmetic is counts + one double multiply/
+    divide chain of exactly-representable inputs — cross-engine
+    deterministic like kmv_estimate (floor()ed; DuckDB replay in
+    tests). "How many users did corpus A and corpus B share" at 100 TB
+    becomes a join of two kilobyte-sized frames.
+
+    Output: group_cols + est_a + est_b + est_union + est_intersection.
+    """
+    _check_k(k)
+    a = kmv_estimate(a_df, k).select(
+        *group_cols,
+        F.col("kmv").alias("kmv_a"),
+        F.col("est_distinct").alias("est_a"),
+    )
+    b = kmv_estimate(b_df, k).select(
+        *group_cols,
+        F.col("kmv").alias("kmv_b"),
+        F.col("est_distinct").alias("est_b"),
+    )
+    joined = a.join(b, list(group_cols), "inner")
+    merged = F.slice(
+        F.array_sort(F.array_union("kmv_a", "kmv_b")), 1, k
+    )
+    both = F.size(F.array_intersect(merged, F.array_intersect("kmv_a", "kmv_b")))
+    msize = F.size(merged)
+    hk = F.try_element_at(merged, F.lit(k))
+    numer = float((k - 1) * TWO_52)
+    est_union = F.when(
+        (msize < k) | (hk <= 0), msize.cast("long")
+    ).otherwise(F.floor(F.lit(numer) / hk.cast("double")).cast("long"))
+    return joined.select(
+        *group_cols,
+        "est_a",
+        "est_b",
+        est_union.alias("est_union"),
+        F.floor(
+            both.cast("double") / msize.cast("double") * est_union.cast("double")
+        )
+        .cast("long")
+        .alias("est_intersection"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sampled quantiles and two-pass heavy hitters
 # ---------------------------------------------------------------------------

@@ -520,3 +520,52 @@ def test_degenerate_and_overflow_parameters_are_refused(spark):
         sampled_quantiles(df, ["grp"], "val", "val", [0.5, 1.01], 0.5)
     with pytest.raises(ValueError, match="prune nothing"):
         heavy_hitters(df, "val", "val", min_count=10, rate=0.05, safety=0.5)
+
+
+def test_kmv_intersection_matches_duckdb_and_truth(spark):
+    """Planted overlap: A = v0..v4999, B = v2500..v7499 (true
+    intersection 2500, union 7500). The estimate must match the
+    DuckDB replay of the merged-sketch rule bit-for-bit and land
+    within a loose 3-sigma-ish band of the truth."""
+    from ds_caselaw_ingester_spark.operators.sketches import (
+        kmv_intersection_estimate,
+    )
+
+    k = 512
+    a_raw, b_raw = _planted(spark, 5000), _planted(spark, 5000, offset=2500)
+    got = kmv_intersection_estimate(
+        kmv_sketch(a_raw, ["grp"], "val", k=k),
+        kmv_sketch(b_raw, ["grp"], "val", k=k),
+        ["grp"],
+        k=k,
+    ).collect()
+    assert len(got) == 1
+    r = r0 = got[0]
+
+    con = duckdb.connect()
+    numer = float((k - 1) * TWO_52)
+    (want_union, want_inter) = con.sql(f"""
+WITH ha AS (SELECT DISTINCT CAST(('0x' || substr(md5('v' || CAST(i AS VARCHAR)),1,13)) AS BIGINT) AS h
+            FROM range(0, 5000) t(i)),
+     hb AS (SELECT DISTINCT CAST(('0x' || substr(md5('v' || CAST(i AS VARCHAR)),1,13)) AS BIGINT) AS h
+            FROM range(2500, 7500) t(i)),
+     u AS (SELECT h FROM ha UNION SELECT h FROM hb),
+     r AS (SELECT h, (h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)) AS inboth,
+                  row_number() OVER (ORDER BY h) AS rn
+           FROM u),
+     topk AS (SELECT * FROM r WHERE rn <= {k}),
+     agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS msize,
+                    CAST(SUM(CASE WHEN inboth THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+                    MAX(CASE WHEN rn = {k} THEN h END) AS hk
+             FROM topk)
+SELECT CASE WHEN msize < {k} OR hk <= 0 THEN msize
+       ELSE CAST(FLOOR({numer!r} / CAST(hk AS DOUBLE)) AS BIGINT) END AS est_union,
+       CAST(FLOOR(CAST(matches AS DOUBLE) / CAST(msize AS DOUBLE)
+                  * CAST(CASE WHEN msize < {k} OR hk <= 0 THEN msize
+                         ELSE CAST(FLOOR({numer!r} / CAST(hk AS DOUBLE)) AS BIGINT) END AS DOUBLE))
+            AS BIGINT) AS est_intersection
+FROM agg
+""").fetchone()
+    assert (r0["est_union"], r0["est_intersection"]) == (want_union, want_inter)
+    assert abs(r["est_union"] - 7500) / 7500 < 0.2
+    assert abs(r["est_intersection"] - 2500) / 2500 < 0.3, r
