@@ -192,6 +192,9 @@ def test_kmv_plan_is_one_exchange_with_window_group_limit(spark):
         .executedPlan()
         .toString()
     )
+    assert "Partial" in plan.split("Exchange hashpartitioning")[-1], plan
+    # the Partial WindowGroupLimit must sit BELOW the exchange (the
+    # substring after the exchange is the map side of the plan text)
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # rank + final agg share the key
 
