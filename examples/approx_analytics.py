@@ -15,6 +15,10 @@ Stages (each prints a one-line result):
 5. streaming HLL rollup: three micro-batches max-merged into a
    register table whose estimate equals the batch answer
    (streaming/sketch_sink.py — exactly-once by max idempotence)
+6. set overlap from sketches alone: users shared by the 'click' and
+   'purchase' event streams, estimated from two kilobyte-sized
+   sketch frames vs the exact inner-join answer
+   (kmv_intersection_estimate)
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ from ds_caselaw_ingester_spark.operators.sketches import (  # noqa: E402
     heavy_hitters,
     hll_distinct,
     kmv_distinct,
+    kmv_intersection_estimate,
     kmv_sketch,
     kmv_union,
     sampled_quantiles,
@@ -108,6 +113,26 @@ def main() -> None:
             for r in sink_estimate(spark, path, ["event_type"]).collect()
         }
         print(f"5. streamed rollup == batch hll: {streamed == hll}")
+
+    # 6. overlap between two streams, from sketches alone
+    clicks = ev.where("event_type = 'click'").withColumn("grp", F.lit("all"))
+    buys = ev.where("event_type = 'purchase'").withColumn("grp", F.lit("all"))
+    est = kmv_intersection_estimate(
+        kmv_sketch(clicks, ["grp"], "user_id", k=256),
+        kmv_sketch(buys, ["grp"], "user_id", k=256),
+        ["grp"],
+        k=256,
+    ).collect()[0]
+    exact_overlap = (
+        clicks.select("user_id")
+        .distinct()
+        .join(buys.select("user_id").distinct(), "user_id")
+        .count()
+    )
+    print(
+        f"6. click∩purchase users: est {est['est_intersection']} "
+        f"(exact {exact_overlap}; union est {est['est_union']})"
+    )
 
     spark.stop()
 
