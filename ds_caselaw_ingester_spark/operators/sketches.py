@@ -112,9 +112,20 @@ def kmv_sketch(
 
     dense_rank (not row_number) so duplicate values share a rank and
     the k survivors are k DISTINCT hashes; Spark pushes the rank<=k
-    filter below the exchange as a partial WindowGroupLimit, which is
-    the map-side combine that makes this a sketch rather than a
-    distinct: each task emits at most k hashes per group.
+    filter below the exchange as a partial WindowGroupLimit (pinned
+    Partial-below-Exchange in tests), which is the map-side combine
+    that makes this a sketch rather than a distinct: each task emits
+    the rows of at most its k smallest distinct hashes per group.
+
+    Honest boundary — the partial limit bounds RANKS, not rows:
+    duplicates of a surviving hash all pass it. With cardinality >> k
+    (the sketch's use case) a hot value's hash lands among a task's k
+    smallest only with probability ~k/task_cardinality, so leakage is
+    negligible; but for a group whose TRUE cardinality is at or below
+    k, every row passes and the "sketch" shuffles the whole group.
+    Low-cardinality + heavily-duplicated columns (flags, enums) should
+    use exact countDistinct, whose partial agg dedups map-side — the
+    sketch buys nothing below k by definition.
 
     Output: group_cols + `kmv` array<long> ascending, size <= k.
     """
