@@ -302,13 +302,36 @@ def quality_keep_one(
     NaN-scored member lose even to NULLs, silently violating the
     scored-beats-unscored contract.
 
-    Cost on top of canonical_assignment: one extra groupBy on
+    Cost on top of the component computation: one extra groupBy on
     `component` plus a keeper-lookup join — both keyed on the SAME
     column the assignment join just produced, so at scale the exchange
     is reused across the three operators rather than re-shuffled.
+
+    Plan shape (optimization round 14): the original composition
+    (canonical_assignment over docs.select(id), then a SECOND join back
+    to docs for the score) evaluated the corpus scan + labels join
+    TWICE — once under the keeper aggregation and once under the final
+    output join (measured: 8 parquet scans / 2 SortMergeJoin LeftOuter
+    in the registered query's plan, plans/r14/). The score now rides
+    the ONE assignment join, and the slim (id, component, score) result
+    is materialized with an eager localCheckpoint — both consumers read
+    the pinned rows, so the corpus is scanned once and the labels join
+    runs once. The checkpoint stores three narrow columns per document
+    (the same O(V) order the component labels already materialize in
+    the CC loop). Ids are assumed unique (a dedup corpus's contract;
+    duplicate ids would previously have fanned out in the double join).
     """
-    assigned = canonical_assignment(docs, pair_edges, id_col=id_col, id_a=id_a, id_b=id_b)
-    scored = assigned.join(docs.select(id_col, score_col), id_col, "left")
+    comp = connected_components(pair_edges, id_a=id_a, id_b=id_b)
+    scored = (
+        docs.select(id_col, score_col)
+        .join(comp.select(F.col("node").alias(id_col), "component"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+            score_col,
+        )
+        .localCheckpoint(eager=True)
+    )
     neg_inf = F.lit(float("-inf"))
     # nanvl first (NaN -> -inf), coalesce second (NULL -> -inf)
     clean = F.coalesce(

@@ -489,10 +489,20 @@ def q_tar_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = scan_metadata(members).withColumn(
         "meta", F.from_json(F.col("metadata_bytes").cast("string"), METADATA_SCHEMA)
     )
+    # xml_names has TWO consumers (the named-XML scan and the final
+    # has_metadata join). Left lazy, each consumer replays the metadata
+    # scan — a full pass over the checkpointed members plus its
+    # last-match window and a second SortMergeJoin (measured: the
+    # before-plan carries the members scan + WindowGroupLimit tower
+    # twice, plans/r14/tar_pipeline_before.txt). The checkpoint stores
+    # one slim (ref, xml_name) row per archive — strictly smaller than
+    # the members checkpoint the query already pays — and both
+    # consumers read the pinned rows (optimization round 14, guide
+    # §2.4: share one evaluation instead of re-deriving).
     xml_names = meta.select(
         "consignment_ref",
         F.col("meta")["parameters"]["TRE"]["payload"]["xml"].alias("xml_name"),
-    )
+    ).localCheckpoint(eager=False)
     named = scan_named_xml(members, xml_names)
     logs = scan_parser_log(members)
     consignments = archives.select("consignment_ref")
