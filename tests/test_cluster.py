@@ -59,7 +59,10 @@ def test_long_chain_converges_and_labels_min(spark):
     max_iter and label every node with the chain head."""
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {r.node: r.component for r in connected_components(df).collect()}
+    got = {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
     assert got == {i: 0 for i in range(41)}
 
 
@@ -67,7 +70,7 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "doc_a long, doc_b long")
     before = spark.conf.get("spark.sql.shuffle.partitions")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, driver_threshold=0)
     # the raise path must restore the loop-scoped conf too (finally)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
@@ -348,7 +351,7 @@ def test_missing_api_classifier_and_fallback_warns(spark, monkeypatch):
         _w.simplefilter("always")
         got = {
             (r["node"], r["component"])
-            for r in C.connected_components(edges).collect()
+            for r in C.connected_components(edges, driver_threshold=0).collect()
         }
     monkeypatch.setattr(C, "DataFrame", real_df)
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
@@ -356,3 +359,57 @@ def test_missing_api_classifier_and_fallback_warns(spark, monkeypatch):
     assert any("falling back to caller-session conf flip" in m for m in msgs)
     # the fallback restored the caller's conf
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_driver_and_loop_paths_agree(spark):
+    """Optimization round 14: small edge sets take a driver-side
+    union-find fast path (one bounded collect) instead of the iterative
+    loop. Both paths must produce the IDENTICAL min-label fixpoint —
+    pinned here on a mixed graph (cliques, a chain, singleton-adjacent
+    pairs, unordered/duplicate edges)."""
+    import random
+
+    rng = random.Random(20140817)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(200, 201), (201, 202), (202, 203)]  # chain
+    edges += [(b, a) for a, b in edges[:10]]  # reversed duplicates
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    from ds_caselaw_ingester_spark.operators.cluster import (
+        connected_components,
+    )
+
+    via_driver = {
+        (r.node, r.component)
+        for r in connected_components(df).collect()  # under threshold
+    }
+    via_loop = {
+        (r.node, r.component)
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert via_driver == via_loop
+    # and the driver path must also hold for an id type that is not
+    # numeric (the operator is generic over orderable ids)
+    sdf = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    got = {
+        (r.node, r.component) for r in connected_components(sdf).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
+    }
+
+
+def test_driver_path_empty_edges(spark):
+    """Zero pairs (a clean corpus increment) must yield an EMPTY labels
+    frame with the right schema on the driver path — downstream left
+    joins then make every doc its own singleton."""
+    from ds_caselaw_ingester_spark.operators.cluster import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = connected_components(df)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0

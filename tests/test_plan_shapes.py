@@ -254,7 +254,7 @@ def test_connected_components_never_touches_caller_conf(spark):
 
     spark.conf.set = guarded_set
     try:
-        got = connected_components(edges)
+        got = connected_components(edges, driver_threshold=0)
         # the result must be consumable from the CALLER session: joins
         # against caller-session frames plan under the caller's conf
         nodes = spark.createDataFrame([(1,), (3,), (8,)], "node long")
