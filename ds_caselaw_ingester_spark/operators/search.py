@@ -75,8 +75,17 @@ def _bm25_corpus_frames(docs, id_col, text_col, term_prune):
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
     )
     tok = tokens(F.col("_text"))
+    # LAZY checkpoint (optimization round 14): dl is deterministic, so
+    # unlike qterms (see bm25_topk_queries) nothing requires it pinned
+    # BEFORE the scoring join observes it — the eager variant only
+    # bought a dedicated scheduling round-trip per invocation. The
+    # first consumer (the stats agg or the scoring join, whichever the
+    # scheduler reaches first) materializes the slim (doc_id, dl) rows
+    # and every other consumer reads the pinned copy, so the
+    # one-tokenize-pass property that motivated the checkpoint
+    # (BENCH_SF1.md r8: 32.3 s -> 7.9 s) is unchanged.
     dl = base.select("doc_id", F.size(tok).alias("dl")).localCheckpoint(
-        eager=True
+        eager=False
     )
     stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl"))
     tf = (

@@ -477,8 +477,25 @@ def q_tar_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slices, giving 32 one-row tasks each paying Python-worker dispatch in
     # the mapInPandas explode. Coalesce (no shuffle) to a handful of tasks —
     # at real scale archive counts dwarf cores and this is a no-op.
+    #
+    # Arrow path on purpose (optimization round 14, guide §6): a
+    # list-of-tuples createDataFrame plans as a PythonRDD — every
+    # consumer's tasks round-trip a Python worker to unpickle the rows,
+    # measured ~1.5 s per pass over this 45 KB frame (and the frame has
+    # two consumers: the member explode and the consignment spine). A
+    # pandas DataFrame converts driver-side via Arrow into a JVM
+    # LocalTableScan — measured 0.2-0.3 s noop, byte-identical values.
+    import pandas as pd
+
+    _arch = _build_archives()
     archives = spark.createDataFrame(
-        _build_archives(), "consignment_ref string, content binary"
+        pd.DataFrame(
+            {
+                "consignment_ref": [r for r, _ in _arch],
+                "content": [b for _, b in _arch],
+            }
+        ),
+        "consignment_ref string, content binary",
     ).coalesce(4)
     # localCheckpoint, not persist: four consumers read members, but a
     # plain persist pins a new cached RDD per INVOCATION of this query

@@ -750,8 +750,20 @@ def q_hybrid_search_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(
         table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
     )
+    # Arrow path (optimization round 14, guide §6): list-of-tuples
+    # createDataFrame plans as a PythonRDD whose every evaluation
+    # round-trips a Python worker; a pandas DataFrame converts
+    # driver-side via Arrow into a JVM LocalTableScan. Same values.
+    import pandas as _pd
+
     qdf = spark.createDataFrame(
-        _MQ_QUERIES, "q_id bigint, terms array<string>"
+        _pd.DataFrame(
+            {
+                "q_id": [q for q, _ in _MQ_QUERIES],
+                "terms": [t for _, t in _MQ_QUERIES],
+            }
+        ),
+        "q_id bigint, terms array<string>",
     )
     lex = bm25_topk_queries(
         d, "doc_id", "text", qdf, k=_MQ_SHORTLIST_K

@@ -386,11 +386,15 @@ def test_hybrid_search_multi_construction_job_count_pinned(spark, sf_dir):
     checkpoint's all_terms broadcast, operators/search.py). Nothing
     else pinned the scheduled-job count, so the removed job could
     silently return. Construction (building the DataFrame — eager
-    checkpoints and broadcast collects run here) schedules exactly 9
-    jobs on r13/r14 code; an eager qterms checkpoint would add one per
-    query set (=> 10). If this number changes, account for the delta
-    deliberately — one extra scheduling round-trip per invocation is
-    real latency on a busy cluster."""
+    checkpoints and broadcast collects run here) schedules exactly 8
+    jobs on optimization-round-14 code: round 13 removed the eager
+    qterms checkpoint job, and this round made the dl checkpoint lazy
+    too (deterministic frame — nothing requires it pinned before the
+    final action; operators/search.py). An eager qterms checkpoint
+    would add one job per query set, an eager dl another. If this
+    number changes, account for the delta deliberately — one extra
+    scheduling round-trip per invocation is real latency on a busy
+    cluster."""
     import uuid
 
     sc = spark.sparkContext
@@ -401,9 +405,9 @@ def test_hybrid_search_multi_construction_job_count_pinned(spark, sf_dir):
     finally:
         sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup(group)
-    assert len(jobs) == 9, (
+    assert len(jobs) == 8, (
         f"hybrid_search_multi construction scheduled {len(jobs)} jobs "
-        "(expected 9) — did the qterms localCheckpoint go eager again, "
-        "or did a new construction-time action appear?"
+        "(expected 8) — did the qterms or dl localCheckpoint go eager "
+        "again, or did a new construction-time action appear?"
     )
     assert {"q_id", "doc_id", "rrf_score", "rank"} == set(df.columns)
