@@ -161,9 +161,26 @@ def connected_components(
                 T.StructField("component", id_type, False),
             ]
         )
-        return spark.createDataFrame(
-            sorted(labels.items()), schema
-        )
+        items = sorted(labels.items())
+        # pandas -> Arrow -> JVM LocalTableScan: a list-of-tuples
+        # createDataFrame would plan as a PythonRDD and every consumer
+        # of the labels frame would round-trip a Python worker per task
+        # (the same hazard the round-14 fixture fix measured at ~1.5 s
+        # per pass). Empty graphs keep the plain path — zero rows cost
+        # nothing and pandas dtype inference has nothing to infer from.
+        if items:
+            import pandas as pd
+
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "node": [n for n, _ in items],
+                        "component": [c for _, c in items],
+                    }
+                ),
+                schema,
+            )
+        return spark.createDataFrame([], schema)
 
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     p = min(cur, max(1, (sym_rows + 99_999) // 100_000))
