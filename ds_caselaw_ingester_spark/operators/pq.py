@@ -37,6 +37,130 @@ from ds_caselaw_ingester_spark.operators.similarity import (
 )
 
 
+def _pq_fit_driver(
+    rows: list,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    k: int,
+    max_iter: int,
+    round_centroids: int,
+    round_digits: int,
+    ansi: bool,
+) -> "list | None":
+    """Driver-side replay of the pq_fit Lloyd loop over a bounded,
+    fully-collected (already-projected) sample — the kmeans_fit driver
+    fast path's sibling (see KMEANS_DRIVER_ROWS_MAX in similarity.py).
+    Returns the trained books, or None when a row needs the Spark
+    loop's slice/null semantics (null vector, null element, or a length
+    mismatch — pq_fit has no dim guard, so the loop silently truncates
+    short vectors; rather than replicate that, anomalies delegate), or
+    when a zero denominator (zero-norm codeword) appears under ANSI
+    mode, where Spark's division throws instead of yielding NULL.
+    Per-subspace semantics are exactly the loop's: sequential
+    per-dimension fold order for every dot and norm (bit-identical
+    doubles), greatest(norm, 1e-300), Spark HALF_UP score rounding,
+    null-first/NaN-last struct ordering with code tie-break, per-cell
+    means rounded with Python round(), empty cells keep their codeword.
+    Pinned against the loop in tests/test_pq.py."""
+    import math
+
+    import numpy as np
+
+    from ds_caselaw_ingester_spark.operators.similarity import (
+        _argmin_entries,
+        _round_like_spark,
+    )
+
+    rows = sorted(rows, key=lambda r: (r[id_col] is not None, r[id_col]))
+    if len(rows) < k:
+        raise ValueError(f"pq_fit: need at least k={k} vectors, got {len(rows)}")
+    dim = len(rows[0][vec_col]) if rows[0][vec_col] is not None else None
+    if dim is None or dim % m:
+        return None if dim is None else _raise_dim(dim, m)
+    for r in rows:
+        v = r[vec_col]
+        if v is None or len(v) != dim or any(x is None for x in v):
+            return None
+    subdim = dim // m
+    init = rows[:k]
+    books: list[list[list[float]]] = [
+        [
+            [float(x) for x in r[vec_col][s * subdim : (s + 1) * subdim]]
+            for r in init
+        ]
+        for s in range(m)
+    ]
+    n = len(rows)
+    V = np.array([[float(x) for x in r[vec_col]] for r in rows])
+    # per-subspace norms, sequential fold order; greatest(norm, 1e-300)
+    nrm = np.zeros((n, m))
+    for s in range(m):
+        acc = np.zeros(n)
+        for d in range(subdim):
+            col = V[:, s * subdim + d]
+            acc = acc + col * col
+        nrm[:, s] = np.sqrt(acc)
+    nrm = np.where(np.isnan(nrm), nrm, np.maximum(nrm, 1e-300))
+
+    for _ in range(max_iter):
+        cnorms = np.array(
+            [
+                [math.sqrt(sum(float(x) * float(x) for x in cw)) for cw in book]
+                for book in books
+            ]
+        )  # m x k
+        assign = np.zeros((n, m), dtype=np.int64)
+        for s in range(m):
+            B = np.array(books[s])  # k x subdim
+            dots = np.zeros((n, k))
+            for d in range(subdim):
+                dots = dots + V[:, s * subdim + d : s * subdim + d + 1] * B[:, d]
+            denom = nrm[:, s : s + 1] * cnorms[s][None, :]
+            isnull = denom == 0.0  # non-ANSI Spark: x / 0.0 -> NULL
+            if ansi and bool(isnull.any()):
+                return None  # ANSI division-by-zero: let the loop raise
+            with np.errstate(divide="ignore", invalid="ignore"):
+                raw = dots / denom
+            neg = np.array(
+                [
+                    [
+                        0.0
+                        if isnull[i, c]
+                        else -_round_like_spark(raw[i, c], round_digits)
+                        for c in range(k)
+                    ]
+                    for i in range(n)
+                ]
+            )
+            plain = ~(isnull | np.isnan(neg) | np.isinf(neg)).any(axis=1)
+            col = np.full(n, -1, dtype=np.int64)
+            if plain.any():
+                col[plain] = np.argmin(neg[plain], axis=1)
+            for i in np.where(~plain)[0]:
+                col[i] = _argmin_entries(neg[i], isnull[i], k)
+            assign[:, s] = col
+        new: dict = {}
+        for s in range(m):
+            sub = V[:, s * subdim : (s + 1) * subdim]
+            for c in range(k):
+                mask = assign[:, s] == c
+                if not mask.any():
+                    continue
+                mean = sub[mask].mean(axis=0)
+                new[(s, c)] = [
+                    round(float(mean[d]), round_centroids) for d in range(subdim)
+                ]
+        books = [
+            [new.get((s, c), books[s][c]) for c in range(k)] for s in range(m)
+        ]
+    return books
+
+
+def _raise_dim(dim: int, m: int) -> None:
+    raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+
+
 def pq_fit(
     vectors: DataFrame,
     vec_col: str,
@@ -47,6 +171,7 @@ def pq_fit(
     round_centroids: "int | None" = 6,
     round_digits: int = 4,
     pca_model: "dict | None" = None,
+    driver_threshold: "int | None" = None,
 ) -> dict:
     """Train one codebook per subspace. Returns
     {"m", "k", "subdim", "books": books} where books[s][c] is the
@@ -77,6 +202,33 @@ def pq_fit(
     their codeword. Like the IVF quantizer, production fits on a corpus
     sample and encodes everything."""
     vectors = _maybe_project({"pca": pca_model}, vectors, vec_col)
+    if driver_threshold is None:
+        from ds_caselaw_ingester_spark.operators.similarity import (
+            _kmeans_driver_rows_max,
+        )
+
+        driver_threshold = _kmeans_driver_rows_max()
+    if driver_threshold and round_centroids is not None:
+        # bounded probe (kmeans_fit's driver fast-path gate, shared
+        # budget/env knob): if the whole projected sample fits, ONE job
+        # replaces init + explode/persist + max_iter assignment/mean
+        # jobs; oversized or anomalous samples keep the loop below.
+        head = vectors.select(id_col, vec_col).limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            from ds_caselaw_ingester_spark.operators.similarity import (
+                _ansi_enabled,
+            )
+
+            books_d = _pq_fit_driver(
+                head, vec_col, id_col, m, k, max_iter, round_centroids,
+                round_digits, ansi=_ansi_enabled(vectors),
+            )
+            if books_d is not None:
+                dim_d = len(books_d[0][0]) * m
+                out = {"m": m, "k": k, "subdim": dim_d // m, "books": books_d}
+                if pca_model is not None:
+                    out["pca"] = pca_model
+                return out
     init_rows = vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(f"pq_fit: need at least k={k} vectors, got {len(init_rows)}")

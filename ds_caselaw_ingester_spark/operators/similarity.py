@@ -386,6 +386,202 @@ def lsh_neardup_pairs(
     return scored.where(F.col("cosine") >= threshold)
 
 
+# Row bound below which the whole Lloyd loop runs driver-side from ONE
+# bounded collect instead of 1 + max_iter scheduled jobs (init collect +
+# one assignment/mean job per round, each with its own plan construction
+# — measured 0.3-0.5 s of analysis plus ~0.8 s of scheduling per round
+# at sf0.1, optimization round 14). Same doctrine as the connected-
+# components driver fast path (cluster.py): the quantizer input is
+# k-means-sized — production fits on a SAMPLE — so a 25k-row cap
+# (~13 MB at dim 64) is the broadcast-small-side budget, and any larger
+# training set keeps the distributed loop unchanged. The driver replay
+# is only attempted when `round_centroids` is set: rounding the per-cell
+# means is the documented engine-portability convention (module
+# docstring of quality_clf.py, the DuckDB oracle replay) that makes the
+# mean's summation order immaterial; the dot/score path is replicated
+# bit-exactly (sequential fold order + Spark's HALF_UP shortest-repr
+# rounding). Env-overridable (SPARK_GRAFT_KMEANS_DRIVER_ROWS; 0 disables
+# the driver path entirely).
+KMEANS_DRIVER_ROWS_MAX = 25_000
+
+
+def _kmeans_driver_rows_max() -> int:
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_KMEANS_DRIVER_ROWS", "").strip()
+    return int(env) if env else KMEANS_DRIVER_ROWS_MAX
+
+
+def _ansi_enabled(df: DataFrame) -> bool:
+    """Effective spark.sql.ansi.enabled of the frame's session (Spark 4
+    defaults it ON — division by zero throws instead of yielding NULL,
+    which flips the driver fast paths' zero-denominator handling)."""
+    try:
+        return str(df.sparkSession.conf.get("spark.sql.ansi.enabled")).lower() == "true"
+    except Exception:
+        return True
+
+
+def _round_like_spark(x: float, digits: int) -> float:
+    """Replicate Spark's round() on DoubleType bit-for-bit: Spark rounds
+    BigDecimal.valueOf(d) — i.e. the SHORTEST decimal representation of
+    the double (Double.toString), which Python's repr() reproduces —
+    with HALF_UP, then back to double. Python's built-in round() differs
+    twice (exact-binary value, ties-to-even), so it cannot be used for
+    the score path the oracle replays. NaN/Inf pass through like Spark's
+    guard; `+ 0.0` normalises BigDecimal's unsigned zero."""
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if _math.isnan(x) or _math.isinf(x):
+        return x
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)) + 0.0
+
+
+def _argmin_entries(neg: "list", isnull: "list", n_c: int) -> int:
+    """Exact replay of array_sort's struct ordering for one row's
+    (neg_score, centroid_id) entries: null field first, then double
+    ascending with NaN greater than everything (and +/-0.0 equal),
+    centroid_id ascending tie-break — element 1 of the sorted array."""
+    import math as _math
+
+    def key(c):
+        v = neg[c]
+        if isnull[c]:
+            return (0, 0.0, c)
+        if _math.isnan(v):
+            return (2, 0.0, c)
+        return (1, v, c)
+
+    return min(range(n_c), key=key)
+
+
+def _kmeans_fit_driver(
+    rows: list,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    max_iter: int,
+    tol: float,
+    round_centroids: int,
+    ansi: bool,
+) -> "list[dict] | None":
+    """Driver-side replay of the kmeans_fit loop over a bounded,
+    fully-collected training set. Semantics mirror the Spark loop
+    exactly (pinned in tests/test_semdedup.py):
+    - init = k lowest-id rows (nulls first, Spark's orderBy order);
+    - assignment = ivf_assign's rounded-cosine argmax with the SAME
+      sequential per-dimension fold order (bit-identical doubles),
+      Spark HALF_UP rounding, null-first/NaN-last struct ordering and
+      centroid-id tie-break;
+    - rows with a null vector or null element are unassigned (null
+      centroid) and never reach a mean; a non-null vector of the wrong
+      length raises like ivf_assign's dim guard;
+    - a zero denominator (zero-norm vector or centroid) under ANSI mode
+      — where Spark's division THROWS instead of yielding NULL —
+      returns None so the caller delegates to the Spark loop and the
+      error surfaces exactly as Spark raises it; under non-ANSI the
+      NULL-score (null-first) semantics are replicated here;
+    - per-cell per-dimension means rounded with Python round() to
+      `round_centroids` — the engine-portability convention that makes
+      the mean's summation order immaterial;
+    - empty cells keep their centroid; tol uses the rounded means.
+    """
+    import math
+
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: (r[id_col] is not None, r[id_col]))
+    if len(rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(rows)}")
+    init = rows[:k]
+    dim = len(init[0][vec_col])
+    cents: list[dict] = [
+        {"centroid_id": i, "cvec": [float(x) for x in r[vec_col]]}
+        for i, r in enumerate(init)
+    ]
+    n = len(rows)
+    valid = np.ones(n, dtype=bool)
+    V = np.zeros((n, dim))
+    for i, r in enumerate(rows):
+        v = r[vec_col]
+        if v is None:
+            valid[i] = False
+            continue
+        if len(v) != dim:
+            raise RuntimeError(
+                f"ivf_assign: vector dim {len(v)} != centroid dim {dim}"
+                " — raw/reduced space mix? Project inputs through the"
+                " same PCA model the quantizer was trained in."
+            )
+        if any(x is None for x in v):
+            valid[i] = False
+            continue
+        V[i] = [float(x) for x in v]
+    # sequential per-dimension accumulation: each step is one multiply
+    # rounding + one add rounding, exactly the zip_with/aggregate fold
+    acc = np.zeros(n)
+    for d in range(dim):
+        col = V[:, d]
+        acc = acc + col * col
+    vnorm = np.sqrt(acc)
+
+    for _ in range(max_iter):
+        C = np.array([c["cvec"] for c in cents])
+        cnorms = np.array(
+            [math.sqrt(sum(float(x) * float(x) for x in c["cvec"])) for c in cents]
+        )
+        dots = np.zeros((n, k))
+        for d in range(dim):
+            dots = dots + V[:, d : d + 1] * C[:, d]
+        denom = vnorm[:, None] * cnorms[None, :]
+        isnull = denom == 0.0  # non-ANSI Spark: x / 0.0 -> NULL
+        if ansi and bool(isnull[valid].any() if valid.any() else False):
+            return None  # ANSI division-by-zero: let the Spark loop raise
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw = dots / denom
+        neg = np.array(
+            [
+                [
+                    0.0 if isnull[i, c] else -_round_like_spark(raw[i, c], 4)
+                    for c in range(k)
+                ]
+                for i in range(n)
+            ]
+        )
+        pick = np.full(n, -1, dtype=np.int64)
+        # rows whose entries are all finite non-null: vectorized argmin
+        # (first occurrence = lowest centroid_id, the struct tie-break);
+        # any null/NaN/Inf entry falls back to the exact comparator
+        plain = valid & ~(isnull | np.isnan(neg) | np.isinf(neg)).any(axis=1)
+        if plain.any():
+            pick[plain] = np.argmin(neg[plain], axis=1)
+        for i in np.where(valid & ~plain)[0]:
+            pick[i] = _argmin_entries(neg[i], isnull[i], k)
+
+        new: dict[int, list[float]] = {}
+        for c in range(k):
+            mask = pick == c
+            if not mask.any():
+                continue
+            m = V[mask].mean(axis=0)
+            new[c] = [
+                round(float(m[d]), round_centroids) for d in range(dim)
+            ]
+        shift = 0.0
+        nxt: list[dict] = []
+        for c in cents:
+            old = c["cvec"]
+            cur = new.get(c["centroid_id"], old)  # empty cluster: keep
+            shift = max(shift, math.sqrt(sum((a - b) ** 2 for a, b in zip(old, cur))))
+            nxt.append({"centroid_id": c["centroid_id"], "cvec": cur})
+        cents = nxt
+        if shift < tol:
+            break
+    return cents
+
+
 def kmeans_fit(
     vectors: DataFrame,
     vec_col: str,
@@ -394,6 +590,7 @@ def kmeans_fit(
     max_iter: int = 10,
     tol: float = 1e-3,
     round_centroids: "int | None" = None,
+    driver_threshold: "int | None" = None,
 ) -> list[dict]:
     """Train the IVF coarse quantizer with Lloyd's k-means, Spark-side.
 
@@ -433,6 +630,22 @@ def kmeans_fit(
     # max_iter+1 times. (At 100 TB the quantizer would be fit on a sample,
     # which this caches just as well.)
     vectors = vectors.select(id_col, vec_col).persist()
+    if driver_threshold is None:
+        driver_threshold = _kmeans_driver_rows_max()
+    if driver_threshold and round_centroids is not None:
+        # bounded probe: collect at most threshold+1 rows. If the whole
+        # training set fits, the ONE job above replaces init + max_iter
+        # assignment/mean jobs; if not, the loop below proceeds and the
+        # probe cost one short bounded job (see KMEANS_DRIVER_ROWS_MAX).
+        head = vectors.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            res = _kmeans_fit_driver(
+                head, vec_col, id_col, k, max_iter, tol, round_centroids,
+                ansi=_ansi_enabled(vectors),
+            )
+            if res is not None:
+                vectors.unpersist()
+                return res
     init = vectors.orderBy(id_col).limit(k).collect()
     if len(init) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(init)}")
@@ -459,6 +672,13 @@ def kmeans_fit(
         )
         new: dict[int, list[float]] = {}
         for r in rows:
+            if r["centroid_id"] is None:
+                # unassigned rows (null vector/element -> null vnorm)
+                # aggregate into a null-centroid group that no real
+                # centroid ever consults — and whose avg can itself be
+                # NULL (all-null values at a position), which crashed
+                # the float() below. Skip it outright.
+                continue
             vec = new.setdefault(r["centroid_id"], [0.0] * dim)
             vec[r["pos"]] = (
                 round(float(r["m"]), round_centroids)

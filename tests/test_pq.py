@@ -339,3 +339,42 @@ def test_ivf_assign_null_vector_flows_as_null_row(spark, pq_ctx, method):
         for r in by_vid[vid]:
             assert r["centroid_id"] is not None
             assert r["centroid_cos"] is not None
+
+
+def test_pq_driver_and_loop_paths_agree(spark, pq_ctx):
+    """Optimization round 14: bounded (projected) samples train all m
+    codebooks driver-side from one collect — the kmeans driver fast
+    path's sibling. Pins driver == loop codebooks on the real sample,
+    on clean random data, and (non-ANSI conf) on adversarial inputs;
+    anomalous rows (null vector/element) must delegate to the loop and
+    still agree."""
+    import random
+
+    from ds_caselaw_ingester_spark.operators.pq import pq_fit
+
+    rng = random.Random(11)
+    dim = 8
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+            for i in range(200)]
+    clean = spark.createDataFrame(rows, "id long, v array<double>")
+    assert pq_fit(clean, "v", "id", m=4, k=5, max_iter=3,
+                  round_centroids=6) == pq_fit(
+        clean, "v", "id", m=4, k=5, max_iter=3, round_centroids=6,
+        driver_threshold=0)
+
+    adv = list(rows)
+    adv[0] = (0, [0.0] * dim)        # zero init codeword -> null scores
+    adv[150] = (150, [0.0] * dim)
+    adv[100] = (100, None)           # null vector -> delegates to loop
+    adv[101] = (101, [None if j == 3 else x
+                      for j, x in enumerate(rows[101][1])])
+    advdf = spark.createDataFrame(adv, "id long, v array<double>")
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        assert pq_fit(advdf, "v", "id", m=4, k=5, max_iter=2,
+                      round_centroids=6) == pq_fit(
+            advdf, "v", "id", m=4, k=5, max_iter=2, round_centroids=6,
+            driver_threshold=0)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)

@@ -145,3 +145,72 @@ def test_incremental_matches_full_recompute_restricted_to_new(spark, sf_dir):
     upd = {r["vec_id"]: r for r in updated.collect()}
     assert len(upd) == updated.count()
     assert set(upd) == {r["vec_id"] for r in survived.collect()} | new_ids
+
+
+def test_kmeans_driver_and_loop_paths_agree(spark, sf_dir):
+    """Optimization round 14: bounded training sets run the whole Lloyd
+    loop driver-side from one collect (similarity.KMEANS_DRIVER_ROWS_MAX)
+    — 1 job instead of 1 + max_iter, identical centroids. Pins driver ==
+    loop on the real embeddings, on random data (clean, ANSI session),
+    and — under a non-ANSI conf, where division by zero yields NULL
+    instead of raising — on adversarial inputs: zero-norm init centroid,
+    zero-norm vector, null vector, null element, duplicate vectors."""
+    import random
+
+    from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
+
+    corpus = _corpus(spark, sf_dir)
+    a = kmeans_fit(corpus, "v", "vec_id", k=6, max_iter=3, tol=0.0,
+                   round_centroids=6)
+    b = kmeans_fit(corpus, "v", "vec_id", k=6, max_iter=3, tol=0.0,
+                   round_centroids=6, driver_threshold=0)
+    assert a == b
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+            for i in range(200)]
+    clean = spark.createDataFrame(rows, "id long, v array<double>")
+    assert kmeans_fit(clean, "v", "id", k=5, max_iter=3, tol=0.0,
+                      round_centroids=6) == kmeans_fit(
+        clean, "v", "id", k=5, max_iter=3, tol=0.0, round_centroids=6,
+        driver_threshold=0)
+    # string ids: init order must match Spark's orderBy
+    sclean = spark.createDataFrame(
+        [(f"id-{i:04d}", v) for i, v in rows], "id string, v array<double>")
+    assert kmeans_fit(sclean, "v", "id", k=5, max_iter=2, tol=0.0,
+                      round_centroids=6) == kmeans_fit(
+        sclean, "v", "id", k=5, max_iter=2, tol=0.0, round_centroids=6,
+        driver_threshold=0)
+
+    adv = list(rows)
+    adv[0] = (0, [0.0] * dim)        # zero INIT centroid -> null scores
+    adv[150] = (150, [0.0] * dim)    # zero-norm vector
+    adv[151] = (151, rows[152][1])   # exact duplicate
+    adv[100] = (100, None)           # null vector
+    adv[101] = (101, [None if j == 3 else x
+                      for j, x in enumerate(rows[101][1])])  # null element
+    advdf = spark.createDataFrame(adv, "id long, v array<double>")
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        assert kmeans_fit(advdf, "v", "id", k=5, max_iter=3, tol=0.0,
+                          round_centroids=6) == kmeans_fit(
+            advdf, "v", "id", k=5, max_iter=3, tol=0.0, round_centroids=6,
+            driver_threshold=0)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    # under ANSI the zero denominators must RAISE on both paths (the
+    # driver path delegates so the error surfaces exactly as Spark's)
+    if str(old).lower() == "true":
+        import pytest as _pytest
+
+        zdf = spark.createDataFrame(
+            [(i, [0.0] * dim if i == 0 else v) for i, v in rows],
+            "id long, v array<double>")
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            kmeans_fit(zdf, "v", "id", k=5, max_iter=1, tol=0.0,
+                       round_centroids=6)
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            kmeans_fit(zdf, "v", "id", k=5, max_iter=1, tol=0.0,
+                       round_centroids=6, driver_threshold=0)
