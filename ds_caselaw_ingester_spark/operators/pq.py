@@ -461,7 +461,14 @@ def pq_encode(
     CNORMS = _lit_double_array(cnorms)
     vec = F.col(vec_col)
 
-    def _sub_code(s: int) -> Column:
+    # ONE shared per-subspace lambda over a runtime s — not m unrolled
+    # copies of the k-entry argmax tree. Identical arithmetic (s*subdim+d
+    # folds constant-fold the same either way), byte-identical codes and
+    # recon_norm (pinned by the replay tests), but the expression tree is
+    # m× smaller: construction 0.96 → 0.20 s and the encode scan's
+    # codegen drops with it (optimization round 14 — the same shared-fold
+    # shape pq_fit's loop and the ADC LUT already use).
+    def _sub_code(s: Column) -> Column:
         subnorm = F.sqrt(
             F.aggregate(
                 F.sequence(F.lit(1), F.lit(subdim)),
@@ -488,7 +495,7 @@ def pq_encode(
         ranked = F.array_sort(F.transform(F.sequence(F.lit(0), F.lit(k - 1)), _entry))
         return F.element_at(ranked, 1)["code"].cast("tinyint")
 
-    codes = F.array(*[_sub_code(s) for s in range(m)])
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _sub_code)
     sqnorms = [n * n for n in cnorms]
     SQ = _lit_double_array(sqnorms)
     recon_norm = F.sqrt(
