@@ -924,7 +924,18 @@ def ivf_assign(
         )
 
     # lexicographic struct sort == (score DESC, centroid_id ASC)
-    ranked = F.array_sort(F.transform(F.sequence(F.lit(0), F.lit(n_c - 1)), _entry))
+    entries = F.transform(F.sequence(F.lit(0), F.lit(n_c - 1)), _entry)
+    if nprobe == 1:
+        # argmax via array_min: O(k) scan instead of the O(k·log k)
+        # array_sort + slice copy — on the corpus-assignment path every
+        # vector pays this per row. array_min's struct ordering is the
+        # sort's comparator exactly (null field first, NaN last, ±0.0
+        # equal, centroid_id tie-break) — pinned empirically in
+        # tests/test_pq.py::test_array_min_matches_sort_head against
+        # adversarial entry arrays (optimization round 14).
+        top = F.array(F.array_min(entries))
+    else:
+        top = F.slice(F.array_sort(entries), 1, nprobe)
     # null vector → exactly ONE row with null centroid_id (not nprobe
     # copies deterministically parked in the lowest-id cell, which
     # downstream equi-joins on centroid_id would treat as cell members
@@ -934,9 +945,7 @@ def ivf_assign(
         F.lit(None).cast("double").alias("neg_score"),
         F.lit(None).cast("bigint").alias("centroid_id"),
     )
-    picks = F.when(vnorm.isNull(), F.array(null_pick)).otherwise(
-        F.slice(ranked, 1, nprobe)
-    )
+    picks = F.when(vnorm.isNull(), F.array(null_pick)).otherwise(top)
     picked = df.withColumn("_pick", F.explode(picks))
     out = picked.withColumn("centroid_id", F.col("_pick")["centroid_id"])
     if keep_score:

@@ -378,3 +378,51 @@ def test_pq_driver_and_loop_paths_agree(spark, pq_ctx):
             driver_threshold=0)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_array_min_matches_sort_head(spark):
+    """Optimization round 14: ivf_assign's nprobe=1 argmax uses
+    array_min (O(k)) instead of element_at(array_sort, 1) (O(k log k)).
+    Pins that array_min's struct comparator IS the sort's on every
+    entry shape the scorer can produce: null neg_score first (non-ANSI
+    zero denominator), NaN last, +/-0.0 equal, score ties broken by
+    ascending centroid_id — plus randomized arrays."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(3)
+    rows = [
+        ([(-0.5, 1), (-0.9, 2), (-0.9, 0)],),
+        ([(None, 1), (-0.9, 2)],),
+        ([(None, 2), (None, 1), (-0.9, 3)],),
+        ([(float("nan"), 1), (-0.9, 2)],),
+        ([(float("nan"), 1), (None, 2)],),
+        ([(float("nan"), 2), (float("nan"), 1)],),
+        ([(0.0, 3), (-0.0, 1)],),
+        ([(-0.0, 3), (0.0, 1)],),
+    ] + [
+        (
+            [
+                (round(rng.uniform(-1, 1), 4), c)
+                for c in rng.sample(range(64), rng.randint(1, 16))
+            ],
+        )
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "arr array<struct<neg_score:double, centroid_id:int>>"
+    )
+    out = df.select(
+        F.element_at(F.array_sort("arr"), 1).alias("via_sort"),
+        F.array_min("arr").alias("via_min"),
+    )
+    def key(row):
+        # NaN != NaN in Python; repr-compare so identical rows match
+        return (repr(row["neg_score"]), row["centroid_id"])
+
+    for r in out.collect():
+        assert key(r["via_sort"]) == key(r["via_min"]), (
+            r["via_sort"],
+            r["via_min"],
+        )
