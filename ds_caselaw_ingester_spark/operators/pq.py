@@ -295,10 +295,14 @@ def pq_fit(
                 )
                 return F.struct((-score).alias("neg"), c.alias("code"))
 
-            ranked = F.array_sort(
+            # single-argmax via array_min: O(k) scan, same comparator
+            # as array_sort's head (null first, NaN last, code
+            # tie-break) — pinned in
+            # tests/test_pq.py::test_array_min_matches_sort_head
+            best = F.array_min(
                 F.transform(F.sequence(F.lit(0), F.lit(k - 1)), _entry)
             )
-            assigned = sub.withColumn("_c", F.element_at(ranked, 1)["code"])
+            assigned = sub.withColumn("_c", best["code"])
             rows = (
                 assigned.select(
                     "s", "_c", F.posexplode(F.col("sub")).alias("pos", "val")
@@ -492,8 +496,11 @@ def pq_encode(
             )
             return F.struct((-score).alias("neg"), c.alias("code"))
 
-        ranked = F.array_sort(F.transform(F.sequence(F.lit(0), F.lit(k - 1)), _entry))
-        return F.element_at(ranked, 1)["code"].cast("tinyint")
+        # single-argmax via array_min (O(k), no sorted copy) — same
+        # comparator as array_sort's head; every corpus row pays this
+        # m times, so the sort was the encode scan's hottest loop.
+        best = F.array_min(F.transform(F.sequence(F.lit(0), F.lit(k - 1)), _entry))
+        return best["code"].cast("tinyint")
 
     codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _sub_code)
     sqnorms = [n * n for n in cnorms]

@@ -782,9 +782,22 @@ def _ivf_assign_matmul(
                 )
             vn = np.sqrt((v * v).sum(axis=1))
             s = np.round((v @ m.T) / (vn[:, None] * n[None, :]), round_digits)
-            # stable argsort on -s: equal scores keep column order =
-            # centroid_id ascending — the literal path's exact tie-break
-            order = np.argsort(-s, axis=1, kind="stable")[:, :nprobe]
+            if nprobe == 1:
+                # single-probe argmax: O(k) per row instead of the
+                # O(k·log k) argsort below. NaN → -inf reproduces the
+                # argsort's NaN-last ordering exactly: a row with any
+                # finite score picks its true max (ties → first column
+                # = lowest centroid_id, argmax's first-occurrence rule
+                # == stable argsort), and an all-NaN row (zero-norm
+                # vector) picks column 0 — the same index argsort's
+                # stable NaN block yields.
+                order = np.argmax(
+                    np.where(np.isnan(s), -np.inf, s), axis=1
+                )[:, None]
+            else:
+                # stable argsort on -s: equal scores keep column order =
+                # centroid_id ascending — the literal path's exact tie-break
+                order = np.argsort(-s, axis=1, kind="stable")[:, :nprobe]
             rows = np.arange(len(v))
             for p in range(order.shape[1]):
                 out = pdf.copy()

@@ -863,13 +863,19 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
     )
     codebook = pq_fit(train, "v", "vec_id", m=_PQ_M, k=_PQ_K, max_iter=_PQ_ITERS)
-    # Materialize the encoded index before querying it — the production
+    # Checkpoint the encoded index before querying it — the production
     # contract anyway (encode once, store the m-tinyint codes, query
-    # many). Left lazy, CollapseProject inlines the ~1k-node per-row
-    # `codes` argmax tree into each of its ~16 downstream references
-    # (recon_norm guard + m ADC lookups), and the combined plan spends
-    # 8x the query's runtime in optimizer/codegen (measured 8.1 s ->
-    # 1.1 s at sf0.1 on identical results).
+    # many). Without the checkpoint, CollapseProject inlines the
+    # ~1k-node per-row `codes` argmax tree into each of its ~16
+    # downstream references (recon_norm guard + m ADC lookups), and the
+    # combined plan spends 8x the query's runtime in optimizer/codegen
+    # (measured 8.1 s -> 1.1 s at sf0.1 on identical results). LAZY
+    # (optimization round 14): the plan is truncated at construction
+    # either way, and the single consuming action materializes the
+    # pinned rows — eager only added a dedicated scheduling round-trip
+    # per invocation (the deterministic single-consumer shape of the
+    # round's dl-checkpoint change; the multi-consumer eager
+    # checkpoints elsewhere stay eager).
     encoded = pq_encode(
         spread(
             emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")),
@@ -878,7 +884,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cv",
         "c_id",
         codebook,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )

@@ -171,3 +171,50 @@ def test_ivf_assign_matmul_equals_literal_path(spark):
                             method="matmul").collect()
     }
     assert lit2 == mm2
+
+
+def test_ivf_assign_matmul_nprobe1_argmax_matches_argsort(spark):
+    """Optimization round 14: the matmul path's nprobe=1 pick is a
+    NaN-safe argmax (O(k)) instead of a stable argsort head
+    (O(k log k)). Pins, against a reference stable argsort computed on
+    the same rounded score matrix, that the pick is identical on every
+    shape the scorer can produce: exact rounded-score ties (lowest
+    centroid_id wins), a zero-norm CENTROID column (scores become
+    ±inf/NaN for that column only), and a zero-norm VECTOR (whole row
+    NaN — both orderings fall back to column 0)."""
+    import numpy as np
+
+    from ds_caselaw_ingester_spark.operators.similarity import ivf_assign
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    cvecs = rng.normal(size=(6, dim)).round(3)
+    cvecs[2] = 0.0  # zero-norm centroid: its score column is ±inf/NaN
+    cvecs[4] = cvecs[1] * 2.0  # colinear with c1: exact rounded ties
+    cents = [
+        {"centroid_id": i, "cvec": [float(x) for x in cvecs[i]]}
+        for i in range(len(cvecs))
+    ]
+    vecs = rng.normal(size=(40, dim)).round(3)
+    vecs[5] = 0.0  # zero-norm vector: all-NaN score row
+    vecs[9] = cvecs[1]  # exact hit on the tied pair
+    vecs[17] = -cvecs[1]
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assign(
+            df, "v", "vec_id", cents, nprobe=1, method="matmul"
+        ).collect()
+    }
+
+    # reference: the pre-change semantics, stable argsort on -s
+    m = cvecs.astype(np.float64)
+    cn = np.sqrt((m * m).sum(axis=1))
+    v = vecs.astype(np.float64)
+    vn = np.sqrt((v * v).sum(axis=1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.round((v @ m.T) / (vn[:, None] * cn[None, :]), 4)
+    want = np.argsort(-s, axis=1, kind="stable")[:, 0]
+    assert got == {i: int(want[i]) for i in range(len(vecs))}

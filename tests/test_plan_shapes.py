@@ -411,3 +411,32 @@ def test_hybrid_search_multi_construction_job_count_pinned(spark, sf_dir):
         "again, or did a new construction-time action appear?"
     )
     assert {"q_id", "doc_id", "rrf_score", "rank"} == set(df.columns)
+
+
+def test_pq_adc_topk_construction_job_count_pinned(spark, sf_dir):
+    """Optimization round 14: the encoded-index localCheckpoint in
+    pq_adc_topk went eager -> lazy (queries_similarity.py) — the plan
+    is truncated at construction either way, and the single consuming
+    action materializes the pinned rows, so the eager variant's
+    dedicated encode job was pure per-invocation scheduling latency.
+    Construction schedules exactly 4 jobs on round-14 code (the
+    bounded driver-side pq_fit probe + fixture/stats jobs). An eager
+    encode checkpoint would make it 5. If this number changes, account
+    for the delta deliberately — one scheduling round-trip per
+    invocation is real latency on a busy cluster."""
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"pq-pin-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, "pq_adc_topk construction")
+    try:
+        df = all_specs()["pq_adc_topk"].fn(spark, sf_dir)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) == 4, (
+        f"pq_adc_topk construction scheduled {len(jobs)} jobs "
+        "(expected 4) — did the encoded-index localCheckpoint go "
+        "eager again, or did a new construction-time action appear?"
+    )
+    assert {"q_id", "c_id", "cosine_adc", "rank"} == set(df.columns)
