@@ -440,3 +440,44 @@ def test_pq_adc_topk_construction_job_count_pinned(spark, sf_dir):
         "eager again, or did a new construction-time action appear?"
     )
     assert {"q_id", "c_id", "cosine_adc", "rank"} == set(df.columns)
+
+
+def test_strip_spans_detect_tower_evaluated_once(spark, sf_dir):
+    """Optimization round 14: duplicate_spans pins its per-(gram, doc)
+    frame with an eager localCheckpoint. Without it the optimizer
+    column-prunes the frame's two consumers (gram totals, dup join
+    probe) into two SEPARATE full corpus towers — the corpus tokenized,
+    exploded and md5-hashed twice. With the pin, the registered
+    strip_spans plan reads the detect result from the checkpointed RDD:
+    the only parquet scans left are the final cut pass, and no
+    posexplode Generate remains in the final plan (it ran exactly once,
+    inside the checkpoint job)."""
+    df = all_specs()["strip_spans"].fn(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "posexplode" not in plan, (
+        "detect-tower posexplode leaked back into the final plan — "
+        "per_dg is being re-derived from lineage instead of the "
+        "checkpoint:\n" + plan
+    )
+    # cut pass only: the 2-branch corpus union, scanned once per branch
+    # (formatted explain prints each node twice: tree line + detail)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+
+
+def test_repeated_spans_single_corpus_pass(spark, sf_dir):
+    """Same pin for the unregistered repeated_spans shape: totals must
+    derive from the checkpointed per-(gram, doc) frame, never from a
+    second corpus tokenize/explode tower."""
+    from ds_caselaw_ingester_spark.operators.dedup import repeated_spans
+    from ds_caselaw_ingester_spark.plans.queries_dedup import _SPAN_N, _corpus
+
+    df = repeated_spans(_corpus(spark, sf_dir), "doc_id", "text", n=_SPAN_N)
+    plan = _physical_plan(df)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, (
+        "a corpus scan leaked back into repeated_spans' final plan — "
+        "the per-(gram, doc) checkpoint is not being read:\n" + plan
+    )
