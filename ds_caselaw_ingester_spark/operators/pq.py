@@ -37,6 +37,25 @@ from ds_caselaw_ingester_spark.operators.similarity import (
 )
 
 
+# Row bound for pq_fit's driver-side Lloyd replay — the kmeans cap's
+# sibling (KMEANS_DRIVER_ROWS_MAX in similarity.py), but ~5x lower
+# because the replay runs m sequential sub-fits per call: the measured
+# per-row Python cost is ~1.2 ms (m=8, k=16, 2 iters, dim 64) against a
+# nearly-flat ~1.5 s distributed loop, so the crossover sits near 1.2k
+# rows (driver vs loop, min of 3, checkpointed input: 2.2/1.6 s at 2k
+# rows, 5.2/1.5 at 5k, 24.1/2.4 at 20k — the original shared 25k cap
+# made the sf1 bench's 5k-row fit 3.5x slower). Env-overridable
+# (SPARK_GRAFT_PQ_DRIVER_ROWS; 0 disables the driver path).
+PQ_DRIVER_ROWS_MAX = 1_000
+
+
+def _pq_driver_rows_max() -> int:
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_PQ_DRIVER_ROWS", "").strip()
+    return int(env) if env else PQ_DRIVER_ROWS_MAX
+
+
 def _pq_fit_driver(
     rows: list,
     vec_col: str,
@@ -50,7 +69,8 @@ def _pq_fit_driver(
 ) -> "list | None":
     """Driver-side replay of the pq_fit Lloyd loop over a bounded,
     fully-collected (already-projected) sample — the kmeans_fit driver
-    fast path's sibling (see KMEANS_DRIVER_ROWS_MAX in similarity.py).
+    fast path's sibling (gated by PQ_DRIVER_ROWS_MAX above; the kmeans
+    cap is KMEANS_DRIVER_ROWS_MAX in similarity.py).
     Returns the trained books, or None when a row needs the Spark
     loop's slice/null semantics (null vector, null element, or a length
     mismatch — pq_fit has no dim guard, so the loop silently truncates
@@ -203,16 +223,13 @@ def pq_fit(
     sample and encodes everything."""
     vectors = _maybe_project({"pca": pca_model}, vectors, vec_col)
     if driver_threshold is None:
-        from ds_caselaw_ingester_spark.operators.similarity import (
-            _kmeans_driver_rows_max,
-        )
-
-        driver_threshold = _kmeans_driver_rows_max()
+        driver_threshold = _pq_driver_rows_max()
     if driver_threshold and round_centroids is not None:
-        # bounded probe (kmeans_fit's driver fast-path gate, shared
-        # budget/env knob): if the whole projected sample fits, ONE job
-        # replaces init + explode/persist + max_iter assignment/mean
-        # jobs; oversized or anomalous samples keep the loop below.
+        # bounded probe (kmeans_fit's driver fast-path gate, with pq's
+        # own lower cap — see PQ_DRIVER_ROWS_MAX): if the whole
+        # projected sample fits, ONE job replaces init +
+        # explode/persist + max_iter assignment/mean jobs; oversized or
+        # anomalous samples keep the loop below.
         head = vectors.select(id_col, vec_col).limit(driver_threshold + 1).collect()
         if len(head) <= driver_threshold:
             from ds_caselaw_ingester_spark.operators.similarity import (

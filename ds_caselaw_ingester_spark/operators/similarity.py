@@ -392,17 +392,26 @@ def lsh_neardup_pairs(
 # — measured 0.3-0.5 s of analysis plus ~0.8 s of scheduling per round
 # at sf0.1, optimization round 14). Same doctrine as the connected-
 # components driver fast path (cluster.py): the quantizer input is
-# k-means-sized — production fits on a SAMPLE — so a 25k-row cap
-# (~13 MB at dim 64) is the broadcast-small-side budget, and any larger
-# training set keeps the distributed loop unchanged. The driver replay
-# is only attempted when `round_centroids` is set: rounding the per-cell
-# means is the documented engine-portability convention (module
-# docstring of quality_clf.py, the DuckDB oracle replay) that makes the
-# mean's summation order immaterial; the dot/score path is replicated
+# k-means-sized — production fits on a SAMPLE — so anything larger
+# keeps the distributed loop unchanged. The driver replay is only
+# attempted when `round_centroids` is set: rounding the per-cell means
+# is the documented engine-portability convention (module docstring of
+# quality_clf.py, the DuckDB oracle replay) that makes the mean's
+# summation order immaterial; the dot/score path is replicated
 # bit-exactly (sequential fold order + Spark's HALF_UP shortest-repr
 # rounding). Env-overridable (SPARK_GRAFT_KMEANS_DRIVER_ROWS; 0 disables
 # the driver path entirely).
-KMEANS_DRIVER_ROWS_MAX = 25_000
+#
+# The cap is sized by the COMPUTE crossover, not the broadcast budget:
+# the bit-exact replay is a sequential pure-Python fold (vectorizing it
+# would change summation order), so its cost is linear in rows while
+# the distributed loop's cost is nearly flat (scheduling-dominated).
+# Measured on dim-64 / k=16 / 3 iters (same session, checkpointed
+# input, min of 3): driver vs loop 0.8/2.9 s at 2k rows, 1.2/2.1 at
+# 5k, 2.2/1.7 at 10k, 4.5/2.0 at 20k — crossover ~8k, cap set at 6k.
+# The original 25k memory-budget cap made the sf1 bench's 5k-row PQ
+# fit (and would have made any 10k+ kmeans fit) pay the Python tax.
+KMEANS_DRIVER_ROWS_MAX = 6_000
 
 
 def _kmeans_driver_rows_max() -> int:
