@@ -51,11 +51,20 @@ def _is_py4j_missing_api(exc: "Py4JError") -> bool:
 # edges at sf0.1 with the pair pipeline already cached (optimization
 # round 14), pure scheduling round-trips; on a busy cluster the same
 # round-trips are per-batch latency for every streaming micro-batch that
-# runs CC over a handful of pairs. 100k symmetrised rows ≈ 1.6 MB
-# collected — the kmeans-centroid / broadcast-small-side pattern, far
-# under any driver budget. Env-overridable for ops
+# runs CC over a handful of pairs. Env-overridable for ops
 # (SPARK_GRAFT_CC_DRIVER_ROWS; 0 disables the driver path entirely).
-CC_DRIVER_SYM_ROWS_MAX = 100_000
+#
+# Sized by the measured COMPUTE crossover, not the collect budget (the
+# same re-sizing change #12 applied to the kmeans/pq replay caps): the
+# driver path's collect + Python union-find + labels-frame build is
+# superlinear-ish in edges while the loop is nearly flat. Measured
+# (random mixed-topology edges, checkpointed input, min of 3, driver
+# vs loop): 0.9/4.7 s at 5k edges, 2.4/3.5 at 20k, 4.1/6.1 at 25k,
+# 4.6/3.6 at 30k, 6.1/3.5 at 35k, 12.4/3.9 at 49k — crossover
+# ≈ 27-30k edges (55-60k symmetrised rows); cap set at 50k sym rows.
+# The original 100k cap (sized as "1.6 MB collected, far under any
+# driver budget") let near-cap graphs pay 3x the loop's wall.
+CC_DRIVER_SYM_ROWS_MAX = 50_000
 
 
 def _driver_min_label(rows, id_a: str, id_b: str) -> dict:
