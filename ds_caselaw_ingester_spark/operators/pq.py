@@ -89,7 +89,7 @@ def _pq_fit_driver(
 
     from ds_caselaw_ingester_spark.operators.similarity import (
         _argmin_entries,
-        _round_like_spark,
+        _round_like_spark_vec,
     )
 
     rows = sorted(rows, key=lambda r: (r[id_col] is not None, r[id_col]))
@@ -98,10 +98,17 @@ def _pq_fit_driver(
     dim = len(rows[0][vec_col]) if rows[0][vec_col] is not None else None
     if dim is None or dim % m:
         return None if dim is None else _raise_dim(dim, m)
-    for r in rows:
-        v = r[vec_col]
-        if v is None or len(v) != dim or any(x is None for x in v):
+    n = len(rows)
+    try:
+        # one C-speed conversion doubles as the anomaly screen: a null
+        # vector or ragged row raises ValueError, a null element
+        # TypeError — exactly the inputs whose slice/null semantics
+        # belong to the Spark loop, so any failure delegates (None).
+        V = np.array([r[vec_col] for r in rows], dtype=np.float64)
+        if V.ndim != 2 or V.shape[1] != dim:
             return None
+    except (TypeError, ValueError):
+        return None
     subdim = dim // m
     init = rows[:k]
     books: list[list[list[float]]] = [
@@ -111,8 +118,6 @@ def _pq_fit_driver(
         ]
         for s in range(m)
     ]
-    n = len(rows)
-    V = np.array([[float(x) for x in r[vec_col]] for r in rows])
     # per-subspace norms, sequential fold order; greatest(norm, 1e-300)
     nrm = np.zeros((n, m))
     for s in range(m):
@@ -142,17 +147,11 @@ def _pq_fit_driver(
                 return None  # ANSI division-by-zero: let the loop raise
             with np.errstate(divide="ignore", invalid="ignore"):
                 raw = dots / denom
-            neg = np.array(
-                [
-                    [
-                        0.0
-                        if isnull[i, c]
-                        else -_round_like_spark(raw[i, c], round_digits)
-                        for c in range(k)
-                    ]
-                    for i in range(n)
-                ]
-            )
+            # vectorized bit-exact HALF_UP (similarity._round_like_spark_vec);
+            # null-score entries masked to 0.0 exactly as the scalar
+            # comprehension did — isnull still drives the null-first
+            # ordering in the argmin fallback
+            neg = np.where(isnull, 0.0, -_round_like_spark_vec(raw, round_digits))
             plain = ~(isnull | np.isnan(neg) | np.isinf(neg)).any(axis=1)
             col = np.full(n, -1, dtype=np.int64)
             if plain.any():

@@ -448,6 +448,40 @@ def _round_like_spark(x: float, digits: int) -> float:
     return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP)) + 0.0
 
 
+def _round_like_spark_vec(a, digits: int):
+    """Vectorized _round_like_spark over a numpy array, bit-exact.
+
+    Fast path: HALF_UP via copysign(floor(|x|*10^d + 0.5), x) / 10^d.
+    That decision is provably identical to the Decimal path whenever
+    z = |x|*10^d is safely away from the nearest half-integer decision
+    boundary: the computed z differs from the true decimal value
+    (shortest-repr of x, scaled) by < |z|*2^-51, so any entry within a
+    conservative max(z, 1)*1e-9 of a boundary — plus anything >= 2^52,
+    where floor's integer grid outruns the 0.5 offset — takes the exact
+    scalar path instead. The final division is a single correctly-
+    rounded IEEE op on exact operands, so it equals Decimal->float
+    exactly; `+ 0.0` normalises -0.0 like the scalar. Non-finite values
+    pass through. Bit-equality with _round_like_spark is pinned over
+    adversarial boundary values in tests/test_pq.py."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    p = float(10**digits)  # exact double for digits <= 22
+    with np.errstate(invalid="ignore"):
+        z = np.abs(a) * p
+        out = np.copysign(np.floor(z + 0.5), a) / p + 0.0
+        finite = np.isfinite(a)
+        near = np.abs(z - (np.floor(z) + 0.5)) <= np.maximum(z, 1.0) * 1e-9
+        risky = finite & (near | (z >= 2.0**52))
+    out = np.where(finite, out, a)
+    if risky.any():
+        flat, src = out.reshape(-1), a.reshape(-1)
+        for i in np.flatnonzero(risky.reshape(-1)):
+            flat[i] = _round_like_spark(float(src[i]), digits)
+        out = flat.reshape(out.shape)
+    return out
+
+
 def _argmin_entries(neg: "list", isnull: "list", n_c: int) -> int:
     """Exact replay of array_sort's struct ordering for one row's
     (neg_score, centroid_id) entries: null field first, then double
@@ -512,22 +546,32 @@ def _kmeans_fit_driver(
     ]
     n = len(rows)
     valid = np.ones(n, dtype=bool)
-    V = np.zeros((n, dim))
-    for i, r in enumerate(rows):
-        v = r[vec_col]
-        if v is None:
-            valid[i] = False
-            continue
-        if len(v) != dim:
-            raise RuntimeError(
-                f"ivf_assign: vector dim {len(v)} != centroid dim {dim}"
-                " — raw/reduced space mix? Project inputs through the"
-                " same PCA model the quantizer was trained in."
-            )
-        if any(x is None for x in v):
-            valid[i] = False
-            continue
-        V[i] = [float(x) for x in v]
+    try:
+        # clean inputs (every vector present, rectangular, no null
+        # elements) build the matrix in one C-speed conversion; any
+        # anomaly falls back to the per-row walk below, which also
+        # raises the dim guard exactly where the fast path cannot tell
+        # a ragged row from a null one.
+        V = np.array([r[vec_col] for r in rows], dtype=np.float64)
+        if V.ndim != 2 or V.shape[1] != dim:
+            raise ValueError("ragged")
+    except (TypeError, ValueError):
+        V = np.zeros((n, dim))
+        for i, r in enumerate(rows):
+            v = r[vec_col]
+            if v is None:
+                valid[i] = False
+                continue
+            if len(v) != dim:
+                raise RuntimeError(
+                    f"ivf_assign: vector dim {len(v)} != centroid dim {dim}"
+                    " — raw/reduced space mix? Project inputs through the"
+                    " same PCA model the quantizer was trained in."
+                )
+            if any(x is None for x in v):
+                valid[i] = False
+                continue
+            V[i] = [float(x) for x in v]
     # sequential per-dimension accumulation: each step is one multiply
     # rounding + one add rounding, exactly the zip_with/aggregate fold
     acc = np.zeros(n)
@@ -550,15 +594,11 @@ def _kmeans_fit_driver(
             return None  # ANSI division-by-zero: let the Spark loop raise
         with np.errstate(divide="ignore", invalid="ignore"):
             raw = dots / denom
-        neg = np.array(
-            [
-                [
-                    0.0 if isnull[i, c] else -_round_like_spark(raw[i, c], 4)
-                    for c in range(k)
-                ]
-                for i in range(n)
-            ]
-        )
+        # vectorized bit-exact HALF_UP (see _round_like_spark_vec);
+        # null-score entries (non-ANSI x/0 -> NULL) are masked to 0.0
+        # exactly as the scalar comprehension did — isnull carries the
+        # null-first ordering into the argmin below either way
+        neg = np.where(isnull, 0.0, -_round_like_spark_vec(raw, 4))
         pick = np.full(n, -1, dtype=np.int64)
         # rows whose entries are all finite non-null: vectorized argmin
         # (first occurrence = lowest centroid_id, the struct tie-break);

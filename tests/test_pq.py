@@ -426,3 +426,49 @@ def test_array_min_matches_sort_head(spark):
             r["via_sort"],
             r["via_min"],
         )
+
+
+def test_round_like_spark_vec_bit_exact():
+    """Optimization round 14: the driver replays' per-(row, centroid)
+    HALF_UP rounding is vectorized (_round_like_spark_vec). Pins bit
+    equality (struct-packed doubles, so -0.0 and NaN payloads count)
+    with the scalar Decimal path over every 4-digit half-integer
+    boundary neighborhood, non-finite/huge/subnormal values, and random
+    draws at several magnitudes and digit settings."""
+    import math
+    import random
+    import struct
+
+    import numpy as np
+
+    from ds_caselaw_ingester_spark.operators.similarity import (
+        _round_like_spark,
+        _round_like_spark_vec,
+    )
+
+    vals = [
+        0.0, -0.0, 1.0, -1.0, 0.00005, -0.00005, 0.00015, -0.00015,
+        0.99995, -0.99995, 1.00005, 123456.00005, 123.45675, -123.45675,
+        float("nan"), float("inf"), float("-inf"), 5e-324, -5e-324,
+        1e-300, -1e-300, 2.0**52, 2.0**52 + 1, 2.0**53, 1e18, -1e18,
+        math.pi, -math.pi, 1 / 3, -1 / 3, 0.1, 0.7,
+    ]
+    for i in range(200):  # every half boundary k+0.5 (scaled), +/- 1 ulp
+        t = (i + 0.5) / 1e4
+        for v in (t, math.nextafter(t, math.inf), math.nextafter(t, -math.inf)):
+            vals += [v, -v]
+    rng = random.Random(42)
+    vals += [rng.uniform(-2, 2) for _ in range(20000)]
+    vals += [rng.uniform(-1e6, 1e6) for _ in range(5000)]
+    vals += [rng.uniform(-1e-4, 1e-4) for _ in range(5000)]
+
+    def bits(x: float) -> bytes:
+        return struct.pack("<d", x)
+
+    for digits in (4, 6, 0, 2):
+        got = _round_like_spark_vec(np.array(vals), digits)
+        for v, g in zip(vals, got):
+            e = _round_like_spark(v, digits)
+            assert bits(e) == bits(float(g)) or (
+                math.isnan(e) and math.isnan(g)
+            ), (digits, repr(v), repr(e), repr(float(g)))
