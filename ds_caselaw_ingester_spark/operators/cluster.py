@@ -67,10 +67,53 @@ def _is_py4j_missing_api(exc: "Py4JError") -> bool:
 CC_DRIVER_SYM_ROWS_MAX = 50_000
 
 
+def _driver_min_label_np(a_vals: list, b_vals: list) -> "tuple | None":
+    """Vectorized min-label fixpoint: factorize node ids with np.unique
+    (ascending sort = label order), then scatter-min label propagation
+    with pointer jumping until no label moves. Exact, not approximate:
+    component MEMBERSHIP is a property of the graph, not the algorithm,
+    and because np.unique sorts ascending the minimum label INDEX in a
+    component is the minimum node id — the identical fixpoint the
+    union-find and the distributed loop produce (pinned in
+    tests/test_cluster.py). Returns (nodes, components) numpy arrays
+    sorted by node, or None when the ids resolve to object dtype
+    (e.g. a null id), whose comparison semantics stay with the
+    union-find. Replaces a pure-Python union-find whose wall grew
+    superlinearly past ~30k edges (12.4 s at 49k; this path is C-speed
+    throughout)."""
+    import numpy as np
+
+    ids = np.asarray(a_vals + b_vals)
+    # ints/strings only: float ids would drag NaN total-order questions
+    # in, object dtype (null ids, exotic types) keeps Python comparison
+    # semantics — both stay on the union-find
+    if ids.dtype.kind not in "iuSU":
+        return None
+    uniq, inv = np.unique(ids, return_inverse=True)
+    n_edges = len(a_vals)
+    u, v = inv[:n_edges], inv[n_edges:]
+    labels = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        mn = np.minimum(labels[u], labels[v])
+        before = labels.copy()
+        np.minimum.at(labels, u, mn)
+        np.minimum.at(labels, v, mn)
+        while True:  # pointer jumping: chase labels to their roots
+            nxt = labels[labels]
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+        if np.array_equal(labels, before):
+            break
+    return uniq, uniq[labels]
+
+
 def _driver_min_label(rows, id_a: str, id_b: str) -> dict:
     """Union-find + min-member relabel over collected edge rows — the
     same fixpoint the distributed loop converges to (component = MIN
-    reachable node id), computed exactly, no iteration bound needed."""
+    reachable node id), computed exactly, no iteration bound needed.
+    Kept as the exact-comparison fallback for id dtypes numpy cannot
+    sort natively (see _driver_min_label_np, the C-speed default)."""
     parent: dict = {}
 
     def find(x):
@@ -163,13 +206,23 @@ def connected_components(
             F.col("src").alias(id_a), F.col("dst").alias(id_b)
         ).collect()
         e.unpersist()
-        labels = _driver_min_label(rows, id_a, id_b)
         schema = T.StructType(
             [
                 T.StructField("node", id_type, False),
                 T.StructField("component", id_type, False),
             ]
         )
+        np_lbl = _driver_min_label_np(
+            [r[id_a] for r in rows], [r[id_b] for r in rows]
+        )
+        if np_lbl is not None:
+            import pandas as pd
+
+            nodes, comps = np_lbl
+            return spark.createDataFrame(
+                pd.DataFrame({"node": nodes, "component": comps}), schema
+            )
+        labels = _driver_min_label(rows, id_a, id_b)
         items = sorted(labels.items())
         # pandas -> Arrow -> JVM LocalTableScan: a list-of-tuples
         # createDataFrame would plan as a PythonRDD and every consumer

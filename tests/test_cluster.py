@@ -413,3 +413,49 @@ def test_driver_path_empty_edges(spark):
     out = connected_components(df)
     assert out.columns == ["node", "component"]
     assert out.count() == 0
+
+
+def test_driver_min_label_np_matches_union_find():
+    """Optimization round 14: the driver CC fast path factorizes ids and
+    runs a numpy scatter-min label propagation (C-speed) instead of the
+    pure-Python union-find; this pins fixpoint equality on random
+    graphs at several densities, string ids, self-loops, duplicate and
+    reversed edges — and that object-dtype ids (null id) decline to the
+    union-find."""
+    import random
+
+    from ds_caselaw_ingester_spark.operators.cluster import (
+        _driver_min_label,
+        _driver_min_label_np,
+    )
+
+    class Row(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    rng = random.Random(20260818)
+    for n_nodes, n_edges in ((10, 4), (50, 50), (120, 150), (300, 900)):
+        a = [rng.randrange(n_nodes) for _ in range(n_edges)]
+        b = [rng.randrange(n_nodes) for _ in range(n_edges)]
+        a += [7]  # self-loop
+        b += [7]
+        a += a[:5]  # duplicates
+        b += b[:5]
+        rows = [Row(x=x, y=y) for x, y in zip(a, b)]
+        want = _driver_min_label(rows, "x", "y")
+        got = _driver_min_label_np(a, b)
+        assert got is not None
+        assert dict(zip(got[0].tolist(), got[1].tolist())) == want
+
+    # string ids (numpy '<U' sort == Python lexicographic sort)
+    sa = [f"doc-{rng.randrange(40):03d}" for _ in range(60)]
+    sb = [f"doc-{rng.randrange(40):03d}" for _ in range(60)]
+    rows = [Row(x=x, y=y) for x, y in zip(sa, sb)]
+    got = _driver_min_label_np(sa, sb)
+    assert got is not None
+    assert dict(zip(got[0].tolist(), got[1].tolist())) == _driver_min_label(
+        rows, "x", "y"
+    )
+
+    # object dtype (a null id) must decline
+    assert _driver_min_label_np([1, None], [2, 3]) is None
