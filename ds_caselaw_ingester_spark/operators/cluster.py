@@ -55,16 +55,19 @@ def _is_py4j_missing_api(exc: "Py4JError") -> bool:
 # (SPARK_GRAFT_CC_DRIVER_ROWS; 0 disables the driver path entirely).
 #
 # Sized by the measured COMPUTE crossover, not the collect budget (the
-# same re-sizing change #12 applied to the kmeans/pq replay caps): the
-# driver path's collect + Python union-find + labels-frame build is
-# superlinear-ish in edges while the loop is nearly flat. Measured
-# (random mixed-topology edges, checkpointed input, min of 3, driver
-# vs loop): 0.9/4.7 s at 5k edges, 2.4/3.5 at 20k, 4.1/6.1 at 25k,
-# 4.6/3.6 at 30k, 6.1/3.5 at 35k, 12.4/3.9 at 49k — crossover
-# ≈ 27-30k edges (55-60k symmetrised rows); cap set at 50k sym rows.
-# The original 100k cap (sized as "1.6 MB collected, far under any
-# driver budget") let near-cap graphs pay 3x the loop's wall.
-CC_DRIVER_SYM_ROWS_MAX = 50_000
+# same re-sizing change #12 applied to the kmeans/pq replay caps).
+# With the pure-Python union-find the crossover sat at ~27-30k edges
+# (12.4 s at 49k); after the C-speed numpy scatter-min propagation
+# (_driver_min_label_np) the clean-host sweep shows the driver path
+# ahead through at least 600k edges (random mixed-topology edges,
+# checkpointed input, interleaved min of 3, driver vs loop: 1.18/5.74 s
+# at 100k edges, 1.77/6.53 at 200k, 3.08/8.30 at 400k, 4.37/11.29 at
+# 600k — the loop's wall grows too, so no crossover was reached). Cap
+# re-sized to 800k sym rows (400k edges): a 2.7x measured advantage at
+# the cap, bounded collect footprint (~13 MB of long pairs; string ids
+# proportionally more), and margin for host variance rather than
+# extrapolating past the measured range.
+CC_DRIVER_SYM_ROWS_MAX = 800_000
 
 
 def _driver_min_label_np(a_vals: list, b_vals: list) -> "tuple | None":

@@ -38,15 +38,20 @@ from ds_caselaw_ingester_spark.operators.similarity import (
 
 
 # Row bound for pq_fit's driver-side Lloyd replay — the kmeans cap's
-# sibling (KMEANS_DRIVER_ROWS_MAX in similarity.py), but ~5x lower
-# because the replay runs m sequential sub-fits per call: the measured
-# per-row Python cost is ~1.2 ms (m=8, k=16, 2 iters, dim 64) against a
-# nearly-flat ~1.5 s distributed loop, so the crossover sits near 1.2k
-# rows (driver vs loop, min of 3, checkpointed input: 2.2/1.6 s at 2k
-# rows, 5.2/1.5 at 5k, 24.1/2.4 at 20k — the original shared 25k cap
-# made the sf1 bench's 5k-row fit 3.5x slower). Env-overridable
+# sibling (KMEANS_DRIVER_ROWS_MAX in similarity.py). Originally 1k:
+# the replay's per-row cost was ~1.2 ms of Python Decimal rounding.
+# After the replay's bit-exact vectorization (_round_like_spark_vec +
+# one-shot matrix build) the measured clean-host crossover moved past
+# 100k rows (driver vs loop, dim 64, m=8, k=16, 2 iters, checkpointed
+# input, interleaved min of 3: 0.80/3.51 s at 20k rows, 1.82/3.88 at
+# 50k, 4.34/6.14 at 100k). Cap re-sized to 50k — the deepest measured
+# point with a >=2x advantage, with margin under the extrapolated
+# ~140k crossover for host variance, and a bounded probe/collect
+# footprint (~26 MB of doubles, well under driver budgets; the
+# limit(cap+1) probe an OVERSIZED fit pays before taking the loop
+# stays a sub-second bounded job). Env-overridable
 # (SPARK_GRAFT_PQ_DRIVER_ROWS; 0 disables the driver path).
-PQ_DRIVER_ROWS_MAX = 1_000
+PQ_DRIVER_ROWS_MAX = 50_000
 
 
 def _pq_driver_rows_max() -> int:

@@ -403,15 +403,20 @@ def lsh_neardup_pairs(
 # the driver path entirely).
 #
 # The cap is sized by the COMPUTE crossover, not the broadcast budget:
-# the bit-exact replay is a sequential pure-Python fold (vectorizing it
-# would change summation order), so its cost is linear in rows while
-# the distributed loop's cost is nearly flat (scheduling-dominated).
-# Measured on dim-64 / k=16 / 3 iters (same session, checkpointed
-# input, min of 3): driver vs loop 0.8/2.9 s at 2k rows, 1.2/2.1 at
-# 5k, 2.2/1.7 at 10k, 4.5/2.0 at 20k — crossover ~8k, cap set at 6k.
-# The original 25k memory-budget cap made the sf1 bench's 5k-row PQ
-# fit (and would have made any 10k+ kmeans fit) pay the Python tax.
-KMEANS_DRIVER_ROWS_MAX = 6_000
+# originally 6k, when the replay's per-(row, centroid) HALF_UP rounding
+# was a Python Decimal loop (the per-dimension SUM fold stays sequential
+# either way — numpy accumulates it column-wise in the same order, so
+# the doubles are bit-identical). After the bit-exact vectorization
+# (_round_like_spark_vec + one-shot matrix build) the measured
+# clean-host crossover moved past 100k rows (dim 64, k=16, 3 iters,
+# checkpointed input, interleaved min of 3: driver vs loop 1.72/4.74 s
+# at 50k rows, 3.53/6.34 at 100k, 6.14/6.51 at 150k). Cap re-sized to
+# 50k — the deepest point with a >=2.5x measured advantage, margin
+# under the ~150k crossover for host variance, and a bounded
+# probe/collect footprint (~26 MB of doubles at the cap; an OVERSIZED
+# fit's limit(cap+1) probe stays one sub-second bounded job before the
+# loop engages).
+KMEANS_DRIVER_ROWS_MAX = 50_000
 
 
 def _kmeans_driver_rows_max() -> int:
