@@ -70,6 +70,23 @@ def _is_py4j_missing_api(exc: "Py4JError") -> bool:
 CC_DRIVER_SYM_ROWS_MAX = 800_000
 
 
+def _arrow_id_values(col):
+    """pyarrow id column -> numpy array for _driver_min_label_np, or
+    None when the dtype isn't modeled there (nulls, non-int/string) —
+    the caller then rebuilds plain values for the union-find."""
+    import numpy as np
+    import pyarrow.types as pat
+
+    if col.null_count:
+        return None
+    if pat.is_integer(col.type):
+        return col.to_numpy()
+    if pat.is_string(col.type) or pat.is_large_string(col.type):
+        arr = np.asarray(col.to_pylist())
+        return arr if arr.dtype.kind == "U" else None
+    return None
+
+
 def _driver_min_label_np(a_vals: list, b_vals: list) -> "tuple | None":
     """Vectorized min-label fixpoint: factorize node ids with np.unique
     (ascending sort = label order), then scatter-min label propagation
@@ -86,12 +103,13 @@ def _driver_min_label_np(a_vals: list, b_vals: list) -> "tuple | None":
     throughout)."""
     import numpy as np
 
-    ids = np.asarray(a_vals + b_vals)
+    a, b = np.asarray(a_vals), np.asarray(b_vals)
     # ints/strings only: float ids would drag NaN total-order questions
     # in, object dtype (null ids, exotic types) keeps Python comparison
     # semantics — both stay on the union-find
-    if ids.dtype.kind not in "iuSU":
+    if a.dtype.kind not in "iuSU" or b.dtype.kind not in "iuSU":
         return None
+    ids = np.concatenate([a, b])
     uniq, inv = np.unique(ids, return_inverse=True)
     n_edges = len(a_vals)
     u, v = inv[:n_edges], inv[n_edges:]
@@ -205,9 +223,24 @@ def connected_components(
         from pyspark.sql import types as T
 
         id_type = e.schema["src"].dataType
-        rows = e.select(
-            F.col("src").alias(id_a), F.col("dst").alias(id_b)
-        ).collect()
+        sel = e.select(F.col("src").alias(id_a), F.col("dst").alias(id_b))
+        # the bounded fetch rides ONE Arrow batch when the API exists
+        # (no Row materialization — the same collect-vs-Arrow split the
+        # kmeans/pq probes measured at ~3x); int/string id columns
+        # convert straight to numpy for the scatter-min path, anything
+        # else falls back to plain values + the union-find
+        try:
+            tbl = sel.toArrow()
+        except Exception:  # noqa: BLE001 — pre-4.0 API: Row path below
+            tbl = None
+        if tbl is not None:
+            rows = None
+            a_vals = _arrow_id_values(tbl.column(0).combine_chunks())
+            b_vals = _arrow_id_values(tbl.column(1).combine_chunks())
+        else:
+            rows = sel.collect()
+            a_vals = [r[id_a] for r in rows]
+            b_vals = [r[id_b] for r in rows]
         e.unpersist()
         schema = T.StructType(
             [
@@ -215,16 +248,24 @@ def connected_components(
                 T.StructField("component", id_type, False),
             ]
         )
-        np_lbl = _driver_min_label_np(
-            [r[id_a] for r in rows], [r[id_b] for r in rows]
+        np_lbl = (
+            _driver_min_label_np(a_vals, b_vals)
+            if a_vals is not None and b_vals is not None
+            else None
         )
-        if np_lbl is not None:
+        if np_lbl is not None and len(np_lbl[0]):
             import pandas as pd
 
             nodes, comps = np_lbl
             return spark.createDataFrame(
                 pd.DataFrame({"node": nodes, "component": comps}), schema
             )
+        if np_lbl is not None:  # empty graph: keep the plain empty frame
+            return spark.createDataFrame([], schema)
+        if rows is None:
+            # Arrow fetch whose ids the numpy path declined: plain
+            # dicts carry the same [key] access the union-find reads
+            rows = tbl.to_pylist()
         labels = _driver_min_label(rows, id_a, id_b)
         items = sorted(labels.items())
         # pandas -> Arrow -> JVM LocalTableScan: a list-of-tuples

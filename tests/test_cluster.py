@@ -459,3 +459,41 @@ def test_driver_min_label_np_matches_union_find():
 
     # object dtype (a null id) must decline
     assert _driver_min_label_np([1, None], [2, 3]) is None
+
+
+def test_cc_arrow_fetch_matches_row_fetch(spark, monkeypatch):
+    """Optimization round 14: the driver CC fast path fetches edges as
+    ONE Arrow batch. Pins identical labels vs the collect()+Row fetch
+    (forced by removing DataFrame.toArrow) on long and string ids."""
+    import random
+
+    from pyspark.sql import DataFrame
+
+    from ds_caselaw_ingester_spark.operators.cluster import (
+        connected_components,
+    )
+
+    rng = random.Random(4)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(120)]
+    df_l = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    df_s = spark.createDataFrame(
+        [(f"d{a:03d}", f"d{b:03d}") for a, b in edges],
+        "doc_a string, doc_b string",
+    )
+    for df in (df_l, df_s):
+        got_arrow = {
+            (r.node, r.component) for r in connected_components(df).collect()
+        }
+
+        def _no_arrow(self):
+            raise AttributeError("toArrow removed (pre-4.0 seam)")
+
+        monkeypatch.setattr(DataFrame, "toArrow", _no_arrow)
+        try:
+            got_rows = {
+                (r.node, r.component)
+                for r in connected_components(df).collect()
+            }
+        finally:
+            monkeypatch.undo()
+        assert got_arrow == got_rows

@@ -472,3 +472,44 @@ def test_round_like_spark_vec_bit_exact():
             assert bits(e) == bits(float(g)) or (
                 math.isnan(e) and math.isnan(g)
             ), (digits, repr(v), repr(e), repr(float(g)))
+
+
+def test_arrow_probe_matches_row_probe(spark, monkeypatch):
+    """Optimization round 14: the bounded driver probes fetch ONE Arrow
+    batch instead of collect()ed Rows. Pins that the Arrow fast path
+    and the Row walk produce identical models (pq codebooks and kmeans
+    centroids) on clean data with long AND string ids — the Row path is
+    forced by removing DataFrame.toArrow, the pre-4.0 seam."""
+    import random
+
+    from pyspark.sql import DataFrame
+
+    from ds_caselaw_ingester_spark.operators.pq import pq_fit
+    from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
+
+    rng = random.Random(17)
+    dim = 8
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+            for i in range(150)]
+    srows = [(f"id-{i:04d}", v) for i, v in rows]
+    df_l = spark.createDataFrame(rows, "id long, v array<double>")
+    df_s = spark.createDataFrame(srows, "id string, v array<double>")
+
+    def via_rows(fn, df, **kw):
+        def _no_arrow(self):
+            raise AttributeError("toArrow removed (pre-4.0 seam)")
+
+        monkeypatch.setattr(DataFrame, "toArrow", _no_arrow)
+        try:
+            return fn(df, "v", "id", **kw)
+        finally:
+            monkeypatch.undo()
+
+    for df in (df_l, df_s):
+        kw = dict(m=4, k=5, max_iter=3, round_centroids=6,
+                  driver_threshold=1000)
+        assert pq_fit(df, "v", "id", **kw) == via_rows(pq_fit, df, **kw)
+        kw = dict(k=5, max_iter=3, round_centroids=6, driver_threshold=1000)
+        assert kmeans_fit(df, "v", "id", **kw) == via_rows(
+            kmeans_fit, df, **kw
+        )
