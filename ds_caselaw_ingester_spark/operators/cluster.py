@@ -70,23 +70,6 @@ def _is_py4j_missing_api(exc: "Py4JError") -> bool:
 CC_DRIVER_SYM_ROWS_MAX = 800_000
 
 
-def _arrow_id_values(col):
-    """pyarrow id column -> numpy array for _driver_min_label_np, or
-    None when the dtype isn't modeled there (nulls, non-int/string) —
-    the caller then rebuilds plain values for the union-find."""
-    import numpy as np
-    import pyarrow.types as pat
-
-    if col.null_count:
-        return None
-    if pat.is_integer(col.type):
-        return col.to_numpy()
-    if pat.is_string(col.type) or pat.is_large_string(col.type):
-        arr = np.asarray(col.to_pylist())
-        return arr if arr.dtype.kind == "U" else None
-    return None
-
-
 def _driver_min_label_np(a_vals: list, b_vals: list) -> "tuple | None":
     """Vectorized min-label fixpoint: factorize node ids with np.unique
     (ascending sort = label order), then scatter-min label propagation
@@ -103,11 +86,22 @@ def _driver_min_label_np(a_vals: list, b_vals: list) -> "tuple | None":
     throughout)."""
     import numpy as np
 
+    # plain-list string inputs must be screened for NUL characters
+    # BEFORE the lossy fixed-width conversion ('<U' pads with trailing
+    # NULs, so "a\x00" would compare equal to "a" — merged components);
+    # ndarray inputs come from _arrow_id_values, which screened the raw
+    # buffer already
+    for vals in (a_vals, b_vals):
+        if isinstance(vals, list) and any(
+            isinstance(s, str) and "\x00" in s for s in vals
+        ):
+            return None
     a, b = np.asarray(a_vals), np.asarray(b_vals)
-    # ints/strings only: float ids would drag NaN total-order questions
-    # in, object dtype (null ids, exotic types) keeps Python comparison
-    # semantics — both stay on the union-find
-    if a.dtype.kind not in "iuSU" or b.dtype.kind not in "iuSU":
+    # ints and (NUL-free) strings only: float ids would drag NaN
+    # total-order questions in, bytes share the NUL-padding hazard, and
+    # object dtype (null ids, exotic types) keeps Python comparison
+    # semantics — all stay on the union-find
+    if a.dtype.kind not in "iuU" or b.dtype.kind not in "iuU":
         return None
     ids = np.concatenate([a, b])
     uniq, inv = np.unique(ids, return_inverse=True)
@@ -223,15 +217,21 @@ def connected_components(
         from pyspark.sql import types as T
 
         id_type = e.schema["src"].dataType
+        from ds_caselaw_ingester_spark.operators.similarity import (
+            _arrow_id_values,
+        )
+
         sel = e.select(F.col("src").alias(id_a), F.col("dst").alias(id_b))
         # the bounded fetch rides ONE Arrow batch when the API exists
         # (no Row materialization — the same collect-vs-Arrow split the
-        # kmeans/pq probes measured at ~3x); int/string id columns
-        # convert straight to numpy for the scatter-min path, anything
-        # else falls back to plain values + the union-find
+        # kmeans/pq probes measured at ~3x); int / NUL-free-string id
+        # columns convert straight to numpy for the scatter-min path,
+        # anything else falls back to plain values + the union-find.
+        # Missing-API errors only (pre-4.0 seam): a real execution
+        # failure must PROPAGATE, not silently re-run via collect.
         try:
             tbl = sel.toArrow()
-        except Exception:  # noqa: BLE001 — pre-4.0 API: Row path below
+        except (AttributeError, TypeError):
             tbl = None
         if tbl is not None:
             rows = None

@@ -299,9 +299,11 @@ def pq_fit(
         )
 
         probe = vectors.select(id_col, vec_col).limit(driver_threshold + 1)
+        # missing-API errors only (pre-4.0 seam): a real execution
+        # failure must PROPAGATE, not silently re-run via collect
         try:
             tbl = probe.toArrow()
-        except Exception:  # noqa: BLE001 — pre-4.0 API: Row probe below
+        except (AttributeError, TypeError):
             tbl = None
         books_d = None
         need_rows = tbl is None
@@ -317,7 +319,11 @@ def pq_fit(
             # "vec_anomaly": books_d stays None -> the loop's
             # slice/null semantics apply, same as the Row walk
         if need_rows:
-            head = probe.collect()
+            # the unsupported sample is already on the driver inside
+            # tbl — plain dicts carry the same [key] access the Row
+            # walk reads, no second bounded job (review finding); only
+            # the pre-4.0 seam still collects
+            head = tbl.to_pylist() if tbl is not None else probe.collect()
             if len(head) <= driver_threshold:
                 books_d = _pq_fit_driver(
                     head, vec_col, id_col, m, k, max_iter, round_centroids,

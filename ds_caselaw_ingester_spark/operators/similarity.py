@@ -505,16 +505,44 @@ def _argmin_entries(neg: "list", isnull: "list", n_c: int) -> int:
     return min(range(n_c), key=key)
 
 
+def _arrow_id_values(col):
+    """pyarrow id column -> numpy array whose comparison semantics are
+    provably Python's: non-null integers, or NUL-FREE strings — numpy's
+    fixed-width '<U' storage pads with trailing NULs, so an id like
+    "a\\x00" would silently compare equal to "a" after conversion (a
+    review-found hazard: merged CC components, flipped init order).
+    The raw UTF-8 data buffer is screened for NUL bytes in one C pass
+    BEFORE the lossy conversion; over-detection on sliced buffers only
+    costs the exact fallback. Returns None when not modeled — callers
+    keep the Row/union-find path, whose Python comparisons are exact."""
+    import numpy as np
+    import pyarrow.types as pat
+
+    if col.null_count:
+        return None
+    if pat.is_integer(col.type):
+        return col.to_numpy()
+    if pat.is_string(col.type) or pat.is_large_string(col.type):
+        buf = col.buffers()[2]
+        if buf is not None and 0 in np.frombuffer(buf, dtype=np.uint8):
+            return None
+        arr = np.asarray(col.to_pylist())
+        return arr if arr.dtype.kind == "U" else None
+    return None
+
+
 def _arrow_clean_matrix(tbl, id_col: str, vec_col: str):
     """Classify a bounded Arrow probe table and, when clean, build the
     id-sorted vector matrix with zero per-row Python work.
 
     Returns a (tag, payload) pair:
-    - ("ok", V)          — non-null int/string ids, rectangular list<float64>
-                           vectors with no nulls; V is the (n, dim) float64
-                           matrix sorted by id ascending (numpy stable
-                           argsort == Python sorted for these dtypes —
-                           same ordering contract _driver_min_label_np
+    - ("ok", V)          — non-null int / NUL-free string ids (screened
+                           by _arrow_id_values), rectangular
+                           list<float64> vectors with no nulls; V is
+                           the (n, dim) float64 matrix sorted by id
+                           ascending (numpy stable argsort == Python
+                           sorted for these screened dtypes — the
+                           ordering contract _driver_min_label_np
                            relies on);
     - ("vec_anomaly", _) — a null vector, null element or ragged row:
                            exactly the inputs whose semantics belong to
@@ -526,22 +554,13 @@ def _arrow_clean_matrix(tbl, id_col: str, vec_col: str):
                            collect()+Row path, which handles all of it.
     """
     import numpy as np
-    import pyarrow as pa
     import pyarrow.types as pat
 
     n = tbl.num_rows
     if n < 1:
         return ("unsupported", None)
-    ids = tbl.column(id_col).combine_chunks()
-    if ids.null_count:
-        return ("unsupported", None)
-    if pat.is_integer(ids.type):
-        ids_np = ids.to_numpy()
-    elif pat.is_string(ids.type) or pat.is_large_string(ids.type):
-        ids_np = np.asarray(ids.to_pylist())
-        if ids_np.dtype.kind != "U":
-            return ("unsupported", None)
-    else:
+    ids_np = _arrow_id_values(tbl.column(id_col).combine_chunks())
+    if ids_np is None:
         return ("unsupported", None)
     vec = tbl.column(vec_col).combine_chunks()
     if not (pat.is_list(vec.type) or pat.is_large_list(vec.type)):
@@ -803,9 +822,11 @@ def kmeans_fit(
         # ragged rows, exotic dtypes) re-probe via collect() so the Row
         # walk's exact semantics (valid-mask, dim guard) decide.
         probe = vectors.limit(driver_threshold + 1)
+        # missing-API errors only (pre-4.0 seam): a real execution
+        # failure must PROPAGATE, not silently re-run via collect
         try:
             tbl = probe.toArrow()
-        except Exception:  # noqa: BLE001 — pre-4.0 API: Row probe below
+        except (AttributeError, TypeError):
             tbl = None
         res = None
         need_rows = tbl is None
@@ -819,7 +840,11 @@ def kmeans_fit(
             else:
                 need_rows = True
         if need_rows:
-            head = probe.collect()
+            # the anomalous/unsupported sample is already on the driver
+            # inside tbl — plain dicts carry the same [key] access the
+            # Row walk reads, no second bounded job (review finding);
+            # only the pre-4.0 seam still collects
+            head = tbl.to_pylist() if tbl is not None else probe.collect()
             if len(head) <= driver_threshold:
                 res = _kmeans_fit_driver(
                     head, vec_col, id_col, k, max_iter, tol, round_centroids,

@@ -497,3 +497,33 @@ def test_cc_arrow_fetch_matches_row_fetch(spark, monkeypatch):
         finally:
             monkeypatch.undo()
         assert got_arrow == got_rows
+
+
+def test_cc_nul_string_ids_keep_exact_semantics(spark):
+    """Review-found hazard: numpy's fixed-width '<U' storage pads with
+    trailing NULs, so ids "a" and "a\\x00" would silently merge on the
+    numpy path. Pins that NUL-bearing string ids decline to the
+    union-find (helper-level) and that the driver path's labels still
+    equal the distributed loop's end-to-end."""
+    from ds_caselaw_ingester_spark.operators.cluster import (
+        _driver_min_label_np,
+        connected_components,
+    )
+
+    assert _driver_min_label_np(["a", "a\x00"], ["c", "b"]) is None
+
+    df = spark.createDataFrame(
+        [("a", "c"), ("a\x00", "b"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    via_driver = {
+        (r.node, r.component) for r in connected_components(df).collect()
+    }
+    via_loop = {
+        (r.node, r.component)
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert via_driver == via_loop
+    # "a" and "a\x00" are DISTINCT nodes in distinct components
+    assert ("a\x00", "a\x00") in via_driver and ("b", "a\x00") in via_driver
+    assert ("a", "a") in via_driver and ("c", "a") in via_driver

@@ -513,3 +513,33 @@ def test_arrow_probe_matches_row_probe(spark, monkeypatch):
         assert kmeans_fit(df, "v", "id", **kw) == via_rows(
             kmeans_fit, df, **kw
         )
+
+
+def test_nul_string_ids_decline_arrow_probe(spark):
+    """Review-found hazard: a trailing-NUL id would flip the Arrow
+    probe's init order (numpy '<U' compares "a\\x00" == "a"). Pins that
+    NUL-bearing ids keep the Row walk and the driver path still equals
+    the distributed loop for both pq and kmeans."""
+    import random
+
+    from ds_caselaw_ingester_spark.operators.pq import pq_fit
+    from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
+
+    rng = random.Random(23)
+    dim = 8
+    # full-precision coordinates: low-precision values make small-cell
+    # means land exactly on round_centroids boundaries, where the
+    # rounded-mean convention (kmeans_fit docstring) deliberately does
+    # NOT promise engine-identical last digits
+    rows = [(f"id-{i:03d}" + ("\x00" if i % 7 == 0 else ""),
+             [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id string, v array<double>")
+    kw = dict(m=4, k=5, max_iter=2, round_centroids=6)
+    assert pq_fit(df, "v", "id", driver_threshold=1000, **kw) == pq_fit(
+        df, "v", "id", driver_threshold=0, **kw
+    )
+    kw = dict(k=5, max_iter=2, round_centroids=6)
+    assert kmeans_fit(df, "v", "id", driver_threshold=1000, **kw) == kmeans_fit(
+        df, "v", "id", driver_threshold=0, **kw
+    )
