@@ -45,32 +45,57 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    # Fixed pre-suite JIT/codegen warm-up (round 14, r13 queue #3): the
-    # whole-sweep host "regimes" on identical code (48.6-59.8 s,
-    # docs/SCALE.md round-13 postscript) trace to C2 JIT + Janino
-    # codegen state at sampling time — the same cold surface the r13
-    # hybrid_search_multi diagnosis mapped (cost declining monotonically
-    # over the first ~5 samples). Running the suite's largest-plan
-    # queries ONCE, unrecorded, puts every recorded sample on a
-    # comparably warm JVM instead of leaving the warm-up to land on
-    # whichever queries sort first. Fixed set, alphabetical-independent,
-    # so the warm surface is identical across rounds.
-    for _wname in (
-        "hybrid_search_multi",
-        "semantic_dedup",
-        "ann_ivf_trained_topk",
-        "neardup_quality_keepers",
-        "tar_pipeline",
-    ):
-        if _wname in specs:
-            try:
-                specs[_wname].fn(spark, sf_dir).write.mode(
-                    "overwrite"
-                ).format("noop").save()
-            except Exception as e:  # noqa: BLE001 — warm-up must not gate
-                print(f"bench: warm-up {_wname} failed: {e}", file=sys.stderr)
-            finally:
-                spark.catalog.clearCache()
+    # Fixed pre-suite JIT/codegen warm-up (round 14, r13 queue #3;
+    # NEUTRALIZED in round 15 per the r14 verdict): the whole-sweep host
+    # "regimes" on identical code (48.6-59.8 s, docs/SCALE.md round-13
+    # postscript) trace to C2 JIT + Janino codegen state at sampling
+    # time. Round 14 warmed the JVM by running the five largest-plan
+    # queries once, unrecorded — which systematically deflated exactly
+    # the five queries being credited relative to the prior round's
+    # artifact (r14 verdict, "What's wrong" #2). Round 15 replaces that
+    # with a FIXED SYNTHETIC plan over spark.range that exercises the
+    # same engine surfaces (whole-stage codegen compile, hash aggregate,
+    # sort-merge + broadcast join, window, explode, AQE shuffle stages,
+    # the noop sink) without touching any registered query or the input
+    # parquet: every query's recorded samples now start from the same
+    # neutral JVM state, and no query gets a private warm-up. Per-query
+    # codegen still lands on each query's own first sample — the
+    # min-of-samples escalation (two fastest within SPREAD_TARGET, up
+    # to MAX_SAMPLES) absorbs it, exactly as it does for the 45
+    # queries round 14 never warmed.
+    try:
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _F
+
+        _a = (
+            spark.range(0, 200_000, 1, 32)
+            .select(
+                (_F.col("id") % 997).alias("k"),
+                (_F.col("id") % 31).alias("g"),
+                _F.concat(_F.lit("w"), (_F.col("id") % 113).cast("string")).alias("s"),
+                (_F.col("id") * 2.5).alias("v"),
+            )
+        )
+        _agg = _a.groupBy("k").agg(
+            _F.sum("v").alias("sv"), _F.count("*").alias("c"),
+            _F.collect_set("g").alias("gs"),
+        )
+        _b = spark.range(0, 997, 1, 8).select(
+            _F.col("id").alias("k"), (_F.col("id") % 7).alias("b")
+        )
+        _w = _W.partitionBy("b").orderBy(_F.desc("sv"))
+        _warm = (
+            _agg.join(_b, "k")
+            .withColumn("rn", _F.row_number().over(_w))
+            .where(_F.col("rn") <= 50)
+            .select("k", "b", "sv", "c", _F.explode("gs").alias("g"))
+            .groupBy("g").agg(_F.avg("sv").alias("m"))
+        )
+        _warm.write.mode("overwrite").format("noop").save()
+    except Exception as e:  # noqa: BLE001 — warm-up must not gate
+        print(f"bench: synthetic warm-up failed: {e}", file=sys.stderr)
+    finally:
+        spark.catalog.clearCache()
 
     # Each query is sampled until its two FASTEST samples agree within
     # SPREAD_TARGET (or MAX_SAMPLES is hit) and the MIN is reported:
@@ -177,19 +202,23 @@ def main() -> None:
     if errors:
         out["errors"] = errors
 
-    # The artifact pipeline captures a bounded TAIL of stdout: BENCH_r09 and
-    # r10 both lost the suite total because the one-line JSON outgrew that
-    # window (r10's >0.05 spread filter kept 48/50 entries on this noisy
-    # VM). Three defenses:
+    # Output contract (round 15, per the r14 verdict "What's wrong" #1):
+    # the driver parses the LAST stdout line, so the LAST line printed is
+    # the COMPLETE one-line JSON with the `queries` map. Round 14 printed
+    # a slim summary line last and the driver's per-query PERF comparison
+    # ran blind (PERF_r14.json per_query: {}). Defenses against the
+    # bounded tail-capture window (BENCH_r09/r10 lost the total to it):
     #   1. The FULL summary (full-precision timings + complete spread map)
     #      is written to BENCH_LAST.json in the repo — a committed file can
     #      never be truncated by an output-capture window.
     #   2. The stdout line drops `spread` ENTIRELY and rounds per-query
     #      timings to 4 decimals: measured 1.3 KB for the 50-query suite,
     #      inside the window with margin.
-    #   3. A final minimal line {"value","sf","n_queries"} prints AFTER the
-    #      full line, so a tail capture always ENDS with the suite total
-    #      even if the per-query line someday outgrows the window again.
+    #   3. A minimal line {"value","sf","n_queries"} prints BEFORE the
+    #      full line, and the paired-comparison diagnostic goes to
+    #      stderr: a tail capture therefore always ENDS with the full
+    #      queries-bearing line, and if the window ever shrinks below
+    #      ~1.4 KB the loss is the leading minimal line, not the map.
     # Paired comparison vs a previous round's artifact. Cross-round
     # totals from different sessions conflate host speed with plan
     # changes (rounds 10 and 11 each lost a judge-hour to exactly
@@ -219,9 +248,10 @@ def main() -> None:
         f.write("\n")
     line = {k: v for k, v in out.items() if k not in ("spread", "paired")}
     line["queries"] = {n: round(t, 4) for n, t in timings.items()}
-    print(json.dumps(line, separators=(",", ":")))
     if paired:
-        print(json.dumps(paired, separators=(",", ":")))
+        # diagnostic, not the artifact: stderr so the queries-bearing
+        # line stays the last stdout line (the driver parses the last)
+        print(json.dumps(paired, separators=(",", ":")), file=sys.stderr)
     tail = {"metric": out["metric"], "value": total, "unit": "sec", "sf": sf,
             "n_queries": len(timings),
             "spread_median": suite_spread["median"],
@@ -231,6 +261,7 @@ def main() -> None:
     if errors:
         tail["errors"] = errors
     print(json.dumps(tail, separators=(",", ":")))
+    print(json.dumps(line, separators=(",", ":")))
 
 
 def _load_old_queries(path: str) -> "tuple[dict, set, float | None]":

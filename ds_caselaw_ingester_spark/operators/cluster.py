@@ -69,6 +69,15 @@ def _is_py4j_missing_api(exc: "Py4JError") -> bool:
 # extrapolating past the measured range.
 CC_DRIVER_SYM_ROWS_MAX = 800_000
 
+# Separate, much lower bound for the PURE-PYTHON union-find fallback the
+# numpy scatter-min path declines to (null ids, float/bytes ids,
+# NUL-bearing strings): its wall grows superlinearly (measured 12.4 s at
+# 49k edges — the number that sized the pre-numpy cap), so a declined
+# graph near the 800k-row cap would take minutes on the driver vs ~8 s
+# for the distributed loop (ADVICE r14). Declined graphs above this
+# bound fall through to the loop instead.
+CC_UNION_FIND_SYM_ROWS_MAX = 50_000
+
 
 def _driver_min_label_np(a_vals: list, b_vals: list) -> "tuple | None":
     """Vectorized min-label fixpoint: factorize node ids with np.unique
@@ -219,6 +228,7 @@ def connected_components(
         id_type = e.schema["src"].dataType
         from ds_caselaw_ingester_spark.operators.similarity import (
             _arrow_id_values,
+            _to_arrow_or_none,
         )
 
         sel = e.select(F.col("src").alias(id_a), F.col("dst").alias(id_b))
@@ -227,12 +237,9 @@ def connected_components(
         # kmeans/pq probes measured at ~3x); int / NUL-free-string id
         # columns convert straight to numpy for the scatter-min path,
         # anything else falls back to plain values + the union-find.
-        # Missing-API errors only (pre-4.0 seam): a real execution
-        # failure must PROPAGATE, not silently re-run via collect.
-        try:
-            tbl = sel.toArrow()
-        except (AttributeError, TypeError):
-            tbl = None
+        # hasattr seam + unsupported-type fallback only; real execution
+        # failures propagate (see _to_arrow_or_none, ADVICE r14).
+        tbl = _to_arrow_or_none(sel)
         if tbl is not None:
             rows = None
             a_vals = _arrow_id_values(tbl.column(0).combine_chunks())
@@ -241,7 +248,6 @@ def connected_components(
             rows = sel.collect()
             a_vals = [r[id_a] for r in rows]
             b_vals = [r[id_b] for r in rows]
-        e.unpersist()
         schema = T.StructType(
             [
                 T.StructField("node", id_type, False),
@@ -256,37 +262,47 @@ def connected_components(
         if np_lbl is not None and len(np_lbl[0]):
             import pandas as pd
 
+            e.unpersist()
             nodes, comps = np_lbl
             return spark.createDataFrame(
                 pd.DataFrame({"node": nodes, "component": comps}), schema
             )
         if np_lbl is not None:  # empty graph: keep the plain empty frame
+            e.unpersist()
             return spark.createDataFrame([], schema)
-        if rows is None:
-            # Arrow fetch whose ids the numpy path declined: plain
-            # dicts carry the same [key] access the union-find reads
-            rows = tbl.to_pylist()
-        labels = _driver_min_label(rows, id_a, id_b)
-        items = sorted(labels.items())
-        # pandas -> Arrow -> JVM LocalTableScan: a list-of-tuples
-        # createDataFrame would plan as a PythonRDD and every consumer
-        # of the labels frame would round-trip a Python worker per task
-        # (the same hazard the round-14 fixture fix measured at ~1.5 s
-        # per pass). Empty graphs keep the plain path — zero rows cost
-        # nothing and pandas dtype inference has nothing to infer from.
-        if items:
-            import pandas as pd
+        if sym_rows <= CC_UNION_FIND_SYM_ROWS_MAX:
+            e.unpersist()
+            if rows is None:
+                # Arrow fetch whose ids the numpy path declined: plain
+                # dicts carry the same [key] access the union-find reads
+                rows = tbl.to_pylist()
+            labels = _driver_min_label(rows, id_a, id_b)
+            items = sorted(labels.items())
+            # pandas -> Arrow -> JVM LocalTableScan: a list-of-tuples
+            # createDataFrame would plan as a PythonRDD and every consumer
+            # of the labels frame would round-trip a Python worker per task
+            # (the same hazard the round-14 fixture fix measured at ~1.5 s
+            # per pass). Empty graphs keep the plain path — zero rows cost
+            # nothing and pandas dtype inference has nothing to infer from.
+            if items:
+                import pandas as pd
 
-            return spark.createDataFrame(
-                pd.DataFrame(
-                    {
-                        "node": [n for n, _ in items],
-                        "component": [c for _, c in items],
-                    }
-                ),
-                schema,
-            )
-        return spark.createDataFrame([], schema)
+                return spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "node": [n for n, _ in items],
+                            "component": [c for _, c in items],
+                        }
+                    ),
+                    schema,
+                )
+            return spark.createDataFrame([], schema)
+        # numpy declined AND the graph is past the union-find's measured
+        # superlinear knee (12.4 s at 49k edges; ~minutes near the 800k
+        # cap): fall through to the distributed loop, which handles these
+        # sizes in seconds (ADVICE r14). `e` stays persisted — the loop
+        # below re-uses it; the bounded fetch above is sunk cost, paid
+        # only on this rare declined-dtype band.
 
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     p = min(cur, max(1, (sym_rows + 99_999) // 100_000))

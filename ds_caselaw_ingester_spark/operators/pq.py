@@ -296,15 +296,13 @@ def pq_fit(
         from ds_caselaw_ingester_spark.operators.similarity import (
             _ansi_enabled,
             _arrow_clean_matrix,
+            _to_arrow_or_none,
         )
 
         probe = vectors.select(id_col, vec_col).limit(driver_threshold + 1)
-        # missing-API errors only (pre-4.0 seam): a real execution
-        # failure must PROPAGATE, not silently re-run via collect
-        try:
-            tbl = probe.toArrow()
-        except (AttributeError, TypeError):
-            tbl = None
+        # hasattr seam + unsupported-type fallback only; real execution
+        # failures propagate (see _to_arrow_or_none, ADVICE r14)
+        tbl = _to_arrow_or_none(probe)
         books_d = None
         need_rows = tbl is None
         if tbl is not None and tbl.num_rows <= driver_threshold:

@@ -471,7 +471,18 @@ def _round_like_spark_vec(a, digits: int):
     import numpy as np
 
     a = np.asarray(a, dtype=np.float64)
-    p = float(10**digits)  # exact double for digits <= 22
+    if not 0 <= digits <= 22:
+        # float(10**digits) is an exact double ONLY for 0 <= digits <= 22;
+        # outside that range the scale factor itself is rounded and the
+        # boundary analysis below no longer holds (verified mismatch at
+        # digits=23: 5.997973399330609e-16 -> 5.997973400000001e-16 fast
+        # vs 5.9979734e-16 exact — ADVICE r14). Route every entry through
+        # the exact scalar path; such digit settings are never hot.
+        flat = a.reshape(-1).astype(np.float64, copy=True)
+        for i in range(flat.size):
+            flat[i] = _round_like_spark(float(flat[i]), digits)
+        return flat.reshape(a.shape)
+    p = float(10**digits)  # exact double for digits <= 22 (guarded above)
     with np.errstate(invalid="ignore"):
         z = np.abs(a) * p
         out = np.copysign(np.floor(z + 0.5), a) / p + 0.0
@@ -503,6 +514,26 @@ def _argmin_entries(neg: "list", isnull: "list", n_c: int) -> int:
         return (1, v, c)
 
     return min(range(n_c), key=key)
+
+
+def _to_arrow_or_none(df):
+    """Bounded-probe Arrow fetch with the seam semantics the probes
+    need: None when the API is absent (pre-4.0 — tested with hasattr,
+    so an AttributeError raised from INSIDE a present implementation
+    PROPAGATES instead of silently re-running the query via collect(),
+    ADVICE r14) or when the frame carries an Arrow-unsupported type
+    (PySparkTypeError — the Row path handles it); every other
+    exception, i.e. any real execution failure, propagates."""
+    if not hasattr(df, "toArrow"):
+        return None
+    try:
+        from pyspark.errors import PySparkTypeError
+    except ImportError:  # pre-3.4: no pyspark.errors package
+        PySparkTypeError = ()
+    try:
+        return df.toArrow()
+    except PySparkTypeError:
+        return None
 
 
 def _arrow_id_values(col):
@@ -822,12 +853,12 @@ def kmeans_fit(
         # ragged rows, exotic dtypes) re-probe via collect() so the Row
         # walk's exact semantics (valid-mask, dim guard) decide.
         probe = vectors.limit(driver_threshold + 1)
-        # missing-API errors only (pre-4.0 seam): a real execution
-        # failure must PROPAGATE, not silently re-run via collect
-        try:
-            tbl = probe.toArrow()
-        except (AttributeError, TypeError):
-            tbl = None
+        # pre-4.0 seam = hasattr, NOT a broad except around the call: an
+        # AttributeError/TypeError raised from INSIDE a present toArrow
+        # would silently re-run the query via collect(), contrary to the
+        # propagate-real-failures contract (ADVICE r14). Only the
+        # unsupported-Arrow-type error falls back to the Row path.
+        tbl = _to_arrow_or_none(probe)
         res = None
         need_rows = tbl is None
         if tbl is not None and tbl.num_rows <= driver_threshold:

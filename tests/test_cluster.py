@@ -461,13 +461,26 @@ def test_driver_min_label_np_matches_union_find():
     assert _driver_min_label_np([1, None], [2, 3]) is None
 
 
+def _delete_toarrow_everywhere(monkeypatch, df):
+    """Remove toArrow from EVERY class in the instance's MRO that defines
+    it. Round 15 fix: the r14 version of these tests monkeypatched the
+    abstract pyspark.sql.dataframe.DataFrame parent, but the live
+    instance is pyspark.sql.classic.dataframe.DataFrame whose OWN
+    toArrow shadows the patch — the 'Row seam' assertions were silently
+    comparing the Arrow path against itself. Deleting the attribute from
+    each defining class makes hasattr(df, 'toArrow') genuinely False,
+    which is the pre-4.0 condition _to_arrow_or_none feature-detects."""
+    for klass in type(df).__mro__:
+        if "toArrow" in vars(klass):
+            monkeypatch.delattr(klass, "toArrow")
+
+
 def test_cc_arrow_fetch_matches_row_fetch(spark, monkeypatch):
     """Optimization round 14: the driver CC fast path fetches edges as
     ONE Arrow batch. Pins identical labels vs the collect()+Row fetch
-    (forced by removing DataFrame.toArrow) on long and string ids."""
+    (forced by genuinely deleting the toArrow API — the pre-4.0 seam)
+    on long and string ids."""
     import random
-
-    from pyspark.sql import DataFrame
 
     from ds_caselaw_ingester_spark.operators.cluster import (
         connected_components,
@@ -485,10 +498,7 @@ def test_cc_arrow_fetch_matches_row_fetch(spark, monkeypatch):
             (r.node, r.component) for r in connected_components(df).collect()
         }
 
-        def _no_arrow(self):
-            raise AttributeError("toArrow removed (pre-4.0 seam)")
-
-        monkeypatch.setattr(DataFrame, "toArrow", _no_arrow)
+        _delete_toarrow_everywhere(monkeypatch, df)
         try:
             got_rows = {
                 (r.node, r.component)
@@ -497,6 +507,56 @@ def test_cc_arrow_fetch_matches_row_fetch(spark, monkeypatch):
         finally:
             monkeypatch.undo()
         assert got_arrow == got_rows
+
+
+def test_cc_arrow_fetch_execution_failure_propagates(spark, monkeypatch):
+    """ADVICE r14: an AttributeError/TypeError raised from INSIDE a
+    present toArrow implementation is a real execution failure and must
+    PROPAGATE — the pre-4.0 seam is hasattr-detected, never a broad
+    except around the call (which silently re-ran the query via
+    collect())."""
+    import pytest
+
+    from ds_caselaw_ingester_spark.operators.cluster import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+
+    def _boom(self):
+        raise AttributeError("executor died mid-fetch")
+
+    monkeypatch.setattr(type(df), "toArrow", _boom)
+    with pytest.raises(AttributeError, match="executor died"):
+        connected_components(df)
+
+
+def test_cc_declined_large_graph_takes_distributed_loop(spark, monkeypatch):
+    """ADVICE r14 (medium): the pure-Python union-find fallback is
+    superlinear, so a graph the numpy path declines (float ids here)
+    that is ALSO above CC_UNION_FIND_SYM_ROWS_MAX must go to the
+    distributed loop, not the union-find. Forced by shrinking the gate;
+    the union-find is replaced with a tripwire to prove the path."""
+    from ds_caselaw_ingester_spark.operators import cluster
+
+    edges = [(float(i), float(i + 1)) for i in range(0, 40, 2)] + [
+        (10.0, 11.0)
+    ]
+    df = spark.createDataFrame(edges, "doc_a double, doc_b double")
+
+    def _tripwire(rows, id_a, id_b):
+        raise AssertionError("union-find must not run above its gate")
+
+    monkeypatch.setattr(cluster, "CC_UNION_FIND_SYM_ROWS_MAX", 10)
+    monkeypatch.setattr(cluster, "_driver_min_label", _tripwire)
+    got = {
+        (r.node, r.component)
+        for r in cluster.connected_components(df).collect()
+    }
+    # pairs {2i, 2i+1} with min-label 2i; the duplicate (10,11) edge
+    # changes nothing — same fixpoint either path
+    exp = {(float(i), float(i - (i % 2))) for i in range(40)}
+    assert got == exp
 
 
 def test_cc_nul_string_ids_keep_exact_semantics(spark):

@@ -473,16 +473,36 @@ def test_round_like_spark_vec_bit_exact():
                 math.isnan(e) and math.isnan(g)
             ), (digits, repr(v), repr(e), repr(float(g)))
 
+    # ADVICE r14: digits outside [0, 22] (float(10**digits) no longer an
+    # exact double) must route through the scalar path — the known
+    # mismatch value at digits=23, plus negatives and a boundary sweep.
+    # values kept small enough that the scalar's 28-digit Decimal context
+    # can represent the quantized result (bigger combos raise
+    # InvalidOperation on BOTH paths — pre-existing scalar behavior)
+    adversarial = [5.997973399330609e-16, -5.997973399330609e-16, 0.15,
+                   1.5, -1.5, 12.345, 0.0, -0.0, float("nan")]
+    adversarial += [rng.uniform(-1e-15, 1e-15) for _ in range(2000)]
+    for digits in (23, 25, -1, -3):
+        got = _round_like_spark_vec(np.array(adversarial), digits)
+        for v, g in zip(adversarial, got):
+            e = _round_like_spark(v, digits)
+            assert bits(e) == bits(float(g)) or (
+                math.isnan(e) and math.isnan(g)
+            ), (digits, repr(v), repr(e), repr(float(g)))
+
 
 def test_arrow_probe_matches_row_probe(spark, monkeypatch):
     """Optimization round 14: the bounded driver probes fetch ONE Arrow
     batch instead of collect()ed Rows. Pins that the Arrow fast path
     and the Row walk produce identical models (pq codebooks and kmeans
     centroids) on clean data with long AND string ids — the Row path is
-    forced by removing DataFrame.toArrow, the pre-4.0 seam."""
+    forced by genuinely deleting the toArrow API (round 15 fix: the r14
+    version patched the abstract DataFrame parent, which the live
+    classic subclass's own toArrow shadows — the Row branch never
+    actually ran; deleting the attribute from every defining class in
+    the MRO makes hasattr(df, 'toArrow') False, the real pre-4.0
+    condition)."""
     import random
-
-    from pyspark.sql import DataFrame
 
     from ds_caselaw_ingester_spark.operators.pq import pq_fit
     from ds_caselaw_ingester_spark.operators.similarity import kmeans_fit
@@ -496,10 +516,9 @@ def test_arrow_probe_matches_row_probe(spark, monkeypatch):
     df_s = spark.createDataFrame(srows, "id string, v array<double>")
 
     def via_rows(fn, df, **kw):
-        def _no_arrow(self):
-            raise AttributeError("toArrow removed (pre-4.0 seam)")
-
-        monkeypatch.setattr(DataFrame, "toArrow", _no_arrow)
+        for klass in type(df).__mro__:
+            if "toArrow" in vars(klass):
+                monkeypatch.delattr(klass, "toArrow")
         try:
             return fn(df, "v", "id", **kw)
         finally:
