@@ -184,45 +184,41 @@ def connected_components(
     driver_threshold: symmetrised-row bound for the driver-side
     union-find fast path (None -> CC_DRIVER_SYM_ROWS_MAX, overridable
     via $SPARK_GRAFT_CC_DRIVER_ROWS; 0 forces the distributed loop).
-    The edge count is already measured for the loop's partition sizing,
-    so the gate costs nothing; both paths produce the identical
-    min-label fixpoint (pinned in tests/test_cluster.py).
+    The gate is ONE bounded limit-probe whose fetch doubles as the
+    driver path's input (an overflowing probe falls to the loop, which
+    then counts the cached edges for its partition sizing); both paths
+    produce the identical min-label fixpoint (pinned in
+    tests/test_cluster.py).
     """
-    # The edge list is re-joined EVERY round, so it is materialised ONCE
-    # (e.persist + count — without it each unionAll branch replays the
-    # upstream pair-producing pipeline; for neardup_clusters that's the
-    # whole shingle->minhash->banding computation) and the symmetrised
-    # list is cached PRE-PARTITIONED on the join key: a cached frame
-    # keeps its hash partitioning, so every round's neighbor join
-    # shuffles only the O(V) label frame, never the O(E) edges. At scale
-    # this is the standard iterative-graph pattern — cache the static
-    # edge set once, iterate only the labels.
+    # The edge list is re-joined EVERY round of the distributed loop, so
+    # it is materialised ONCE (e.persist, forced by the probe or count
+    # below — without it each unionAll branch replays the upstream
+    # pair-producing pipeline; for neardup_clusters that's the whole
+    # shingle->minhash->banding computation) and the symmetrised list is
+    # cached PRE-PARTITIONED on the join key: a cached frame keeps its
+    # hash partitioning, so every round's neighbor join shuffles only
+    # the O(V) label frame, never the O(E) edges. At scale this is the
+    # standard iterative-graph pattern — cache the static edge set once,
+    # iterate only the labels.
     e = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).persist()
-    # Size-aware loop partitioning. AQE cannot re-plan cached or
-    # checkpointed subtrees (canChangeCachedPlanOutputPartitioning is
-    # off), so every per-round shuffle would otherwise run at the
-    # session's spark.sql.shuffle.partitions even for a label frame of a
-    # few thousand rows — on local mode that makes task scheduling, not
-    # data, the round cost. Count the materialised edge list once (one
-    # scalar; the edge cache had to be forced anyway) and run the loop's
-    # shuffles at ~100k edge rows per partition (measured knee on the
-    # iterative join+agg shape: p=8 beats both p=1, which serialises the
-    # row work, and p=64, which pays 6 stages x 64 tasks of scheduling
-    # per round), never MORE than the configured count — a big graph
-    # keeps the cluster setting, a small one stops paying wide stages.
     spark = edges.sparkSession
-    sym_rows = 2 * e.count()  # one pass materialises the pair pipeline
 
     if driver_threshold is None:
         import os
 
         env = os.environ.get("SPARK_GRAFT_CC_DRIVER_ROWS", "").strip()
         driver_threshold = int(env) if env else CC_DRIVER_SYM_ROWS_MAX
-    if sym_rows <= driver_threshold:
-        # Small graph: one bounded collect replaces the whole loop (see
-        # CC_DRIVER_SYM_ROWS_MAX). The labels frame is created in the
-        # caller's session — downstream joins plan under the caller's
-        # conf, same contract as the loop's re-parented result.
+    # Gate = ONE bounded probe (optimization round 15; kmeans_fit's gate
+    # shape): limit(cap+1) fetched as one Arrow batch decides the path
+    # AND, when the whole edge list fits, IS the driver path's input —
+    # the separate e.count() job the old gate scheduled (plus its second
+    # pass over the cached edges for the fetch) only runs when the probe
+    # overflows into the distributed loop. One scheduling round-trip
+    # saved per under-cap call — every bench CC and every streaming
+    # micro-batch that clusters a handful of pairs.
+    sym_rows = None
+    cap_edges = driver_threshold // 2  # threshold counts SYMMETRISED rows
+    if driver_threshold:
         from pyspark.sql import types as T
 
         id_type = e.schema["src"].dataType
@@ -231,7 +227,9 @@ def connected_components(
             _to_arrow_or_none,
         )
 
-        sel = e.select(F.col("src").alias(id_a), F.col("dst").alias(id_b))
+        sel = e.select(F.col("src").alias(id_a), F.col("dst").alias(id_b)).limit(
+            cap_edges + 1
+        )
         # the bounded fetch rides ONE Arrow batch when the API exists
         # (no Row materialization — the same collect-vs-Arrow split the
         # kmeans/pq probes measured at ~3x); int / NUL-free-string id
@@ -242,10 +240,26 @@ def connected_components(
         tbl = _to_arrow_or_none(sel)
         if tbl is not None:
             rows = None
+            n_fetched = tbl.num_rows
+        else:
+            rows = sel.collect()
+            n_fetched = len(rows)
+        if n_fetched > cap_edges:
+            # overflow: the loop path needs the real count for its
+            # partition sizing; the probe already materialised (part of)
+            # the cached edge list, so this pass reads mostly cache
+            sym_rows = 2 * e.count()
+        else:
+            sym_rows = 2 * n_fetched  # probe captured the whole edge list
+    if sym_rows is not None and sym_rows <= driver_threshold:
+        # Small graph: the bounded probe above replaces the whole loop
+        # (see CC_DRIVER_SYM_ROWS_MAX). The labels frame is created in
+        # the caller's session — downstream joins plan under the
+        # caller's conf, same contract as the loop's re-parented result.
+        if rows is None:
             a_vals = _arrow_id_values(tbl.column(0).combine_chunks())
             b_vals = _arrow_id_values(tbl.column(1).combine_chunks())
         else:
-            rows = sel.collect()
             a_vals = [r[id_a] for r in rows]
             b_vals = [r[id_b] for r in rows]
         schema = T.StructType(
@@ -304,6 +318,23 @@ def connected_components(
         # below re-uses it; the bounded fetch above is sunk cost, paid
         # only on this rare declined-dtype band.
 
+    if sym_rows is None:
+        # probe disabled (driver_threshold 0): the loop still needs the
+        # edge count for its partition sizing, and the count doubles as
+        # the cache-forcing pass the loop requires
+        sym_rows = 2 * e.count()
+
+    # Size-aware loop partitioning. AQE cannot re-plan cached or
+    # checkpointed subtrees (canChangeCachedPlanOutputPartitioning is
+    # off), so every per-round shuffle would otherwise run at the
+    # session's spark.sql.shuffle.partitions even for a label frame of a
+    # few thousand rows — on local mode that makes task scheduling, not
+    # data, the round cost. Run the loop's shuffles at ~100k edge rows
+    # per partition (measured knee on the iterative join+agg shape: p=8
+    # beats both p=1, which serialises the row work, and p=64, which
+    # pays 6 stages x 64 tasks of scheduling per round), never MORE than
+    # the configured count — a big graph keeps the cluster setting, a
+    # small one stops paying wide stages.
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     p = min(cur, max(1, (sym_rows + 99_999) // 100_000))
 

@@ -1,9 +1,21 @@
 """Table catalog over the driver's parquet test tables.
 
-Reads are plain ``spark.read.parquet`` so Catalyst gets full predicate
-pushdown / column pruning into the scan — at 100 TB the scan is the
-dominant cost and pruning unused columns (especially wide text/binary
-columns on ``documents``) is the single biggest win.
+Reads supply the scan schema from the parquet FOOTER, read driver-side
+via pyarrow (microseconds, no Spark job): ``spark.read.parquet`` without
+a schema schedules one footer-inference JOB per call — measured 0.13 s
+warm plus a scheduling round-trip, paid by EVERY query invocation
+(optimization round 15; the suite-wide overhead profile put one such job
+in all 50 registered queries). ``spark.read.schema(footer).parquet``
+plans the identical scan (same ReadSchema, same pushdown) with zero
+scheduled jobs. Anything the footer converter does not model — missing
+file, directory inputs, exotic types, the legacy TIMESTAMP(NANOS)
+events layout — falls back to plain inference, so behavior off the
+happy path is byte-identical to before.
+
+Catalyst still gets full predicate pushdown / column pruning into the
+scan — at 100 TB the scan is the dominant cost and pruning unused
+columns (especially wide text/binary columns on ``documents``) is the
+single biggest win.
 """
 
 from __future__ import annotations
@@ -57,7 +69,71 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         return _read_events(spark, f"{sf_dir}/events.parquet")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    st = _footer_schema(path)
+    if st is None:
+        return spark.read.parquet(path)
+    return spark.read.schema(st).parquet(path)
+
+
+def _footer_schema(path: str):
+    """Spark StructType from the parquet footer, read DRIVER-SIDE via
+    pyarrow — no Spark job (see module docstring for the measured cost
+    of the inference job this replaces). Returns None whenever the
+    footer cannot be read (missing file, directory input, non-parquet)
+    or contains a type outside the engine's modeled universe — callers
+    then use plain ``spark.read.parquet``, so every off-happy-path
+    behavior (error classes included) is unchanged. The conversion is
+    pinned equal to Spark's own inference for every table × sf dir in
+    tests/test_catalog_events.py. Fields are always nullable, matching
+    Spark's file-relation rule (file sources relax all columns to
+    nullable on read). timestamp[ns] deliberately returns None: that is
+    the legacy events layout only readable through the nanosAsLong conf
+    dance in _read_events."""
+    try:
+        import pyarrow.parquet as papq
+        import pyarrow.types as pat
+
+        pa_schema = papq.read_schema(path)
+    except Exception:
+        return None
+    from pyspark.sql import types as T
+
+    def conv(t):
+        if pat.is_int32(t):
+            return T.IntegerType()
+        if pat.is_int64(t):
+            return T.LongType()
+        if pat.is_float64(t):
+            return T.DoubleType()
+        if pat.is_float32(t):
+            return T.FloatType()
+        if pat.is_string(t) or pat.is_large_string(t):
+            return T.StringType()
+        if pat.is_boolean(t):
+            return T.BooleanType()
+        if pat.is_date32(t):
+            return T.DateType()
+        if pat.is_binary(t) or pat.is_large_binary(t):
+            return T.BinaryType()
+        if pat.is_timestamp(t):
+            if t.unit == "us":
+                return T.TimestampType() if t.tz else T.TimestampNTZType()
+            return None
+        if pat.is_list(t) or pat.is_large_list(t):
+            et = conv(t.value_type)
+            if et is None:
+                return None
+            return T.ArrayType(et, containsNull=t.value_field.nullable)
+        return None
+
+    fields = []
+    for f in pa_schema:
+        dt = conv(f.type)
+        if dt is None:
+            return None
+        fields.append(T.StructField(f.name, dt, nullable=True))
+    return T.StructType(fields)
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
@@ -67,6 +143,11 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+    st = _footer_schema(path)
+    if st is not None:
+        # modern layout, schema known from the footer: jobless read; the
+        # ts normalization below is layout-driven and unchanged
+        return _normalize_events_ts(spark.read.schema(st).parquet(path))
     try:
         df = spark.read.parquet(path)
     except Exception as exc:  # TIMESTAMP(NANOS) footer: unreadable without the legacy conf
@@ -87,6 +168,15 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
                 spark.conf.unset(NANOS_CONF)
             else:
                 spark.conf.set(NANOS_CONF, prior)
+
+    return _normalize_events_ts(df)
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Layout-driven ts normalization shared by the jobless footer-schema
+    read and the inference fallback; see :func:`table`."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):

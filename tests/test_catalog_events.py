@@ -331,3 +331,59 @@ def test_vocab_entries_narrow_equals_wide(spark):
     assert seed_vocab(wf.coalesce(1), max_vocab=300) == seed_vocab(
         spread(wf, "word"), max_vocab=300
     )
+
+
+def test_footer_schema_matches_spark_inference(spark):
+    """Round 15: table() supplies the scan schema from the parquet
+    footer via pyarrow, driver-side and JOBLESS (spark.read.parquet
+    without a schema schedules one footer-inference job per call —
+    measured 0.13 s warm, paid by every query invocation). Pins the
+    conversion EQUAL to Spark's own inference for every table x sf dir,
+    so the jobless read can never silently drift from what
+    spark.read.parquet would have planned."""
+    import os
+
+    from ds_caselaw_ingester_spark.sources.catalog import (
+        TABLES,
+        _footer_schema,
+    )
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        for t in TABLES:
+            p = f"/root/testdata/{sf}/{t}.parquet"
+            if not os.path.exists(p):
+                continue
+            assert _footer_schema(p) == spark.read.parquet(p).schema, (sf, t)
+            checked += 1
+    assert checked > 0
+
+
+def test_table_read_schedules_no_job(spark):
+    """The footer-schema read is jobless at planning time — the point
+    of it. A job re-appearing here would put one scheduling round-trip
+    back into every registered query's construction."""
+    import uuid
+
+    from ds_caselaw_ingester_spark.sources.catalog import TABLES, table
+
+    sc = spark.sparkContext
+    g = f"cat-{uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(g, "table reads")
+    try:
+        for t in TABLES:
+            table(spark, "/root/testdata/sf0.001", t)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup(g)) == []
+
+
+def test_footer_schema_unmodeled_returns_none(tmp_path):
+    """Missing files and the legacy TIMESTAMP(NANOS) layout must return
+    None so callers keep the inference path (error classes and the
+    nanosAsLong conf dance unchanged)."""
+    from ds_caselaw_ingester_spark.sources.catalog import _footer_schema
+
+    assert _footer_schema(str(tmp_path / "missing.parquet")) is None
+    legacy = _write_events(str(tmp_path), pa.timestamp("ns"))
+    assert _footer_schema(os.path.join(legacy, "events.parquet")) is None

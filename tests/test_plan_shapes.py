@@ -386,12 +386,15 @@ def test_hybrid_search_multi_construction_job_count_pinned(spark, sf_dir):
     checkpoint's all_terms broadcast, operators/search.py). Nothing
     else pinned the scheduled-job count, so the removed job could
     silently return. Construction (building the DataFrame — eager
-    checkpoints and broadcast collects run here) schedules exactly 8
-    jobs on optimization-round-14 code: round 13 removed the eager
-    qterms checkpoint job, and this round made the dl checkpoint lazy
-    too (deterministic frame — nothing requires it pinned before the
-    final action; operators/search.py). An eager qterms checkpoint
-    would add one job per query set, an eager dl another. If this
+    checkpoints and broadcast collects run here) schedules exactly 6
+    jobs on optimization-round-15 code: round 13 removed the eager
+    qterms checkpoint job, round 14 made the dl checkpoint lazy
+    (deterministic frame — nothing requires it pinned before the
+    final action; operators/search.py), and round 15 removed the two
+    parquet footer-inference jobs (documents + embeddings reads now
+    take the jobless footer-schema path, sources/catalog.py). An eager
+    qterms checkpoint would add one job per query set, an eager dl
+    another, a schema-less read one per table. If this
     number changes, account for the delta deliberately — one extra
     scheduling round-trip per invocation is real latency on a busy
     cluster."""
@@ -405,10 +408,11 @@ def test_hybrid_search_multi_construction_job_count_pinned(spark, sf_dir):
     finally:
         sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup(group)
-    assert len(jobs) == 8, (
+    assert len(jobs) == 6, (
         f"hybrid_search_multi construction scheduled {len(jobs)} jobs "
-        "(expected 8) — did the qterms or dl localCheckpoint go eager "
-        "again, or did a new construction-time action appear?"
+        "(expected 6) — did the qterms or dl localCheckpoint go eager "
+        "again, did a schema-less table read return, or did a new "
+        "construction-time action appear?"
     )
     assert {"q_id", "doc_id", "rrf_score", "rank"} == set(df.columns)
 
@@ -419,11 +423,14 @@ def test_pq_adc_topk_construction_job_count_pinned(spark, sf_dir):
     is truncated at construction either way, and the single consuming
     action materializes the pinned rows, so the eager variant's
     dedicated encode job was pure per-invocation scheduling latency.
-    Construction schedules exactly 4 jobs on round-14 code (the
-    bounded driver-side pq_fit probe + fixture/stats jobs). An eager
-    encode checkpoint would make it 5. If this number changes, account
-    for the delta deliberately — one scheduling round-trip per
-    invocation is real latency on a busy cluster."""
+    Construction schedules exactly 3 jobs on round-15 code (the
+    bounded driver-side pq_fit probe + fixture/stats jobs; round 15
+    removed the embeddings footer-inference job — the read now takes
+    the jobless footer-schema path, sources/catalog.py). An eager
+    encode checkpoint would make it 4, a schema-less read one more. If
+    this number changes, account for the delta deliberately — one
+    scheduling round-trip per invocation is real latency on a busy
+    cluster."""
     import uuid
 
     sc = spark.sparkContext
@@ -434,10 +441,11 @@ def test_pq_adc_topk_construction_job_count_pinned(spark, sf_dir):
     finally:
         sc.setJobGroup(None, None)
     jobs = sc.statusTracker().getJobIdsForGroup(group)
-    assert len(jobs) == 4, (
+    assert len(jobs) == 3, (
         f"pq_adc_topk construction scheduled {len(jobs)} jobs "
-        "(expected 4) — did the encoded-index localCheckpoint go "
-        "eager again, or did a new construction-time action appear?"
+        "(expected 3) — did the encoded-index localCheckpoint go "
+        "eager again, did a schema-less table read return, or did a "
+        "new construction-time action appear?"
     )
     assert {"q_id", "c_id", "cosine_adc", "rank"} == set(df.columns)
 
@@ -480,4 +488,28 @@ def test_repeated_spans_single_corpus_pass(spark, sf_dir):
     assert "Scan parquet" not in plan, (
         "a corpus scan leaked back into repeated_spans' final plan — "
         "the per-(gram, doc) checkpoint is not being read:\n" + plan
+    )
+
+
+def test_ngram_jaccard_single_tokenize_via_exchange_reuse(spark, sf_dir):
+    """VERDICT r14 queue #5: ngram_jaccard_pairs' cost model relies on
+    its three static towers over the inverted index (sizes, pairable,
+    the common-gram aggregation) sharing ONE corpus
+    tokenize/explode/groupBy(gram) exchange at runtime via exchange
+    reuse — the r14 audit verified ReusedExchange x3 in the executed
+    plan. The property exists ONLY at runtime: one innocent edit to a
+    tower (a differing partial-aggregate buffer, a different column
+    pruning) silently breaks it into separate full corpus passes —
+    exactly what happened to strip_spans' per_dg before r14 change #11.
+    Pin: after execution the final adaptive plan carries ReusedExchange
+    nodes and scans the corpus parquet at most twice (the 2-branch
+    planted-dup union, materialized once)."""
+    df = all_specs()["ngram_jaccard_pairs"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert plan.count("Scan parquet") <= 2, (
+        "the inverted-index towers stopped sharing the corpus "
+        "tokenize exchange — each extra scan is a full corpus "
+        "tokenize/explode/hash pass at scale:\n" + plan
     )
