@@ -491,25 +491,70 @@ def test_repeated_spans_single_corpus_pass(spark, sf_dir):
     )
 
 
-def test_ngram_jaccard_single_tokenize_via_exchange_reuse(spark, sf_dir):
+def _executed_node_metrics(df):
+    """(nodeName, metrics) rows of df's OWN executed adaptive plan —
+    caller must have run an action on df itself (collect, not a write,
+    which builds a separate QueryExecution). Unwraps AQE stage nodes so
+    runtime-reused subtrees appear as ReusedExchange leaves."""
+
+    def _unwrap(node):
+        n = node.nodeName()
+        if n == "AdaptiveSparkPlan":
+            return _unwrap(node.executedPlan())
+        if "QueryStage" in n:
+            return _unwrap(node.plan())
+        return node
+
+    out = []
+
+    def walk(node):
+        node = _unwrap(node)
+        m = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            m[kv._1()] = kv._2().value()
+        out.append((node.nodeName(), m))
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_ngram_jaccard_single_tokenize_at_runtime(spark, sf_dir):
     """VERDICT r14 queue #5: ngram_jaccard_pairs' cost model relies on
     its three static towers over the inverted index (sizes, pairable,
     the common-gram aggregation) sharing ONE corpus
-    tokenize/explode/groupBy(gram) exchange at runtime via exchange
-    reuse — the r14 audit verified ReusedExchange x3 in the executed
-    plan. The property exists ONLY at runtime: one innocent edit to a
-    tower (a differing partial-aggregate buffer, a different column
-    pruning) silently breaks it into separate full corpus passes —
-    exactly what happened to strip_spans' per_dg before r14 change #11.
-    Pin: after execution the final adaptive plan carries ReusedExchange
-    nodes and scans the corpus parquet at most twice (the 2-branch
-    planted-dup union, materialized once)."""
-    df = all_specs()["ngram_jaccard_pairs"].fn(spark, sf_dir)
+    tokenize/explode/groupBy(gram) pass at runtime via exchange reuse.
+    The property exists ONLY in the executed plan — one innocent edit
+    to a tower (a differing partial-aggregate buffer, a different
+    column pruning) silently breaks it into separate full corpus
+    passes, exactly what happened to strip_spans' per_dg before r14
+    change #11. Pin on runtime METRICS (the static plan legitimately
+    shows 3 towers / 6 scans that AQE dedupes): after execution, at
+    most 2 parquet scans actually produced rows (the 2-branch
+    planted-dup union, materialized once), at most 2 Generate nodes ran
+    (ONE corpus gram explode + the in-bucket pair explode), and at
+    least one exchange was runtime-reused. Pinned at sf0.1, not the
+    sf0.001 fixture: at sf0.001 AQE turns one tower into a broadcast
+    build whose canonical plan cannot reuse the shuffle exchange, so a
+    third (tiny, harmless) explode runs — the property this pin guards
+    is the one that holds at the scales where the explode is the
+    cost."""
+    df = all_specs()["ngram_jaccard_pairs"].fn(spark, "/root/testdata/sf0.1")
     df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan, plan
-    assert plan.count("Scan parquet") <= 2, (
-        "the inverted-index towers stopped sharing the corpus "
-        "tokenize exchange — each extra scan is a full corpus "
-        "tokenize/explode/hash pass at scale:\n" + plan
+    nodes = _executed_node_metrics(df)
+    scans_run = sum(
+        1 for n, m in nodes
+        if n.startswith("Scan parquet") and m.get("numOutputRows", 0) > 0
     )
+    generates_run = sum(
+        1 for n, m in nodes
+        if n == "Generate" and m.get("numOutputRows", 0) > 0
+    )
+    reused = sum(1 for n, _ in nodes if n == "ReusedExchange")
+    assert scans_run <= 2, (scans_run, [n for n, _ in nodes])
+    assert generates_run <= 2, (generates_run, [n for n, _ in nodes])
+    assert reused >= 1, [n for n, _ in nodes]
